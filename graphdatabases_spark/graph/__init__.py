@@ -1,0 +1,14 @@
+from graphdatabases_spark.graph.model import PropertyGraph, VERTEX_SCHEMA, EDGE_SCHEMA
+from graphdatabases_spark.graph.generators import grid_graph, chain_graph
+from graphdatabases_spark.graph.traversal import khop, bfs_distances, ssp
+
+__all__ = [
+    "PropertyGraph",
+    "VERTEX_SCHEMA",
+    "EDGE_SCHEMA",
+    "grid_graph",
+    "chain_graph",
+    "khop",
+    "bfs_distances",
+    "ssp",
+]

@@ -1,0 +1,378 @@
+"""Traversal kernel: k-hop BFS and unweighted shortest path.
+
+Rebuilds the reference's two traversal operations —
+``get_nodes_hops(node_id, hops)`` (k-hop reachability, Neo4j var-length
+path ``-[*1..h]->`` + DISTINCT at ``databases.py:122``; ArangoDB BFS with
+``uniqueVertices:"global"`` at ``databases.py:224-227``) and
+``ssp(src, dst)`` (hop-count shortest path, ``databases.py:125-127 /
+229-233 / 291-293``) — as iterative DataFrame programs.
+
+Semantics (SURVEY §2.1 quirk 2): the canonical k-hop result EXCLUDES the
+root unless the root is re-reached via a cycle of length ≤ hops
+(Neo4j/ArangoDB behavior; OrientDB's root-included variant is available
+via ``include_root=True``).
+
+Execution strategy (the 100-TB design decision):
+
+- **distributed**: frontier BFS as repeated equi-joins —
+  ``frontier ⋈ edges on id=src → dst`` with per-round ``distinct`` and an
+  anti-join against the visited set, ``localCheckpoint`` every few rounds
+  to truncate lineage (the classic iterative-plan blowup). The edge set
+  is repartitioned by ``src`` ONCE before the loop so each round's join
+  reuses the same partitioning (one-time shuffle amortized over all
+  rounds); frontiers are small relative to edges and broadcast.
+- **local**: when the edge set is small enough to fit on the driver
+  (adaptive threshold, like Catalyst collapsing small plans to
+  LocalRelation), collect the adjacency list once and run BFS in-process.
+  A 300-round distributed loop on a 45k-edge graph pays ~300 job
+  latencies for no parallelism benefit; the local path answers in
+  milliseconds, matching the reference's server-side traversal times
+  (BASELINE: 0.06-1.1 s for 300 hops).
+- **auto** (default): local if ``edges.count() <= local_threshold``
+  (default 2M edges), else distributed. At 100 TB the threshold is never
+  met and the distributed path runs.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from graphdatabases_spark.graph.model import PropertyGraph
+
+DIST_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), nullable=False),
+        StructField("dist", IntegerType(), nullable=False),
+    ]
+)
+
+PATH_SCHEMA = StructType(
+    [
+        StructField("dist", IntegerType(), nullable=False),
+        StructField("path", ArrayType(LongType()), nullable=False),
+    ]
+)
+
+LOCAL_EDGE_THRESHOLD = 2_000_000
+CHECKPOINT_EVERY = 4
+
+
+def _edges_df(graph: PropertyGraph | DataFrame) -> DataFrame:
+    df = graph.edges if isinstance(graph, PropertyGraph) else graph
+    return df.select("src", "dst")
+
+
+def _spark_of(df: DataFrame) -> SparkSession:
+    return df.sparkSession
+
+
+def _pick_strategy(edges: DataFrame, strategy: str, local_threshold: int) -> str:
+    if strategy != "auto":
+        return strategy
+    # Cheap upper-bound check: count is a map-side-only job on parquet
+    # (statistics) or a single pass; at 100 TB the caller knows it's big
+    # and passes strategy="distributed" to skip even this.
+    return "local" if edges.count() <= local_threshold else "distributed"
+
+
+# ---------------------------------------------------------------------------
+# local fast path
+# ---------------------------------------------------------------------------
+
+def _collect_adjacency(edges: DataFrame) -> dict[int, list[int]]:
+    adj: dict[int, list[int]] = {}
+    for src, dst in edges.select("src", "dst").toLocalIterator():
+        adj.setdefault(src, []).append(dst)
+    return adj
+
+
+def _bfs_local(
+    adj: dict[int, list[int]],
+    src: int,
+    max_hops: int | None,
+    stop_at: int | None = None,
+) -> dict[int, int]:
+    """Classic queue BFS; returns {node: dist} including src at dist 0."""
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        du = dist[u]
+        if max_hops is not None and du >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = du + 1
+                if v == stop_at:
+                    return dist
+                q.append(v)
+    return dist
+
+
+def _ssp_local(
+    adj: dict[int, list[int]], src: int, dst: int, max_hops: int | None
+) -> tuple[int, list[int]] | None:
+    """BFS with predecessor tracking; returns (dist, path) or None.
+
+    Deterministic: neighbors expand in sorted order, so the returned path
+    is the lexicographically-smallest shortest path.
+    """
+    if src == dst:
+        return (0, [src])
+    pred: dict[int, int] = {src: -1}
+    q = deque([(src, 0)])
+    while q:
+        u, du = q.popleft()
+        if max_hops is not None and du >= max_hops:
+            continue
+        for v in sorted(adj.get(u, ())):
+            if v not in pred:
+                pred[v] = u
+                if v == dst:
+                    path = [v]
+                    while pred[path[-1]] != -1:
+                        path.append(pred[path[-1]])
+                    return (du + 1, list(reversed(path)))
+                q.append((v, du + 1))
+    return None
+
+
+# ---------------------------------------------------------------------------
+# distributed kernel
+# ---------------------------------------------------------------------------
+
+def _bfs_distributed(
+    edges: DataFrame,
+    src: int,
+    max_hops: int | None,
+    stop_at: int | None = None,
+    checkpoint_every: int = CHECKPOINT_EVERY,
+) -> DataFrame:
+    """Frontier BFS as an iterative join loop; returns DataFrame(id, dist).
+
+    One shuffle up front (repartition edges by src); each round is then a
+    broadcast join of the (small) frontier against the co-partitioned
+    edges, a map-side-combinable distinct, and an anti-join against
+    visited. Lineage is truncated with eager localCheckpoint every
+    ``checkpoint_every`` rounds.
+    """
+    spark = _spark_of(edges)
+    edges = edges.select("src", "dst").repartition("src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        frontier = spark.createDataFrame([(src, 0)], DIST_SCHEMA)
+        visited = frontier
+        d = 0
+        while max_hops is None or d < max_hops:
+            d += 1
+            nxt = (
+                edges.join(F.broadcast(frontier), edges.src == frontier.id)
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited, "id", "left_anti")
+                .select(F.col("id"), F.lit(d).cast("int").alias("dist"))
+            )
+            if d % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+            if nxt.isEmpty():
+                break
+            visited = visited.union(nxt)
+            if d % checkpoint_every == 0:
+                visited = visited.localCheckpoint(eager=True)
+            frontier = nxt
+            if stop_at is not None and frontier.filter(F.col("id") == stop_at).limit(1).count() > 0:
+                break
+        return visited
+    finally:
+        edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def bfs_distances(
+    graph: PropertyGraph | DataFrame,
+    src: int,
+    max_hops: int | None = None,
+    strategy: str = "auto",
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
+) -> DataFrame:
+    """Shortest hop-count distance from ``src`` to every reachable node.
+
+    Returns DataFrame(id BIGINT, dist INT), including ``src`` at dist 0.
+    """
+    edges = _edges_df(graph)
+    spark = _spark_of(edges)
+    chosen = _pick_strategy(edges, strategy, local_threshold)
+    if chosen == "local":
+        adj = _collect_adjacency(edges)
+        dist = _bfs_local(adj, src, max_hops)
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(dist.items())], DIST_SCHEMA
+        )
+    return _bfs_distributed(edges, src, max_hops)
+
+
+def khop(
+    graph: PropertyGraph | DataFrame,
+    src: int,
+    hops: int,
+    include_root: bool = False,
+    strategy: str = "auto",
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
+) -> DataFrame:
+    """All distinct nodes reachable from ``src`` in 1..hops directed hops.
+
+    Reference: ``get_nodes_hops`` (``databases.py:122 / 224-227 / 287-289``).
+    Canonical semantics = Neo4j/ArangoDB: root EXCLUDED unless re-reached
+    via a cycle of length ≤ hops. ``include_root=True`` gives OrientDB's
+    root-included variant (``databases.py:288``).
+
+    Returns DataFrame(id BIGINT).
+    """
+    edges = _edges_df(graph)
+    spark = _spark_of(edges)
+    chosen = _pick_strategy(edges, strategy, local_threshold)
+
+    if chosen == "local":
+        adj = _collect_adjacency(edges)
+        dist = _bfs_local(adj, src, hops)
+        ids = {k for k in dist if k != src}
+        if include_root:
+            ids.add(src)
+        else:
+            # Root re-reached via a cycle: some reached u at dist ≤ hops-1
+            # has an edge u → src.
+            if any(
+                src in adj.get(u, ()) for u, du in dist.items() if du <= hops - 1
+            ):
+                ids.add(src)
+        return spark.createDataFrame(
+            [(i,) for i in sorted(ids)], StructType([StructField("id", LongType(), False)])
+        )
+
+    visited = _bfs_distributed(edges, src, hops)
+    result = visited.filter(F.col("dist") >= 1).select("id")
+    if include_root:
+        root = spark.createDataFrame([(src,)], "id long")
+        return result.union(root).distinct()
+    # Cycle check: any edge u → src where dist(u) ≤ hops-1.
+    closers = (
+        edges.filter(F.col("dst") == src)
+        .join(visited.filter(F.col("dist") <= hops - 1), edges.src == visited.id, "left_semi")
+        .limit(1)
+    )
+    if closers.count() > 0:
+        root = spark.createDataFrame([(src,)], "id long")
+        return result.union(root).distinct()
+    return result
+
+
+def ssp(
+    graph: PropertyGraph | DataFrame,
+    src: int,
+    dst: int,
+    max_hops: int | None = None,
+    strategy: str = "auto",
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
+) -> DataFrame:
+    """Unweighted shortest path ``src → dst``; path returned.
+
+    Reference: ``ssp`` (Neo4j ``shortestPath((a)-[*]->(b))``
+    ``databases.py:125-127``; AQL ``OUTBOUND SHORTEST_PATH``
+    ``databases.py:229-233``). The reference's Cypher form is depth-
+    unbounded (SURVEY §7 risk 3); we cap at ``max_hops`` (default |V|
+    implied by BFS termination — BFS naturally stops when the frontier
+    empties, so no explicit cap is required for termination).
+
+    Returns DataFrame(dist INT, path ARRAY<BIGINT>) with 0 or 1 row; the
+    path is the lexicographically-smallest shortest path (deterministic).
+    """
+    edges = _edges_df(graph)
+    spark = _spark_of(edges)
+    chosen = _pick_strategy(edges, strategy, local_threshold)
+
+    if chosen == "local":
+        adj = _collect_adjacency(edges)
+        hit = _ssp_local(adj, src, dst, max_hops)
+        rows = [] if hit is None else [hit]
+        return spark.createDataFrame(rows, PATH_SCHEMA)
+
+    return _ssp_distributed(edges, src, dst, max_hops)
+
+
+def _ssp_distributed(
+    edges: DataFrame,
+    src: int,
+    dst: int,
+    max_hops: int | None,
+    checkpoint_every: int = CHECKPOINT_EVERY,
+) -> DataFrame:
+    """BFS carrying one lexicographically-smallest path per frontier node.
+
+    Per round: expand frontier paths along edges, keep ``min(path)`` per
+    destination (deterministic tie-break), drop already-visited nodes,
+    early-exit as soon as ``dst`` enters the frontier.
+    """
+    spark = _spark_of(edges)
+    if src == dst:
+        return spark.createDataFrame([(0, [src])], PATH_SCHEMA)
+    edges = edges.select("src", "dst").repartition("src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        frontier = spark.createDataFrame(
+            [(src, [src])],
+            StructType(
+                [
+                    StructField("id", LongType(), False),
+                    StructField("path", ArrayType(LongType()), False),
+                ]
+            ),
+        )
+        visited = frontier.select("id")
+        d = 0
+        while max_hops is None or d < max_hops:
+            d += 1
+            nxt = (
+                edges.join(F.broadcast(frontier), edges.src == frontier.id)
+                .select(
+                    F.col("dst").alias("id"),
+                    F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+                )
+                .join(visited, "id", "left_anti")
+                .groupBy("id")
+                .agg(F.min("path").alias("path"))
+            )
+            if d % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+            hit = nxt.filter(F.col("id") == dst).select("path").collect()
+            if hit:
+                return spark.createDataFrame([(d, hit[0]["path"])], PATH_SCHEMA)
+            if nxt.isEmpty():
+                break
+            visited = visited.union(nxt.select("id"))
+            if d % checkpoint_every == 0:
+                visited = visited.localCheckpoint(eager=True)
+            frontier = nxt
+        return spark.createDataFrame([], PATH_SCHEMA)
+    finally:
+        edges.unpersist()
