@@ -36,7 +36,8 @@ Execution strategy (the 100-TB design decision):
 from __future__ import annotations
 
 from collections import deque
-from typing import Iterable
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,9 +93,11 @@ def _pick_strategy(edges: DataFrame, strategy: str, local_threshold: int) -> str
 # ---------------------------------------------------------------------------
 
 def _collect_adjacency(edges: DataFrame) -> dict[int, list[int]]:
+    """Collect the edge set to a driver-side adjacency dict via Arrow."""
+    pdf = edges.select("src", "dst").toPandas()  # Arrow-batched transfer
     adj: dict[int, list[int]] = {}
-    for src, dst in edges.select("src", "dst").toLocalIterator():
-        adj.setdefault(src, []).append(dst)
+    for src, dst in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        adj.setdefault(int(src), []).append(int(dst))
     return adj
 
 
@@ -223,9 +226,11 @@ def bfs_distances(
     if chosen == "local":
         adj = _collect_adjacency(edges)
         dist = _bfs_local(adj, src, max_hops)
-        return spark.createDataFrame(
-            [(k, v) for k, v in sorted(dist.items())], DIST_SCHEMA
+        items = sorted(dist.items())
+        pdf = pd.DataFrame(
+            {"id": [k for k, _ in items], "dist": [v for _, v in items]}
         )
+        return spark.createDataFrame(pdf, DIST_SCHEMA)
     return _bfs_distributed(edges, src, max_hops)
 
 
@@ -264,7 +269,8 @@ def khop(
             ):
                 ids.add(src)
         return spark.createDataFrame(
-            [(i,) for i in sorted(ids)], StructType([StructField("id", LongType(), False)])
+            pd.DataFrame({"id": sorted(ids)}),
+            StructType([StructField("id", LongType(), False)]),
         )
 
     visited = _bfs_distributed(edges, src, hops)
