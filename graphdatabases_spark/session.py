@@ -55,6 +55,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- Determinism ----------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # Read TIMESTAMP(NANOS) parquet (events.ts) as long; the table
+        # loader converts to a microsecond timestamp column.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- Scale hygiene --------------------------------------------------
         # 128 MiB input splits: good default for large parquet scans.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
