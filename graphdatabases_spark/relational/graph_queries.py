@@ -1,1 +1,391 @@
-"""Placeholder — populated in a later phase."""
+"""Graph queries for the correctness catalog (SURVEY §2.2 graph analytics).
+
+Two fixture families:
+
+- **entity graph** over the testdata star schema (FIXTURES.md §B):
+  customer —places→ order —contains→ part —supplied_by→ supplier, in
+  disjoint id spaces (order+1e9, part+2e9, supplier+3e9). Exercises
+  k-hop/BFS on real tables with a DuckDB ``WITH RECURSIVE`` oracle.
+- **generated graphs** (grid / chains / ring with skip links) built from
+  ``spark.range`` on the Spark side and ``generate_series`` on the DuckDB
+  side — deterministic closed-form fixtures (FIXTURES.md §A).
+
+The Spark implementations reuse the engine kernels (khop/bfs_distances/
+ssp/connected_components/triangle_count/pagerank) — these catalog entries
+are the oracle-checked façade over the same code paths the GraphEngine
+API uses.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdatabases_spark.graph.algorithms import (
+    connected_components,
+    pagerank,
+    triangle_count,
+)
+from graphdatabases_spark.graph.generators import grid_graph, ring_graph
+from graphdatabases_spark.graph.traversal import bfs_distances, khop, ssp
+from graphdatabases_spark.relational.catalog import register, table
+
+ORDER_BASE = 1_000_000_000
+PART_BASE = 2_000_000_000
+SUPP_BASE = 3_000_000_000
+
+# Shared SQL prefix: the entity-graph edge list (distinct directed edges).
+ENTITY_EDGES_SQL = f"""
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT o_custkey AS src, {ORDER_BASE} + o_orderkey AS dst FROM orders
+        UNION ALL
+        SELECT {ORDER_BASE} + l_orderkey, {PART_BASE} + l_partkey FROM lineitem
+        UNION ALL
+        SELECT {PART_BASE} + l_partkey, {SUPP_BASE} + l_suppkey FROM lineitem
+      )
+    )
+"""
+
+
+def entity_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Layered entity graph as a distinct (src, dst) edge DataFrame."""
+    o = table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(ORDER_BASE) + F.col("o_orderkey")).alias("dst"),
+    )
+    l = table(spark, sf, "lineitem")
+    op = l.select(
+        (F.lit(ORDER_BASE) + F.col("l_orderkey")).alias("src"),
+        (F.lit(PART_BASE) + F.col("l_partkey")).alias("dst"),
+    )
+    ps = l.select(
+        (F.lit(PART_BASE) + F.col("l_partkey")).alias("src"),
+        (F.lit(SUPP_BASE) + F.col("l_suppkey")).alias("dst"),
+    )
+    return o.union(op).union(ps).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Entity-graph traversals (real-table fixtures)
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_khop_entity",
+    oracle=f"""
+    WITH RECURSIVE {ENTITY_EDGES_SQL},
+    walk(id, d) AS (
+      SELECT CAST(1 AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.id WHERE w.d < 3
+    )
+    SELECT DISTINCT id FROM walk WHERE d >= 1
+    ORDER BY id
+    """,
+    doc="k-hop (hops=3) from customer 1 over the entity graph — the "
+    "reference get_nodes_hops semantics (root excluded) on real tables.",
+)
+def graph_khop_entity(spark: SparkSession, sf: str) -> DataFrame:
+    return khop(entity_edges(spark, sf), src=1, hops=3).orderBy("id")
+
+
+@register(
+    "graph_bfs_distances_entity",
+    oracle=f"""
+    WITH RECURSIVE {ENTITY_EDGES_SQL},
+    walk(id, d) AS (
+      SELECT CAST(1 AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.id WHERE w.d < 3
+    )
+    SELECT id, CAST(min(d) AS INT) AS dist FROM walk WHERE id <> 1
+    GROUP BY id
+    ORDER BY id
+    """,
+    doc="BFS shortest hop-count distances (≤3) from customer 1 — the ssp "
+    "distance semantics over every reachable node.",
+)
+def graph_bfs_distances_entity(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        bfs_distances(entity_edges(spark, sf), src=1, max_hops=3)
+        .filter(F.col("id") != 1)
+        .orderBy("id")
+    )
+
+
+@register(
+    "graph_degree_histogram",
+    oracle=f"""
+    WITH {ENTITY_EDGES_SQL},
+    deg AS (SELECT src, count(*) AS out_degree FROM edges GROUP BY src)
+    SELECT out_degree, count(*) AS num_nodes
+    FROM deg GROUP BY out_degree
+    ORDER BY out_degree
+    """,
+    doc="Out-degree distribution of the entity graph (one explode-free "
+    "double aggregation — scales to any edge count).",
+)
+def graph_degree_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    e = entity_edges(spark, sf)
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+        .groupBy("out_degree")
+        .agg(F.count(F.lit(1)).alias("num_nodes"))
+        .orderBy("out_degree")
+    )
+
+
+@register(
+    "graph_node_derivation",
+    oracle=f"""
+    WITH {ENTITY_EDGES_SQL}
+    SELECT count(DISTINCT id) AS num_nodes FROM (
+      SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+    )
+    """,
+    doc="Node-set derivation from the edge list (reference conv.py O8): "
+    "project → explode → distinct.",
+)
+def graph_node_derivation(spark: SparkSession, sf: str) -> DataFrame:
+    e = entity_edges(spark, sf)
+    return (
+        e.select(F.explode(F.array("src", "dst")).alias("id"))
+        .agg(F.countDistinct("id").alias("num_nodes"))
+    )
+
+
+@register(
+    "graph_copurchase_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, count(*) AS together
+    FROM pairs
+    GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    ORDER BY together DESC, part_a, part_b
+    LIMIT 20
+    """,
+    doc="Co-purchase 2-hop self-join: part pairs sharing an order "
+    "(triangle-count join shape on a bipartite projection).",
+)
+def graph_copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = l.alias("a"), l.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+        .orderBy(F.col("together").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generated-graph fixtures (grid / chains / ring) — sf-independent
+# ---------------------------------------------------------------------------
+
+GRID_N = 20
+
+GRID_EDGES_SQL = f"""
+    edges AS (
+      SELECT i AS src, i + 1 AS dst
+      FROM generate_series(0, {GRID_N * GRID_N - 1}) t(i) WHERE i % {GRID_N} <> {GRID_N - 1}
+      UNION ALL
+      SELECT i, i + {GRID_N}
+      FROM generate_series(0, {GRID_N * GRID_N - GRID_N - 1}) t(i)
+    )
+"""
+
+
+@register(
+    "graph_khop_grid",
+    oracle=f"""
+    WITH RECURSIVE {GRID_EDGES_SQL},
+    walk(id, d) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.id WHERE w.d < 6
+    )
+    SELECT DISTINCT id FROM walk WHERE d >= 1
+    ORDER BY id
+    """,
+    doc=f"k-hop (hops=6) from node 0 on the {GRID_N}x{GRID_N} grid — "
+    "closed form h(h+3)/2 = 27 nodes (FIXTURES §A1).",
+)
+def graph_khop_grid(spark: SparkSession, sf: str) -> DataFrame:
+    return khop(grid_graph(spark, GRID_N), src=0, hops=6).orderBy("id")
+
+
+@register(
+    "graph_ssp_grid",
+    oracle=f"""
+    WITH RECURSIVE {GRID_EDGES_SQL},
+    walk(id, d, path) AS (
+      SELECT CAST(1 AS BIGINT), 0,
+             CAST(lpad(CAST(1 AS VARCHAR), 6, '0') AS VARCHAR)
+      UNION ALL
+      SELECT e.dst, w.d + 1, w.path || ',' || lpad(CAST(e.dst AS VARCHAR), 6, '0')
+      FROM walk w JOIN edges e ON e.src = w.id
+      WHERE w.d < 10 AND e.dst <= {GRID_N * 6 + 6}
+    ),
+    hits AS (SELECT d, path FROM walk WHERE id = {GRID_N * 5 + 5})
+    SELECT CAST(min(d) AS INT) AS dist,
+           min(path) FILTER (WHERE d = (SELECT min(d) FROM hits)) AS path_padded
+    FROM hits
+    """,
+    doc=f"Shortest path node 1 → node {GRID_N * 5 + 5} (cell (5,5)) on the "
+    "grid: dist 2k-1 = 9 plus the lexicographically-smallest path "
+    "(zero-padded string rendering for cross-engine array ordering).",
+)
+def graph_ssp_grid(spark: SparkSession, sf: str) -> DataFrame:
+    res = ssp(grid_graph(spark, GRID_N), 1, GRID_N * 5 + 5)
+    return res.select(
+        "dist",
+        F.array_join(
+            F.transform(F.col("path"), lambda x: F.lpad(x.cast("string"), 6, "0")), ","
+        ).alias("path_padded"),
+    )
+
+
+CHAINS_SQL = """
+    edges AS (
+      SELECT i AS src, i + 1 AS dst FROM generate_series(0, 58) t(i) WHERE i % 10 <> 9
+    )
+"""
+
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {CHAINS_SQL},
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(id, r) AS (
+      SELECT i, i FROM generate_series(0, 59) t(i)
+      UNION
+      SELECT w.id, e.dst FROM reach w JOIN sym e ON e.src = w.r
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS comp
+    FROM reach GROUP BY id
+    ORDER BY id
+    """,
+    doc="Connected components on six 10-node chains — min-id propagation "
+    "(large-star/small-star kernel shape); oracle = undirected closure.",
+)
+def graph_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    ids = spark.range(60).select(F.col("id"))
+    pairs = (
+        spark.range(59)
+        .filter(F.col("id") % 10 != 9)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    from graphdatabases_spark.graph.model import PropertyGraph
+
+    g = PropertyGraph(
+        ids.select(
+            "id",
+            F.array().cast("array<string>").alias("labels"),
+            F.create_map().cast("map<string,string>").alias("props"),
+        ),
+        pairs.select(
+            "src",
+            "dst",
+            F.array().cast("array<string>").alias("labels"),
+            F.create_map().cast("map<string,string>").alias("props"),
+        ),
+    )
+    return connected_components(g).orderBy("id")
+
+
+RING_N = 60
+
+RING_EDGES_SQL = f"""
+    edges AS (
+      SELECT i AS src, (i + 1) % {RING_N} AS dst FROM generate_series(0, {RING_N - 1}) t(i)
+      UNION ALL
+      SELECT i, (i + 2) % {RING_N} FROM generate_series(0, {RING_N - 1}) t(i)
+    )
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {RING_EDGES_SQL},
+    canon AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    )
+    SELECT CAST(count(*) AS BIGINT) AS triangles
+    FROM canon e1
+    JOIN canon e2 ON e2.a = e1.b
+    JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    doc=f"Triangle count on ring({RING_N}, skips 1,2) — exactly {RING_N} "
+    "triangles; two self-joins on canonicalized undirected edges.",
+)
+def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    n = triangle_count(ring_graph(spark, RING_N, skips=(1, 2)))
+    return spark.createDataFrame(pd.DataFrame({"triangles": [n]}))
+
+
+PR_N = 10
+# Ring 0→1→…→9→0 plus extra edges 0→5, 2→7, 4→9: every node has an
+# in-edge (no vanishing rows in the recursive term), out-degrees vary.
+PR_EDGES_SQL = f"""
+    edges AS (
+      SELECT i AS src, (i + 1) % {PR_N} AS dst FROM generate_series(0, {PR_N - 1}) t(i)
+      UNION ALL SELECT 0, 5 UNION ALL SELECT 2, 7 UNION ALL SELECT 4, 9
+    )
+"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH RECURSIVE {PR_EDGES_SQL},
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    pr(iter, id, rank) AS (
+      SELECT 0, i, 1.0 / {PR_N} FROM generate_series(0, {PR_N - 1}) t(i)
+      UNION ALL
+      SELECT p.iter + 1, e.dst,
+             0.15 / {PR_N} + 0.85 * sum(p.rank / o.d)
+      FROM pr p
+      JOIN edges e ON e.src = p.id
+      JOIN outdeg o ON o.src = p.id
+      WHERE p.iter < 10
+      GROUP BY p.iter + 1, e.dst
+    )
+    SELECT CAST(id AS BIGINT) AS id, round(rank, 6) AS rank
+    FROM pr WHERE iter = 10
+    ORDER BY id
+    """,
+    doc="PageRank, 10 fixed iterations, d=0.85, on a 10-node ring with "
+    "extra links — oracle is a recursive-CTE power iteration.",
+)
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    ring = spark.range(PR_N).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % PR_N).alias("dst")
+    )
+    extra = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 2, 4], "dst": [5, 7, 9]})
+    ).select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    edges = ring.union(extra)
+    return (
+        pagerank(edges, num_iters=10, damping=0.85)
+        .select("id", F.round("rank", 6).alias("rank"))
+        .orderBy("id")
+    )

@@ -1,0 +1,115 @@
+"""Analytic golden tests for graph algorithms on deterministic graphs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdatabases_spark.graph.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from graphdatabases_spark.graph.generators import chain_graph, grid_graph, ring_graph
+
+
+class TestPageRank:
+    def test_two_cycle_uniform(self, spark):
+        # 0→1→0: perfectly symmetric, every iteration keeps rank = 1/2.
+        g = ring_graph(spark, 2, skips=(1,))
+        ranks = {r["id"]: r["rank"] for r in pagerank(g, num_iters=5).collect()}
+        assert ranks[0] == pytest.approx(0.5)
+        assert ranks[1] == pytest.approx(0.5)
+
+    def test_ring_uniform(self, spark):
+        # Any rotation-symmetric graph stays uniform.
+        n = 10
+        g = ring_graph(spark, n, skips=(1,))
+        ranks = [r["rank"] for r in pagerank(g, num_iters=8).collect()]
+        for v in ranks:
+            assert v == pytest.approx(1.0 / n)
+
+    def test_chain_closed_form_one_iter(self, spark):
+        # chain 0→1→2, one iteration, d=0.85:
+        # r1(0) = 0.05, r1(1) = 0.05 + 0.85/3, r1(2) = same.
+        g = chain_graph(spark, 3)
+        ranks = {r["id"]: r["rank"] for r in pagerank(g, num_iters=1).collect()}
+        assert ranks[0] == pytest.approx(0.15 / 3)
+        assert ranks[1] == pytest.approx(0.15 / 3 + 0.85 / 3)
+        assert ranks[2] == pytest.approx(0.15 / 3 + 0.85 / 3)
+
+    def test_mass_conservation_no_dangling(self, spark):
+        # Ring has no dangling nodes → total rank stays 1.
+        g = ring_graph(spark, 7, skips=(1,))
+        total = sum(r["rank"] for r in pagerank(g, num_iters=10).collect())
+        assert total == pytest.approx(1.0)
+
+
+class TestConnectedComponents:
+    def test_single_component_grid(self, spark):
+        g = grid_graph(spark, 6)
+        comps = {r["comp"] for r in connected_components(g).collect()}
+        assert comps == {0}
+
+    def test_disjoint_chains(self, spark):
+        # Two chains: 0-4 and 5-9 (edges 0..3→+1 and 5..8→+1).
+        ids = spark.range(10).select(F.col("id"))
+        pairs = (
+            spark.range(9)
+            .filter(F.col("id") != 4)
+            .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        )
+        from graphdatabases_spark.graph.model import PropertyGraph
+
+        g = PropertyGraph(
+            ids.select("id", F.array().cast("array<string>").alias("labels"),
+                       F.create_map().cast("map<string,string>").alias("props")),
+            pairs.select("src", "dst", F.array().cast("array<string>").alias("labels"),
+                         F.create_map().cast("map<string,string>").alias("props")),
+        )
+        rows = connected_components(g).collect()
+        comp = {r["id"]: r["comp"] for r in rows}
+        assert all(comp[i] == 0 for i in range(5))
+        assert all(comp[i] == 5 for i in range(5, 10))
+
+
+class TestTriangles:
+    def test_ring_with_skips(self, spark):
+        # ring(n, skips=(1,2)): triangles (i, i+1, i+2) → exactly n.
+        n = 30
+        g = ring_graph(spark, n, skips=(1, 2))
+        assert triangle_count(g) == n
+
+    def test_chain_no_triangles(self, spark):
+        assert triangle_count(chain_graph(spark, 10)) == 0
+
+    def test_direction_independence(self, spark):
+        # Triangle 0→1, 1→2, 2→0 (directed cycle) is one undirected triangle.
+        g = ring_graph(spark, 3, skips=(1,))
+        assert triangle_count(g) == 1
+
+
+class TestLabelPropagation:
+    def test_disjoint_chains_converge_per_component(self, spark):
+        from graphdatabases_spark.graph.model import PropertyGraph
+
+        ids = spark.range(6).select(F.col("id"))
+        pairs = (
+            spark.range(5)
+            .filter(F.col("id") != 2)
+            .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        )
+        g = PropertyGraph(
+            ids.select("id", F.array().cast("array<string>").alias("labels"),
+                       F.create_map().cast("map<string,string>").alias("props")),
+            pairs.select("src", "dst", F.array().cast("array<string>").alias("labels"),
+                         F.create_map().cast("map<string,string>").alias("props")),
+        )
+        rows = label_propagation(g, num_iters=6).collect()
+        labels = {r["id"]: r["label"] for r in rows}
+        # Labels never cross the component boundary.
+        assert set(labels[i] for i in range(3)) <= {0, 1, 2}
+        assert set(labels[i] for i in range(3, 6)) <= {3, 4, 5}
