@@ -1,1 +1,447 @@
-"""Placeholder — populated in a later phase."""
+"""LLM-data-pipeline catalog queries: dedup, similarity, text analysis,
+multimodal metadata — over the ``documents``/``embeddings`` fixtures.
+
+Every entry pairs the Spark operator (functions/{text,dedup,similarity,
+multimodal}.py) with a DuckDB SQL mirror built on the same portable
+48-bit md5-prefix hash, so signatures/fingerprints match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdatabases_spark.functions import dedup as D
+from graphdatabases_spark.functions import similarity as S
+from graphdatabases_spark.functions import text as T
+from graphdatabases_spark.functions.multimodal import attach_binary_payload
+from graphdatabases_spark.relational.catalog import register, table
+
+# Shared SQL fragments (DuckDB side).
+TOKS = "list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'), x -> x <> '')"
+H = "(('0x' || substr(md5({v}), 1, 12))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({TOKS}) AS INT) AS n_tokens,
+           CAST(len(list_distinct({TOKS})) AS INT) AS n_unique
+    FROM documents
+    WHERE doc_id <= 100
+    ORDER BY doc_id
+    """,
+    doc="Token counting (whitespace/punct regex split, JVM-side).",
+)
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") <= 100)
+        .select(
+            "doc_id",
+            T.token_count(F.col("text")).alias("n_tokens"),
+            F.size(T.distinct_tokens(F.col("text"))).alias("n_unique"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({TOKS}) AS n_tok,
+             len(list_distinct({TOKS})) AS n_uniq,
+             (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+               / greatest(length(lower(text)), 1) AS punct
+      FROM documents WHERE doc_id <= 100
+    )
+    SELECT doc_id,
+           round((CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END) * 0.4
+                 + (1.0 - punct) * 0.3
+                 + (n_uniq / greatest(n_tok, 1)) * 0.3, 6) AS quality
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Quality scoring: length band + punctuation + vocabulary diversity.",
+)
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") <= 100)
+        .select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+def _lang_hits_sql() -> str:
+    rows = []
+    for lang, words in T.LANG_STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        rows.append(
+            f"SELECT doc_id, '{lang}' AS cand, "
+            f"len(list_filter(list_distinct({TOKS}), x -> list_contains({arr}, x))) AS hits "
+            f"FROM documents WHERE doc_id <= 150"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "text_language_guess",
+    oracle=f"""
+    WITH scores AS ({_lang_hits_sql()}),
+    ranked AS (
+      SELECT doc_id, cand, hits,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand DESC) AS rn
+      FROM scores
+    )
+    SELECT r.doc_id,
+           CASE WHEN r.hits > 0 THEN r.cand ELSE 'und' END AS guess,
+           d.lang AS actual
+    FROM ranked r JOIN documents d USING (doc_id)
+    WHERE r.rn = 1 AND d.doc_id <= 150
+    ORDER BY r.doc_id
+    """,
+    doc="Language ID by stopword vote (ties → lexicographically largest "
+    "language; no hits → 'und'), shown against the labeled lang.",
+)
+def text_language_guess(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") <= 150)
+        .select(
+            "doc_id",
+            T.language_guess(F.col("text")).alias("guess"),
+            F.col("lang").alias("actual"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({TOKS})), ' ')) AS fp
+    FROM documents
+    WHERE doc_id <= 100
+    ORDER BY doc_id
+    """,
+    doc="Canonical document fingerprint: md5 over the sorted distinct "
+    "token set (order/repetition-insensitive near-dup key).",
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") <= 100)
+        .select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest({TOKS}) AS tok FROM corpus)
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(20.0 / df.df), 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ln(20.0 / df.df) DESC, tf.tok) AS rn
+      FROM tf JOIN df USING (tok)
+    )
+    SELECT doc_id, tok, tfidf FROM scored WHERE rn <= 3
+    ORDER BY doc_id, tok
+    """,
+    doc="TF-IDF top-3 terms per document (explode → two hash aggs → "
+    "broadcast df join → windowed top-k).",
+)
+def text_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    corpus = table(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    toks = corpus.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    raw = F.col("tf") * F.log(F.lit(20.0) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(raw.desc(), F.col("tok"))
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", F.round(raw, 6).alias("tfidf"))
+        .orderBy("doc_id", "tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_summary",
+    oracle="""
+    WITH g AS (SELECT sha256(text) AS h, count(*) AS n FROM documents GROUP BY 1)
+    SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+           count(*) AS n_distinct,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+    FROM g
+    """,
+    doc="Exact dedup summary by content hash (single combinable agg).",
+)
+def dedup_exact_summary(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_dedup_summary(table(spark, sf, "documents"))
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({TOKS})) AS tok
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(i AS INT) AS i,
+           min((CAST(2*i+1 AS BIGINT) * {H.format(v='tok')} + (12345*i + 7)) % 2147483647) AS mh
+    FROM toks, generate_series(0, 15) s(i)
+    GROUP BY doc_id, i
+    ORDER BY doc_id, i
+    """,
+    doc="MinHash signatures (k=16) over the distinct token set — the "
+    "portable-hash family checked value-for-value across engines.",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return D.minhash_signatures(docs).orderBy("doc_id", "i")
+
+
+@register(
+    "dedup_lsh_candidates",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({TOKS})) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    hashed AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             min((CAST(2*i+1 AS BIGINT) * {H.format(v='tok')} + (12345*i + 7)) % 2147483647) AS mh
+      FROM toks, generate_series(0, 15) s(i)
+      GROUP BY doc_id, i
+    ),
+    sigs AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+      FROM hashed GROUP BY doc_id, i // 4
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    doc="MinHash-LSH near-dup candidates: 4 bands × 4 rows; pairs share "
+    "a full band signature (bucket-local join, no O(n²)).",
+)
+def dedup_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return D.lsh_candidate_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({TOKS})) AS tok
+      FROM documents WHERE doc_id < 100
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN CAST(floor({H.format(v='tok')} / power(2, b)) AS BIGINT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS tot
+      FROM toks, generate_series(0, 31) s(b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN tot > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="SimHash (32-bit) sign-aggregated token fingerprint.",
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return D.simhash(docs).orderBy("doc_id")
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, unnest(list_distinct({TOKS})) AS tok
+      FROM documents WHERE doc_id < 150
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM base GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM base a JOIN base b
+        ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    doc="n-gram (token-set) Jaccard near-dup pairs ≥ 0.5 via inverted-"
+    "index join, blocked by lang.",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    return D.jaccard_pairs(docs, threshold=0.5, block_col="lang").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_inner_product(a.e, b.e) / "
+    "(sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e)))"
+)
+
+
+@register(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_COS_SQL.replace('a.e', 'q2.e').replace('b.e', 'c.e')}, 6) AS cos
+      FROM q q2 JOIN v c ON c.vec_id <> q2.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM (SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_inner_product(q2.e, c.e) /
+                         (sqrt(list_inner_product(q2.e, q2.e)) * sqrt(list_inner_product(c.e, c.e))), 6) AS cos
+            FROM q q2 JOIN v c ON c.vec_id <> q2.vec_id)
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="Brute-force cosine top-3 neighbors for 5 query vectors — the "
+    "exact ANN baseline (zip_with/aggregate fold, no UDFs).",
+)
+def similarity_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(q, emb, k=3).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_threshold_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL}, 6) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round({_COS_SQL}, 6) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    doc="All-pairs cosine ≥ 0.3 (bounded-n exact variant; the SRP-LSH "
+    "bucketed operator is the unbounded-n path, pytest-checked recall).",
+)
+def similarity_threshold_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    v = table(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    return S.threshold_pairs(v, threshold=0.3).orderBy("id_a", "id_b")
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # bucketing is engine-internal; recall vs brute force is pytest-checked
+    doc="Approximate top-k via random-hyperplane LSH buckets — the "
+    "100 TB path (bucket join replaces the crossJoin).",
+)
+def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return S.ann_cosine_topk(q, emb, k=3).orderBy("query_id", "rank")
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT label,
+           count(*) AS n,
+           round(avg(e[1]), 6) AS avg_dim0,
+           round(avg(sqrt(list_inner_product(e, e))), 6) AS avg_norm
+    FROM v GROUP BY label
+    ORDER BY label
+    """,
+    doc="Per-label embedding stats (centroid component + mean norm).",
+)
+def embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        emb.select("label", F.element_at(v, 1).alias("d0"), F.sqrt(dot).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("d0"), 6).alias("avg_dim0"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           lower(sha256(text)) AS content_sha256
+    FROM documents
+    WHERE doc_id <= 100
+    ORDER BY doc_id
+    """,
+    doc="Multimodal column convention: opaque binary payload + typed "
+    "metadata struct (modality/byte_len/content hash), JVM-side.",
+)
+def multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") <= 100)
+    with_meta = attach_binary_payload(docs, "text", "text-blob")
+    return (
+        with_meta.select(
+            "doc_id",
+            F.col("meta.byte_len").alias("byte_len"),
+            F.col("meta.content_sha256").alias("content_sha256"),
+        )
+        .orderBy("doc_id")
+    )
