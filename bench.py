@@ -1,0 +1,108 @@
+"""Headline benchmark: one JSON line for the driver's per-round record.
+
+Runs a representative slice of the query catalog at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]``, plus the reference's own graph workloads
+(150×150-grid k-hop / shortest-path, Wiki-Vote-scale bulk ingest —
+BASELINE.md rows `bench_traversal`, `bench_spp`, `bench_add_database`)
+re-expressed on Spark.
+
+Output: ONE JSON line
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from graphdatabases_spark import get_spark
+from graphdatabases_spark.graph import grid_graph, khop, ssp
+from graphdatabases_spark.relational import queries
+
+# Catalog queries timed at the bench scale factor — one per major
+# surface (scan/agg, joins, windows, graph-on-tables, dedup, similarity,
+# text, streaming batch replay).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "join_sortmerge_fact",
+    "join_asof_events",
+    "window_topk_per_group",
+    "agg_cube",
+    "graph_khop_entity",
+    "graph_pagerank",
+    "graph_connected_components",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "similarity_cosine_topk",
+    "text_tfidf_topterms",
+    "events_tumbling_hourly",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="graphdatabases-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = queries()
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/codegen paths so timings measure queries, not startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    # Reference graph workloads (BASELINE.md): 150×150 grid, 300-hop
+    # traversal from node 1; shortest path node 1 → node 151·130.
+    g = grid_graph(spark, 150)
+    t0 = time.perf_counter()
+    n = khop(g, 1, 300).count()
+    timings["grid_khop_300"] = round(time.perf_counter() - t0, 4)
+    assert n == 22349, n
+
+    t0 = time.perf_counter()
+    dist = ssp(g, 1, 151 * 130).collect()[0]["dist"]
+    timings["grid_ssp_130"] = round(time.perf_counter() - t0, 4)
+    assert dist == 259, dist
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,129 @@
-"""Placeholder — populated in a later phase."""
+"""Batch-equivalent catalog entries for the streaming surface.
+
+Each streaming operator (streaming/windows.py) is declared here as its
+batch replay over the ``events`` table, with a DuckDB oracle — the
+time_bucket / gaps-and-islands SQL formulations. The stream-vs-batch
+equivalence itself (watermarks, micro-batch replay, late-data drop) is
+exercised in tests/test_streaming.py, which the SQL oracle cannot see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdatabases_spark.relational.catalog import register, table
+from graphdatabases_spark.streaming.windows import (
+    session_window_stats,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+    doc="Tumbling 1-hour event-time windows per event_type — the batch "
+    "replay of the streaming windowed agg (same expression tree).",
+)
+def events_tumbling_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    return tumbling_window_counts(table(spark, sf, "events"), "1 hour").orderBy(
+        "win_start", "event_type"
+    )
+
+
+@register(
+    "events_sliding_10m5m",
+    oracle="""
+    WITH shifted AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - (k * INTERVAL '5 minutes') AS win_start
+      FROM events, generate_series(0, 1) s(k)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, count(*) AS n
+    FROM shifted
+    GROUP BY 1
+    ORDER BY win_start
+    """,
+    doc="Sliding 10-min windows every 5 min (each event in 2 windows) — "
+    "oracle enumerates the two shifted buckets per event.",
+)
+def events_sliding_10m5m(spark: SparkSession, sf: str) -> DataFrame:
+    return sliding_window_counts(
+        table(spark, sf, "events"), "10 minutes", "5 minutes"
+    ).orderBy("win_start")
+
+
+@register(
+    "events_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '5 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE user_id < 10
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           strftime(max(ts) + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS sess_end,
+           count(*) AS n
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, sess_start
+    """,
+    doc="Session windows (5-min gap) per user — oracle is the classic "
+    "gaps-and-islands lag/cumsum formulation; end = last event + gap.",
+)
+def events_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").filter(F.col("user_id") < 10)
+    return session_window_stats(ev, "5 minutes").orderBy("user_id", "sess_start")
+
+
+@register(
+    "events_dedup_first",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 20
+    )
+    SELECT user_id, event_type, event_id AS first_event,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    doc="First-occurrence dedup per (user, event_type) — the batch "
+    "equivalent of streaming dropDuplicates state semantics.",
+)
+def events_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -1,0 +1,138 @@
+"""Structured Streaming surface: event-time windows, watermarks, dedup.
+
+The reference is batch-only; this is the north-star streaming extension
+(SURVEY §2.2 "Streaming") over the ``events`` fixture (event-time =
+``ts``). Every operator is expressed so the SAME expression tree runs in
+a batch replay — the oracle strategy (FIXTURES §C): run the stream with
+``availableNow`` micro-batches, run the identical batch query, compare
+post-watermark output.
+
+Scale notes: windowed aggs shuffle on (window, keys) with map-side
+partials; watermark state is bounded by (keys × open windows);
+``dropDuplicatesWithinWatermark`` state is bounded by the watermark
+horizon. These are the knobs that keep state finite on an unbounded
+100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source over parquet events (micro-batch replay)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_window_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type.
+
+    Works identically on a stream (with watermark-bounded state) and on
+    a batch DataFrame (watermark is a no-op in batch — that equivalence
+    IS the correctness oracle).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity; end = last event + gap (Spark session_window semantics)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
+            "n",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Drop duplicate event_ids within the watermark horizon — bounded
+    state; the batch equivalent keeps the first occurrence per id."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming query to completion (availableNow) into an
+    in-memory table; returns the materialized result as a DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def write_stream_foreach_batch(stream_df: DataFrame, out_dir: str) -> None:
+    """foreachBatch parquet sink: per-micro-batch custom write — the
+    pattern for idempotent upserts / multi-sink fan-out at scale."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

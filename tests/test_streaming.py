@@ -1,0 +1,177 @@
+"""Streaming replay tests: stream output ≡ batch output (SURVEY §5.2.4).
+
+Runs the real Structured Streaming engine (file source, availableNow
+micro-batches, memory/foreachBatch sinks) against the batch form of the
+same expression tree, plus a watermark late-data-drop scenario built
+from ordered micro-batch files.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from graphdatabases_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    streaming_dedup,
+    tumbling_window_counts,
+    session_window_stats,
+    write_stream_foreach_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Copy events into a stream-source directory, split into 4 files
+    ordered by ts (deterministic micro-batch replay order)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ts arrives as nanos-long here (no catalog loader): convert.
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ev.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _canon(df):
+    pdf = df.toPandas()
+    return pdf.sort_values(by=list(sorted(pdf.columns)), kind="mergesort")[
+        sorted(pdf.columns)
+    ].reset_index(drop=True)
+
+
+def _final_watermark(df, delay="10 minutes"):
+    """Final global watermark = max event time *of this exact input* minus
+    the delay. Must be computed over the same filtered subset the stream
+    sees — the watermark tracks post-filter event time."""
+    return (
+        df.agg(
+            F.date_format(F.max("ts") - F.expr(f"INTERVAL {delay}"), "yyyy-MM-dd HH:mm:ss")
+        ).collect()[0][0]
+    )
+
+
+class TestStreamBatchEquivalence:
+    def test_tumbling_counts(self, spark, events_dir):
+        """Append-mode stream output == batch output restricted to
+        watermark-finalized windows (FIXTURES §C: post-watermark only)."""
+        stream = read_events_stream(spark, events_dir)
+        got = run_stream_to_memory(
+            tumbling_window_counts(stream, "1 hour"), "t_tumbling", "append"
+        )
+        wm = _final_watermark(spark.read.parquet(events_dir))
+        batch = tumbling_window_counts(
+            spark.read.parquet(events_dir), "1 hour"
+        ).filter(
+            F.to_timestamp("win_start") + F.expr("INTERVAL 1 HOUR")
+            <= F.lit(wm).cast("timestamp")
+        )
+        assert _canon(got).equals(_canon(batch))
+
+    def test_session_windows(self, spark, events_dir):
+        ev = read_events_stream(spark, events_dir).filter(F.col("user_id") < 5)
+        got = run_stream_to_memory(
+            session_window_stats(ev, "5 minutes"), "t_sessions", "append"
+        )
+        # The emit-or-not decision at the exact watermark instant depends on
+        # sub-second precision the formatted strings can't see; compare both
+        # sides strictly below a 1-minute guard band under the watermark.
+        filtered = spark.read.parquet(events_dir).filter(F.col("user_id") < 5)
+        cutoff = _final_watermark(filtered, delay="11 minutes")
+        got = got.filter(F.col("sess_end") < cutoff)
+        batch = session_window_stats(filtered, "5 minutes").filter(
+            F.col("sess_end") < cutoff
+        )
+        assert _canon(got).equals(_canon(batch))
+
+    def test_streaming_dedup(self, spark, events_dir):
+        stream = streaming_dedup(read_events_stream(spark, events_dir)).select(
+            "event_id"
+        )
+        got = run_stream_to_memory(stream, "t_dedup", "append")
+        n_stream = got.count()
+        n_batch = (
+            spark.read.parquet(events_dir).select("event_id").distinct().count()
+        )
+        assert n_stream == n_batch
+
+    def test_foreach_batch_sink(self, spark, events_dir, tmp_path):
+        out = str(tmp_path / "sink")
+        stream = read_events_stream(spark, events_dir).select("event_id", "ts")
+        write_stream_foreach_batch(stream, out)
+        written = spark.read.parquet(out)
+        assert written.count() == spark.read.parquet(events_dir).count()
+        assert "batch_id" in written.columns
+
+
+class TestWatermarkLateData:
+    def test_late_rows_dropped_after_watermark(self, spark, tmp_path):
+        """Ordered micro-batch files; the last contains an event older
+        than the advanced watermark → it must NOT appear in the finalized
+        (append-mode) windowed counts. Note Spark ≥3.4 filters late rows
+        against the PREVIOUS batch's watermark (watermarkForLateEvents),
+        so an extra batch is interposed between the watermark-advancing
+        event and the late one."""
+        src = tmp_path / "late_src"
+        src.mkdir()
+
+        def write_file(name, rows):
+            pdf = pd.DataFrame(
+                rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            sdf = spark.createDataFrame(pdf)
+            sdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp1"))
+            import shutil, glob, os
+
+            part = glob.glob(str(tmp_path / "tmp1" / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / name))
+
+        # Batch 1: two events in window [00:00, 00:10).
+        write_file("f1.parquet", [
+            (1, "2024-01-01 00:01:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 00:05:00", 1, "click", 1.0, "{}"),
+        ])
+        # Batch 2: event at 00:40 → watermark advances to 00:30.
+        write_file("f2.parquet", [
+            (3, "2024-01-01 00:40:00", 1, "click", 1.0, "{}"),
+        ])
+        # Batch 3: propagation batch so the 00:30 watermark becomes the
+        # late-events watermark of the NEXT batch.
+        write_file("f3.parquet", [
+            (4, "2024-01-01 00:50:00", 1, "click", 1.0, "{}"),
+        ])
+        # Batch 4: late event at 00:02, behind the watermark → dropped.
+        write_file("f4.parquet", [
+            (5, "2024-01-01 00:02:00", 1, "click", 1.0, "{}"),
+        ])
+
+        stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+        windowed = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("w.start", "HH:mm").alias("win"), "n"
+            )
+        )
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName("t_late")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            s.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for s in p["stateOperators"]
+        )
+        rows = {r["win"]: r["n"] for r in spark.table("t_late").collect()}
+        # Window 00:00 was finalized with 2 events; the late 5th was
+        # dropped by the watermark and never counted.
+        assert dropped == 1
+        assert rows.get("00:00") == 2
