@@ -86,6 +86,7 @@ def _load_all() -> None:
         graph_queries,
         llm_queries,
         streaming_queries,
+        udf_queries,
     )
 
 

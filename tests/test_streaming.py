@@ -175,3 +175,41 @@ class TestWatermarkLateData:
         # dropped by the watermark and never counted.
         assert dropped == 1
         assert rows.get("00:00") == 2
+
+
+class TestStatefulOperator:
+    def test_running_totals_across_batches(self, spark, events_dir, tmp_path):
+        """applyInPandasWithState keyed state must survive micro-batch
+        boundaries: split the events into 3 files, stream with one file
+        per trigger, and check (a) at least one user was updated in
+        multiple batches, (b) each user's final running row equals the
+        batch groupBy aggregate."""
+        from graphdatabases_spark.streaming.stateful import running_user_totals
+
+        src = str(tmp_path / "split")
+        ev = spark.read.parquet(events_dir).filter(F.col("user_id") < 8)
+        ev.repartitionByRange(3, "ts").write.parquet(src)
+
+        stream = read_events_stream(spark, src, max_files_per_trigger=1)
+        got = run_stream_to_memory(
+            running_user_totals(stream.filter(F.col("user_id") < 8)),
+            "t_stateful",
+            "update",
+        ).toPandas()
+
+        # (a) state crossed batches: some user emitted >1 running row.
+        assert (got.groupby("user_id").size() > 1).any()
+
+        final = got.sort_values("n").groupby("user_id").last().reset_index()
+        expect = (
+            ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 6).alias("total"),
+            )
+            .toPandas()
+        )
+        merged = final.merge(expect, on="user_id", suffixes=("_got", "_exp"))
+        assert len(merged) == len(expect)
+        assert (merged["n_got"] == merged["n_exp"]).all()
+        assert (abs(merged["total_got"] - merged["total_exp"]) < 1e-4).all()
