@@ -1,0 +1,83 @@
+"""Physical-plan quality gates (the 100-TB design contract).
+
+Correctness tests prove the operators right at small SF; these prove
+the PLANS are the ones that survive a 1000-executor scale-up: filters
+reach the parquet scan, scans read only referenced columns, dimension
+joins broadcast instead of shuffling, and the iterative graph kernel
+keeps its plan bounded (no lineage blowup).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from graphdatabases_spark.relational import queries
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestScanEfficiency:
+    def test_filter_pushdown_reaches_scan(self, spark, sf_dir, qs):
+        plan = physical_plan(qs["scan_filter_project"](spark, sf_dir))
+        assert "PushedFilters: [" in plan
+        # At least one real pushed predicate, not just the empty list.
+        pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        assert pushed.strip(), "no predicates pushed to parquet scan"
+
+    def test_column_pruning(self, spark, sf_dir, qs):
+        """The scan must read only referenced columns — a full-width
+        lineitem read for a 5-column projection is wrong at any scale."""
+        plan = physical_plan(qs["scan_filter_project"](spark, sf_dir))
+        schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+        assert schema.count(":") <= 6, f"scan reads too many columns: {schema}"
+
+    def test_whole_stage_codegen(self, spark, sf_dir, qs):
+        """Post-execution (AQE-final) plan must show codegen spans, and
+        the aggregate must have a map-side partial before the exchange."""
+        df = qs["q1_pricing_summary"](spark, sf_dir)
+        df.collect()  # finalize the adaptive plan
+        plan = physical_plan(df)
+        # `*(n)` prefixes mark WholeStageCodegen spans in the tree string.
+        assert "*(1)" in plan
+        assert "partial_sum" in plan
+
+
+class TestJoinStrategy:
+    def test_q3_broadcasts_dimensions(self, spark, sf_dir, qs):
+        """customer (filtered) must broadcast against the fact tables —
+        a shuffle join on the dim side wastes a full exchange of
+        lineitem at 100 TB."""
+        plan = physical_plan(qs["q3_shipping_priority"](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_q5_broadcasts_dimension_chain(self, spark, sf_dir, qs):
+        plan = physical_plan(qs["q5_local_supplier"](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 4
+
+    def test_broadcast_dim_query_has_no_shuffle_join(self, spark, sf_dir, qs):
+        plan = physical_plan(qs["join_broadcast_dim"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestIterativePlanBounded:
+    def test_khop_plan_does_not_grow_with_hops(self, spark):
+        """The BFS kernel must checkpoint: without it the logical plan
+        doubles per round and hop-300 (the reference's own max) dies in
+        the optimizer long before it dies in execution."""
+        from graphdatabases_spark.graph import grid_graph, khop
+
+        g = grid_graph(spark, 30)
+        small = khop(g, 1, 4, strategy="distributed")
+        big = khop(g, 1, 24, strategy="distributed")
+        small_len = len(physical_plan(small))
+        big_len = len(physical_plan(big))
+        # Allow slack, but 6x the hops must not mean 6x the plan.
+        assert big_len < small_len * 3, (small_len, big_len)
