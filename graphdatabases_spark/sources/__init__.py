@@ -1,0 +1,27 @@
+"""Source/sink surface: typed readers and layout-aware writers."""
+
+from graphdatabases_spark.sources.readers import (
+    parse_json_column,
+    read_csv,
+    read_jsonl,
+    read_parquet,
+    read_tsv_edges,
+)
+from graphdatabases_spark.sources.writers import (
+    write_bucketed,
+    write_csv,
+    write_jsonl,
+    write_parquet,
+)
+
+__all__ = [
+    "parse_json_column",
+    "read_csv",
+    "read_jsonl",
+    "read_parquet",
+    "read_tsv_edges",
+    "write_bucketed",
+    "write_csv",
+    "write_jsonl",
+    "write_parquet",
+]

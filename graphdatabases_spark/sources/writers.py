@@ -1,0 +1,63 @@
+"""Sinks: parquet (partitioned/bucketed), CSV, JSON lines.
+
+The write side of SURVEY §2.2. Layout policy is the scale lever here:
+``write_parquet`` exposes ``partition_by`` (partition pruning for
+low-cardinality keys like date/region) and ``write_bucketed`` exposes
+bucketing (shuffle-free joins on high-cardinality keys like edge
+``src`` — the §4.3.2 edge-layout strategy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    buckets: int,
+    bucket_by: list[str],
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_by) so
+    equi-joins/aggs on those keys skip the shuffle. Bucketing requires
+    ``saveAsTable`` (the metastore records the layout)."""
+    w = df.write.mode(mode).bucketBy(buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.format("parquet").saveAsTable(table)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    header: bool = True,
+    sep: str = ",",
+    single_file: bool = False,
+) -> None:
+    """CSV sink (O13's tabular results). ``single_file`` coalesces to
+    one partition — only for small result sets (it serializes the
+    write); large extracts keep one file per partition."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
