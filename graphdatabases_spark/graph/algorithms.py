@@ -17,13 +17,32 @@ Scale discipline shared by all loops:
 
 from __future__ import annotations
 
+from collections import Counter
+
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from graphdatabases_spark.graph.model import PropertyGraph
+from graphdatabases_spark.graph.traversal import (
+    LOCAL_EDGE_THRESHOLD,
+    _collect_adjacency,
+    _local_result_df,
+    _pick_strategy,
+)
 
 CHECKPOINT_EVERY = 4
+
+RANK_SCHEMA = StructType(
+    [StructField("id", LongType(), False), StructField("rank", DoubleType(), False)]
+)
+COMP_SCHEMA = StructType(
+    [StructField("id", LongType(), False), StructField("comp", LongType(), False)]
+)
+LABEL_SCHEMA = StructType(
+    [StructField("id", LongType(), False), StructField("label", LongType(), False)]
+)
 
 
 def _edges(graph: PropertyGraph | DataFrame) -> DataFrame:
@@ -37,10 +56,54 @@ def _vertices_from(graph: PropertyGraph | DataFrame, edges: DataFrame) -> DataFr
     return edges.select(F.explode(F.array("src", "dst")).alias("id")).distinct()
 
 
+def _spark_of(df: DataFrame) -> SparkSession:
+    return df.sparkSession
+
+
+def _vertices_local(
+    graph: PropertyGraph | DataFrame, adj: dict[int, list[int]]
+) -> list[int]:
+    """Driver-side vertex id list matching ``_vertices_from`` semantics."""
+    if isinstance(graph, PropertyGraph):
+        pdf = graph.vertices.select("id").toPandas()
+        return [int(i) for i in pdf["id"]]
+    ids = set(adj)
+    for vs in adj.values():
+        ids.update(vs)
+    return sorted(ids)
+
+
+def _pagerank_local(
+    graph, edges: DataFrame, num_iters: int, damping: float
+) -> DataFrame:
+    """Driver-side power iteration — identical recurrence to the
+    distributed loop (r0=1/N, dangling mass decays)."""
+    spark = _spark_of(edges)
+    adj = _collect_adjacency(edges)
+    vertices = _vertices_local(graph, adj)
+    n = len(vertices)
+    if n == 0:
+        return _local_result_df(spark, [], RANK_SCHEMA)
+    base = (1.0 - damping) / n
+    rank = {v: 1.0 / n for v in vertices}
+    for _ in range(num_iters):
+        msg: dict[int, float] = {}
+        for u, vs in adj.items():
+            share = rank[u] / len(vs)
+            for v in vs:
+                msg[v] = msg.get(v, 0.0) + share
+        rank = {v: base + damping * msg.get(v, 0.0) for v in vertices}
+    return _local_result_df(
+        spark, [(v, rank[v]) for v in sorted(rank)], RANK_SCHEMA
+    )
+
+
 def pagerank(
     graph: PropertyGraph | DataFrame,
     num_iters: int = 10,
     damping: float = 0.85,
+    strategy: str = "auto",
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """PageRank with fixed iteration count.
 
@@ -51,8 +114,13 @@ def pagerank(
 
     Returns DataFrame(id BIGINT, rank DOUBLE). One shuffle per iteration
     (the groupBy(dst)); the edges⋈ranks join reuses the edge partitioning.
+    Small edge sets (≤ ``local_threshold``) run the identical recurrence
+    driver-side — an N-round distributed loop on a toy graph pays N job
+    latencies for nothing (same adaptive policy as the traversal kernel).
     """
     edges = _edges(graph)
+    if _pick_strategy(edges, strategy, local_threshold) == "local":
+        return _pagerank_local(graph, edges, num_iters, damping)
     vertices = _vertices_from(graph, edges)
     n = vertices.count()
     if n == 0:
@@ -97,15 +165,49 @@ def pagerank(
         links.unpersist()
 
 
-def connected_components(graph: PropertyGraph | DataFrame, max_iters: int = 50) -> DataFrame:
+def _connected_components_local(graph, edges: DataFrame) -> DataFrame:
+    """Union-find — the converged fixpoint of min-id propagation."""
+    spark = _spark_of(edges)
+    adj = _collect_adjacency(edges)
+    vertices = _vertices_local(graph, adj)
+    parent = {v: v for v in vertices}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, vs in adj.items():
+        for v in vs:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # Union by min id so the root IS the component label.
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+    return _local_result_df(
+        spark, [(v, find(v)) for v in sorted(vertices)], COMP_SCHEMA
+    )
+
+
+def connected_components(
+    graph: PropertyGraph | DataFrame,
+    max_iters: int = 50,
+    strategy: str = "auto",
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
+) -> DataFrame:
     """Undirected connected components by iterative min-id propagation.
 
     comp(v) starts at v; each round takes the min of comp over v and its
     neighbors; converges in O(component diameter) rounds (the large-star/
     small-star optimization halves that but needs the same kernel).
+    Small edge sets run union-find on the driver — the same converged
+    answer without O(diameter) job rounds.
     Returns DataFrame(id BIGINT, comp BIGINT).
     """
     e = _edges(graph)
+    if _pick_strategy(e, strategy, local_threshold) == "local":
+        return _connected_components_local(graph, e)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     vertices = _vertices_from(graph, e)
@@ -146,7 +248,27 @@ def connected_components(graph: PropertyGraph | DataFrame, max_iters: int = 50) 
         sym.unpersist()
 
 
-def triangle_count(graph: PropertyGraph | DataFrame) -> int:
+def _triangle_count_local(edges: DataFrame) -> int:
+    adj = _collect_adjacency(edges)
+    canon: set[tuple[int, int]] = set()
+    for u, vs in adj.items():
+        for v in vs:
+            if u != v:
+                canon.add((u, v) if u < v else (v, u))
+    fwd: dict[int, set[int]] = {}
+    for a, b in canon:
+        fwd.setdefault(a, set()).add(b)
+    # Each triangle a<b<c counted once, at its lowest edge (a,b).
+    return sum(
+        len(fwd.get(a, set()) & fwd.get(b, set())) for a, b in canon
+    )
+
+
+def triangle_count(
+    graph: PropertyGraph | DataFrame,
+    strategy: str = "auto",
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
+) -> int:
     """Global triangle count on the undirected simple graph.
 
     Canonicalize edges to a<b, then count paths a<b<c closed by (a,c):
@@ -155,6 +277,8 @@ def triangle_count(graph: PropertyGraph | DataFrame) -> int:
     splitting (and classically by degree-ordering, which a<b<c gives).
     """
     e = _edges(graph)
+    if _pick_strategy(e, strategy, local_threshold) == "local":
+        return _triangle_count_local(e)
     canon = (
         e.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -177,8 +301,40 @@ def triangle_count(graph: PropertyGraph | DataFrame) -> int:
         canon.unpersist()
 
 
+def _label_propagation_local(graph, edges: DataFrame, num_iters: int) -> DataFrame:
+    """Synchronous LPA on the driver — mirrors the distributed rounds
+    exactly, including per-edge multiplicity in the neighbor counts."""
+    spark = _spark_of(edges)
+    adj = _collect_adjacency(edges)
+    vertices = _vertices_local(graph, adj)
+    # Symmetric neighbor multiset, duplicates preserved (matches the
+    # distributed union of forward + reversed edges without distinct).
+    nbrs: dict[int, list[int]] = {v: [] for v in vertices}
+    for u, vs in adj.items():
+        for v in vs:
+            nbrs.setdefault(v, []).append(u)
+            nbrs.setdefault(u, []).append(v)
+    labels = {v: v for v in vertices}
+    for _ in range(num_iters):
+        new_labels = {}
+        for v in vertices:
+            counts = Counter(labels[u] for u in nbrs.get(v, ()))
+            if counts:
+                # Max count, ties → smallest label (deterministic mode).
+                new_labels[v] = min((-c, l) for l, c in counts.items())[1]
+            else:
+                new_labels[v] = labels[v]
+        labels = new_labels
+    return _local_result_df(
+        spark, [(v, labels[v]) for v in sorted(labels)], LABEL_SCHEMA
+    )
+
+
 def label_propagation(
-    graph: PropertyGraph | DataFrame, num_iters: int = 5
+    graph: PropertyGraph | DataFrame,
+    num_iters: int = 5,
+    strategy: str = "auto",
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Synchronous label propagation for community detection.
 
@@ -187,6 +343,8 @@ def label_propagation(
     Returns DataFrame(id BIGINT, label BIGINT).
     """
     e = _edges(graph)
+    if _pick_strategy(e, strategy, local_threshold) == "local":
+        return _label_propagation_local(graph, e, num_iters)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     vertices = _vertices_from(graph, e)

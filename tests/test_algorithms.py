@@ -113,3 +113,62 @@ class TestLabelPropagation:
         # Labels never cross the component boundary.
         assert set(labels[i] for i in range(3)) <= {0, 1, 2}
         assert set(labels[i] for i in range(3, 6)) <= {3, 4, 5}
+
+
+class TestLocalDistributedEquivalence:
+    """The adaptive local fast path must return exactly what the
+    distributed loop returns (same recurrence, same tie-breaks)."""
+
+    @pytest.fixture(scope="class")
+    def mixed_graph(self, spark):
+        # Ring with chords + a disjoint chain + an isolated-ish tail:
+        # cycles, ties, multi-component — the shapes that expose
+        # divergence between the two implementations.
+        ring = ring_graph(spark, 12, skips=(1, 3))
+        chain = chain_graph(spark, 5)
+        shifted = chain.edges.select(
+            (F.col("src") + 100).alias("src"),
+            (F.col("dst") + 100).alias("dst"),
+            "labels",
+            "props",
+        )
+        from graphdatabases_spark.graph.model import PropertyGraph
+
+        verts = ring.vertices.union(
+            chain.vertices.select(
+                (F.col("id") + 100).alias("id"), "labels", "props"
+            )
+        )
+        return PropertyGraph(verts, ring.edges.union(shifted))
+
+    def _pairs(self, df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_pagerank(self, mixed_graph):
+        loc = pagerank(mixed_graph, num_iters=6, strategy="local")
+        dist = pagerank(mixed_graph, num_iters=6, strategy="distributed")
+        lp, dp = self._pairs(loc), self._pairs(dist)
+        assert [i for i, _ in lp] == [i for i, _ in dp]
+        for (_, a), (_, b) in zip(lp, dp):
+            assert a == pytest.approx(b, abs=1e-12)
+
+    def test_connected_components(self, mixed_graph):
+        loc = self._pairs(connected_components(mixed_graph, strategy="local"))
+        dist = self._pairs(
+            connected_components(mixed_graph, strategy="distributed")
+        )
+        assert loc == dist
+
+    def test_label_propagation(self, mixed_graph):
+        loc = self._pairs(
+            label_propagation(mixed_graph, num_iters=4, strategy="local")
+        )
+        dist = self._pairs(
+            label_propagation(mixed_graph, num_iters=4, strategy="distributed")
+        )
+        assert loc == dist
+
+    def test_triangle_count(self, mixed_graph):
+        assert triangle_count(mixed_graph, strategy="local") == triangle_count(
+            mixed_graph, strategy="distributed"
+        )
