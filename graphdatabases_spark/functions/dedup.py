@@ -48,19 +48,27 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, i, mh): MinHash family mh_i = min over tokens of
-    ((2i+1)·H(tok) + 12345i + 7) mod (2^31−1)."""
+    ((2i+1)·H(tok) + 12345i + 7) mod (2^31−1).
+
+    One wide aggregation — num_hashes conditional mins per doc — instead
+    of exploding every token row ×num_hashes through the shuffle: the
+    mins combine map-side, so the shuffle carries num_hashes longs per
+    doc regardless of token count (the 100-TB-safe shape). The wide row
+    is then unpivoted to the (doc_id, i, mh) long form.
+    """
     toks = doc_tokens(docs, id_col, text_col)
     hashed = toks.select("doc_id", portable_hash64(F.col("tok")).alias("h"))
-    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
-    expanded = hashed.select("doc_id", "h", idx)
-    mh = (
-        (F.lit(2) * F.col("i") + 1) * F.col("h") + (F.lit(12345) * F.col("i") + 7)
-    ) % MINHASH_PRIME
-    return (
-        expanded.select("doc_id", "i", mh.alias("hv"))
-        .groupBy("doc_id", "i")
-        .agg(F.min("hv").alias("mh"))
+    aggs = [
+        F.min(
+            (F.lit(2 * i + 1) * F.col("h") + F.lit(12345 * i + 7)) % MINHASH_PRIME
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*aggs)
+    stack = "stack({}, {}) as (i, mh)".format(
+        num_hashes, ", ".join(f"{i}, mh{i}" for i in range(num_hashes))
     )
+    return wide.selectExpr("doc_id", stack)
 
 
 def lsh_candidate_pairs(
@@ -113,28 +121,28 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: s
 
     bit b of the fingerprint is 1 iff Σ_{tok} (±1 by bit b of H(tok)) > 0.
     Hamming-close simhashes ⇒ similar token sets.
+
+    Same wide-aggregation shape as ``minhash_signatures``: ``bits``
+    conditional sums per doc (map-side combinable) replace a ×bits row
+    explode; the fingerprint is then folded in a single projection.
     """
     toks = doc_tokens(docs, id_col, text_col)
     hashed = toks.select("doc_id", portable_hash64(F.col("tok")).alias("h"))
-    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    expanded = hashed.select("doc_id", "h", b)
-    bit_sign = F.when(
-        (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))).cast("bigint") % 2) == 1,
-        1,
-    ).otherwise(-1)
-    per_bit = (
-        expanded.select("doc_id", "b", bit_sign.alias("s"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("s").alias("tot"))
+
+    def bit_sign(b: int):
+        is_set = (F.shiftright(F.col("h"), b).cast("bigint") % 2) == 1
+        return F.when(is_set, 1).otherwise(-1)
+
+    wide = hashed.groupBy("doc_id").agg(
+        *[F.sum(bit_sign(b)).alias(f"t{b}") for b in range(bits)]
     )
-    contrib = F.when(F.col("tot") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint")).otherwise(
-        F.lit(0).cast("bigint")
+    fingerprint = sum(
+        F.when(F.col(f"t{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for b in range(bits)
     )
-    return (
-        per_bit.select("doc_id", contrib.alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("simhash"))
-    )
+    return wide.select("doc_id", fingerprint.alias("simhash"))
 
 
 def jaccard_pairs(

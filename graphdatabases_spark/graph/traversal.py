@@ -81,16 +81,44 @@ def _spark_of(df: DataFrame) -> SparkSession:
     return df.sparkSession
 
 
+# Catalyst-statistics short-circuit for the auto policy: optimizedPlan
+# stats are free (no job), derived from file sizes through the operator
+# tree. Below 64 MB the edge set certainly fits on the driver; above
+# 4 GB it certainly doesn't; in between run the one-pass count probe.
+_STATS_LOCAL_BYTES = 64 << 20
+_STATS_DIST_BYTES = 4 << 30
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def _pick_strategy(edges: DataFrame, strategy: str, local_threshold: int) -> str:
+    decision = _decide_strategy(edges, strategy)
+    if decision != "probe":
+        return decision
+    return "local" if edges.count() <= local_threshold else "distributed"
+
+
+def _decide_strategy(edges: DataFrame, strategy: str) -> str:
+    """'local' | 'distributed' | 'probe' (= stats inconclusive, count)."""
     if strategy != "auto":
         return strategy
     # Already collected this edge set → local, no job at all.
     if edges.semanticHash() in _ADJ_CACHE:
         return "local"
-    # Cheap upper-bound check: count is a map-side-only job on parquet
-    # (statistics) or a single pass; at 100 TB the caller knows it's big
-    # and passes strategy="distributed" to skip even this.
-    return "local" if edges.count() <= local_threshold else "distributed"
+    size = _plan_size_bytes(edges)
+    if size is not None:
+        if size <= _STATS_LOCAL_BYTES:
+            return "local"
+        if size >= _STATS_DIST_BYTES:
+            return "distributed"
+    # Ambiguous: count is a single pass; at 100 TB the stats said
+    # distributed already, so the probe never runs there.
+    return "probe"
 
 
 # ---------------------------------------------------------------------------
@@ -114,10 +142,18 @@ def _collect_adjacency(edges: DataFrame) -> dict[int, list[int]]:
         return hit
     import numpy as np
 
-    pdf = edges.select("src", "dst").toPandas()  # Arrow-batched transfer
-    src = pdf["src"].to_numpy()
-    dst = pdf["dst"].to_numpy()
-    order = np.argsort(src, kind="stable")
+    sel = edges.select("src", "dst")
+    if hasattr(sel, "toArrow"):  # Spark 4: Arrow table, no pandas hop
+        tbl = sel.toArrow()
+        src = tbl.column("src").to_numpy()
+        dst = tbl.column("dst").to_numpy()
+    else:
+        pdf = sel.toPandas()  # Arrow-batched transfer
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+    # Neighbor order within a source is irrelevant to every consumer
+    # (BFS dedups, ssp re-sorts, LPA counts) — plain sort, not stable.
+    order = np.argsort(src)
     s, d = src[order], dst[order]
     uniq, starts = np.unique(s, return_index=True)
     bounds = np.append(starts[1:], len(s))
@@ -134,13 +170,17 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _materialized(edges: DataFrame, strategy: str):
+def _materialized(edges: DataFrame, decision: str):
     """Cache the (possibly join-derived) edge plan for the duration of a
-    traversal call: the strategy-probe count, the adjacency collect, and
-    every BFS round then read the cache instead of re-running the plan.
+    traversal call when the strategy probe needs a count pass: the probe,
+    the adjacency collect, and every BFS round then read the cache
+    instead of re-running the plan. When Catalyst statistics already
+    decided ('local'/'distributed'), the plan is consumed exactly once
+    (one Arrow collect, or persisted inside the BFS kernel itself), so
+    persisting here would only add a redundant materialization pass.
     Results escape the block only in materialized form (driver lists or
     eager checkpoints), so the unpersist is safe."""
-    if strategy == "auto" and edges.semanticHash() not in _ADJ_CACHE:
+    if decision == "probe":
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             yield edges
@@ -283,8 +323,14 @@ def bfs_distances(
     eff_threshold = (
         min(local_threshold, max_hops * 500_000) if max_hops else local_threshold
     )
-    with _materialized(_edges_df(graph).select("src", "dst"), strategy) as edges:
-        chosen = _pick_strategy(edges, strategy, eff_threshold)
+    plan = _edges_df(graph).select("src", "dst")
+    decision = _decide_strategy(plan, strategy)
+    with _materialized(plan, decision) as edges:
+        chosen = (
+            decision
+            if decision != "probe"
+            else ("local" if edges.count() <= eff_threshold else "distributed")
+        )
         if chosen == "local":
             adj = _collect_adjacency(edges)
             dist = _bfs_local(adj, src, max_hops)
@@ -316,8 +362,14 @@ def khop(
     # ROUND regardless of size. Local therefore wins unless the edge set
     # is large relative to the round count.
     eff_threshold = min(local_threshold, hops * 500_000)
-    with _materialized(edges.select("src", "dst"), strategy) as edges:
-        chosen = _pick_strategy(edges, strategy, eff_threshold)
+    plan = edges.select("src", "dst")
+    decision = _decide_strategy(plan, strategy)
+    with _materialized(plan, decision) as edges:
+        chosen = (
+            decision
+            if decision != "probe"
+            else ("local" if edges.count() <= eff_threshold else "distributed")
+        )
 
         if chosen == "local":
             adj = _collect_adjacency(edges)
@@ -382,8 +434,14 @@ def ssp(
     path is the lexicographically-smallest shortest path (deterministic).
     """
     spark = _spark_of(_edges_df(graph))
-    with _materialized(_edges_df(graph).select("src", "dst"), strategy) as edges:
-        chosen = _pick_strategy(edges, strategy, local_threshold)
+    plan = _edges_df(graph).select("src", "dst")
+    decision = _decide_strategy(plan, strategy)
+    with _materialized(plan, decision) as edges:
+        chosen = (
+            decision
+            if decision != "probe"
+            else ("local" if edges.count() <= local_threshold else "distributed")
+        )
 
         if chosen == "local":
             adj = _collect_adjacency(edges)

@@ -49,22 +49,37 @@ ENTITY_EDGES_SQL = f"""
 """
 
 
-def entity_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Layered entity graph as a distinct (src, dst) edge DataFrame."""
+def entity_edges(spark: SparkSession, sf: str, dedup: bool = True) -> DataFrame:
+    """Layered entity graph as a (src, dst) edge DataFrame.
+
+    Both lineitem-derived edge layers come from ONE scan (explode of a
+    2-struct array) instead of two passes over the fact table. Traversal
+    consumers pass ``dedup=False``: BFS dedups per frontier anyway, so
+    the up-front ``distinct`` would add the single most expensive shuffle
+    in the whole query for nothing — only multiplicity-sensitive readers
+    (the degree histogram) need the distinct edge multiset.
+    """
     o = table(spark, sf, "orders").select(
         F.col("o_custkey").alias("src"),
         (F.lit(ORDER_BASE) + F.col("o_orderkey")).alias("dst"),
     )
     l = table(spark, sf, "lineitem")
-    op = l.select(
-        (F.lit(ORDER_BASE) + F.col("l_orderkey")).alias("src"),
-        (F.lit(PART_BASE) + F.col("l_partkey")).alias("dst"),
-    )
-    ps = l.select(
-        (F.lit(PART_BASE) + F.col("l_partkey")).alias("src"),
-        (F.lit(SUPP_BASE) + F.col("l_suppkey")).alias("dst"),
-    )
-    return o.union(op).union(ps).distinct()
+    both = l.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.lit(ORDER_BASE) + F.col("l_orderkey")).alias("src"),
+                    (F.lit(PART_BASE) + F.col("l_partkey")).alias("dst"),
+                ),
+                F.struct(
+                    (F.lit(PART_BASE) + F.col("l_partkey")).alias("src"),
+                    (F.lit(SUPP_BASE) + F.col("l_suppkey")).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    out = o.union(both)
+    return out.distinct() if dedup else out
 
 
 # ---------------------------------------------------------------------------
@@ -87,7 +102,7 @@ def entity_edges(spark: SparkSession, sf: str) -> DataFrame:
     "reference get_nodes_hops semantics (root excluded) on real tables.",
 )
 def graph_khop_entity(spark: SparkSession, sf: str) -> DataFrame:
-    return khop(entity_edges(spark, sf), src=1, hops=3).orderBy("id")
+    return khop(entity_edges(spark, sf, dedup=False), src=1, hops=3).orderBy("id")
 
 
 @register(
@@ -108,7 +123,7 @@ def graph_khop_entity(spark: SparkSession, sf: str) -> DataFrame:
 )
 def graph_bfs_distances_entity(spark: SparkSession, sf: str) -> DataFrame:
     return (
-        bfs_distances(entity_edges(spark, sf), src=1, max_hops=3)
+        bfs_distances(entity_edges(spark, sf, dedup=False), src=1, max_hops=3)
         .filter(F.col("id") != 1)
         .orderBy("id")
     )
@@ -149,7 +164,8 @@ def graph_degree_histogram(spark: SparkSession, sf: str) -> DataFrame:
     "project → explode → distinct.",
 )
 def graph_node_derivation(spark: SparkSession, sf: str) -> DataFrame:
-    e = entity_edges(spark, sf)
+    # countDistinct dedups ids itself — the distinct edge shuffle is redundant.
+    e = entity_edges(spark, sf, dedup=False)
     return (
         e.select(F.explode(F.array("src", "dst")).alias("id"))
         .agg(F.countDistinct("id").alias("num_nodes"))
@@ -389,3 +405,72 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .select("id", F.round("rank", 6).alias("rank"))
         .orderBy("id")
     )
+
+
+# Two 5-cliques bridged by one edge — the canonical community-detection
+# fixture. The oracle unrolls three synchronous LPA rounds (max-count,
+# min-label tie-break) as chained CTEs; the Spark side runs the engine
+# kernel with the identical update rule.
+LPA_EDGES_SQL = """
+    edges AS (
+      SELECT a.i AS src, b.i AS dst
+      FROM generate_series(0, 4) a(i) JOIN generate_series(0, 4) b(i) ON a.i < b.i
+      UNION ALL
+      SELECT a.i + 5, b.i + 5
+      FROM generate_series(0, 4) a(i) JOIN generate_series(0, 4) b(i) ON a.i < b.i
+      UNION ALL
+      SELECT 4, 5
+    )
+"""
+
+_LPA_ROUND = """
+    r{k} AS (
+      SELECT s.dst AS id, l.label, count(*) AS cnt
+      FROM sym s JOIN l{prev} l ON s.src = l.id
+      GROUP BY s.dst, l.label
+    ),
+    b{k} AS (
+      SELECT id, label FROM (
+        SELECT id, label,
+               row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+        FROM r{k}
+      ) WHERE rn = 1
+    ),
+    l{k} AS (
+      SELECT v.id, coalesce(b.label, v.label) AS label
+      FROM l{prev} v LEFT JOIN b{k} b ON v.id = b.id
+    )
+"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {LPA_EDGES_SQL},
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    l0 AS (SELECT i AS id, i AS label FROM generate_series(0, 9) t(i)),
+    {_LPA_ROUND.format(k=1, prev=0)},
+    {_LPA_ROUND.format(k=2, prev=1)},
+    {_LPA_ROUND.format(k=3, prev=2)}
+    SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+    FROM l3 ORDER BY id
+    """,
+    doc="Label propagation (3 synchronous rounds, max-count/min-label "
+    "tie-break) on two bridged 5-cliques — oracle unrolls the rounds "
+    "as chained CTEs.",
+)
+def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.graph.algorithms import label_propagation
+
+    ids = spark.range(5).select(F.col("id"))
+    pairs = (
+        ids.alias("a")
+        .crossJoin(ids.alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("src") + 5, F.col("dst") + 5))
+        .union(spark.range(1).select(F.lit(4).cast("long"), F.lit(5).cast("long")))
+    )
+    return label_propagation(edges, num_iters=3).orderBy("id")
