@@ -66,8 +66,17 @@ def main() -> None:
     qs = queries()
     timings: dict[str, float] = {}
 
-    # Warm the JVM/codegen paths so timings measure queries, not startup.
+    # Warm the JVM/codegen paths so timings measure queries, not startup:
+    # run every headline query once at the smallest scale factor (whole-
+    # stage codegen compiles per plan shape; sf0.001 data is negligible).
     spark.range(1000).selectExpr("sum(id)").collect()
+    for name in HEADLINE:
+        qs[name](spark, "/root/testdata/sf0.001").count()
+    # Warmup must not pre-answer the timed runs: sf-independent graph
+    # fixtures would otherwise hit the traversal adjacency cache.
+    from graphdatabases_spark.graph.traversal import _ADJ_CACHE
+
+    _ADJ_CACHE.clear()
 
     for name in HEADLINE:
         t0 = time.perf_counter()

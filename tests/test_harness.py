@@ -154,3 +154,35 @@ class TestProfiler:
         infos = executor_metrics(spark)
         assert len(infos) >= 1
         assert {"host", "cache_memory", "num_running_tasks"} <= set(infos[0])
+
+
+class TestCli:
+    def test_cli_single_run_writes_bench_csv(self, tmp_path):
+        """O24: the argparse launcher runs a workload end-to-end and
+        writes a visualizer-compatible .bench CSV. Subprocess because the
+        CLI owns (and stops) its SparkSession."""
+        import subprocess
+        import sys
+
+        out = tmp_path / "Results"
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "graphdatabases_spark.harness.cli",
+                "bench_add_single_node",
+                "--size",
+                "50",
+                "--out",
+                str(out),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        benches = list(out.glob("*.bench"))
+        assert benches, proc.stdout
+        header = benches[0].read_text().splitlines()[0]
+        assert header.split(",")[0].startswith("_")

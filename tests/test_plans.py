@@ -81,3 +81,28 @@ class TestIterativePlanBounded:
         big_len = len(physical_plan(big))
         # Allow slack, but 6x the hops must not mean 6x the plan.
         assert big_len < small_len * 3, (small_len, big_len)
+
+
+class TestOperatorSelection:
+    def test_global_topk_uses_take_ordered(self, spark, sf_dir, qs):
+        """orderBy().limit(k) must compile to TakeOrderedAndProject —
+        per-partition heaps + one k-row merge, never a global sort."""
+        plan = physical_plan(qs["topk_global"](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+
+    def test_python_udfs_are_arrow_vectorized(self, spark, sf_dir, qs):
+        """Every Python-UDF query must cross the JVM↔Python boundary via
+        Arrow batches (ArrowEvalPython / grouped-pandas nodes), never the
+        row-at-a-time pickling path (BatchEvalPython)."""
+        for name in ("udf_embedding_l2norm", "udaf_priority_geomean",
+                     "grouped_map_zscore", "udtf_bigram_counts"):
+            plan = physical_plan(qs[name](spark, sf_dir))
+            assert "BatchEvalPython" not in plan, name
+            assert (
+                "ArrowEvalPython" in plan
+                or "ArrowAggregatePython" in plan  # Spark 4.1 UDAF node
+                or "FlatMapGroupsInPandas" in plan
+                or "AggregateInPandas" in plan
+                or "MapInPandas" in plan
+                or "InPandas" in plan
+            ), f"{name}: no Arrow-vectorized python node\n{plan}"
