@@ -1000,3 +1000,48 @@ def scalar_case_when(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT l_returnflag AS flag, ascii(l_returnflag) AS weight
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4)) * weight), 2) AS DOUBLE) AS weighted_qty,
+           count(*) AS n
+    FROM lineitem JOIN dim ON l_returnflag = flag
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Skew-mitigating salted join (operators/skew.py): 3-value join "
+    "key — the worst-case skew shape — spread over 16 salt sub-keys; "
+    "the oracle proves semantics identical to the plain equi-join.",
+)
+def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.operators import salted_join
+
+    l = table(spark, sf, "lineitem").select(
+        F.col("l_returnflag"), F.col("l_quantity")
+    )
+    dim = (
+        l.select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.ascii("flag").alias("weight"),
+        )
+    )
+    return (
+        salted_join(l, dim, on="l_returnflag", salt=16)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)") * F.col("weight")), 2
+            ).cast("double").alias("weighted_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -65,3 +65,50 @@ class TestWriters:
         write_jsonl(spark.range(3).withColumn("s", F.lit("x")), out)
         back = read_jsonl(spark, out, "id LONG, s STRING")
         assert back.count() == 3
+
+
+class TestSaltedJoin:
+    """operators/skew.py: salted join ≡ plain join, fact spread verified."""
+
+    def test_inner_matches_plain_join(self, spark, sf_dir):
+        from graphdatabases_spark.operators import salted_join
+
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_returnflag", "l_orderkey"
+        )
+        dim = l.select("l_returnflag").distinct()
+        plain = l.join(dim, "l_returnflag").orderBy("l_orderkey", "l_returnflag")
+        salted = salted_join(l, dim, "l_returnflag").orderBy(
+            "l_orderkey", "l_returnflag"
+        )
+        assert plain.exceptAll(salted).count() == 0
+        assert salted.exceptAll(plain).count() == 0
+
+    def test_left_preserves_unmatched(self, spark):
+        from graphdatabases_spark.operators import salted_join
+        import pandas as pd
+
+        fact = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]}))
+        dim = spark.createDataFrame(pd.DataFrame({"k": [1], "w": [100]}))
+        out = salted_join(fact, dim, "k", how="left").orderBy("k").collect()
+        assert [r["k"] for r in out] == [1, 2, 3]
+        assert out[1]["w"] is None and out[0]["w"] == 100
+
+    def test_rejects_outer(self, spark):
+        from graphdatabases_spark.operators import salted_join
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            salted_join(None, None, "k", how="full")
+
+    def test_salt_spreads_rows(self, spark):
+        """Every salt bucket should receive some of the hot key's rows."""
+        from graphdatabases_spark.operators.skew import SALT_COL
+        from pyspark.sql import functions as F
+
+        fact = spark.range(2000).select(F.lit("hot").alias("k"), F.col("id"))
+        salted = fact.withColumn(
+            SALT_COL, F.pmod(F.xxhash64("k", "id"), F.lit(8)).cast("int")
+        )
+        n_buckets = salted.select(SALT_COL).distinct().count()
+        assert n_buckets == 8
