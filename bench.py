@@ -33,6 +33,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q18_large_volume",
+    "q21_waiting_suppliers",
+    "join_salted_skew",
     "join_sortmerge_fact",
     "join_asof_events",
     "window_topk_per_group",

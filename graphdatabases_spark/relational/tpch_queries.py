@@ -402,17 +402,24 @@ def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     "deterministic top-100.",
 )
 def q18_large_volume(spark: SparkSession, sf: str) -> DataFrame:
+    # Pre-aggregation pushdown: o_orderkey functionally determines
+    # c_custkey, so grouping lineitem alone (one map-side-combinable
+    # shuffle) and joining the few >150 survivors to orders/customer is
+    # semantically identical to the grouped 3-way join — and removes the
+    # fact⋈fact shuffle join that dominates at scale.
     c = table(spark, sf, "customer").select("c_custkey")
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy("c_custkey", "o_orderkey")
+    big = (
+        l.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(MONEY)).alias("qty_dec"))
         .filter(F.col("qty_dec") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey, "left_semi")
         .select(
-            "c_custkey",
+            F.col("o_custkey").alias("c_custkey"),
             "o_orderkey",
             F.round("qty_dec", 2).cast("double").alias("total_qty"),
         )

@@ -136,3 +136,29 @@ def write_stream_foreach_batch(stream_df: DataFrame, out_dir: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def read_rate_stream(
+    spark: SparkSession, rows_per_second: int = 100, partitions: int | None = None
+) -> DataFrame:
+    """Built-in rate source shaped like the ``events`` schema — a
+    self-contained generator for soak/latency testing when no file
+    stream exists (SURVEY §2.2 'rate/file streaming source'). Emits
+    (event_id, ts, user_id, event_type, value, props)."""
+    reader = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    )
+    if partitions is not None:
+        reader = reader.option("numPartitions", partitions)
+    raw = reader.load()  # (timestamp, value)
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 97).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 1000 / 10.0).alias("value"),
+        F.to_json(F.struct(F.col("value").alias("seq"))).alias("props"),
+    )

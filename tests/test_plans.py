@@ -106,3 +106,36 @@ class TestOperatorSelection:
                 or "MapInPandas" in plan
                 or "InPandas" in plan
             ), f"{name}: no Arrow-vectorized python node\n{plan}"
+
+
+class TestPlansModule:
+    """graphdatabases_spark.plans: the inspection utilities themselves."""
+
+    def test_pushed_filters_parse_whole_predicates(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from graphdatabases_spark.plans import pushed_filters
+
+        l = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .filter((F.col("l_quantity") > 40) & F.col("l_returnflag").isNotNull())
+            .select("l_orderkey")
+        )
+        preds = pushed_filters(l)
+        assert preds and all("(" in p and p.endswith(")") for p in preds), preds
+
+    def test_read_schema_and_codegen(self, spark, sf_dir):
+        from graphdatabases_spark.plans import (
+            read_schema_columns,
+            whole_stage_codegen_spans,
+        )
+
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+        assert read_schema_columns(df) == [["o_orderkey"]]
+        assert whole_stage_codegen_spans(df) >= 1
+
+    def test_explain_formatted_capture(self, spark, sf_dir):
+        from graphdatabases_spark.plans import explain_formatted
+
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        text = explain_formatted(df)
+        assert "== Physical Plan ==" in text

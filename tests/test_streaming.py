@@ -213,3 +213,41 @@ class TestStatefulOperator:
         assert len(merged) == len(expect)
         assert (merged["n_got"] == merged["n_exp"]).all()
         assert (abs(merged["total_got"] - merged["total_exp"]) < 1e-4).all()
+
+
+class TestRateSource:
+    def test_rate_stream_schema_and_rows(self, spark, tmp_path):
+        """The rate generator must match the events schema so every
+        windowed operator runs unchanged against it."""
+        from graphdatabases_spark.streaming.windows import (
+            EVENTS_SCHEMA,
+            read_rate_stream,
+        )
+
+        stream = read_rate_stream(spark, rows_per_second=500, partitions=1)
+        assert stream.isStreaming
+        expected = spark.createDataFrame([], EVENTS_SCHEMA).schema
+        got = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+        want = {f.name: f.dataType.simpleString() for f in expected.fields}
+        assert got == want
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("rate_probe")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            import time
+
+            deadline = time.time() + 20
+            while time.time() < deadline:
+                if spark.sql("SELECT count(*) n FROM rate_probe").collect()[0]["n"] > 0:
+                    break
+                time.sleep(0.5)
+            rows = spark.sql(
+                "SELECT * FROM rate_probe ORDER BY event_id LIMIT 3"
+            ).collect()
+            assert rows, "rate source produced no rows in 20s"
+            assert rows[0]["event_type"] in ("view", "click", "purchase")
+        finally:
+            q.stop()
