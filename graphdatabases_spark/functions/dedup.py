@@ -56,6 +56,17 @@ def minhash_signatures(
     doc regardless of token count (the 100-TB-safe shape). The wide row
     is then unpivoted to the (doc_id, i, mh) long form.
     """
+    wide = _minhash_wide(docs, num_hashes, id_col, text_col)
+    stack = "stack({}, {}) as (i, mh)".format(
+        num_hashes, ", ".join(f"{i}, mh{i}" for i in range(num_hashes))
+    )
+    return wide.selectExpr("doc_id", stack)
+
+
+def _minhash_wide(
+    docs: DataFrame, num_hashes: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}): one row per doc, one min-agg per hash."""
     toks = doc_tokens(docs, id_col, text_col)
     hashed = toks.select("doc_id", portable_hash64(F.col("tok")).alias("h"))
     aggs = [
@@ -64,11 +75,7 @@ def minhash_signatures(
         ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    wide = hashed.groupBy("doc_id").agg(*aggs)
-    stack = "stack({}, {}) as (i, mh)".format(
-        num_hashes, ", ".join(f"{i}, mh{i}" for i in range(num_hashes))
-    )
-    return wide.selectExpr("doc_id", stack)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -84,20 +91,25 @@ def lsh_candidate_pairs(
     signature matches exactly. Returns distinct (doc_a < doc_b) pairs.
     The pairwise join happens only within (band, signature) buckets.
     """
-    sigs = minhash_signatures(docs, num_hashes, id_col, text_col)
-    bands = (
-        sigs.withColumn("band", (F.col("i") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-                ",",
-            ).alias("sig")
-        )
+    # Band signatures come straight off the wide signature frame — the
+    # hash index order within a band is static, so each band's string is
+    # a concat of known columns (no second shuffle to regroup rows).
+    wide = _minhash_wide(docs, num_hashes, id_col, text_col)
+    nbands = num_hashes // band_size
+    band_cols = [
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"mh{b * band_size + j}").cast("string")
+                for j in range(band_size)
+            ],
+        ).alias(f"band{b}")
+        for b in range(nbands)
+    ]
+    stack = "stack({}, {}) as (band, sig)".format(
+        nbands, ", ".join(f"{b}, band{b}" for b in range(nbands))
     )
+    bands = wide.select("doc_id", *band_cols).selectExpr("doc_id", stack)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("band"), F.col("sig")
     )

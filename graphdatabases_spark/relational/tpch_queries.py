@@ -956,36 +956,36 @@ def q20_part_promotion(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="TPC-H Q21-style waiting suppliers (last shipper in multi-"
     "supplier finished orders; shipdate stands in for receipt lag): "
-    "the EXISTS/NOT-EXISTS pair compiles to left-semi + left-anti "
-    "self-joins on the order key.",
+    "the EXISTS/NOT-EXISTS pair collapses to two predicates over one "
+    "window partitioning (max shipdate + distinct-supplier count per "
+    "order) — one shuffle instead of three self-join exchanges.",
 )
 def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    # The EXISTS/NOT-EXISTS pair is equivalent to two predicates over ONE
+    # window partitioning by order: "another supplier exists" ⇔ the order
+    # has ≥2 distinct suppliers; "no later shipment exists" ⇔ this row's
+    # shipdate equals the order's max. One shuffle of the filtered fact
+    # instead of three self-join exchanges — the formulation that wins at
+    # scale (the semi/anti self-joins each reshuffle lineitem).
+    from pyspark.sql import Window
+
     o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     fl = l.join(o, l.l_orderkey == o.o_orderkey, "left_semi")
     s = table(spark, sf, "supplier")
     n = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_4")
-    l1 = fl.alias("l1")
-    l2 = fl.alias("l2")
-    l3 = fl.alias("l3")
-    with_other = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_semi",
-    )
-    not_latest_excluded = with_other.join(
-        l3,
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
-        "left_anti",
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        fl.withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .filter((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") >= 2))
     )
     return (
-        not_latest_excluded.join(
+        waiting.join(
             F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")),
-            F.col("l1.l_suppkey") == F.col("s_suppkey"),
+            waiting.l_suppkey == F.col("s_suppkey"),
         )
         .groupBy("s_name")
-        .agg(F.count_distinct("l1.l_orderkey").alias("numwait"))
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
