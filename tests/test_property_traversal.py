@@ -1,0 +1,135 @@
+"""Property-based spot checks (SURVEY §5.2.5): random seeded digraphs,
+BFS/SSSP/khop vs a DuckDB bounded-recursive-CTE oracle.
+
+The hypothesis strategy generates only the SEED; the graph derives
+deterministically from it, so failures replay exactly. Graphs are small
+(the local kernel answers in ms) — the distributed kernel's equivalence
+to the local one is pinned separately in test_traversal.py and here by
+one distributed example per run.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from graphdatabases_spark.graph.traversal import bfs_distances, khop, ssp
+
+
+def _random_edges(seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    n = rng.randint(5, 40)
+    m = rng.randint(n, 4 * n)
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+    # Self-loops allowed — the kernel must tolerate them (cycle check).
+    return sorted(edges)
+
+
+def _oracle(edges: list[tuple[int, int]], src: int, max_hops: int) -> dict[int, int]:
+    con = duckdb.connect()
+    con.register("edf", pd.DataFrame(edges, columns=["src", "dst"]))
+    rows = con.sql(
+        f"""
+        WITH RECURSIVE walk(id, d) AS (
+          SELECT CAST({src} AS BIGINT), 0
+          UNION
+          -- UNION (not ALL) dedups (id, d) states: on cyclic graphs
+          -- UNION ALL enumerates every walk — exponential in depth.
+          SELECT e.dst, w.d + 1 FROM walk w JOIN edf e ON e.src = w.id
+          WHERE w.d < {max_hops}
+        )
+        SELECT id, CAST(min(d) AS INT) FROM walk GROUP BY id
+        """
+    ).fetchall()
+    con.close()
+    return {int(i): int(d) for i, d in rows}
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000))
+def test_bfs_distances_match_oracle(spark, seed):
+    edges = _random_edges(seed)
+    src = edges[0][0]
+    oracle = _oracle(edges, src, max_hops=5)
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(_edges_df(spark, edges), src, max_hops=5).collect()
+    }
+    assert got == oracle, f"seed={seed}"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000))
+def test_khop_root_exclusion_semantics(spark, seed):
+    """khop = oracle nodes at 1..h, minus the root unless a ≤h cycle
+    re-reaches it (reference quirk 2 — Neo4j/Arango semantics)."""
+    edges = _random_edges(seed)
+    src = edges[0][0]
+    h = 3
+    oracle = _oracle(edges, src, max_hops=h)
+    expect = {i for i, d in oracle.items() if d >= 1}
+    # The oracle returns dist 0 for the root; it belongs in the result
+    # only if some reached node (dist ≤ h-1) has an edge back to it.
+    back = {u for u, v in edges if v == src}
+    if any(u in back for u, d in oracle.items() if d <= h - 1):
+        expect.add(src)
+    else:
+        expect.discard(src)
+    got = {r["id"] for r in khop(_edges_df(spark, edges), src, h).collect()}
+    assert got == expect, f"seed={seed}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000))
+def test_ssp_dist_matches_oracle_min(spark, seed):
+    edges = _random_edges(seed)
+    src, dst = edges[0][0], edges[-1][1]
+    oracle = _oracle(edges, src, max_hops=40)
+    rows = ssp(_edges_df(spark, edges), src, dst).collect()
+    if dst not in oracle:
+        assert rows == [], f"seed={seed}: path found where oracle sees none"
+    else:
+        assert rows, f"seed={seed}: no path found (oracle dist {oracle[dst]})"
+        assert rows[0]["dist"] == oracle[dst], f"seed={seed}"
+        path = rows[0]["path"]
+        # The returned path must be a real path of that length.
+        assert len(path) == rows[0]["dist"] + 1
+        assert path[0] == src and path[-1] == dst
+        eset = set(edges)
+        assert all((a, b) in eset for a, b in zip(path, path[1:]))
+
+
+def test_one_distributed_example_matches_oracle(spark):
+    edges = _random_edges(seed=1234)
+    src = edges[0][0]
+    oracle = _oracle(edges, src, max_hops=4)
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(
+            _edges_df(spark, edges), src, max_hops=4, strategy="distributed"
+        ).collect()
+    }
+    assert got == oracle

@@ -86,6 +86,26 @@ class TestStreamBatchEquivalence:
         )
         assert _canon(got).equals(_canon(batch))
 
+    def test_sliding_counts(self, spark, events_dir):
+        """Sliding 10m/5m windows in append mode: each event lands in two
+        overlapping windows; finalized windows must equal the batch form."""
+        from graphdatabases_spark.streaming.windows import sliding_window_counts
+
+        stream = read_events_stream(spark, events_dir)
+        got = run_stream_to_memory(
+            sliding_window_counts(stream, "10 minutes", "5 minutes"),
+            "t_sliding",
+            "append",
+        )
+        wm = _final_watermark(spark.read.parquet(events_dir))
+        batch = sliding_window_counts(
+            spark.read.parquet(events_dir), "10 minutes", "5 minutes"
+        ).filter(
+            F.to_timestamp("win_start") + F.expr("INTERVAL 10 MINUTES")
+            <= F.lit(wm).cast("timestamp")
+        )
+        assert _canon(got).equals(_canon(batch))
+
     def test_streaming_dedup(self, spark, events_dir):
         stream = streaming_dedup(read_events_stream(spark, events_dir)).select(
             "event_id"
