@@ -127,3 +127,57 @@ def events_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "events_stateful_running_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n,
+           round(sum(value), 6) AS total
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Runs the REAL Structured Streaming engine: per-user running "
+    "totals in applyInPandasWithState keyed state (availableNow "
+    "micro-batch replay, update mode); the final state per user must "
+    "equal the batch aggregate — which is exactly the SQL oracle.",
+)
+def events_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from graphdatabases_spark.streaming.stateful import running_user_totals
+    from graphdatabases_spark.streaming.windows import read_events_stream
+
+    # The raw events.parquet carries TIMESTAMP(NANOS); the file-stream
+    # source needs a microsecond ts, so stage a converted copy once per
+    # sf_dir (content-addressed temp path, reused across calls).
+    tag = hashlib.md5(sf.encode()).hexdigest()[:12]
+    staged = os.path.join(tempfile.gettempdir(), f"sg_events_stream_{tag}")
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        table(spark, sf, "events").coalesce(1).write.mode("overwrite").parquet(staged)
+
+    stream = running_user_totals(read_events_stream(spark, staged))
+    sink = f"stateful_totals_{tag}"
+    (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    updates = spark.table(sink)
+    # One update row per user per micro-batch; the final state row is
+    # the one with the highest running n.
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        updates.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "n", F.round("total", 6).alias("total"))
+        .orderBy("user_id")
+    )
