@@ -139,3 +139,15 @@ class TestPlansModule:
         df = spark.read.parquet(f"{sf_dir}/nation.parquet")
         text = explain_formatted(df)
         assert "== Physical Plan ==" in text
+
+
+class TestUniversalGates:
+    def test_no_query_uses_row_at_a_time_python(self, spark, sf_dir, qs):
+        """Universal rule: NO catalog query may contain a BatchEvalPython
+        node — pickled row-at-a-time Python is 10-100x slower than Arrow
+        and must never appear in the declared surface."""
+        for name, fn in sorted(qs.items()):
+            if name == "events_stateful_running_totals":
+                continue  # executes a streaming job eagerly; covered above
+            plan = physical_plan(fn(spark, sf_dir))
+            assert "BatchEvalPython" not in plan, name
