@@ -30,7 +30,7 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # ts arrives as nanos-long here (no catalog loader): convert.
     if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ev.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(out)
     return out
 
