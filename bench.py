@@ -88,15 +88,40 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
 
+    # Bulk ingest (BASELINE.md's most dramatic rows): the reference's
+    # `add_database` on Wiki-Vote (|V|=7,115, |E|=103,689) takes
+    # 947.9 s on ArangoDB / 1573.6 s on Neo4j (reference benchmark.log,
+    # one statement per row); the Spark bulk path is a single
+    # distributed TSV read + dedup. Timed region = read + both counts
+    # (full materialization), matching the reference's load-then-verify.
+    wiki_nodes = "/root/reference/data_sets/Wiki-VoteN.txt"
+    wiki_edges = "/root/reference/data_sets/Wiki-VoteE.txt"
+    if os.path.exists(wiki_nodes) and os.path.exists(wiki_edges):
+        from graphdatabases_spark.graph.io import load_graph_files
+
+        t0 = time.perf_counter()
+        wiki = load_graph_files(spark, wiki_nodes, wiki_edges)
+        nv, ne = wiki.vertices.count(), wiki.edges.count()
+        timings["wiki_vote_load"] = round(time.perf_counter() - t0, 4)
+        assert (nv, ne) == (7115, 103689), (nv, ne)
+
     # Reference graph workloads (BASELINE.md): 150×150 grid, 300-hop
     # traversal from node 1; shortest path node 1 → node 151·130. The
-    # reference times these against an already-loaded backend (the grid
-    # lives indexed in the server's RAM; BASELINE 0.058 s for 300 hops),
-    # so the equivalent load phase — edge materialization AND the
-    # traversal kernel's adjacency build — runs before the timed region.
+    # reference's `create_gird_graph` builds the same grid one INSERT at
+    # a time (305.4 s Arango / 486.1 s Neo4j / 805.4 s Orient); here it
+    # is two `spark.range` projections — timed through full edge
+    # materialization.
+    t0 = time.perf_counter()
     g = grid_graph(spark, 150)
     g.edges.persist().count()
+    timings["grid_build_150"] = round(time.perf_counter() - t0, 4)
+
+    # The reference times traversals against an already-loaded backend
+    # (the grid lives indexed in the server's RAM; BASELINE 0.058 s for
+    # 300 hops), so the adjacency-index build and the one-time
+    # result-construction code paths warm up before the timed region.
     khop(g, 0, 1).count()  # warm: builds + caches the adjacency index
+    ssp(g, 0, 1).collect()  # warm: array-result construction path
     # Timed region = the operator call: on the adaptive local path the
     # full BFS compute runs eagerly inside it. The reference harness
     # likewise times submit + server compute WITHOUT materializing the

@@ -160,6 +160,11 @@ def pagerank(
             )
             if (i + 1) % CHECKPOINT_EVERY == 0:
                 ranks = ranks.localCheckpoint(eager=True)
+        if num_iters % CHECKPOINT_EVERY != 0:
+            # Truncate the tail lineage: the caller's first action would
+            # otherwise recompute the last rounds from `links` AFTER the
+            # finally below unpersists it.
+            ranks = ranks.localCheckpoint(eager=True)
         return ranks
     finally:
         links.unpersist()
@@ -211,6 +216,7 @@ def connected_components(
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     vertices = _vertices_from(graph, e)
+    prev_cached: DataFrame | None = None
     try:
         comp = vertices.select("id", F.col("id").alias("comp"))
         for i in range(max_iters):
@@ -233,18 +239,29 @@ def connected_components(
                 new_comp = new_comp.localCheckpoint(eager=True)
             else:
                 new_comp = new_comp.persist(StorageLevel.MEMORY_AND_DISK)
+            # Full-pass convergence check (no limit): one job that both
+            # materializes new_comp's cache and counts changed labels, so
+            # the previous round's cache can be released immediately —
+            # cached blocks no longer accumulate across rounds.
             changed = (
                 new_comp.alias("n")
                 .join(comp.alias("o"), "id")
                 .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
                 .count()
             )
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = new_comp if (i + 1) % CHECKPOINT_EVERY != 0 else None
             comp = new_comp
             if changed == 0:
                 break
+        if prev_cached is not None:
+            # Detach the result from the cache we are about to release.
+            comp = comp.localCheckpoint(eager=True)
         return comp
     finally:
+        if prev_cached is not None:
+            prev_cached.unpersist()
         sym.unpersist()
 
 

@@ -71,6 +71,16 @@ PATH_SCHEMA = StructType(
 LOCAL_EDGE_THRESHOLD = 2_000_000
 CHECKPOINT_EVERY = 4
 
+# Frontier rows above which the per-round join switches from broadcast
+# to shuffle. An (id, dist) frontier row is ~16 bytes, so 4M rows is
+# ~64 MB serialized — comfortably broadcastable; past that, a high-
+# fan-out graph's frontier (tens of millions of rows after 2-3 hops)
+# would blow the 8 GB broadcast hard limit and driver memory, so the
+# kernel shuffle-joins against a src-clustered edge copy instead (built
+# lazily, once — only traversals that ever exceed the threshold pay
+# for it).
+FRONTIER_BROADCAST_MAX = 4_000_000
+
 
 def _edges_df(graph: PropertyGraph | DataFrame) -> DataFrame:
     df = graph.edges if isinstance(graph, PropertyGraph) else graph
@@ -130,18 +140,72 @@ def _decide_strategy(edges: DataFrame, strategy: str) -> str:
 # against one loaded graph) skip the re-collect. Keyed by the analyzed
 # plan's semanticHash: same plan ⇒ same data within a session (mutation
 # goes through GraphEngine, which builds a new plan on every change).
-_ADJ_CACHE: dict[int, dict[int, list[int]]] = {}
+_ADJ_CACHE: dict[int, "_AdjIndex"] = {}
 _ADJ_CACHE_MAX = 4
 
 
-def _collect_adjacency(edges: DataFrame) -> dict[int, list[int]]:
-    """Collect the edge set to a driver-side adjacency dict via Arrow."""
+class _AdjIndex:
+    """Driver-side edge index: CSR over the compacted node universe.
+
+    The traversal kernels run vectorized numpy BFS over ``indptr`` /
+    ``nbr_idx`` (a Python dict BFS pays ~1 µs/edge in interpreter
+    overhead; the CSR form does a whole frontier level in a handful of
+    numpy ops). The dict view (``adj``) is built lazily for consumers
+    that genuinely need per-node Python iteration (union-find, LPA,
+    local triangle counting) — neighbor lists come out dst-sorted.
+    """
+
+    def __init__(self, src, dst):
+        import numpy as np
+
+        # Lexicographic (src, dst) sort: CSR segments AND each neighbor
+        # list come out sorted — _ssp_local's deterministic expansion
+        # order then needs no per-node re-sort.
+        order = np.lexsort((dst, src))
+        self.src = src[order]
+        self.dst = dst[order]
+        self.universe = np.unique(np.concatenate([self.src, self.dst]))
+        n = len(self.universe)
+        self.indptr = np.empty(n + 1, dtype=np.int64)
+        self.indptr[:n] = np.searchsorted(self.src, self.universe, side="left")
+        self.indptr[n] = len(self.src)
+        self.nbr_idx = np.searchsorted(self.universe, self.dst)
+        self._adj: dict[int, list[int]] | None = None
+
+    def node_pos(self, node: int) -> int | None:
+        """Position of ``node`` in the universe, or None if absent."""
+        import numpy as np
+
+        p = int(np.searchsorted(self.universe, node))
+        if p >= len(self.universe) or int(self.universe[p]) != node:
+            return None
+        return p
+
+    def predecessor_positions(self, node: int):
+        """Universe positions of all u with an edge u → node."""
+        import numpy as np
+
+        return np.searchsorted(self.universe, self.src[self.dst == node])
+
+    @property
+    def adj(self) -> dict[int, list[int]]:
+        if self._adj is None:
+            self._adj = {
+                int(self.universe[i]): self.universe[
+                    self.nbr_idx[self.indptr[i] : self.indptr[i + 1]]
+                ].tolist()
+                for i in range(len(self.universe))
+                if self.indptr[i] < self.indptr[i + 1]
+            }
+        return self._adj
+
+
+def _collect_index(edges: DataFrame) -> _AdjIndex:
+    """Collect the edge set to a driver-side CSR index via Arrow."""
     key = edges.semanticHash()
     hit = _ADJ_CACHE.get(key)
     if hit is not None:
         return hit
-    import numpy as np
-
     sel = edges.select("src", "dst")
     if hasattr(sel, "toArrow"):  # Spark 4: Arrow table, no pandas hop
         tbl = sel.toArrow()
@@ -151,19 +215,52 @@ def _collect_adjacency(edges: DataFrame) -> dict[int, list[int]]:
         pdf = sel.toPandas()  # Arrow-batched transfer
         src = pdf["src"].to_numpy()
         dst = pdf["dst"].to_numpy()
-    # Neighbor order within a source is irrelevant to every consumer
-    # (BFS dedups, ssp re-sorts, LPA counts) — plain sort, not stable.
-    order = np.argsort(src)
-    s, d = src[order], dst[order]
-    uniq, starts = np.unique(s, return_index=True)
-    bounds = np.append(starts[1:], len(s))
-    adj: dict[int, list[int]] = {
-        int(u): d[a:b].tolist() for u, a, b in zip(uniq, starts, bounds)
-    }
+    idx = _AdjIndex(src, dst)
     if len(_ADJ_CACHE) >= _ADJ_CACHE_MAX:
         _ADJ_CACHE.pop(next(iter(_ADJ_CACHE)))
-    _ADJ_CACHE[key] = adj
-    return adj
+    _ADJ_CACHE[key] = idx
+    return idx
+
+
+def _collect_adjacency(edges: DataFrame) -> dict[int, list[int]]:
+    """Driver-side adjacency dict (compat view over the CSR index)."""
+    return _collect_index(edges).adj
+
+
+def _bfs_numpy(idx: _AdjIndex, src: int, max_hops: int | None):
+    """Vectorized frontier BFS over the CSR index.
+
+    Returns a dist ndarray aligned to ``idx.universe`` (-1 = unreached),
+    or None when ``src`` has no outgoing edges in the universe.
+    """
+    import numpy as np
+
+    pos = idx.node_pos(src)
+    if pos is None:
+        return None
+    n = len(idx.universe)
+    dist = np.full(n, -1, dtype=np.int32)
+    dist[pos] = 0
+    frontier = np.array([pos], dtype=np.int64)
+    d = 0
+    while len(frontier) and (max_hops is None or d < max_hops):
+        d += 1
+        starts = idx.indptr[frontier]
+        counts = idx.indptr[frontier + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
+            break
+        # Gather all frontier neighbors in one shot: repeat each start,
+        # add a per-segment ramp (global arange minus segment offsets).
+        ends = np.cumsum(counts)
+        ramp = np.arange(total) - np.repeat(ends - counts, counts)
+        nbrs = idx.nbr_idx[np.repeat(starts, counts) + ramp]
+        new = np.unique(nbrs[dist[nbrs] < 0])
+        if len(new) == 0:
+            break
+        dist[new] = d
+        frontier = new
+    return dist
 
 
 from contextlib import contextmanager
@@ -201,32 +298,20 @@ def _local_result_df(spark: SparkSession, rows: list, schema: StructType) -> Dat
 
         pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
         return spark.createDataFrame(pdf, schema)
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1) if rows else [], schema
-    )
+    # Array-typed or empty results: plain-list createDataFrame compiles
+    # to a LocalRelation in half the RPC roundtrips of parallelize().
+    return spark.createDataFrame(rows, schema)
 
 
-def _bfs_local(
-    adj: dict[int, list[int]],
-    src: int,
-    max_hops: int | None,
-    stop_at: int | None = None,
-) -> dict[int, int]:
-    """Classic queue BFS; returns {node: dist} including src at dist 0."""
-    dist = {src: 0}
-    q = deque([src])
-    while q:
-        u = q.popleft()
-        du = dist[u]
-        if max_hops is not None and du >= max_hops:
-            continue
-        for v in adj.get(u, ()):
-            if v not in dist:
-                dist[v] = du + 1
-                if v == stop_at:
-                    return dist
-                q.append(v)
-    return dist
+def _numpy_result_df(
+    spark: SparkSession, arrays: dict[str, "object"], schema: StructType
+) -> DataFrame:
+    """One-Arrow-batch DataFrame from numpy columns — no tuple list, no
+    per-row conversion; the arrays are handed to pandas zero-copy."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(arrays, columns=[f.name for f in schema.fields])
+    return spark.createDataFrame(pdf, schema)
 
 
 def _ssp_local(
@@ -234,8 +319,9 @@ def _ssp_local(
 ) -> tuple[int, list[int]] | None:
     """BFS with predecessor tracking; returns (dist, path) or None.
 
-    Deterministic: neighbors expand in sorted order, so the returned path
-    is the lexicographically-smallest shortest path.
+    Deterministic: neighbors expand in ascending order (the adjacency
+    lists come dst-sorted from the CSR build), so the returned path is
+    the lexicographically-smallest shortest path.
     """
     if src == dst:
         return (0, [src])
@@ -245,7 +331,7 @@ def _ssp_local(
         u, du = q.popleft()
         if max_hops is not None and du >= max_hops:
             continue
-        for v in sorted(adj.get(u, ())):
+        for v in adj.get(u, ()):
             if v not in pred:
                 pred[v] = u
                 if v == dst:
@@ -261,6 +347,42 @@ def _ssp_local(
 # distributed kernel
 # ---------------------------------------------------------------------------
 
+class _EdgeSides:
+    """Per-traversal holder for the two physical layouts of the edge set.
+
+    ``plain`` is the as-scanned cache (no shuffle) that broadcast-frontier
+    rounds join against.  ``by_src`` — built lazily, only if some round's
+    frontier exceeds ``FRONTIER_BROADCAST_MAX`` — is a src-hash-clustered
+    copy (SURVEY §4.3.2): its InMemoryTableScan reports
+    HashPartitioning(src), so a shuffle join against it exchanges ONLY
+    the frontier side each round.
+    """
+
+    def __init__(self, edges: DataFrame):
+        self.plain = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+        self._by_src: DataFrame | None = None
+
+    def by_src(self) -> DataFrame:
+        if self._by_src is None:
+            spark = _spark_of(self.plain)
+            n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            self._by_src = self.plain.repartition(n, "src").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        return self._by_src
+
+    def join_frontier(self, frontier: DataFrame, frontier_rows: int) -> DataFrame:
+        """frontier ⋈ edges on id=src, picking the join side by size."""
+        if frontier_rows <= FRONTIER_BROADCAST_MAX:
+            return self.plain.join(F.broadcast(frontier), F.col("src") == F.col("id"))
+        return self.by_src().join(frontier, F.col("src") == F.col("id"))
+
+    def release(self) -> None:
+        self.plain.unpersist()
+        if self._by_src is not None:
+            self._by_src.unpersist()
+
+
 def _bfs_distributed(
     edges: DataFrame,
     src: int,
@@ -270,22 +392,25 @@ def _bfs_distributed(
 ) -> DataFrame:
     """Frontier BFS as an iterative join loop; returns DataFrame(id, dist).
 
-    Each round is a broadcast join of the (small) frontier against the
-    persisted edges — a broadcast hash join needs no co-partitioning, so
-    the edge set is cached as-is with NO up-front shuffle — then a
+    Each round joins the frontier against the persisted edges — broadcast
+    while the frontier is small (no co-partitioning, so the edge cache
+    needs NO up-front shuffle), switching to a shuffle join against a
+    src-clustered edge copy once the frontier outgrows
+    ``FRONTIER_BROADCAST_MAX`` (see ``_EdgeSides``) — then a
     map-side-combinable distinct and an anti-join against visited.
     Lineage is truncated with eager localCheckpoint every round.
     """
     spark = _spark_of(edges)
-    edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    sides = _EdgeSides(edges)
     try:
         frontier = spark.createDataFrame([(src, 0)], DIST_SCHEMA)
         visited = frontier
+        frontier_rows = 1
         d = 0
         while max_hops is None or d < max_hops:
             d += 1
             nxt = (
-                edges.join(F.broadcast(frontier), edges.src == frontier.id)
+                sides.join_frontier(frontier, frontier_rows)
                 .select(F.col("dst").alias("id"))
                 .distinct()
                 .join(visited, "id", "left_anti")
@@ -297,7 +422,11 @@ def _bfs_distributed(
             # silently recompute the whole loop (from the raw edge plan)
             # at the caller's first action.
             nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
+            # The count doubles as the emptiness test and next round's
+            # broadcast-vs-shuffle decision; it reads the fresh
+            # checkpoint, not the join plan.
+            frontier_rows = nxt.count()
+            if frontier_rows == 0:
                 break
             visited = visited.union(nxt)
             if d % checkpoint_every == 0:
@@ -308,7 +437,7 @@ def _bfs_distributed(
                 break
         return visited
     finally:
-        edges.unpersist()
+        sides.release()
 
 
 # ---------------------------------------------------------------------------
@@ -326,11 +455,11 @@ def bfs_distances(
 
     Returns DataFrame(id BIGINT, dist INT), including ``src`` at dist 0.
     """
-    spark = _spark_of(_edges_df(graph))
+    plan = _edges_df(graph)  # already src/dst-projected; no re-select RPC
+    spark = _spark_of(plan)
     eff_threshold = (
         min(local_threshold, max_hops * 500_000) if max_hops else local_threshold
     )
-    plan = _edges_df(graph).select("src", "dst")
     decision = _decide_strategy(plan, strategy)
     with _materialized(plan, decision) as edges:
         chosen = (
@@ -339,9 +468,18 @@ def bfs_distances(
             else ("local" if edges.count() <= eff_threshold else "distributed")
         )
         if chosen == "local":
-            adj = _collect_adjacency(edges)
-            dist = _bfs_local(adj, src, max_hops)
-            return _local_result_df(spark, sorted(dist.items()), DIST_SCHEMA)
+            import numpy as np
+
+            idx = _collect_index(edges)
+            dist = _bfs_numpy(idx, src, max_hops)
+            if dist is None:  # src absent from the edge universe
+                return _local_result_df(spark, [(src, 0)], DIST_SCHEMA)
+            mask = dist >= 0
+            return _numpy_result_df(
+                spark,
+                {"id": idx.universe[mask], "dist": dist[mask]},
+                DIST_SCHEMA,
+            )
         return _bfs_distributed(edges, src, max_hops)
 
 
@@ -362,14 +500,13 @@ def khop(
 
     Returns DataFrame(id BIGINT).
     """
-    edges = _edges_df(graph)
-    spark = _spark_of(edges)
+    plan = _edges_df(graph)  # already src/dst-projected; no re-select RPC
+    spark = _spark_of(plan)
     # Crossover economics: local pays one O(E) Arrow collect (~1 s per
     # million edges), distributed pays ~1-2 s of fixed job latency PER
     # ROUND regardless of size. Local therefore wins unless the edge set
     # is large relative to the round count.
     eff_threshold = min(local_threshold, hops * 500_000)
-    plan = edges.select("src", "dst")
     decision = _decide_strategy(plan, strategy)
     with _materialized(plan, decision) as edges:
         chosen = (
@@ -379,23 +516,27 @@ def khop(
         )
 
         if chosen == "local":
-            adj = _collect_adjacency(edges)
-            dist = _bfs_local(adj, src, hops)
-            ids = {k for k in dist if k != src}
-            if include_root:
-                ids.add(src)
-            else:
+            import numpy as np
+
+            id_schema = StructType([StructField("id", LongType(), False)])
+            idx = _collect_index(edges)
+            dist = _bfs_numpy(idx, src, hops)
+            if dist is None:  # src absent: nothing reachable, no cycle
+                rows = [(src,)] if include_root else []
+                return _local_result_df(spark, rows, id_schema)
+            pos = idx.node_pos(src)
+            mask = dist >= 0
+            mask[pos] = False  # root excluded by default (quirk 2)
+            root_in = include_root
+            if not root_in:
                 # Root re-reached via a cycle: some reached u at dist ≤
-                # hops-1 has an edge u → src.
-                if any(
-                    src in adj.get(u, ()) for u, du in dist.items() if du <= hops - 1
-                ):
-                    ids.add(src)
-            return _local_result_df(
-                spark,
-                [(i,) for i in sorted(ids)],
-                StructType([StructField("id", LongType(), False)]),
-            )
+                # hops-1 has an edge u → src (vectorized over in-edges).
+                pd_pos = idx.predecessor_positions(src)
+                du = dist[pd_pos]
+                root_in = bool(np.any((du >= 0) & (du <= hops - 1)))
+            if root_in:
+                mask[pos] = True
+            return _numpy_result_df(spark, {"id": idx.universe[mask]}, id_schema)
 
         visited = _bfs_distributed(edges, src, hops)
         result = visited.filter(F.col("dist") >= 1).select("id").localCheckpoint(
@@ -440,8 +581,8 @@ def ssp(
     Returns DataFrame(dist INT, path ARRAY<BIGINT>) with 0 or 1 row; the
     path is the lexicographically-smallest shortest path (deterministic).
     """
-    spark = _spark_of(_edges_df(graph))
-    plan = _edges_df(graph).select("src", "dst")
+    plan = _edges_df(graph)  # already src/dst-projected; no re-select RPC
+    spark = _spark_of(plan)
     decision = _decide_strategy(plan, strategy)
     with _materialized(plan, decision) as edges:
         chosen = (
@@ -475,8 +616,11 @@ def _ssp_distributed(
     spark = _spark_of(edges)
     if src == dst:
         return spark.createDataFrame([(0, [src])], PATH_SCHEMA)
-    # Broadcast-frontier join ⇒ no co-partitioning needed; cache as-is.
-    edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    sides = _EdgeSides(edges)
+    # Persisted per-round frontiers that `visited` still has lineage
+    # into; released in a batch each time `visited` is checkpointed
+    # (and on exit), so cached blocks don't accumulate over long runs.
+    pinned: list[DataFrame] = []
     try:
         frontier = spark.createDataFrame(
             [(src, [src])],
@@ -488,11 +632,15 @@ def _ssp_distributed(
             ),
         )
         visited = frontier.select("id")
+        frontier_rows = 1
         d = 0
         while max_hops is None or d < max_hops:
             d += 1
+            # A path-carrying frontier row is ~8·d bytes, not 16: scale
+            # the broadcast cutoff down by the current path length.
+            eff_rows = frontier_rows * max(1, d // 2)
             nxt = (
-                edges.join(F.broadcast(frontier), edges.src == frontier.id)
+                sides.join_frontier(frontier, eff_rows)
                 .select(
                     F.col("dst").alias("id"),
                     F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
@@ -505,15 +653,27 @@ def _ssp_distributed(
                 nxt = nxt.localCheckpoint(eager=True)
             else:
                 nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+                pinned.append(nxt)
+            # Full count (not isEmpty): materializes the round's cache in
+            # one pass and feeds next round's join-side decision.
+            frontier_rows = nxt.count()
             hit = nxt.filter(F.col("id") == dst).select("path").collect()
             if hit:
                 return _local_result_df(spark, [(d, hit[0]["path"])], PATH_SCHEMA)
-            if nxt.isEmpty():
+            if frontier_rows == 0:
                 break
             visited = visited.union(nxt.select("id"))
             if d % checkpoint_every == 0:
                 visited = visited.localCheckpoint(eager=True)
+                # visited no longer references earlier rounds; frontier
+                # (= this round's nxt) is checkpointed, so every pinned
+                # cache is now releasable.
+                for p in pinned:
+                    p.unpersist()
+                pinned.clear()
             frontier = nxt
         return _local_result_df(spark, [], PATH_SCHEMA)
     finally:
-        edges.unpersist()
+        for p in pinned:
+            p.unpersist()
+        sides.release()

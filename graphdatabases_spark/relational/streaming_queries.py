@@ -159,7 +159,10 @@ def events_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     tag = hashlib.md5(sf.encode()).hexdigest()[:12]
     staged = os.path.join(tempfile.gettempdir(), f"sg_events_stream_{tag}")
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        table(spark, sf, "events").coalesce(1).write.mode("overwrite").parquet(staged)
+        # Parallel write — a coalesce(1) here would funnel the whole
+        # stage through one task; the stateful kernel re-keys by user
+        # anyway, so the file count doesn't affect the result.
+        table(spark, sf, "events").write.mode("overwrite").parquet(staged)
 
     stream = running_user_totals(read_events_stream(spark, staged))
     sink = f"stateful_totals_{tag}"

@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -54,6 +55,59 @@ class TestBenchCsv:
     def test_x_marker_added_if_missing(self, tmp_path):
         path = save_data(str(tmp_path), "b", "Spark", ["Time [s]", "CPU [%]"], [[0.1, 5.0]])
         assert open(path).readline().startswith("_Time [s]")
+
+
+class TestVisualizer:
+    """O22 plot emission: .bench → plot file round trip (reference
+    visualizer.py:5-65, file-emitting instead of interactive)."""
+
+    def _write_bench(self, tmp_path, engine, scale=1.0):
+        rows = [
+            [100.0 * (i + 1), 10.0 * scale + i, 500.0, 0.5 * scale * (i + 1)]
+            for i in range(4)
+        ]
+        return save_data(
+            str(tmp_path), "bench_traversal_iter", engine, iter_header("size"), rows
+        )
+
+    def test_single_bench_plot_written(self, tmp_path):
+        from graphdatabases_spark.harness.visualizer import show_single_bench
+
+        path = self._write_bench(tmp_path, "Spark")
+        out = show_single_bench(path, ["TIME [s]", "CPU [%]"])
+        assert os.path.exists(out) and os.path.getsize(out) > 0
+        content = open(out).read()
+        if out.endswith(".svg"):  # builtin backend: one polyline per column
+            assert content.count("<polyline") == 2
+            assert "TIME [s]" in content and "size" in content
+
+    def test_multiple_bench_lines_and_avg_bars(self, tmp_path):
+        from graphdatabases_spark.harness.visualizer import show_multiple_bench
+
+        paths = [
+            self._write_bench(tmp_path / "a", "Spark", 1.0),
+            self._write_bench(tmp_path / "b", "NEO4j", 2.0),
+        ]
+        lines = show_multiple_bench(paths, ["TIME [s]"], use_avg=False)
+        bars = show_multiple_bench(paths, ["TIME [s]"], use_avg=True)
+        assert len(lines) == 1 and len(bars) == 1
+        for out in (*lines, *bars):
+            assert os.path.exists(out) and os.path.getsize(out) > 0
+        if lines[0].endswith(".svg"):
+            content = open(lines[0]).read()
+            # Reference ordering: known engines first (NEO4j before Spark).
+            assert content.count("<polyline") == 2
+            assert content.index("NEO4j") < content.index("Spark")
+        if bars[0].endswith(".svg"):
+            assert open(bars[0]).read().count("<rect") >= 3  # bg + 2 bars
+
+    def test_cli_column_flags(self, tmp_path, capsys):
+        from graphdatabases_spark.harness import visualizer
+
+        path = self._write_bench(tmp_path, "Spark")
+        assert visualizer.main([path, "--show", "TIME [s]"]) == 0
+        out = capsys.readouterr().out.strip()
+        assert os.path.exists(out)
 
 
 class TestPerformBench:

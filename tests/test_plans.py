@@ -82,6 +82,54 @@ class TestIterativePlanBounded:
         # Allow slack, but 6x the hops must not mean 6x the plan.
         assert big_len < small_len * 3, (small_len, big_len)
 
+    def test_frontier_join_side_is_size_adaptive(self, spark, monkeypatch):
+        """A frontier under FRONTIER_BROADCAST_MAX must broadcast; one
+        over it must NOT (a huge frontier broadcast blows the 8 GB limit
+        at scale) — it shuffle-joins the src-clustered edge copy instead,
+        and the traversal answer must not change."""
+        from graphdatabases_spark.graph import grid_graph, khop
+        from graphdatabases_spark.graph import traversal
+
+        g = grid_graph(spark, 12)
+        edges = g.edges.select("src", "dst")
+        frontier = spark.createDataFrame([(1, 0)], traversal.DIST_SCHEMA)
+
+        sides = traversal._EdgeSides(edges)
+        # Disable Catalyst's stats-based auto-broadcast so the plan shows
+        # only what the kernel FORCES: the hint (small frontier) must
+        # survive, the large-frontier path must carry no broadcast at all.
+        # (At 100 TB the edge side is never auto-broadcastable anyway.)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_aqe = spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            small = physical_plan(sides.join_frontier(frontier, frontier_rows=1))
+            assert "BroadcastHashJoin" in small
+            big = physical_plan(
+                sides.join_frontier(
+                    frontier, frontier_rows=traversal.FRONTIER_BROADCAST_MAX + 1
+                )
+            )
+            assert "BroadcastHashJoin" not in big, big
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            if prev_aqe is None:
+                spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set(
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe
+                )
+            sides.release()
+
+        baseline = {r["id"] for r in khop(g, 1, 6, strategy="distributed").collect()}
+        # Force every round onto the shuffle path end-to-end.
+        monkeypatch.setattr(traversal, "FRONTIER_BROADCAST_MAX", 0)
+        shuffled = {r["id"] for r in khop(g, 1, 6, strategy="distributed").collect()}
+        assert shuffled == baseline and len(baseline) > 0
+
 
 class TestOperatorSelection:
     def test_global_topk_uses_take_ordered(self, spark, sf_dir, qs):
