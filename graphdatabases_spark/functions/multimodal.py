@@ -84,3 +84,100 @@ def extract_features(
             yield out
 
     return df.mapInPandas(gen, schema=schema)
+
+
+def resize_stub(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """Resize an image payload to width×height.
+
+    The deterministic fake tiles the payload's sha256 digest to exactly
+    ``width·height`` bytes — same output size contract as a real
+    grayscale thumbnail, so downstream schema/size assertions hold when
+    a real codec (PIL) is swapped in.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; pass fake=True "
+            "for the deterministic test resizer"
+        )
+    digest = hashlib.sha256(payload).digest()
+    need = width * height
+    return (digest * (need // len(digest) + 1))[:need]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """mapInPandas thumbnailing: input columns pass through, plus
+    (thumb BINARY, thumb_w INT, thumb_h INT). Arrow-batched — the real
+    resizer drops in by replacing ``resize_stub``."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", thumb binary, thumb_w int, thumb_h int"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["thumb"] = [
+                resize_stub(bytes(p), width, height, fake=fake)
+                for p in pdf[payload_col]
+            ]
+            out["thumb_w"] = width
+            out["thumb_h"] = height
+            yield out
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def frame_sample_stub(
+    payload: bytes, num_frames: int, fake: bool = False
+) -> list[bytes]:
+    """Sample ``num_frames`` frames from a video payload.
+
+    The deterministic fake derives frame i's bytes from
+    sha256(payload ‖ i) — distinct per frame, stable across runs.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video codecs unavailable in this environment; pass fake=True "
+            "for the deterministic test sampler"
+        )
+    return [
+        hashlib.sha256(payload + i.to_bytes(4, "big")).digest()[:16]
+        for i in range(num_frames)
+    ]
+
+
+def sample_frames(
+    df: DataFrame,
+    num_frames: int = 4,
+    payload_col: str = "payload",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    fake: bool = True,
+) -> DataFrame:
+    """mapInPandas frame sampling: emits ``num_frames`` rows per input
+    row — (id passthroughs, frame_idx INT, frame BINARY). The 1→N fan-out
+    inside a single Arrow batch is the shape a real ffmpeg sampler needs
+    (one decode, many emitted frames)."""
+    keep = [f for f in df.schema.fields if f.name in id_cols]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in keep
+    ) + ", frame_idx int, frame binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for i, fr in enumerate(
+                    frame_sample_stub(bytes(r[payload_col]), num_frames, fake=fake)
+                ):
+                    rows.append(
+                        {**{c: r[c] for c in (f.name for f in keep)},
+                         "frame_idx": i, "frame": fr}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in keep] + ["frame_idx", "frame"])
+
+    return df.mapInPandas(gen, schema=schema)

@@ -387,6 +387,22 @@ def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "similarity_ann_ivf",
+    oracle=None,  # clustering is engine-internal; recall vs brute force is pytest-checked
+    doc="Approximate top-k via an inverted file (deterministic k-means "
+    "coarse quantizer, nprobe cluster probing) — the alternative 100 TB "
+    "path: the corpus shuffles once by cluster id at index build, each "
+    "query touches only nprobe clusters.",
+)
+def similarity_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_ann_topk(q, emb, k=3, num_clusters=8, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
     "embedding_label_centroids",
     oracle="""
     WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)

@@ -10,8 +10,17 @@ from graphdatabases_spark.functions.multimodal import (
     attach_binary_payload,
     decode_stub,
     extract_features,
+    frame_sample_stub,
+    resize_images,
+    resize_stub,
+    sample_frames,
 )
-from graphdatabases_spark.functions.similarity import ann_cosine_topk, cosine_topk
+from graphdatabases_spark.functions.similarity import (
+    ann_cosine_topk,
+    cosine_topk,
+    ivf_ann_topk,
+    ivf_train,
+)
 
 
 def test_ann_recall_vs_brute_force(spark, sf_dir):
@@ -46,6 +55,43 @@ def test_ann_results_are_subset_quality(spark, sf_dir):
         assert -1.0 <= r["cos"] <= 1.0
 
 
+class TestIvfAnn:
+    def test_ivf_recall_vs_brute_force(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = cosine_topk(q, emb, k=5).collect()
+        approx = ivf_ann_topk(q, emb, k=5, num_clusters=8, nprobe=2).collect()
+        exact_sets, approx_sets = {}, {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for r in approx:
+            approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = total = 0
+        for qid, ex in exact_sets.items():
+            total += len(ex)
+            hits += len(ex & approx_sets.get(qid, set()))
+        recall = hits / total
+        # nprobe=2 of 8 clusters covers 1/4 of the corpus around the
+        # query — recall must beat that coverage baseline clearly.
+        assert recall >= 0.3, f"IVF recall vs brute force too low: {recall:.2f}"
+
+    def test_ivf_deterministic(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 3)
+        a = ivf_ann_topk(q, emb, k=3, num_clusters=4).orderBy("query_id", "rank").collect()
+        b = ivf_ann_topk(q, emb, k=3, num_clusters=4).orderBy("query_id", "rank").collect()
+        assert a == b and len(a) > 0
+
+    def test_ivf_train_shapes(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = ivf_train(emb, num_clusters=4, lloyd_iters=1).collect()
+        assert sorted(r["cid"] for r in cents) == [0, 1, 2, 3]
+        dim = len(emb.select("embedding").first()[0])
+        for r in cents:
+            assert len(r["c_vec"]) == dim
+            assert r["c_norm"] > 0
+
+
 class TestMultimodal:
     def test_attach_payload_metadata(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
@@ -74,3 +120,35 @@ class TestMultimodal:
         again = {r["doc_id"]: r["features"] for r in feats.collect()}
         for r in rows:
             assert again[r["doc_id"]] == r["features"]
+
+    def test_resize_stub_contracts(self):
+        with pytest.raises(NotImplementedError):
+            resize_stub(b"img", 8, 8)
+        t = resize_stub(b"img", 8, 8, fake=True)
+        assert len(t) == 64 and t == resize_stub(b"img", 8, 8, fake=True)
+
+    def test_resize_images_mapinpandas(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(6)
+        df = attach_binary_payload(docs, "text", "image").select("doc_id", "payload")
+        rows = resize_images(df, width=4, height=4).collect()
+        assert len(rows) == 6
+        for r in rows:
+            assert len(bytes(r["thumb"])) == 16  # exact w*h size contract
+            assert (r["thumb_w"], r["thumb_h"]) == (4, 4)
+
+    def test_frame_sample_stub_contracts(self):
+        with pytest.raises(NotImplementedError):
+            frame_sample_stub(b"vid", 3)
+        frames = frame_sample_stub(b"vid", 3, fake=True)
+        assert len(frames) == 3 and len(set(frames)) == 3  # distinct frames
+
+    def test_sample_frames_fanout(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+        df = attach_binary_payload(docs, "text", "video").select("doc_id", "payload")
+        rows = sample_frames(df, num_frames=4).collect()
+        assert len(rows) == 5 * 4  # 1→N fan-out inside the Arrow batch
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        for idxs in by_doc.values():
+            assert sorted(idxs) == [0, 1, 2, 3]
