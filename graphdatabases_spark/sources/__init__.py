@@ -4,6 +4,7 @@ from graphdatabases_spark.sources.readers import (
     parse_json_column,
     read_csv,
     read_jsonl,
+    read_orc,
     read_parquet,
     read_tsv_edges,
 )
@@ -11,6 +12,7 @@ from graphdatabases_spark.sources.writers import (
     write_bucketed,
     write_csv,
     write_jsonl,
+    write_orc,
     write_parquet,
 )
 
@@ -18,10 +20,12 @@ __all__ = [
     "parse_json_column",
     "read_csv",
     "read_jsonl",
+    "read_orc",
     "read_parquet",
     "read_tsv_edges",
     "write_bucketed",
     "write_csv",
     "write_jsonl",
+    "write_orc",
     "write_parquet",
 ]

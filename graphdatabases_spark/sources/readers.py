@@ -50,6 +50,14 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """ORC scan — like parquet, a columnar format with predicate
+    pushdown and column pruning; common as the interchange format of
+    Hive-era warehouses."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
 def parse_json_column(df: DataFrame, col: str, schema: str, out: str | None = None) -> DataFrame:
     """Promote an embedded JSON string column (e.g. ``events.props``)
     to a typed struct via ``from_json`` — stays JVM-side, no UDF."""

@@ -61,3 +61,17 @@ def write_csv(
 
 def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink with the same partition-pruning lever as parquet."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -11,9 +11,11 @@ from graphdatabases_spark.sources import (
     parse_json_column,
     read_csv,
     read_jsonl,
+    read_orc,
     read_tsv_edges,
     write_csv,
     write_jsonl,
+    write_orc,
     write_parquet,
 )
 
@@ -65,6 +67,55 @@ class TestWriters:
         write_jsonl(spark.range(3).withColumn("s", F.lit("x")), out)
         back = read_jsonl(spark, out, "id LONG, s STRING")
         assert back.count() == 3
+
+    def test_bucketed_join_skips_shuffle(self, spark):
+        """The point of write_bucketed: two tables bucketed on the join
+        key must sort-merge join with NO Exchange on either side — the
+        §4.3.2 co-located-join layout that saves the dominant shuffle of
+        a fact⋈fact join at 100 TB."""
+        from graphdatabases_spark.sources import write_bucketed
+
+        a = spark.range(1000).withColumn("va", F.col("id") * 2)
+        b = spark.range(1000).withColumn("vb", F.col("id") * 3)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+        try:
+            write_bucketed(a, "bkt_a", buckets=4, bucket_by=["id"], sort_by=["id"])
+            write_bucketed(b, "bkt_b", buckets=4, bucket_by=["id"], sort_by=["id"])
+            # The planner's heuristics don't apply at toy size (bucketed
+            # scan off, broadcast join on); pin both so the test observes
+            # the layout's effect as a real fact⋈fact join would — at
+            # 100 TB neither side broadcasts and bucketing is the only
+            # thing standing between this join and a full shuffle.
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+            assert joined.count() == 1000
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # Bucket metadata must reach the scan.
+            assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+        finally:
+            spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+            spark.sql("DROP TABLE IF EXISTS bkt_a")
+            spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+    def test_orc_round_trip_partitioned_with_pushdown(self, spark, tmp_path):
+        out = str(tmp_path / "orc")
+        df = spark.range(10).withColumn("bucket", (F.col("id") % 2).cast("int"))
+        write_orc(df, out, partition_by=["bucket"])
+        assert os.path.isdir(f"{out}/bucket=0") and os.path.isdir(f"{out}/bucket=1")
+        pruned = read_orc(spark, out).filter(F.col("bucket") == 1).select("id")
+        assert pruned.count() == 5
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # Partition pruning + column pruning must reach the ORC scan.
+        assert "PartitionFilters: [isnotnull(bucket" in plan
+        assert "ReadSchema: struct<id:bigint>" in plan
 
 
 class TestSaltedJoin:
