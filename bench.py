@@ -88,6 +88,30 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
 
+    # Reference insert/lookup workloads (BASELINE.md rows 1-3): per-row
+    # statement loops there (best backends: 24.7 s for 100k node
+    # inserts, 64.3 s for the 9k chain, 24.3 s for 9k lookups), batch
+    # dataflows here — same generated data, same verify counts.
+    from graphdatabases_spark.graph.api import GraphEngine
+    from graphdatabases_spark.harness.workloads import (
+        bench_add_single_edge,
+        bench_add_single_node,
+        bench_get_single_node,
+    )
+
+    eng = GraphEngine(spark)
+    t0 = time.perf_counter()
+    bench_add_single_node(eng, 100_000)
+    timings["insert_nodes_100k"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    bench_get_single_node(eng, 9_000)
+    timings["point_lookups_9k"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    bench_add_single_edge(GraphEngine(spark), 9_000)
+    timings["insert_chain_9k"] = round(time.perf_counter() - t0, 4)
+
     # Bulk ingest (BASELINE.md's most dramatic rows): the reference's
     # `add_database` on Wiki-Vote (|V|=7,115, |E|=103,689) takes
     # 947.9 s on ArangoDB / 1573.6 s on Neo4j (reference benchmark.log,
