@@ -99,6 +99,13 @@ def main() -> None:
         bench_get_single_node,
     )
 
+    # Warm the insert/lookup plan shapes (codegen compiles per shape;
+    # the headline warmup above only covers catalog queries).
+    warm_eng = GraphEngine(spark)
+    bench_add_single_node(warm_eng, 100)
+    bench_get_single_node(warm_eng, 100)
+    bench_add_single_edge(GraphEngine(spark), 100)
+
     eng = GraphEngine(spark)
     t0 = time.perf_counter()
     bench_add_single_node(eng, 100_000)
