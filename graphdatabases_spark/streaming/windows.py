@@ -105,6 +105,29 @@ def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the training-data-pipeline shape
+    (attach user/document/source attributes to an event stream).
+
+    The static side is re-planned per micro-batch (so a dim-table
+    refresh is picked up) and broadcast when small; no watermark is
+    needed because the static side never grows state. Only the stream
+    side may drive rows (inner/left), which keeps the join stateless —
+    right/full would need the unmatched static rows to wait for stream
+    end, which never comes.
+    """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"stream-static join must be stream-driven (inner/left/semi/anti), got {how!r}"
+        )
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -86,6 +86,43 @@ class TestStreamBatchEquivalence:
         )
         assert _canon(got).equals(_canon(batch))
 
+    def test_stream_static_enrichment(self, spark, events_dir):
+        """Stream-static dimension join: streamed enrichment must equal
+        the batch join, and invalid (static-driven) join types are
+        rejected up front."""
+        import pytest
+
+        from graphdatabases_spark.streaming.windows import enrich_with_dimension
+
+        dim = spark.range(10).select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("tier-"), (F.col("id") % 3).cast("string")).alias("tier"),
+        )
+        stream = read_events_stream(spark, events_dir).filter(F.col("user_id") < 20)
+        enriched = enrich_with_dimension(
+            stream, dim, on="user_id", how="left"
+        ).select(
+            "event_id",
+            "user_id",
+            "tier",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        got = run_stream_to_memory(enriched, "t_enrich", "append")
+        batch = enrich_with_dimension(
+            spark.read.parquet(events_dir).filter(F.col("user_id") < 20),
+            dim,
+            on="user_id",
+            how="left",
+        ).select(
+            "event_id",
+            "user_id",
+            "tier",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        assert _canon(got).equals(_canon(batch))
+        with pytest.raises(ValueError):
+            enrich_with_dimension(stream, dim, on="user_id", how="right")
+
     def test_sliding_counts(self, spark, events_dir):
         """Sliding 10m/5m windows in append mode: each event lands in two
         overlapping windows; finalized windows must equal the batch form."""
