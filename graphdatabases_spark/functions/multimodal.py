@@ -167,17 +167,21 @@ def sample_frames(
         f"{f.name} {f.dataType.simpleString()}" for f in keep
     ) + ", frame_idx int, frame binary"
 
+    keep_names = [f.name for f in keep]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            id_iter = (
+                zip(*(pdf[c] for c in keep_names))
+                if keep_names
+                else ((),) * len(pdf)
+            )
+            for ids, payload in zip(id_iter, pdf[payload_col]):
                 for i, fr in enumerate(
-                    frame_sample_stub(bytes(r[payload_col]), num_frames, fake=fake)
+                    frame_sample_stub(bytes(payload), num_frames, fake=fake)
                 ):
-                    rows.append(
-                        {**{c: r[c] for c in (f.name for f in keep)},
-                         "frame_idx": i, "frame": fr}
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in keep] + ["frame_idx", "frame"])
+                    rows.append((*ids, i, fr))
+            yield pd.DataFrame(rows, columns=keep_names + ["frame_idx", "frame"])
 
     return df.mapInPandas(gen, schema=schema)
