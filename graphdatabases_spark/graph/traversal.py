@@ -239,7 +239,7 @@ def _bfs_numpy(idx: _AdjIndex, src: int, max_hops: int | None):
     """Vectorized frontier BFS over the CSR index.
 
     Returns a dist ndarray aligned to ``idx.universe`` (-1 = unreached),
-    or None when ``src`` has no outgoing edges in the universe.
+    or None when ``src`` does not appear in the universe at all.
     """
     import numpy as np
 
