@@ -49,6 +49,7 @@ class GraphEngine:
         self._pending_nodes: list[tuple] = []
         self._pending_edges: list[tuple] = []
         self._suppressed = False
+        self._flush_count = 0
 
     # --- suppression (reference dry-run mode, databases.py:68-78) ----------
     @contextmanager
@@ -85,6 +86,12 @@ class GraphEngine:
         props = {str(k): str(v) for k, v in (properties or {}).items()}
         self._pending_edges.append((int(src), int(dst), list(labels or []), props))
 
+    # Collapse the vertices/edges union tree every N flushes: a long
+    # interleaved add/query session otherwise grows the logical plan one
+    # Union node per flush until Catalyst analysis dominates query time
+    # (the same lineage-blowup the traversal kernel checkpoints away).
+    _CHECKPOINT_FLUSHES = 16
+
     def flush(self) -> None:
         """Apply buffered mutations as one batch append per table."""
         if self._suppressed:
@@ -103,6 +110,12 @@ class GraphEngine:
                 self.graph.vertices, self.graph.edges.union(self._validate_edges(new_e))
             )
             self._pending_edges = []
+        self._flush_count += 1
+        if self._flush_count % self._CHECKPOINT_FLUSHES == 0:
+            self.graph = PropertyGraph(
+                self.graph.vertices.localCheckpoint(eager=True),
+                self.graph.edges.localCheckpoint(eager=True),
+            )
 
     def _validate_edges(self, new_e: DataFrame) -> DataFrame:
         """Drop edges whose endpoints don't resolve (quirk-3 parity).

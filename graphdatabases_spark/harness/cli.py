@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", default="Results")
     p.add_argument("--clear", action="store_true", help="clear graph first")
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument(
+        "--plot",
+        action="store_true",
+        help="emit a plot of the written .bench file (reference "
+        "benchmark→visualizer workflow in one command)",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(app_name=f"bench-{args.workload}")
@@ -92,6 +98,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"{res.name}: {res.duration:.3f} s (overhead {res.overhead:.3f} s)")
     print(f"wrote {path}")
+    if args.plot:
+        from graphdatabases_spark.harness.visualizer import show_single_bench
+
+        print(f"plotted {show_single_bench(path)}")
     spark.stop()
     return 0
 

@@ -60,6 +60,21 @@ class TestMutation:
         assert engine.graph.num_vertices() == 0
         assert engine.graph.num_edges() == 0
 
+    def test_many_flushes_keep_plan_bounded(self, engine):
+        """A long interleaved add/flush session must not grow the logical
+        plan one Union per flush — the periodic checkpoint collapses it."""
+        for i in range(2 * engine._CHECKPOINT_FLUSHES + 3):
+            engine.add_node(1000 + i)
+            if i > 0:
+                engine.add_edge(1000 + i - 1, 1000 + i)
+            engine.flush()
+        n = 2 * engine._CHECKPOINT_FLUSHES + 3
+        assert engine.graph.num_vertices() == n
+        assert engine.graph.num_edges() == n - 1
+        plan = engine.graph.vertices._jdf.queryExecution().logical().toString()
+        # Bounded: far fewer Union nodes than flushes.
+        assert plan.count("Union") <= engine._CHECKPOINT_FLUSHES, plan.count("Union")
+
     def test_suppress_short_circuits(self, engine):
         with engine.suppress():
             engine.add_node(1)

@@ -240,3 +240,32 @@ class TestCli:
         assert benches, proc.stdout
         header = benches[0].read_text().splitlines()[0]
         assert header.split(",")[0].startswith("_")
+
+    def test_cli_plot_flag_emits_plot(self, tmp_path):
+        """--plot closes the reference's benchmark→visualizer loop in
+        one command: a plot file lands next to the .bench CSV."""
+        import subprocess
+        import sys
+
+        out = tmp_path / "Results"
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "graphdatabases_spark.harness.cli",
+                "bench_add_single_node",
+                "--size",
+                "50",
+                "--out",
+                str(out),
+                "--plot",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        plots = list(out.glob("*.svg")) + list(out.glob("*.png"))
+        assert plots, proc.stdout
+        assert "plotted" in proc.stdout
