@@ -101,6 +101,48 @@ class TestVisualizer:
         if bars[0].endswith(".svg"):
             assert open(bars[0]).read().count("<rect") >= 3  # bg + 2 bars
 
+    REF_RESULTS = "/root/reference/Results"
+
+    @pytest.mark.skipif(
+        not os.path.isdir("/root/reference/Results"),
+        reason="reference Results not available",
+    )
+    def test_reads_and_plots_reference_published_bench_files(self, tmp_path):
+        """Golden compatibility: the reader and visualizer must be
+        drop-in for the reference's OWN published .bench files (the
+        authors' 2022 runs) — parse, single plot, and the three-backend
+        comparison the reference GUI produced."""
+        import glob
+
+        from graphdatabases_spark.harness.visualizer import (
+            show_multiple_bench,
+            show_single_bench,
+        )
+
+        traverse = sorted(glob.glob(f"{self.REF_RESULTS}/traverse/*.bench"))
+        assert len(traverse) == 3  # NEO4j / Arango / Orient
+        for p in traverse:
+            cols, x_idx, rows = read_bench(p)
+            assert cols[x_idx] == "hops" and len(rows) >= 5
+            assert all(len(r) == len(cols) for r in rows)
+        single = show_single_bench(
+            traverse[0], ["TIME [s]"], out=str(tmp_path / "one.svg")
+        )
+        assert os.path.getsize(single) > 0
+        multi = show_multiple_bench(
+            traverse, ["TIME [s]"], use_avg=False, out_dir=str(tmp_path)
+        )
+        bars = show_multiple_bench(
+            traverse, ["TIME [s]"], use_avg=True, out_dir=str(tmp_path)
+        )
+        content = open(multi[0]).read()
+        # All three backends present, reference ordering preserved.
+        assert content.count("<polyline") == 3
+        assert (
+            content.index("Orient") < content.index("Arango") < content.index("NEO4j")
+        )
+        assert os.path.getsize(bars[0]) > 0
+
     def test_cli_column_flags(self, tmp_path, capsys):
         from graphdatabases_spark.harness import visualizer
 
