@@ -392,6 +392,11 @@ def label_propagation(
             )
             if (i + 1) % CHECKPOINT_EVERY == 0:
                 labels = labels.localCheckpoint(eager=True)
+        if num_iters % CHECKPOINT_EVERY != 0:
+            # Truncate tail lineage: the caller's first action would
+            # otherwise recompute every round from `sym` AFTER the
+            # finally below unpersists it (same fix as pagerank).
+            labels = labels.localCheckpoint(eager=True)
         return labels
     finally:
         sym.unpersist()
