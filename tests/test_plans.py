@@ -130,6 +130,20 @@ class TestIterativePlanBounded:
         shuffled = {r["id"] for r in khop(g, 1, 6, strategy="distributed").collect()}
         assert shuffled == baseline and len(baseline) > 0
 
+    def test_ssp_shuffle_path_matches_broadcast_path(self, spark, monkeypatch):
+        """The path-carrying SSP kernel must return the identical
+        (dist, path) row when every round is forced onto the shuffle
+        join (its frontier rows are bigger than BFS's, so it has its own
+        size scaling)."""
+        from graphdatabases_spark.graph import grid_graph, ssp
+        from graphdatabases_spark.graph import traversal
+
+        g = grid_graph(spark, 10)
+        want = ssp(g, 1, 11 * 4, strategy="distributed").collect()
+        monkeypatch.setattr(traversal, "FRONTIER_BROADCAST_MAX", 0)
+        got = ssp(g, 1, 11 * 4, strategy="distributed").collect()
+        assert got == want and want[0]["dist"] == 7
+
 
 class TestOperatorSelection:
     def test_global_topk_uses_take_ordered(self, spark, sf_dir, qs):
