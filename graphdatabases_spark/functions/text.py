@@ -43,6 +43,15 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def whitespace_token_count(text: Column) -> Column:
+    """Plain whitespace token count — the cheap LLM-pipeline heuristic
+    (≈ words; multiply by ~1.3 for a BPE token estimate). Unlike
+    ``tokens``, punctuation stays attached to words."""
+    return F.size(
+        F.filter(F.split(F.trim(text), "\\s+"), lambda x: x != "")
+    )
+
+
 def distinct_tokens(text: Column) -> Column:
     return F.array_distinct(tokens(text))
 

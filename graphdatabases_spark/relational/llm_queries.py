@@ -31,12 +31,14 @@ H = "(('0x' || substr(md5({v}), 1, 12))::BIGINT)"
     oracle=f"""
     SELECT doc_id,
            CAST(len({TOKS}) AS INT) AS n_tokens,
-           CAST(len(list_distinct({TOKS})) AS INT) AS n_unique
+           CAST(len(list_distinct({TOKS})) AS INT) AS n_unique,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS INT) AS n_ws_tokens
     FROM documents
     WHERE doc_id <= 100
     ORDER BY doc_id
     """,
-    doc="Token counting (whitespace/punct regex split, JVM-side).",
+    doc="Token counting: BPE-ish regex split (n_tokens/n_unique) plus the "
+    "cheap whitespace heuristic (n_ws_tokens) — both JVM-side.",
 )
 def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     return (
@@ -46,6 +48,7 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             T.token_count(F.col("text")).alias("n_tokens"),
             F.size(T.distinct_tokens(F.col("text"))).alias("n_unique"),
+            T.whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
         )
         .orderBy("doc_id")
     )
