@@ -14,6 +14,7 @@ from graphdatabases_spark.sources.writers import (
     write_jsonl,
     write_orc,
     write_parquet,
+    write_range_sorted,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "write_jsonl",
     "write_orc",
     "write_parquet",
+    "write_range_sorted",
 ]

@@ -75,3 +75,25 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_by: list[str],
+    *,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered sorted parquet: repartitionByRange + sort within
+    partitions, so each output file covers a disjoint key range and every
+    row group carries tight min/max statistics. Selective scans on the
+    sort key then skip whole files/row groups (zone-map pruning) — the
+    layout lever for time-series and id-range queries at 100 TB, where
+    partitionBy would create too many directories."""
+    parted = (
+        df.repartitionByRange(num_files, *sort_by)
+        if num_files
+        else df.repartitionByRange(*sort_by)
+    )
+    parted.sortWithinPartitions(*sort_by).write.mode(mode).parquet(path)

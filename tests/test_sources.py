@@ -17,6 +17,7 @@ from graphdatabases_spark.sources import (
     write_jsonl,
     write_orc,
     write_parquet,
+    write_range_sorted,
 )
 
 
@@ -67,6 +68,38 @@ class TestWriters:
         write_jsonl(spark.range(3).withColumn("s", F.lit("x")), out)
         back = read_jsonl(spark, out, "id LONG, s STRING")
         assert back.count() == 3
+
+    def test_range_sorted_layout_has_disjoint_file_ranges(self, spark, tmp_path):
+        """write_range_sorted's zone-map contract, checked at the parquet
+        metadata level: every file's [min, max] of the sort key must be
+        disjoint from every other file's, so a selective scan can skip
+        all but one file. (A plain shuffled write interleaves ranges and
+        min/max stats prune nothing.)"""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "rs")
+        df = spark.range(10_000).select(
+            (F.col("id") * 7919 % 10_000).alias("k"), F.col("id").alias("v")
+        )
+        write_range_sorted(df, out, ["k"], num_files=4)
+        files = sorted(glob.glob(f"{out}/part-*.parquet"))
+        assert len(files) == 4
+        ranges = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(0).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        ranges.sort()
+        for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert hi < lo, f"overlapping file ranges: {ranges}"
+        # Round trip intact.
+        assert spark.read.parquet(out).count() == 10_000
 
     def test_bucketed_join_skips_shuffle(self, spark):
         """The point of write_bucketed: two tables bucketed on the join
