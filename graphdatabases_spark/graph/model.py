@@ -83,6 +83,21 @@ class PropertyGraph:
             edges=spark.createDataFrame([], EDGE_SCHEMA),
         )
 
+    def edge_pairs(self) -> DataFrame:
+        """The (src, dst) projection, memoized per graph instance.
+
+        Every traversal call starts from this plan; building it costs a
+        py4j select roundtrip (~10 ms), which at the reference's
+        many-small-traversals workload shape is a measurable share of a
+        sub-100-ms operation. The graph is immutable (mutation builds a
+        new PropertyGraph), so memoizing is safe.
+        """
+        cached = self.__dict__.get("_edge_pairs")
+        if cached is None:
+            cached = self.edges.select("src", "dst")
+            self.__dict__["_edge_pairs"] = cached
+        return cached
+
     # --- structure ---------------------------------------------------------
     def out_degrees(self) -> DataFrame:
         """(id, out_degree) — map-side combinable hash aggregation."""

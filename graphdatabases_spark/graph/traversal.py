@@ -83,8 +83,9 @@ FRONTIER_BROADCAST_MAX = 4_000_000
 
 
 def _edges_df(graph: PropertyGraph | DataFrame) -> DataFrame:
-    df = graph.edges if isinstance(graph, PropertyGraph) else graph
-    return df.select("src", "dst")
+    if isinstance(graph, PropertyGraph):
+        return graph.edge_pairs()  # memoized projection, no repeat RPC
+    return graph.select("src", "dst")
 
 
 def _spark_of(df: DataFrame) -> SparkSession:
@@ -320,6 +321,70 @@ def _numpy_result_df(
 
     pdf = pd.DataFrame(arrays, columns=[f.name for f in schema.fields])
     return spark.createDataFrame(pdf, schema)
+
+
+def _ssp_numpy(
+    idx: _AdjIndex, src: int, dst: int, max_hops: int | None
+) -> tuple[int, list[int]] | None:
+    """Vectorized BFS with predecessor tracking over the CSR index;
+    returns (dist, path) or None — same lexicographic-smallest-path
+    contract as ``_ssp_local``.
+
+    Lex order is maintained by rank propagation: the frontier is kept in
+    path-lex order, every newly reached node takes its minimum-rank
+    predecessor (all frontier paths have equal length, so comparing full
+    paths reduces to comparing ranks), and the next frontier is ordered
+    by (predecessor rank, node id) — which IS path-lex order for the new
+    level.
+    """
+    import numpy as np
+
+    if src == dst:
+        return (0, [src])
+    pos = idx.node_pos(src)
+    dpos = idx.node_pos(dst)
+    if pos is None or dpos is None:
+        return None
+    n = len(idx.universe)
+    pred = np.full(n, -1, dtype=np.int64)
+    visited = np.zeros(n, dtype=bool)
+    visited[pos] = True
+    frontier = np.array([pos], dtype=np.int64)  # in path-lex order
+    d = 0
+    while len(frontier) and (max_hops is None or d < max_hops):
+        d += 1
+        starts = idx.indptr[frontier]
+        counts = idx.indptr[frontier + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
+            break
+        ends = np.cumsum(counts)
+        ramp = np.arange(total) - np.repeat(ends - counts, counts)
+        cand_v = idx.nbr_idx[np.repeat(starts, counts) + ramp]
+        cand_rank = np.repeat(np.arange(len(frontier)), counts)
+        keep = ~visited[cand_v]
+        cand_v, cand_rank = cand_v[keep], cand_rank[keep]
+        if len(cand_v) == 0:
+            break
+        # First occurrence per v under (v, rank) sort = min-rank pred.
+        order = np.lexsort((cand_rank, cand_v))
+        vs_sorted = cand_v[order]
+        first = np.ones(len(vs_sorted), dtype=bool)
+        first[1:] = vs_sorted[1:] != vs_sorted[:-1]
+        new_v = vs_sorted[first]
+        new_rank = cand_rank[order][first]
+        pred[new_v] = frontier[new_rank]
+        visited[new_v] = True
+        # Next frontier in path-lex order: by (pred rank, node id).
+        frontier = new_v[np.lexsort((new_v, new_rank))]
+        if visited[dpos]:
+            path = [int(idx.universe[dpos])]
+            p = dpos
+            while pred[p] != -1:
+                p = pred[p]
+                path.append(int(idx.universe[p]))
+            return (d, list(reversed(path)))
+    return None
 
 
 def _ssp_local(
@@ -600,8 +665,7 @@ def ssp(
         )
 
         if chosen == "local":
-            adj = _collect_adjacency(edges)
-            hit = _ssp_local(adj, src, dst, max_hops)
+            hit = _ssp_numpy(_collect_index(edges), src, dst, max_hops)
             rows = [] if hit is None else [hit]
             return _local_result_df(spark, rows, PATH_SCHEMA)
 

@@ -122,6 +122,38 @@ def test_ssp_dist_matches_oracle_min(spark, seed):
         assert all((a, b) in eset for a, b in zip(path, path[1:]))
 
 
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_ssp_numpy_equals_reference_python_bfs(seed):
+    """The vectorized SSP kernel must return the IDENTICAL (dist, path)
+    as the queue-BFS reference implementation — including the
+    lexicographic tie-break — on random digraphs. Pure driver-side, no
+    Spark session needed."""
+    import numpy as np
+
+    from graphdatabases_spark.graph.traversal import (
+        _AdjIndex,
+        _ssp_local,
+        _ssp_numpy,
+    )
+
+    edges = _random_edges(seed)
+    rng = random.Random(seed + 1)
+    src = rng.choice(edges)[0]
+    dst = rng.choice(edges)[1]
+    idx = _AdjIndex(
+        np.array([a for a, _ in edges], dtype=np.int64),
+        np.array([b for _, b in edges], dtype=np.int64),
+    )
+    want = _ssp_local(idx.adj, src, dst, max_hops=None)
+    got = _ssp_numpy(idx, src, dst, max_hops=None)
+    assert got == want, f"seed={seed} src={src} dst={dst}"
+    # Bounded-hop variant too.
+    want_b = _ssp_local(idx.adj, src, dst, max_hops=3)
+    got_b = _ssp_numpy(idx, src, dst, max_hops=3)
+    assert got_b == want_b, f"seed={seed} bounded"
+
+
 def test_one_distributed_example_matches_oracle(spark):
     edges = _random_edges(seed=1234)
     src = edges[0][0]
