@@ -275,7 +275,8 @@ def dedup_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY doc_id, b
     )
     SELECT doc_id,
-           sum(CASE WHEN tot > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN tot > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     ORDER BY doc_id
     """,
