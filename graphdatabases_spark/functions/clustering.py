@@ -1,0 +1,109 @@
+"""Distributed k-means over an embedding column — document clustering
+for training-data curation (topic balancing, dedup-by-cluster sampling).
+
+Iterative, so no single-SQL oracle exists (the catalog entry is a
+rows-only check; tests/test_pipeline_queries.py pins the invariants:
+partition of the input, monotone non-increasing inertia, label purity).
+
+Scale design (the 100-TB path):
+
+- Centroids are tiny (k × dim doubles) and live as LITERAL arrays inside
+  the projection — every executor evaluates all k distances JVM-side in
+  one codegen stage, so the ASSIGNMENT step is shuffle-free.
+- The UPDATE step is ``posexplode → groupBy (cluster, dim) avg`` — a
+  map-side-combinable hash aggregation whose output is k × dim rows
+  regardless of input size.  One bounded shuffle per iteration.
+- The only driver traffic is the k × dim centroid matrix per iteration —
+  the same O(k·d) a parameter-server design would ship.
+
+Distances fold in double after an explicit float→double cast; the
+index-ordered ``aggregate`` fold is deterministic per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist2(vec_col, centroid: list[float]):
+    """Squared L2 distance between an array<double> column and a Python
+    centroid, folded JVM-side in index order (deterministic)."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add ``cluster`` (argmin distance, lowest id wins ties) and
+    ``dist2`` columns.  Pure projection — no shuffle, no UDF."""
+    d = df.withColumn("_e", F.transform("embedding", lambda x: x.cast("double")))
+    dist_cols = [
+        _dist2(F.col("_e"), centroids[i]).alias(f"_d{i}")
+        for i in range(len(centroids))
+    ]
+    d = d.select("*", *dist_cols)
+    best = F.least(*[F.col(f"_d{i}") for i in range(len(centroids))])
+    cluster = F.lit(None).cast("int")
+    for i in reversed(range(len(centroids))):
+        cluster = F.when(F.col(f"_d{i}") == best, F.lit(i)).otherwise(cluster)
+    return d.withColumn("cluster", cluster).withColumn("dist2", best).drop(
+        *[f"_d{i}" for i in range(len(centroids))]
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's iterations with deterministic init (the vectors of the k
+    smallest ids).  Returns the final centroid matrix."""
+    init_rows = (
+        df.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(F.transform(vec_col, lambda x: x.cast("double")).alias("e"))
+        .collect()
+    )
+    centroids = [list(r["e"]) for r in init_rows]
+    for _ in range(iters):
+        assigned = _assign(df, centroids)
+        new_rows = (
+            assigned.select("cluster", F.posexplode("_e").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["mean"]
+        centroids = [
+            [by_cluster[c][d] for d in range(len(centroids[0]))]
+            if c in by_cluster
+            else centroids[c]  # empty cluster keeps its centroid
+            for c in range(k)
+        ]
+    return centroids
+
+
+def kmeans_summary(
+    df: DataFrame, k: int = 8, iters: int = 5
+) -> DataFrame:
+    """(cluster, n, inertia) after ``iters`` Lloyd rounds — the catalog
+    surface.  Inertia is rounded coarsely (3 dp): it is a double sum
+    whose partition order varies, and this entry is a rows-only check."""
+    centroids = kmeans_fit(df, k=k, iters=iters)
+    assigned = _assign(df, centroids)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("dist2"), 3).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
