@@ -332,8 +332,10 @@ def knn_label_vote(spark: SparkSession, sf: str) -> DataFrame:
     labels = corpus.select(
         F.col("vec_id").alias("neighbor_id"), "label"
     )
+    # top is bounded (k × |queries| rows) however large the corpus is —
+    # broadcast it so the label lookup never shuffles the corpus side.
     votes = (
-        top.join(labels, "neighbor_id")
+        labels.join(F.broadcast(top), "neighbor_id")
         .groupBy("query_id", "label")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
