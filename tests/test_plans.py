@@ -16,6 +16,11 @@ from graphdatabases_spark.relational import queries
 
 @pytest.fixture(scope="module")
 def qs():
+    # Staged batch-2 entries (pipeline_queries) are not yet in
+    # catalog._load_all, but every universal plan gate must cover them
+    # before they rotate into the external correctness window.
+    from graphdatabases_spark.relational import pipeline_queries  # noqa: F401
+
     return queries()
 
 
@@ -213,3 +218,36 @@ class TestUniversalGates:
                 continue  # executes a streaming job eagerly; covered above
             plan = physical_plan(fn(spark, sf_dir))
             assert "BatchEvalPython" not in plan, name
+
+    # Queries allowed to contain an UNPARTITIONED Window node. Every
+    # entry must bound the window's input first — a global window sorts
+    # all rows into ONE task, which is a guaranteed straggler at 100 TB
+    # unless the input is already small:
+    #   window_ntile       — global quartiles by definition; input is
+    #                        filtered to a bounded customer set first
+    #   similarity_ann_ivf — seed numbering via row_number over
+    #                        limit(num_clusters) rows (≤ k, one partition
+    #                        already)
+    _GLOBAL_WINDOW_OK = {"window_ntile", "similarity_ann_ivf"}
+
+    def test_no_unbounded_global_window(self, spark, sf_dir, qs):
+        """Universal rule: no catalog query may put an unpartitioned
+        Window over unbounded input. Detection: a windowspecdefinition
+        whose FIRST argument is an ordering expression (``expr ASC|DESC
+        NULLS ...``) has an empty partition spec."""
+        import re
+
+        global_spec = re.compile(
+            r"windowspecdefinition\([^(),]*\s(?:ASC|DESC)\sNULLS"
+        )
+        for name, fn in sorted(qs.items()):
+            if name == "events_stateful_running_totals":
+                continue
+            if name in self._GLOBAL_WINDOW_OK:
+                continue
+            plan = physical_plan(fn(spark, sf_dir))
+            assert not global_spec.search(plan), (
+                f"{name}: unpartitioned Window in plan — single-task "
+                "global sort does not scale; partition it or bound the "
+                "input and add the query to _GLOBAL_WINDOW_OK"
+            )
