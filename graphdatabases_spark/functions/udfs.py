@@ -17,6 +17,7 @@ row-at-a-time (~10-100× the throughput of classic Python UDFs).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable
 
 import numpy as np
@@ -74,13 +75,24 @@ def zscore_per_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Population z-score of o_totalprice within one priority group.
     Grouped-map semantics: each group becomes one pandas frame on one
     worker — the operator the reference-class engines run as a window;
-    here it demonstrates arbitrary per-group pandas math."""
-    x = pdf["o_totalprice"]
-    std = x.std(ddof=0)
-    # No rounding here: the catalog query rounds exactly once (coarsely)
-    # so pandas-vs-SQL last-ulp drift can't double-round across a
-    # boundary.
-    z = (x - x.mean()) / std if std > 0 else x * 0.0
+    here it demonstrates arbitrary per-group pandas math.
+
+    Exactness discipline: prices carry ≤2 decimals, so the mean and
+    variance are derived from EXACT integer sums of cent values
+    (arbitrary-precision Python ints — float partial sums would depend
+    on the row order Arrow hands us, and a last-ulp drift flips rounded
+    boundary values against the SQL oracle).  The final double
+    arithmetic then mirrors the oracle expression op-for-op, giving
+    bit-identical zscores on any partitioning of the group."""
+    x = pdf["o_totalprice"].to_numpy()
+    cents = np.floor(x * 100.0 + 0.5)  # exact integer-valued doubles
+    ints = [int(v) for v in cents]
+    n = len(ints)
+    sx = sum(ints)
+    sxx = sum(v * v for v in ints)
+    mean = float(sx) / n
+    var = float(sxx) / n - mean * mean
+    z = (cents - mean) / math.sqrt(var) if var > 0 else cents * 0.0
     return pd.DataFrame(
         {
             "o_orderkey": pdf["o_orderkey"],

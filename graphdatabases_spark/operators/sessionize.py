@@ -39,7 +39,11 @@ def sessionize(
         order_cols.append(F.col(order_tie_break))
     w = Window.partitionBy(key).orderBy(*order_cols)
     prev_ts = F.lag(ts).over(w)
-    gap_us = F.unix_micros(F.col(ts)) - F.unix_micros(prev_ts)
+    # cast → no-op for TIMESTAMP, NTZ-tolerant for TIMESTAMP_NTZ parquet
+    # (unix_micros rejects NTZ); any session-tz offset cancels in the gap
+    gap_us = F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(
+        prev_ts.cast("timestamp")
+    )
     is_new = F.when(
         prev_ts.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1
     ).otherwise(0)
@@ -68,6 +72,7 @@ def session_summary(
         F.date_format(F.min(ts), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
         F.date_format(F.max(ts), "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
         F.expr(
-            f"(unix_micros(max({ts})) - unix_micros(min({ts}))) div 1000000"
+            f"(unix_micros(cast(max({ts}) as timestamp))"
+            f" - unix_micros(cast(min({ts}) as timestamp))) div 1000000"
         ).alias("duration_sec"),
     )

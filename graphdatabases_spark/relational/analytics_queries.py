@@ -1,0 +1,592 @@
+"""Training-data-pipeline catalog queries, batch 3 (round 3).
+
+Event-log analytics (latest-record CDC dedup, first-touch attribution,
+error rates, multi-resolution rollup, gap fill), warehouse-pipeline
+shapes (upsert/MERGE, validity intervals, data-quality profile,
+deterministic sampling, mode), fuzzy string matching (edit distance),
+and exact-sum regression — each with a DuckDB oracle under the catalog's
+determinism discipline (catalog.py docstring).
+
+Scale notes are per-entry: every query is a hash-agg / window / join
+composition whose shuffles are keyed on the natural partition key, so
+the plan shape is unchanged at 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphdatabases_spark.relational.catalog import register, table
+
+
+# ---------------------------------------------------------------------------
+# Event-log analytics
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_latest_per_user",
+    oracle="""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_type AS last_type,
+           round(value, 6) AS last_value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS r
+      FROM events
+    )
+    WHERE r = 1
+    ORDER BY user_id
+    """,
+    doc="CDC-style 'keep latest record per key': one window shuffle on "
+    "the key, row_number desc = 1 — the standard log-compaction / "
+    "changelog-to-snapshot operator (event_id tie-break for equal ts).",
+)
+def events_latest_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_first_touch",
+    oracle="""
+    -- oracle via row_number (this DuckDB's arg_min lacks a composite-key
+    -- overload); semantics identical to min_by over (ts, event_id)
+    SELECT user_id, event_type AS first_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS r
+      FROM events
+    )
+    WHERE r = 1
+    ORDER BY user_id
+    """,
+    doc="First-touch attribution via min_by/arg_min: a single map-side-"
+    "combinable aggregation (no window, no self-join) — the cheap form "
+    "of 'first event per key' when only one attribute is needed. The "
+    "ordering key is the (ts, event_id) composite so ties are "
+    "deterministic on both engines.",
+)
+def events_first_touch(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by(
+                "event_type", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("first_type"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_error_rate_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           count(*) AS n_events,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+                AS BIGINT) AS n_errors,
+           round(CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+                      AS DOUBLE) / count(*), 6) AS error_rate
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Hourly error-rate monitor: conditional counts in ONE pass (no "
+    "filter+join), rate as an engine-identical BIGINT/BIGINT double "
+    "division — the SLO-dashboard aggregation shape.",
+)
+def events_error_rate_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    n_err = F.count(F.when(F.col("event_type") == "error", F.lit(1)))
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n_err.alias("n_errors"),
+            F.round(n_err.cast("double") / F.count(F.lit(1)), 6).alias("error_rate"),
+        )
+        .orderBy("hour")
+    )
+
+
+@register(
+    "events_rollup_multires",
+    oracle="""
+    SELECT CASE WHEN grouping(d) = 0 AND grouping(h) = 0 THEN 'hour'
+                WHEN grouping(d) = 0 THEN 'day'
+                ELSE 'total' END AS resolution,
+           coalesce(strftime(d, '%Y-%m-%d'), 'ALL') AS day,
+           coalesce(strftime(h, '%Y-%m-%d %H:%M:%S'), 'ALL') AS hour,
+           count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM (
+      SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h, user_id
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((d, h), (d), ())
+    ORDER BY resolution, day, hour
+    """,
+    doc="Hypertable-style multi-resolution continuous aggregate: hour, "
+    "day, and total materialized in ONE grouping-sets pass over the log "
+    "(Spark expands sets after a single shared scan) instead of three "
+    "separate scan+agg jobs.",
+)
+def events_rollup_multires(spark: SparkSession, sf: str) -> DataFrame:
+    base = table(spark, sf, "events").select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        "user_id",
+    )
+    return (
+        base.groupingSets([["d", "h"], ["d"], []], "d", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.grouping("d").alias("g_d"),
+            F.grouping("h").alias("g_h"),
+        )
+        .select(
+            F.when((F.col("g_d") == 0) & (F.col("g_h") == 0), F.lit("hour"))
+            .when(F.col("g_d") == 0, F.lit("day"))
+            .otherwise(F.lit("total"))
+            .alias("resolution"),
+            F.coalesce(F.date_format("d", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            F.coalesce(
+                F.date_format("h", "yyyy-MM-dd HH:mm:ss"), F.lit("ALL")
+            ).alias("hour"),
+            "n",
+            "n_users",
+        )
+        .orderBy("resolution", "day", "hour")
+    )
+
+
+@register(
+    "events_gap_fill_hourly",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(grid.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(coalesce(agg.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(agg.n_purchase, 0) AS BIGINT) AS n_purchase
+    FROM grid LEFT JOIN agg ON agg.h = grid.h
+    ORDER BY hour
+    """,
+    doc="Dense hourly time grid with zero-filled gaps: sequence() over "
+    "the observed bound pair explodes into the grid (driver-free — the "
+    "bounds row stays a 1-row DataFrame, crossJoin keeps it distributed) "
+    "then a broadcast-able left join against the sparse hourly agg. The "
+    "gap-fill shape interpolation/resampling pipelines build on.",
+)
+def events_gap_fill_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    agg = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", F.lit(1))).alias(
+            "n_purchase"
+        ),
+    )
+    return (
+        grid.join(agg, "h", "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("n_purchase", F.lit(0)).alias("n_purchase"),
+        )
+        .orderBy("hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse-pipeline shapes
+# ---------------------------------------------------------------------------
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH base AS (
+      SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    updates AS (
+      -- price uplift WITHOUT re-rounding: x*1.1 is the identical double
+      -- product on both engines; a round(_, 2) here would re-round a
+      -- 3-decimal rational and can straddle engines' rounding cells
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(count(CASE WHEN src = 'u' THEN 1 END) AS BIGINT) AS n_updated,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM (
+      SELECT o_orderstatus, o_totalprice, 'u' AS src FROM updates
+      UNION ALL
+      SELECT b.o_orderstatus, b.o_totalprice, 'b' AS src
+      FROM base b ANTI JOIN updates u ON u.o_orderkey = b.o_orderkey
+    )
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="MERGE/upsert as a batch dataflow: updates ∪ (base ⟕anti "
+    "updates) — the engine's dedup-upsert primitive (same shape as the "
+    "graph API's MERGE, graph/api.py) summarized per status. Both "
+    "branches hash-partition on the merge key; at scale the anti join "
+    "broadcasts when the update batch is small.",
+)
+def merge_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    updates = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    merged = updates.select(
+        "o_orderstatus", "o_totalprice", F.lit("u").alias("src")
+    ).unionAll(
+        base.join(updates.select("o_orderkey"), "o_orderkey", "left_anti").select(
+            "o_orderstatus", "o_totalprice", F.lit("b").alias("src")
+        )
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("src") == "u", F.lit(1))).alias("n_updated"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "orders_validity_intervals",
+    oracle="""
+    SELECT o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'),
+                    '9999-12-31') AS valid_to,
+           CAST(row_number() OVER w AS INT) AS version
+    FROM (
+      SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate
+      FROM orders WHERE o_custkey <= 100
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    ORDER BY o_custkey, version
+    """,
+    doc="SCD-2 validity-interval construction: each change date closes "
+    "the previous version via lead() — one window shuffle on the "
+    "business key builds (valid_from, valid_to, version] intervals, the "
+    "slowly-changing-dimension pipeline primitive.",
+)
+def orders_validity_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    days = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_custkey") <= 100)
+        .select("o_custkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return (
+        days.select(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+            F.coalesce(
+                F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd"),
+                F.lit("9999-12-31"),
+            ).alias("valid_to"),
+            F.row_number().over(w).alias("version"),
+        )
+        .orderBy("o_custkey", "version")
+    )
+
+
+@register(
+    "dq_profile_orders",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS null_custkey,
+           CAST(count(*) - count(o_orderstatus) AS BIGINT) AS null_status,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS card_status,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS card_priority,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+    FROM orders
+    """,
+    doc="Data-quality profile in one pass: row/key counts, per-column "
+    "null counts, low-cardinality domain sizes, value ranges — the "
+    "ingest-validation operator every pipeline runs before training. "
+    "One map-side-combinable agg; count(DISTINCT) columns are "
+    "low-cardinality so the expand is bounded.",
+)
+def dq_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    n = F.count(F.lit(1))
+    return o.agg(
+        n.alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        (n - F.count("o_custkey")).alias("null_custkey"),
+        (n - F.count("o_orderstatus")).alias("null_status"),
+        F.count_distinct("o_orderstatus").alias("card_status"),
+        F.count_distinct("o_orderpriority").alias("card_priority"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )
+
+
+@register(
+    "sample_systematic_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_sampled,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sampled_total
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Deterministic systematic sampling (key mod 97): reproducible "
+    "across engines and re-runs, unlike Bernoulli sample() — the "
+    "audit-sample / eval-split primitive. The predicate is a cheap "
+    "scan-level filter; no shuffle beyond the small agg.",
+)
+def sample_systematic_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sampled_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_mode_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY count(*) DESC, o_orderpriority
+             ) AS r
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    WHERE r = 1
+    ORDER BY o_orderstatus
+    """,
+    doc="Mode (most frequent value) per group: count-then-rank — the "
+    "deterministic form (value tie-break) of Spark 4's mode(), which "
+    "leaves ties unspecified. Two stages: a combinable count and a "
+    "window over the tiny (status, priority) grid.",
+)
+def agg_mode_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    counts = (
+        table(spark, sf, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "window_percent_rank_price",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_orderkey <= 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    doc="Relative-standing windows: percent_rank ((rank-1)/(n-1)) and "
+    "cume_dist — both reduce to BIGINT-ratio double divisions, so the "
+    "values are engine-identical; orderkey tie-break pins total order.",
+)
+def window_percent_rank_price(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching & exact-sum statistics
+# ---------------------------------------------------------------------------
+
+@register(
+    "fuzzy_levenshtein_parts",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey <= 120 AND b.p_partkey <= 120
+      AND levenshtein(a.p_name, b.p_name) <= 12
+    ORDER BY key_a, key_b
+    """,
+    doc="Fuzzy name matching: edit distance within brand blocks — the "
+    "blocked-pairs shape (block key join, never all-pairs) that scales "
+    "record linkage; levenshtein() is the classic DP kernel, identical "
+    "across engines. Bounded here to a 120-part slice for the gate.",
+)
+def fuzzy_levenshtein_parts(spark: SparkSession, sf: str) -> DataFrame:
+    p = (
+        table(spark, sf, "part")
+        .filter(F.col("p_partkey") <= 120)
+        .select("p_partkey", "p_brand", "p_name")
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 12)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            dist.alias("dist"),
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
+@register(
+    "stat_linreg_orders",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n,
+             sum(CAST(date_diff('day', DATE '1992-01-01',
+                                CAST(o_orderdate AS DATE)) AS HUGEINT)) AS sx,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT)) AS sy,
+             sum(CAST(date_diff('day', DATE '1992-01-01',
+                                CAST(o_orderdate AS DATE)) AS HUGEINT)
+                 * CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT)) AS sxy,
+             sum(CAST(date_diff('day', DATE '1992-01-01',
+                                CAST(o_orderdate AS DATE)) AS HUGEINT)
+                 * CAST(date_diff('day', DATE '1992-01-01',
+                                  CAST(o_orderdate AS DATE)) AS HUGEINT)) AS sxx
+      FROM orders
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents
+    FROM s
+    """,
+    doc="OLS regression of order total (cents) on days-since-epoch from "
+    "EXACT integer sums: one combinable aggregation, then closed-form "
+    "slope/intercept in identical double arithmetic on both engines — "
+    "bit-exact, partition-order-independent (vs built-in regr_slope's "
+    "order-dependent double accumulation).",
+)
+def stat_linreg_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    x = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).cast(
+        "decimal(38,0)"
+    )
+    y = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("decimal(38,0)")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy_d, sxx_d = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope_cents_per_day"),
+        ((sy_d - slope * sx_d) / n_d).alias("intercept_cents"),
+    )

@@ -68,15 +68,31 @@ def udaf_priority_geomean(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "grouped_map_zscore",
     oracle="""
-    SELECT o_orderkey, o_orderpriority,
-           round((o_totalprice - avg(o_totalprice) OVER w)
-                 / stddev_pop(o_totalprice) OVER w, 2) AS zscore
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority)
+    -- Mirrors the pandas kernel op-for-op: exact HUGEINT sums of cent
+    -- values, then the identical double expression — bit-identical
+    -- zscores, so no lossy rounding is needed (round(x, 2) was flipping
+    -- boundary values under pandas-vs-SQL avg/stddev last-ulp drift).
+    WITH g AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT)) AS sx,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT)
+                 * CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT)) AS sxx
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderkey, o.o_orderpriority,
+           CASE WHEN CAST(sxx AS DOUBLE) / n
+                     - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) > 0
+                THEN (floor(o_totalprice * 100 + 0.5) - CAST(sx AS DOUBLE) / n)
+                     / sqrt(CAST(sxx AS DOUBLE) / n
+                            - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                ELSE 0.0 END AS zscore
+    FROM orders o JOIN g ON g.o_orderpriority = o.o_orderpriority
     ORDER BY o_orderkey
     """,
     doc="applyInPandas grouped map: per-priority z-score of order totals "
-    "— whole group as one pandas frame, arbitrary per-group math.",
+    "— whole group as one pandas frame, arbitrary per-group math "
+    "(exact-cent-sum discipline; see functions/udfs.py).",
 )
 def grouped_map_zscore(spark: SparkSession, sf: str) -> DataFrame:
     orders = table(spark, sf, "orders")
@@ -84,7 +100,7 @@ def grouped_map_zscore(spark: SparkSession, sf: str) -> DataFrame:
         orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
         .groupBy("o_orderpriority")
         .applyInPandas(zscore_per_group, schema=ZSCORE_SCHEMA)
-        .select("o_orderkey", "o_orderpriority", F.round("zscore", 2).alias("zscore"))
+        .select("o_orderkey", "o_orderpriority", "zscore")
         .orderBy("o_orderkey")
     )
 

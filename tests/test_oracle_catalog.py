@@ -14,7 +14,14 @@ from tests.oracle_utils import run_differential
 
 queries()  # populate REGISTRY
 
-WITH_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+# source_binary_listing's oracle pins the gate's sf0.01 directory
+# (read_blob needs a literal path) — its differential runs there in
+# tests/test_pipeline_queries.py::test_binary_listing_matches_oracle_at_sf001.
+WITH_ORACLE = sorted(
+    n
+    for n, q in REGISTRY.items()
+    if q.oracle is not None and n != "source_binary_listing"
+)
 NO_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 
 
