@@ -138,7 +138,9 @@ def frame_sample_stub(
     """Sample ``num_frames`` frames from a video payload.
 
     The deterministic fake derives frame i's bytes from
-    sha256(payload ‖ i) — distinct per frame, stable across runs.
+    sha256(payload ‖ ascii(i)) — distinct per frame, stable across runs
+    (ASCII suffix so the contract is reproducible in engines whose
+    sha256 takes strings, not blobs).
     """
     if not fake:
         raise NotImplementedError(
@@ -146,7 +148,7 @@ def frame_sample_stub(
             "for the deterministic test sampler"
         )
     return [
-        hashlib.sha256(payload + i.to_bytes(4, "big")).digest()[:16]
+        hashlib.sha256(payload + str(i).encode("ascii")).digest()[:16]
         for i in range(num_frames)
     ]
 

@@ -43,6 +43,12 @@ COMP_SCHEMA = StructType(
 LABEL_SCHEMA = StructType(
     [StructField("id", LongType(), False), StructField("label", LongType(), False)]
 )
+CORE_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("core_degree", LongType(), False),
+    ]
+)
 
 
 def _edges(graph: PropertyGraph | DataFrame) -> DataFrame:
@@ -399,4 +405,106 @@ def label_propagation(
             labels = labels.localCheckpoint(eager=True)
         return labels
     finally:
+        sym.unpersist()
+
+
+def _kcore_local(graph, edges: DataFrame, k: int) -> DataFrame:
+    """Driver-side peel: repeatedly delete nodes of degree < k."""
+    spark = _spark_of(edges)
+    adj = _collect_adjacency(edges)
+    # Undirected neighbor sets (dedup parallel edges; drop self-loops).
+    nbrs: dict[int, set[int]] = {}
+    for u, vs in adj.items():
+        for v in vs:
+            if u == v:
+                continue
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+    alive = set(nbrs)
+    queue = [v for v in alive if len(nbrs[v]) < k]
+    while queue:
+        v = queue.pop()
+        if v not in alive:
+            continue
+        alive.discard(v)
+        for u in nbrs[v]:
+            if u in alive:
+                nbrs[u].discard(v)
+                if len(nbrs[u]) < k:
+                    queue.append(u)
+    return _local_result_df(
+        spark,
+        [(v, len(nbrs[v])) for v in sorted(alive)],
+        CORE_SCHEMA,
+    )
+
+
+def kcore(
+    graph: PropertyGraph | DataFrame,
+    k: int = 2,
+    max_iters: int = 50,
+    strategy: str = "auto",
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
+) -> DataFrame:
+    """Nodes of the k-core (maximal subgraph with min degree ≥ k) and
+    their within-core degrees. Returns DataFrame(id, core_degree).
+
+    Distributed form is synchronous peeling: each round computes degrees
+    over the surviving subgraph and drops nodes under k; converges in
+    O(peel depth) rounds (typically ≪ |V|). Each round is one shuffle
+    keyed on node id; the edge set is filtered by two semi-joins against
+    the shrinking survivor set, so work decreases monotonically — the
+    100-TB shape. Small graphs peel on the driver (same fixpoint,
+    no per-round job overhead).
+    """
+    e = _edges(graph)
+    if _pick_strategy(e, strategy, local_threshold) == "local":
+        return _kcore_local(graph, e, k)
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+    sym = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    prev_cached: DataFrame | None = None
+    try:
+        cur = sym
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        for i in range(max_iters):
+            survivors = deg.filter(F.col("deg") >= k).select("src")
+            cur = cur.join(survivors, "src", "semi").join(
+                survivors.select(F.col("src").alias("dst")), "dst", "semi"
+            )
+            new_deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            if (i + 1) % CHECKPOINT_EVERY == 0:
+                new_deg = new_deg.localCheckpoint(eager=True)
+            else:
+                new_deg = new_deg.persist(StorageLevel.MEMORY_AND_DISK)
+            # One job materializes new_deg and checks the fixpoint (any
+            # surviving node still under k?), then the previous round's
+            # cache is released — same cache discipline as
+            # connected_components above.
+            dropped = new_deg.filter(F.col("deg") < k).count()
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = new_deg if (i + 1) % CHECKPOINT_EVERY != 0 else None
+            deg = new_deg
+            # Re-anchor the edge filter on the materialized degree frame
+            # rather than the growing semi-join lineage.
+            cur = sym.join(deg.select("src"), "src", "semi").join(
+                deg.select(F.col("src").alias("dst")), "dst", "semi"
+            )
+            if dropped == 0:
+                break
+        out = deg.select(F.col("src").alias("id"), F.col("deg").alias("core_degree"))
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if prev_cached is not None:
+            prev_cached.unpersist()
         sym.unpersist()

@@ -474,3 +474,151 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
         .union(spark.range(1).select(F.lit(4).cast("long"), F.lit(5).cast("long")))
     )
     return label_propagation(edges, num_iters=3).orderBy("id")
+
+
+@register(
+    "graph_node_jaccard",
+    oracle="""
+    WITH pe AS (
+      SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+      FROM lineitem WHERE l_partkey <= 200
+    ),
+    deg AS (SELECT part, count(*) AS d FROM pe GROUP BY part),
+    inter AS (
+      SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_common
+      FROM pe a JOIN pe b ON a.supp = b.supp AND a.part < b.part
+      GROUP BY a.part, b.part
+    )
+    SELECT part_a, part_b, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (da.d + db.d - n_common), 6) AS jaccard
+    FROM inter
+    JOIN deg da ON da.part = inter.part_a
+    JOIN deg db ON db.part = inter.part_b
+    WHERE n_common >= 2
+    ORDER BY part_a, part_b
+    """,
+    doc="Neighbor-set Jaccard similarity between part nodes of the "
+    "part–supplier bipartite graph — the link-prediction / node-"
+    "similarity operator. Inverted-index shape: pairs are generated "
+    "per shared neighbor (never all-pairs), so cost is sum of "
+    "squared neighbor-degrees — the same scalable form as the "
+    "token-Jaccard dedup kernel (functions/dedup.py).",
+)
+def graph_node_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    pe = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_partkey") <= 200)
+        .select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = pe.groupBy("part").agg(F.count(F.lit(1)).alias("d"))
+    a, b = pe.alias("a"), pe.alias("b")
+    inter = (
+        a.join(b, (F.col("a.supp") == F.col("b.supp")) & (F.col("a.part") < F.col("b.part")))
+        .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    da = deg.select(F.col("part").alias("part_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("part").alias("part_b"), F.col("d").alias("db"))
+    return (
+        inter.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {ENTITY_EDGES_SQL},
+    deg AS (
+      SELECT id, CAST(count(*) AS HUGEINT) AS d FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+      ) GROUP BY id
+    ),
+    pairs AS (
+      SELECT ds.d AS dx, dd.d AS dy
+      FROM edges e JOIN deg ds ON ds.id = e.src JOIN deg dd ON dd.id = e.dst
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+             sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity (Pearson r of endpoint total-degrees over "
+    "directed edges) of the entity graph — degrees are integers, so the "
+    "moment sums are EXACT (decimal/HUGEINT) and the closed-form double "
+    "arithmetic is engine-identical, bit-exact on any partitioning. "
+    "Two broadcast-able joins of the edge list against the degree table.",
+)
+def graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    edges = entity_edges(spark, sf, dedup=True)
+    deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("d"))
+    )
+    pairs = (
+        edges.join(deg.select(F.col("id").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dy")), "dst")
+        .select("dx", "dy")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        (
+            (n_d * sxy - sx * sy)
+            / (F.sqrt(n_d * sxx - sx * sx) * F.sqrt(n_d * syy - sy * sy))
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "graph_kcore_entity",
+    oracle=None,  # iterative peeling has no single-SQL form; the local/
+    # distributed fixpoint equivalence and the min-degree invariant are
+    # pinned in tests/test_algorithms.py
+    doc="2-core of the entity graph (iterative peel, graph/algorithms.py "
+    "kcore): nodes surviving repeated removal of degree-<2 nodes, with "
+    "their within-core degree — the standard graph-cleaning step before "
+    "community/centrality analysis.",
+)
+def graph_kcore_entity(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.graph.algorithms import kcore
+
+    edges = entity_edges(spark, sf, dedup=True)
+    return kcore(edges, k=2).orderBy("id")

@@ -465,3 +465,79 @@ def multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_resize_thumbs",
+    oracle="""
+    -- Mirrors the deterministic fake resizer (functions/multimodal.py
+    -- resize_stub): thumb = sha256(payload) tiled to w*h bytes. The
+    -- 8x8 thumb is exactly the 32-byte digest twice -> hex is the
+    -- digest hex repeated, truncated to 128 chars.
+    SELECT doc_id,
+           8 AS thumb_w, 8 AS thumb_h,
+           CAST(64 AS BIGINT) AS thumb_len,
+           substr(repeat(lower(sha256(text)), 3), 1, 128) AS thumb_hex
+    FROM documents
+    WHERE doc_id <= 100
+    ORDER BY doc_id
+    """,
+    doc="mapInPandas image-resize plumbing (Arrow-batched thumbnailer, "
+    "functions/multimodal.py resize_images) hash-checked end to end: "
+    "the deterministic fake's byte contract is reproduced in SQL, so "
+    "the gate verifies batching, schema, and payload bytes — swap "
+    "resize_stub for PIL and the plan shape is production-ready.",
+)
+def multimodal_resize_thumbs(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.functions.multimodal import resize_images
+
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") <= 100)
+    payloads = attach_binary_payload(docs, "text", "image").select(
+        "doc_id", "payload"
+    )
+    thumbs = resize_images(payloads, width=8, height=8)
+    return (
+        thumbs.select(
+            "doc_id",
+            "thumb_w",
+            "thumb_h",
+            F.octet_length("thumb").cast("bigint").alias("thumb_len"),
+            F.lower(F.hex("thumb")).alias("thumb_hex"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    -- Mirrors frame_sample_stub: frame i = sha256(payload || ascii(i))
+    -- truncated to 16 bytes (32 hex chars).
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           substr(lower(sha256(text || CAST(i AS VARCHAR))), 1, 32) AS frame_hex
+    FROM documents, unnest(range(0, 4)) AS t(i)
+    WHERE doc_id <= 50
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="mapInPandas video frame-sampling plumbing (1→N fan-out inside "
+    "one Arrow batch, functions/multimodal.py sample_frames) hash-"
+    "checked end to end via the deterministic fake's byte contract — "
+    "the decode-once-emit-many shape an ffmpeg sampler drops into.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.functions.multimodal import sample_frames
+
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") <= 50)
+    payloads = attach_binary_payload(docs, "text", "video").select(
+        "doc_id", "payload"
+    )
+    frames = sample_frames(payloads, num_frames=4, id_cols=("doc_id",))
+    return (
+        frames.select(
+            "doc_id",
+            "frame_idx",
+            F.lower(F.hex("frame")).alias("frame_hex"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from graphdatabases_spark.graph.algorithms import (
+    kcore,
     connected_components,
     label_propagation,
     pagerank,
@@ -172,3 +173,42 @@ class TestLocalDistributedEquivalence:
         assert triangle_count(mixed_graph, strategy="local") == triangle_count(
             mixed_graph, strategy="distributed"
         )
+
+
+class TestKCore:
+    def test_chain_two_core_empty(self, spark):
+        # Peeling a path graph cascades from both ends: no 2-core.
+        g = chain_graph(spark, 8)
+        assert kcore(g, k=2).count() == 0
+
+    def test_ring_is_its_own_two_core(self, spark):
+        # Every ring node has undirected degree 2 → nothing peels.
+        g = ring_graph(spark, 9, skips=(1,))
+        rows = sorted((r["id"], r["core_degree"]) for r in kcore(g, k=2).collect())
+        assert rows == [(i, 2) for i in range(9)]
+
+    def test_ring_with_tail_peels_tail(self, spark):
+        # Ring plus a pendant path: the tail unravels, the ring stays.
+        ring = ring_graph(spark, 6, skips=(1,))
+        tail = spark.createDataFrame(
+            [(0, 100), (100, 101), (101, 102)], "src long, dst long"
+        )
+        edges = ring.edges.select("src", "dst").union(tail)
+        ids = {r["id"] for r in kcore(edges, k=2).collect()}
+        assert ids == set(range(6))
+
+    def test_min_degree_invariant_and_local_distributed_equal(self, spark):
+        ring = ring_graph(spark, 12, skips=(1, 3))
+        tail = spark.createDataFrame(
+            [(0, 200), (200, 201)], "src long, dst long"
+        )
+        edges = ring.edges.select("src", "dst").union(tail)
+        loc = sorted(tuple(r) for r in kcore(edges, k=3, strategy="local").collect())
+        dist = sorted(
+            tuple(r) for r in kcore(edges, k=3, strategy="distributed").collect()
+        )
+        assert loc == dist
+        # Every surviving node keeps >= k neighbors inside the core.
+        assert loc, "3-core of the chorded ring must be non-empty"
+        for _, d in loc:
+            assert d >= 3
