@@ -251,3 +251,34 @@ class TestUniversalGates:
                 "global sort does not scale; partition it or bound the "
                 "input and add the query to _GLOBAL_WINDOW_OK"
             )
+
+
+class TestPipelinePlanShapes:
+    """Plan pins for the batch-2/3 analytics entries' scale claims."""
+
+    def test_sessionization_costs_one_shuffle(self, spark, sf_dir, qs):
+        """events_session_stats' operator claim: lag-mark + running-sum +
+        per-session agg all share ONE hash Exchange on user_id (plus the
+        presentation orderBy's range Exchange)."""
+        plan = physical_plan(qs["events_session_stats"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_gap_fill_grid_join_broadcasts(self, spark, sf_dir, qs):
+        """The dense-grid left join must broadcast (the grid is bounded
+        by the observed time range), never cartesian."""
+        plan = physical_plan(qs["events_gap_fill_hourly"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_merge_upsert_anti_join_broadcasts(self, spark, sf_dir, qs):
+        """The MERGE shape's anti join against the (small) update batch
+        must be a broadcast, so the base table never shuffles."""
+        plan = physical_plan(qs["merge_upsert_orders"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_knn_vote_broadcasts_bounded_topk(self, spark, sf_dir, qs):
+        """knn_label_vote joins corpus labels to the k x |queries| top-k
+        frame — the bounded side must broadcast so the corpus side never
+        shuffles for the lookup."""
+        plan = physical_plan(qs["knn_label_vote"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, plan
