@@ -1,11 +1,19 @@
-"""Training-data-pipeline catalog queries, batch 3 (round 3).
+"""Training-data-pipeline catalog queries, batches 3–4 (round 3).
 
-Event-log analytics (latest-record CDC dedup, first-touch attribution,
-error rates, multi-resolution rollup, gap fill), warehouse-pipeline
-shapes (upsert/MERGE, validity intervals, data-quality profile,
-deterministic sampling, mode), fuzzy string matching (edit distance),
-and exact-sum regression — each with a DuckDB oracle under the catalog's
-determinism discipline (catalog.py docstring).
+Batch 3: event-log analytics (latest-record CDC dedup, first-touch
+attribution, error rates, multi-resolution rollup, gap fill),
+warehouse-pipeline shapes (upsert/MERGE, validity intervals,
+data-quality profile, deterministic sampling, mode), fuzzy string
+matching (edit distance), and exact-sum regression.
+
+Batch 4: near-dup clustering (Jaccard pairs → connected components —
+the cluster-then-keep-one dedup pipeline), deterministic train/val/test
+split assignment, hourly volume anomaly z-scores from exact integer
+sums, symmetric int8 embedding quantization, and vocabulary-coverage /
+OOV profiling.
+
+Each entry has a DuckDB oracle under the catalog's determinism
+discipline (catalog.py docstring).
 
 Scale notes are per-entry: every query is a hash-agg / window / join
 composition whose shuffles are keyed on the natural partition key, so
@@ -589,4 +597,282 @@ def stat_linreg_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         slope.alias("slope_cents_per_day"),
         ((sy_d - slope * sx_d) / n_d).alias("intercept_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: dedup clustering, splits, anomaly, quantization, vocab coverage
+# ---------------------------------------------------------------------------
+
+_JACCARD_PAIRS_SQL = """
+    base AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_filter(
+               regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+               x -> x <> ''))) AS tok
+      FROM documents WHERE doc_id < 150
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM base GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM base a JOIN base b
+        ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.5
+    )
+"""
+
+
+@register(
+    "dedup_connected_clusters",
+    oracle=f"""
+    -- Transitive closure of the near-dup pair graph; cluster label =
+    -- min reachable doc_id (what min-id-propagation CC converges to).
+    WITH RECURSIVE {_JACCARD_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster,
+           CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+    FROM comp
+    ORDER BY doc_id
+    """,
+    doc="Near-duplicate CLUSTERS: token-Jaccard pairs >= 0.5 (inverted-"
+    "index join, functions/dedup.py) become an edge list; connected "
+    "components (graph/algorithms.py) labels each document with its "
+    "cluster (min doc_id) — the canonical dedup pipeline: cluster, then "
+    "keep one exemplar per cluster. The pair graph is orders of "
+    "magnitude smaller than the corpus, so the CC rounds are cheap at "
+    "any scale.",
+)
+def dedup_connected_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.functions.dedup import jaccard_pairs
+    from graphdatabases_spark.graph.algorithms import connected_components
+
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    pairs = jaccard_pairs(docs, threshold=0.5, block_col="lang")
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges)
+    w = Window.partitionBy("comp")
+    return (
+        comp.select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("cluster"),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "split_assign_orders",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'train'
+                WHEN o_orderkey % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY split ORDER BY split
+    """,
+    doc="Deterministic train/val/test split assignment (key mod 10 → "
+    "80/10/10): reproducible across engines, runs, and partitionings — "
+    "the dataset-split primitive every training pipeline needs; one "
+    "combinable aggregation, no shuffle of the fact table beyond it.",
+)
+def split_assign_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    split = (
+        F.when(F.col("o_orderkey") % 10 < 8, F.lit("train"))
+        .when(F.col("o_orderkey") % 10 == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        o.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "events_hourly_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS c FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(CAST(c AS HUGEINT)) AS s1,
+             sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+      FROM hourly
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           c AS n_events,
+           (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+           / sqrt(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS zscore
+    FROM hourly, s
+    WHERE abs((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+              / sqrt(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) > 2
+    ORDER BY hour
+    """,
+    doc="Volume anomaly detection: hourly event counts z-scored against "
+    "the all-hours mean/std computed from EXACT integer sums — "
+    "bit-identical doubles by construction, no rounding needed. The "
+    "monitoring shape: flag hours with |z| > 2. Two aggregations, both "
+    "map-side combinable; the 1-row stats frame broadcasts.",
+)
+def events_hourly_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    hourly = (
+        table(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c_dec = F.col("c").cast("decimal(38,0)")
+    s = hourly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c_dec).alias("s1"),
+        F.sum(c_dec * c_dec).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    z = (F.col("c").cast("double") - mean) / F.sqrt(
+        F.col("s2").cast("double") / F.col("n") - mean * mean
+    )
+    return (
+        hourly.crossJoin(F.broadcast(s))
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("c").alias("n_events"),
+            z.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 2)
+        .orderBy("hour")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id < 200),
+    s AS (
+      SELECT vec_id, e,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max') AS scale
+      FROM v
+    )
+    SELECT vec_id, scale,
+           array_to_string(
+             list_transform(e, x -> CAST(CAST(
+               CASE WHEN scale > 0 THEN floor(x * 127 / scale + 0.5)
+                    ELSE 0 END AS INT) AS VARCHAR)), ',') AS q_csv
+    FROM s
+    ORDER BY vec_id
+    """,
+    doc="Symmetric int8 vector quantization (per-vector max-abs scale) — "
+    "the embedding-compression step before ANN index build; float->"
+    "double widening is exact, so scale and every quantized component "
+    "are engine-identical. Pure JVM array exprs (transform/array_max), "
+    "no UDF, no shuffle.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    with_scale = emb.select(
+        "vec_id",
+        e.alias("e"),
+        F.array_max(F.transform(e, F.abs)).alias("scale"),
+    )
+    q = F.transform(
+        F.col("e"),
+        lambda x: F.when(
+            F.col("scale") > 0,
+            F.floor(x * 127 / F.col("scale") + 0.5),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .cast("string"),
+    )
+    return (
+        with_scale.select("vec_id", "scale", F.array_join(q, ",").alias("q_csv"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+               x -> x <> '')) AS tok
+      FROM documents
+    ),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ),
+    vocab AS (SELECT tok FROM df ORDER BY df DESC, tok LIMIT 500)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(count(CASE WHEN vocab.tok IS NOT NULL THEN 1 END)
+                AS BIGINT) AS n_in_vocab,
+           round(1.0 - CAST(count(CASE WHEN vocab.tok IS NOT NULL THEN 1 END)
+                            AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM toks LEFT JOIN vocab ON vocab.tok = toks.tok
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Vocabulary coverage / OOV rate per document against the corpus "
+    "top-500-document-frequency vocabulary — the tokenizer-fit health "
+    "check for training corpora. Vocab selection is TakeOrderedAndProject "
+    "(bounded, deterministic tie-break), then a broadcast left join of "
+    "the exploded token stream; one final agg keyed on doc_id.",
+)
+def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.functions.text import tokens
+
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dfreq = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    vocab = (
+        dfreq.orderBy(F.col("df").desc(), "tok")
+        .limit(500)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    n_in = F.count(F.when(F.col("in_vocab").isNotNull(), F.lit(1)))
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            n_in.alias("n_in_vocab"),
+            F.round(
+                F.lit(1.0) - n_in.cast("double") / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
     )
