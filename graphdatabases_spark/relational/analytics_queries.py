@@ -876,3 +876,81 @@ def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "window_first_last_frames",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS priciest_key
+    FROM orders
+    WHERE o_orderkey <= 1000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    doc="first_value / last_value with explicit frames: the default "
+    "growing frame for first, a full-partition frame for last (the "
+    "classic last_value pitfall — without the frame it returns the "
+    "current row). Completes the window-function family alongside "
+    "rank/lag/running/range/ntile.",
+)
+def window_first_last_frames(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") <= 1000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.first("o_orderkey").over(w).alias("cheapest_key"),
+            F.last("o_orderkey").over(w_full).alias("priciest_key"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id <= 60
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           list_sort(list_distinct(toks))[1] AS first_token,
+           CAST(list_contains(toks, 'the') AS BOOLEAN) AS has_the,
+           array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS top3_alpha
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Array-function family over a real tokenized column: size, "
+    "distinct, sort, element access, membership, slice+join — all "
+    "JVM-side higher-order functions (no explode, no UDF), the "
+    "list-processing surface SURVEY §2.2 'scalar functions: array' "
+    "declares.",
+)
+def scalar_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.functions.text import tokens
+
+    d = table(spark, sf, "documents").filter(F.col("doc_id") <= 60)
+    toks = tokens(F.col("text"))
+    distinct_sorted = F.array_sort(F.array_distinct(toks))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.element_at(distinct_sorted, 1).alias("first_token"),
+            F.array_contains(toks, "the").alias("has_the"),
+            F.array_join(F.slice(distinct_sorted, 1, 3), "|").alias("top3_alpha"),
+        )
+        .orderBy("doc_id")
+    )

@@ -184,3 +184,74 @@ def events_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id", "n", F.round("total", 6).alias("total"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_stream_enriched_nation",
+    oracle="""
+    SELECT coalesce(n.n_name, 'UNKNOWN') AS nation,
+           count(*) AS n,
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM events e
+    LEFT JOIN customer c ON c.c_custkey = e.user_id
+    LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Runs the REAL Structured Streaming engine: stream-static "
+    "dimension enrichment (events stream ⟕ broadcast customer→nation "
+    "dim, stateless — streaming/windows.py enrich_with_dimension) "
+    "feeding a complete-mode per-nation aggregate over availableNow "
+    "micro-batches; the final table must equal the batch join+agg, "
+    "which is exactly the SQL oracle.",
+)
+def events_stream_enriched_nation(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from graphdatabases_spark.streaming.windows import (
+        enrich_with_dimension,
+        read_events_stream,
+    )
+
+    # Same staged microsecond-ts copy as events_stateful_running_totals
+    # (the raw parquet carries TIMESTAMP(NANOS); content-addressed temp
+    # path, written in parallel, reused across calls).
+    tag = hashlib.md5(sf.encode()).hexdigest()[:12]
+    staged = os.path.join(tempfile.gettempdir(), f"sg_events_stream_{tag}")
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        table(spark, sf, "events").write.mode("overwrite").parquet(staged)
+
+    dim = (
+        table(spark, sf, "customer")
+        .join(
+            table(spark, sf, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    stream = read_events_stream(spark, staged)
+    enriched = enrich_with_dimension(stream, dim, on="user_id", how="left")
+    agg = (
+        enriched.groupBy(
+            F.coalesce("n_name", F.lit("UNKNOWN")).alias("nation")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    sink = f"stream_enriched_{tag}"
+    (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink).orderBy("nation")

@@ -208,13 +208,22 @@ class TestPlansModule:
         assert "== Physical Plan ==" in text
 
 
+# Entries that run a real Structured Streaming job inside fn() — planning
+# them per-gate would replay the stream each time; their plans are memory-
+# table reads and their streaming behavior is covered by test_streaming.py.
+_EAGER_STREAMING = {
+    "events_stateful_running_totals",
+    "events_stream_enriched_nation",
+}
+
+
 class TestUniversalGates:
     def test_no_query_uses_row_at_a_time_python(self, spark, sf_dir, qs):
         """Universal rule: NO catalog query may contain a BatchEvalPython
         node — pickled row-at-a-time Python is 10-100x slower than Arrow
         and must never appear in the declared surface."""
         for name, fn in sorted(qs.items()):
-            if name == "events_stateful_running_totals":
+            if name in _EAGER_STREAMING:
                 continue  # executes a streaming job eagerly; covered above
             plan = physical_plan(fn(spark, sf_dir))
             assert "BatchEvalPython" not in plan, name
@@ -241,7 +250,7 @@ class TestUniversalGates:
             r"windowspecdefinition\([^(),]*\s(?:ASC|DESC)\sNULLS"
         )
         for name, fn in sorted(qs.items()):
-            if name == "events_stateful_running_totals":
+            if name in _EAGER_STREAMING:
                 continue
             if name in self._GLOBAL_WINDOW_OK:
                 continue
