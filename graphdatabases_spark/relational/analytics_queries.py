@@ -857,7 +857,9 @@ def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    dfreq = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # One shuffle keyed on tok (partial distinct runs map-side) — a
+    # distinct()-then-count would shuffle the exploded stream twice.
+    dfreq = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
     vocab = (
         dfreq.orderBy(F.col("df").desc(), "tok")
         .limit(500)
@@ -953,4 +955,115 @@ def scalar_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
             F.array_join(F.slice(distinct_sorted, 1, 3), "|").alias("top3_alpha"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             CAST(ntile(4) OVER (ORDER BY last_order, o_custkey) AS INT) AS r,
+             CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS INT) AS f,
+             CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS INT) AS m
+      FROM rfm
+    )
+    SELECT r, f, m,
+           count(*) AS n_customers
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+    doc="RFM (recency/frequency/monetary) quartile segmentation — the "
+    "entity-featurization shape for user-level training data: one agg "
+    "per customer, three ntile windows over the (small) per-customer "
+    "frame, segment histogram out. The windows are global by nature "
+    "but their input is one row per customer — 1000x smaller than the "
+    "fact table, the standard post-agg reduction.",
+)
+def orders_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    rfm = (
+        table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    w_r = Window.orderBy("last_order", "o_custkey")
+    w_f = Window.orderBy("frequency", "o_custkey")
+    w_m = Window.orderBy("monetary", "o_custkey")
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(w_r).alias("r"),
+        F.ntile(4).over(w_f).alias("f"),
+        F.ntile(4).over(w_m).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )
+
+
+@register(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, sum(n) AS row_total FROM t GROUP BY 1
+    )
+    SELECT t.from_type AS from_type, t.to_type AS to_type, n,
+           round(CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE), 6) AS p
+    FROM t JOIN tot ON tot.from_type = t.from_type
+    ORDER BY from_type, to_type
+    """,
+    doc="First-order event-type transition matrix (Markov counts + row-"
+    "normalized probabilities) per user session stream — the sequence-"
+    "modeling data-prep operator. One window shuffle on user_id builds "
+    "consecutive pairs; the transition grid is tiny (|types|^2) so the "
+    "normalizing join broadcasts.",
+)
+def events_type_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        t.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_total").cast("double"), 6
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
     )
