@@ -17,6 +17,7 @@ Scale discipline shared by all loops:
 
 from __future__ import annotations
 
+import warnings
 from collections import Counter
 
 from pyspark import StorageLevel
@@ -501,6 +502,20 @@ def kcore(
             )
             if dropped == 0:
                 break
+        else:
+            # Each round strictly shrinks the survivor set, so peel depth
+            # is bounded by |V| — but a caller-supplied max_iters can
+            # still cut a deep peel (long path appendages) short.  A
+            # silent return would contain nodes below k; surface it.
+            if dropped > 0:
+                warnings.warn(
+                    f"kcore: max_iters={max_iters} exhausted before the "
+                    f"peel fixpoint ({dropped} nodes still under k={k}); "
+                    "result is the partially-peeled subgraph — raise "
+                    "max_iters",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         out = deg.select(F.col("src").alias("id"), F.col("deg").alias("core_degree"))
         out = out.localCheckpoint(eager=True)
         return out

@@ -726,12 +726,23 @@ def _ssp_distributed(
             else:
                 nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
                 pinned.append(nxt)
-            # Full count (not isEmpty): materializes the round's cache in
-            # one pass and feeds next round's join-side decision.
-            frontier_rows = nxt.count()
-            hit = nxt.filter(F.col("id") == dst).select("path").collect()
-            if hit:
-                return _local_result_df(spark, [(d, hit[0]["path"])], PATH_SCHEMA)
+            # ONE action per round: a single aggregate materializes the
+            # round's cache (full pass, like a count), feeds next round's
+            # join-side decision, AND probes for the destination —
+            # min(when(id=dst, path)) is the unique dst path or null
+            # (frontier ids are unique post-groupBy). Two separate
+            # actions (count + filtered collect) would serialize two job
+            # launches per hop — measurable on deep distributed
+            # traversals.
+            probe = nxt.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.when(F.col("id") == dst, F.col("path"))).alias("hit"),
+            ).collect()[0]
+            frontier_rows = probe["n"]
+            if probe["hit"] is not None:
+                return _local_result_df(
+                    spark, [(d, list(probe["hit"]))], PATH_SCHEMA
+                )
             if frontier_rows == 0:
                 break
             visited = visited.union(nxt.select("id"))

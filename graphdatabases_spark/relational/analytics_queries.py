@@ -963,18 +963,30 @@ def scalar_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH rfm AS (
       SELECT o_custkey,
-             max(CAST(o_orderdate AS DATE)) AS last_order,
+             date_diff('day', DATE '1970-01-01',
+                       max(CAST(o_orderdate AS DATE))) AS r_days,
              count(*) AS frequency,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                AS monetary
       FROM orders GROUP BY o_custkey
     ),
-    scored AS (
-      SELECT o_custkey,
-             CAST(ntile(4) OVER (ORDER BY last_order, o_custkey) AS INT) AS r,
-             CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS INT) AS f,
-             CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS INT) AS m
+    bounds AS (
+      SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS rq,
+             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
       FROM rfm
+    ),
+    scored AS (
+      SELECT CAST(1 + CAST(r_days > rq[1] AS INT)
+                    + CAST(r_days > rq[2] AS INT)
+                    + CAST(r_days > rq[3] AS INT) AS INT) AS r,
+             CAST(1 + CAST(frequency > fq[1] AS INT)
+                    + CAST(frequency > fq[2] AS INT)
+                    + CAST(frequency > fq[3] AS INT) AS INT) AS f,
+             CAST(1 + CAST(monetary > mq[1] AS INT)
+                    + CAST(monetary > mq[2] AS INT)
+                    + CAST(monetary > mq[3] AS INT) AS INT) AS m
+      FROM rfm, bounds
     )
     SELECT r, f, m,
            count(*) AS n_customers
@@ -984,31 +996,45 @@ def scalar_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="RFM (recency/frequency/monetary) quartile segmentation — the "
     "entity-featurization shape for user-level training data: one agg "
-    "per customer, three ntile windows over the (small) per-customer "
-    "frame, segment histogram out. The windows are global by nature "
-    "but their input is one row per customer — 1000x smaller than the "
-    "fact table, the standard post-agg reduction.",
+    "per customer, then quartile BOUNDARIES from one exact-percentile "
+    "aggregate (3 doubles per axis, broadcastable) and CASE-style "
+    "assignment against them. No global window/sort anywhere — the "
+    "boundary agg is a map-side-combinable reduction and assignment is "
+    "a pure projection, so the plan holds at billions of customers "
+    "(unlike the ntile form, which moves every row to one task). "
+    "Boundary semantics: value > quantile_cont(q) for q in "
+    "{.25,.5,.75}; equal values always land in the same quartile.",
 )
 def orders_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    qs = [0.25, 0.5, 0.75]
     rfm = (
         table(spark, sf, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.unix_date(F.max(F.to_date("o_orderdate"))).alias("r_days"),
             F.count(F.lit(1)).alias("frequency"),
             F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
             .cast("double")
             .alias("monetary"),
         )
     )
-    w_r = Window.orderBy("last_order", "o_custkey")
-    w_f = Window.orderBy("frequency", "o_custkey")
-    w_m = Window.orderBy("monetary", "o_custkey")
-    scored = rfm.select(
-        "o_custkey",
-        F.ntile(4).over(w_r).alias("r"),
-        F.ntile(4).over(w_f).alias("f"),
-        F.ntile(4).over(w_m).alias("m"),
+    bounds = rfm.agg(
+        F.percentile("r_days", qs).alias("rq"),
+        F.percentile("frequency", qs).alias("fq"),
+        F.percentile("monetary", qs).alias("mq"),
+    )
+
+    def score(col: str, b: str):
+        v = F.col(col)
+        expr = F.lit(1)
+        for i in range(3):
+            expr = expr + (v > F.col(b)[i]).cast("int")
+        return expr.cast("int")
+
+    scored = rfm.join(F.broadcast(bounds)).select(
+        score("r_days", "rq").alias("r"),
+        score("frequency", "fq").alias("f"),
+        score("monetary", "mq").alias("m"),
     )
     return (
         scored.groupBy("r", "f", "m")

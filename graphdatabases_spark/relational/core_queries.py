@@ -447,14 +447,39 @@ def agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL sketch values are engine-specific; rows-only check.
-    doc="approx_count_distinct (HLL++) — the 100 TB path for distincts.",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="approx_count_distinct (HLL++) — the 100 TB path for distincts. "
+    "The sketch estimate itself is engine-specific, so the externally "
+    "hashed columns are the EXACT distinct count plus a within_5pct "
+    "boolean (|approx − exact| / exact ≤ 0.05) computed Spark-side; "
+    "the oracle emits the exact count and TRUE. A hash match therefore "
+    "certifies both the exact-distinct semantics and that the HLL "
+    "estimate (rsd 0.02) lands inside its tolerance.",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return (
         table(spark, sf, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
         .orderBy("l_returnflag")
     )
 

@@ -607,15 +607,51 @@ def graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# One synchronous peel round: survivors of the previous round's degree
+# table induce the next round's edge set.  Same unroll idiom as the LPA
+# oracle above.  The entity graph reaches the 2-core fixpoint in 2
+# rounds at every test sf (measured); 4 rounds are unrolled for margin —
+# extra rounds past the fixpoint are identity, and the differential
+# would catch an insufficient unroll as a hash mismatch.
+_KCORE_ROUND = """
+    s{prev} AS (SELECT src AS id FROM d{prev} WHERE deg >= 2),
+    sym{k} AS (
+      SELECT y.src, y.dst FROM sym{prev} y
+      JOIN s{prev} u ON u.id = y.src
+      JOIN s{prev} v ON v.id = y.dst
+    ),
+    d{k} AS (SELECT src, count(*) AS deg FROM sym{k} GROUP BY src)
+"""
+
+
 @register(
     "graph_kcore_entity",
-    oracle=None,  # iterative peeling has no single-SQL form; the local/
-    # distributed fixpoint equivalence and the min-degree invariant are
-    # pinned in tests/test_algorithms.py
+    oracle=f"""
+    WITH {ENTITY_EDGES_SQL},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    sym0 AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL
+      SELECT b AS src, a AS dst FROM und
+    ),
+    d0 AS (SELECT src, count(*) AS deg FROM sym0 GROUP BY src),
+    {_KCORE_ROUND.format(k=1, prev=0)},
+    {_KCORE_ROUND.format(k=2, prev=1)},
+    {_KCORE_ROUND.format(k=3, prev=2)},
+    {_KCORE_ROUND.format(k=4, prev=3)}
+    SELECT CAST(src AS BIGINT) AS id, CAST(deg AS BIGINT) AS core_degree
+    FROM d4 WHERE deg >= 2
+    ORDER BY id
+    """,
     doc="2-core of the entity graph (iterative peel, graph/algorithms.py "
     "kcore): nodes surviving repeated removal of degree-<2 nodes, with "
     "their within-core degree — the standard graph-cleaning step before "
-    "community/centrality analysis.",
+    "community/centrality analysis. Oracle unrolls the synchronous peel "
+    "rounds as chained CTEs (fixpoint reached in 2 rounds on this "
+    "graph; 4 unrolled).",
 )
 def graph_kcore_entity(spark: SparkSession, sf: str) -> DataFrame:
     from graphdatabases_spark.graph.algorithms import kcore

@@ -365,6 +365,59 @@ def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return kmeans_summary(emb, k=8, iters=5)
 
 
+@register(
+    "kmeans_assign_init",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    d AS (
+      SELECT v.vec_id, c.cid,
+             list_inner_product(v.e, v.e)
+               - 2 * list_inner_product(v.e, c.ce)
+               + list_inner_product(c.ce, c.ce) AS d2
+      FROM v, c
+    ),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY round(d2, 6), cid
+               ) AS r
+        FROM d
+      ) WHERE r = 1
+    )
+    SELECT CAST(cid AS INT) AS cluster, count(*) AS n
+    FROM best GROUP BY cid ORDER BY cid
+    """,
+    doc="One k-means ASSIGNMENT step against the deterministic literal "
+    "init centroids (the k=8 lowest-id vectors) — (cluster, n) out. "
+    "This is the hash-checkable core of the Lloyd's kernel: assignment "
+    "is a pure shuffle-free projection (functions/clustering.py "
+    "_assign), so the external oracle verifies the exact argmin "
+    "semantics value-for-value, while the iterative fixpoint "
+    "(kmeans_embeddings) stays rows-only. Tie-break: lowest cluster "
+    "id (matching _assign); oracle d2 via the expanded inner-product "
+    "identity, rounded to 6 dp before ranking.",
+)
+def kmeans_assign_init(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.functions.clustering import _assign
+
+    emb = table(spark, sf, "embeddings")
+    init_rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+        .collect()
+    )
+    centroids = [list(r["e"]) for r in init_rows]
+    return (
+        _assign(emb, centroids)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

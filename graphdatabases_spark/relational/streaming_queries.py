@@ -129,6 +129,39 @@ def events_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _stage_events_micro(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """Stage a microsecond-ts copy of ``events.parquet`` for the file-
+    stream source (the raw parquet carries TIMESTAMP(NANOS)).
+
+    The temp path is keyed on a CONTENT signature of the source —
+    path + per-file (name, size, mtime) — not just the sf path, so a
+    regenerated source parquet at the same location gets a fresh stage
+    instead of silently replaying stale data.  Returns (staged_path,
+    tag) — the tag also namespaces each caller's memory sink.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf, "events.parquet")
+    sig_parts = [src]
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            sig_parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        sig_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    tag = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:12]
+    staged = os.path.join(tempfile.gettempdir(), f"sg_events_stream_{tag}")
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        # Parallel write — a coalesce(1) here would funnel the whole
+        # stage through one task; downstream consumers re-key anyway,
+        # so the file count doesn't affect results.
+        table(spark, sf, "events").write.mode("overwrite").parquet(staged)
+    return staged, tag
+
+
 @register(
     "events_stateful_running_totals",
     oracle="""
@@ -144,26 +177,12 @@ def events_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
     "equal the batch aggregate — which is exactly the SQL oracle.",
 )
 def events_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
     from pyspark.sql.window import Window
 
     from graphdatabases_spark.streaming.stateful import running_user_totals
     from graphdatabases_spark.streaming.windows import read_events_stream
 
-    # The raw events.parquet carries TIMESTAMP(NANOS); the file-stream
-    # source needs a microsecond ts, so stage a converted copy once per
-    # sf_dir (content-addressed temp path, reused across calls).
-    tag = hashlib.md5(sf.encode()).hexdigest()[:12]
-    staged = os.path.join(tempfile.gettempdir(), f"sg_events_stream_{tag}")
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        # Parallel write — a coalesce(1) here would funnel the whole
-        # stage through one task; the stateful kernel re-keys by user
-        # anyway, so the file count doesn't affect the result.
-        table(spark, sf, "events").write.mode("overwrite").parquet(staged)
-
+    staged, tag = _stage_events_micro(spark, sf)
     stream = running_user_totals(read_events_stream(spark, staged))
     sink = f"stateful_totals_{tag}"
     (
@@ -206,23 +225,12 @@ def events_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     "which is exactly the SQL oracle.",
 )
 def events_stream_enriched_nation(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
     from graphdatabases_spark.streaming.windows import (
         enrich_with_dimension,
         read_events_stream,
     )
 
-    # Same staged microsecond-ts copy as events_stateful_running_totals
-    # (the raw parquet carries TIMESTAMP(NANOS); content-addressed temp
-    # path, written in parallel, reused across calls).
-    tag = hashlib.md5(sf.encode()).hexdigest()[:12]
-    staged = os.path.join(tempfile.gettempdir(), f"sg_events_stream_{tag}")
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        table(spark, sf, "events").write.mode("overwrite").parquet(staged)
-
+    staged, tag = _stage_events_micro(spark, sf)
     dim = (
         table(spark, sf, "customer")
         .join(

@@ -492,11 +492,15 @@ def q22_missed_customers(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer")
     o = table(spark, sf, "orders").select("o_custkey")
     n = table(spark, sf, "nation")
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    # Scalar threshold via broadcast-1-row crossJoin (the q15/q17 idiom):
+    # keeps the whole query one lazy plan — no driver round-trip, and the
+    # threshold agg runs concurrently with the probe-side scan.
+    avg_bal = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg_bal"))
     )
     return (
-        c.filter(F.col("c_acctbal") > avg_bal)
+        c.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
