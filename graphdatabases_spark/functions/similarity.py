@@ -16,9 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphdatabases_spark.functions.text import portable_hash64
-
-
 def _as_double(vec_col):
     return F.transform(vec_col, lambda x: x.cast("double"))
 
@@ -106,14 +103,23 @@ def threshold_pairs(
     )
 
 
-def _hyperplane(dim: int, plane_idx: int):
-    """Deterministic pseudo-random ±1 hyperplane as an array column:
-    component j = sign of bit 0 of H(f'{plane_idx}:{j}')."""
-    comps = []
-    for j in range(dim):
-        h = portable_hash64(F.lit(f"hp:{plane_idx}:{j}"))
-        comps.append(F.when(h % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0)))
-    return F.array(*comps)
+def _hyperplane_signs(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane, computed driver-side:
+    component j = sign of bit 0 of the portable 48-bit md5 hash of
+    f'hp:{plane_idx}:{j}' — hashlib.md5 here is bit-identical to the
+    Spark/DuckDB ``portable_hash64`` expression (functions/text.py:30),
+    so bucket assignments are unchanged vs the original expression
+    form (pinned by the recall tests)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"hp:{plane_idx}:{j}".encode()).hexdigest()[:12], 16)
+        % 2
+        == 1
+        else -1.0
+        for j in range(dim)
+    ]
 
 
 def lsh_bucket_signature(
@@ -126,20 +132,30 @@ def lsh_bucket_signature(
 
     Cosine-similar vectors agree on most sign bits, so sharing the full
     signature (or a band of it) makes a candidate bucket.
+
+    The signature is ONE expression: the plane matrix is a single
+    array<array<double>> LITERAL, all ``num_planes`` dots come from one
+    ``transform`` pass, and the bit-weights fold in the same
+    expression — so the per-plane dot subtree exists exactly once (no
+    projection-collapse duplication), query construction is a handful
+    of Column calls (the per-plane form cost ~1 s of driver time per
+    call just building HOF trees), and each dot folds in index order,
+    keeping buckets bit-identical to the original per-plane form
+    (pinned by the recall tests).
     """
+    planes = [_hyperplane_signs(dim, p) for p in range(num_planes)]
+    weights = [float(2**p) for p in range(num_planes)]
     v = _as_double(F.col(vec_col))
-    bits = []
-    for p in range(num_planes):
-        plane = _hyperplane(dim, p)
-        bits.append(
-            F.when(_dot(v, plane) >= 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            * F.lit(2**p).cast("long")
-        )
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
+    dots = F.transform(F.lit(planes), lambda plane: _dot(v, plane))
+    sig = F.aggregate(
+        F.zip_with(
+            dots,
+            F.lit(weights),
+            lambda d, w: F.when(d >= 0, w).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).cast("long")
     return vectors.withColumn("bucket", sig)
 
 
@@ -258,25 +274,22 @@ def ivf_train(
     return cents
 
 
-def ivf_ann_topk(
-    queries: DataFrame,
+def ivf_build(
     corpus: DataFrame,
-    k: int = 3,
     num_clusters: int = 16,
-    nprobe: int = 2,
     lloyd_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k via an inverted file: the corpus is clustered by
-    nearest coarse centroid (the IVF index — at scale, a one-time build
-    shuffled/partitioned by cid), each query probes its ``nprobe``
-    nearest clusters, and exact cosine runs only within probed clusters.
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: (centroid table, cluster-assigned corpus).
 
-    Returns (query_id, neighbor_id, cos, rank), rank 1..k, self excluded.
+    This is the ONE-TIME cost at scale — the corpus shuffles once by
+    cluster id and is typically persisted/written partitioned by
+    ``cid``; every subsequent query batch reuses it (the FAISS
+    train+add phase, separated from search). ``ivf_ann_topk`` composes
+    build+query for the self-contained catalog entry; batch-serving
+    callers build once and call ``ivf_query`` per batch.
     """
-    from pyspark.sql.window import Window
-
     cents = ivf_train(corpus, num_clusters, lloyd_iters, id_col, vec_col)
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "_vec", "_norm"
@@ -287,6 +300,25 @@ def ivf_ann_topk(
         F.col("_vec").alias("c_vec2"),
         F.col("_norm").alias("c_norm2"),
     )
+    return cents, c_idx
+
+
+def ivf_query(
+    index: tuple[DataFrame, DataFrame],
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a prebuilt IVF index (from ``ivf_build``) with a query
+    batch: each query ranks the ``nprobe`` nearest centroids, joins
+    only those clusters' corpus rows, and exact cosine runs within
+    them. Returns (query_id, neighbor_id, cos, rank), rank 1..k,
+    self excluded."""
+    from pyspark.sql.window import Window
+
+    cents, c_idx = index
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"), "_vec", "_norm"
     )
@@ -310,3 +342,24 @@ def ivf_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    num_clusters: int = 16,
+    nprobe: int = 2,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an inverted file — self-contained
+    build+query composition (the catalog-entry surface). At scale the
+    index half is a one-time build: use ``ivf_build`` + ``ivf_query``
+    directly to amortize it across query batches.
+
+    Returns (query_id, neighbor_id, cos, rank), rank 1..k, self excluded.
+    """
+    index = ivf_build(corpus, num_clusters, lloyd_iters, id_col, vec_col)
+    return ivf_query(index, queries, k, nprobe, id_col, vec_col)

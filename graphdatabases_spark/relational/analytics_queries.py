@@ -1,4 +1,4 @@
-"""Training-data-pipeline catalog queries, batches 3–4 (round 3).
+"""Training-data-pipeline catalog queries, batches 3–5 (rounds 3–4).
 
 Batch 3: event-log analytics (latest-record CDC dedup, first-touch
 attribution, error rates, multi-resolution rollup, gap fill),
@@ -11,6 +11,10 @@ the cluster-then-keep-one dedup pipeline), deterministic train/val/test
 split assignment, hourly volume anomaly z-scores from exact integer
 sums, symmetric int8 embedding quantization, and vocabulary-coverage /
 OOV profiling.
+
+Batch 5 (round 4): normalize-then-keep-first dedup materialization,
+per-stratum deterministic sampling, repeat-purchase interval
+featurization, and corpus bigram-novelty quality scoring.
 
 Each entry has a DuckDB oracle under the catalog's determinism
 discipline (catalog.py docstring).
@@ -1092,4 +1096,225 @@ def events_type_transitions(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("p"),
         )
         .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 5 (round 4): dedup materialization, stratified sampling,
+# interval featurization, bigram novelty
+# ---------------------------------------------------------------------------
+
+# Shared normalized-token fragment (DuckDB side) — same normalization as
+# the llm_queries TOKS macro.
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
+
+
+@register(
+    "dedup_keep_first_normalized",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             sha256(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+               AS sig
+      FROM documents
+    )
+    SELECT min(doc_id) AS keeper, count(*) AS n_docs
+    FROM t GROUP BY sig HAVING count(*) > 1
+    ORDER BY keeper
+    """,
+    doc="Normalize-then-keep-first dedup MATERIALIZATION: documents "
+    "sharing a normalized bag-of-words signature (lowercase, strip "
+    "punctuation, sorted distinct tokens, sha256) collapse to the "
+    "lowest doc_id — the canonical exact-dedup-after-normalization "
+    "step that runs before near-dup passes. One map-side-combinable "
+    "hash aggregation keyed on the 32-byte signature; no windows, no "
+    "joins — the same plan at 100 TB.",
+)
+def dedup_keep_first_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.trim("text")), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        )
+    )
+    sig = F.sha2(F.array_join(toks, " "), 256)
+    return (
+        table(spark, sf, "documents")
+        .select(F.col("doc_id"), sig.alias("sig"))
+        .groupBy("sig")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("keeper", "n_docs")
+        .orderBy("keeper")
+    )
+
+
+@register(
+    "docs_stratified_sample",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(count(*) FILTER (
+             WHERE (lang = 'en' AND doc_id % 10 = 0)
+                OR (lang <> 'en' AND doc_id % 10 < 2)
+           ) AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Deterministic per-stratum sampling (majority language 'en' at "
+    "10%, minority languages at 20% via key-mod) — the language-"
+    "rebalancing primitive for multilingual training mixes. Key-mod "
+    "membership is reproducible across engines, runs, and "
+    "partitionings (unlike rand()-based sampling); the whole check is "
+    "one combinable aggregation over the corpus.",
+)
+def docs_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    in_sample = (
+        (F.col("lang") == "en") & (F.col("doc_id") % 10 == 0)
+    ) | ((F.col("lang") != "en") & (F.col("doc_id") % 10 < 2))
+    return (
+        table(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(in_sample).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "orders_repeat_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(CAST(o_orderdate AS DATE)) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                       ),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    ),
+    b AS (
+      SELECT o_custkey,
+             CASE WHEN gap_days <= 7 THEN '0-7'
+                  WHEN gap_days <= 30 THEN '8-30'
+                  WHEN gap_days <= 90 THEN '31-90'
+                  ELSE '91+' END AS gap_bucket
+      FROM seq WHERE gap_days IS NOT NULL
+    )
+    SELECT gap_bucket,
+           count(*) AS n_gaps,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM b GROUP BY gap_bucket ORDER BY gap_bucket
+    """,
+    doc="Repeat-purchase interval featurization: per-customer "
+    "consecutive-order gaps (lag window keyed on the customer — the "
+    "natural partition key, so the single window shuffle scales) "
+    "bucketed into recency bands — the inter-arrival feature behind "
+    "churn/LTV training sets. Output is the bounded bucket histogram.",
+)
+def orders_repeat_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), "o_orderkey"
+    )
+    gap = F.datediff(
+        F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+    )
+    bucket = (
+        F.when(F.col("gap_days") <= 7, "0-7")
+        .when(F.col("gap_days") <= 30, "8-30")
+        .when(F.col("gap_days") <= 90, "31-90")
+        .otherwise("91+")
+    )
+    return (
+        table(spark, sf, "orders")
+        .select("o_custkey", gap.alias("gap_days"))
+        .filter(F.col("gap_days").isNotNull())
+        .select("o_custkey", bucket.alias("gap_bucket"))
+        .groupBy("gap_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("gap_bucket")
+    )
+
+
+@register(
+    "text_bigram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bg
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+    ),
+    top AS (
+      SELECT bg FROM (
+        SELECT bg, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, bg) AS r
+        FROM bg GROUP BY bg
+      ) WHERE r <= 100
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(CAST(count(*) FILTER (WHERE top.bg IS NULL) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM bg LEFT JOIN top ON top.bg = bg.bg
+    WHERE doc_id <= 100
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Corpus bigram-novelty quality score: fraction of each "
+    "document's token bigrams outside the corpus top-100 bigram list — "
+    "the boilerplate/template detector (low novelty = templated text). "
+    "The top list is bounded (100 rows) and broadcast; the per-doc "
+    "pass is one explode + broadcast left join + re-agg on doc_id, so "
+    "the corpus never shuffles by bigram except inside the bounded "
+    "top-k aggregation.",
+)
+def text_bigram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    d = table(spark, sf, "documents").select("doc_id", toks.alias("toks"))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    # Top-100 via orderBy+limit (TakeOrderedAndProject — per-partition
+    # top-k then a 100-row merge), NOT a global row_number window.
+    top = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bg")
+        .limit(100)
+        .select(F.col("bg").alias("top_bg"))
+    )
+    return (
+        bg.filter(F.col("doc_id") <= 100)
+        .join(F.broadcast(top), bg.bg == F.col("top_bg"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.count_if(F.col("top_bg").isNull()).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
     )

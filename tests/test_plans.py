@@ -291,3 +291,37 @@ class TestPipelinePlanShapes:
         shuffles for the lookup."""
         plan = physical_plan(qs["knn_label_vote"](spark, sf_dir))
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestBenchHeadlinePlanPins:
+    """Shuffle-count pins for headline queries that drifted in the r3
+    bench record — a plan regression (extra Exchange, lost broadcast,
+    lost map-side partial) must fail HERE, not show up as an unexplained
+    per-round timing delta."""
+
+    def test_lsh_candidates_two_hash_exchanges(self, spark, sf_dir, qs):
+        """dedup_lsh_candidates' scale claim: signature agg + banded
+        bucket equi-join + distinct share TWO hash Exchanges (signature
+        groupBy, pair distinct); the band-bucket join itself broadcasts
+        the bounded bucket index. No cartesian anywhere."""
+        plan = physical_plan(qs["dedup_lsh_candidates"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_agg_cube_one_exchange_with_partial(self, spark, sf_dir, qs):
+        """agg_cube: Expand feeds ONE hash Exchange with a map-side
+        partial aggregate before it — the cube must not re-shuffle per
+        grouping set."""
+        plan = physical_plan(qs["agg_cube"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "partial_" in plan, plan
+
+    def test_khop_entity_local_kernel_no_shuffle(self, spark, sf_dir, qs):
+        """graph_khop_entity at catalog-test scale routes to the local
+        adjacency kernel: the result plan must carry NO hash Exchange
+        and no Python row path (the distributed kernel's boundedness is
+        pinned separately in TestIterativePlanBounded)."""
+        plan = physical_plan(qs["graph_khop_entity"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        assert "BatchEvalPython" not in plan, plan
