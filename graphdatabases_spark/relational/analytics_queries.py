@@ -1248,6 +1248,180 @@ def orders_repeat_intervals(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "events_user_features",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+             AS span_days,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Per-user feature table (event count, type diversity, active "
+    "span, decimal-exact value total) — the entity featurization pass "
+    "that turns an event log into a training-set row per user. One "
+    "combinable aggregation keyed on the natural partition key.",
+)
+def events_user_features(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias(
+                "span_days"
+            ),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "copurchase_lift",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    pc AS (SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS together
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, together,
+           round(CAST(together AS DOUBLE) / n_orders, 6) AS support,
+           round(CAST(together AS DOUBLE) / pa.n_part, 6) AS confidence,
+           round(CAST(together AS DOUBLE) * n_orders
+                 / (CAST(pa.n_part AS DOUBLE) * pb.n_part), 6) AS lift
+    FROM pairs
+    JOIN pc pa ON pa.l_partkey = part_a
+    JOIN pc pb ON pb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY together DESC, part_a, part_b
+    LIMIT 20
+    """,
+    doc="Association-rule metrics (support / confidence / lift) over "
+    "part pairs sharing an order — the market-basket operator on top "
+    "of the co-purchase self-join. All inputs are exact integer "
+    "counts, so the double divisions are engine-identical; the "
+    "per-part count table broadcasts against the bounded pair set and "
+    "the order total is a broadcast-1-row crossJoin.",
+)
+def copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = F.broadcast(li.agg(F.count_distinct("l_orderkey").alias("n_orders")))
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    pa = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na"))
+    pb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb"))
+    t = F.col("together").cast("double")
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(n)
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            F.round(t / F.col("n_orders"), 6).alias("support"),
+            F.round(t / F.col("na"), 6).alias("confidence"),
+            F.round(
+                t * F.col("n_orders") / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("together").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             CAST(sqrt(list_inner_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))
+                  AS DECIMAL(18,9)) AS nrm
+      FROM embeddings
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(nrm) AS s1, sum(nrm * nrm) AS s2 FROM v
+    ),
+    z AS (
+      SELECT vec_id, nrm,
+             (CAST(nrm AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+             / sqrt(CAST(s2 AS DOUBLE) / n
+                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+               AS zval
+      FROM v, s
+    )
+    SELECT vec_id, CAST(round(CAST(nrm AS DOUBLE), 6) AS DOUBLE) AS norm,
+           round(zval, 4) AS z
+    FROM z WHERE abs(zval) > 2
+    ORDER BY vec_id
+    """,
+    doc="Embedding QA: vectors whose L2 norm is a >2-sigma outlier — "
+    "the malformed-embedding detector run before indexing/clustering. "
+    "Per-vector norms fold deterministically in index order (bit-"
+    "identical across engines), then get cast to DECIMAL so the "
+    "corpus moment sums are EXACT on any partitioning; the z "
+    "computation is closed-form double arithmetic off one broadcast "
+    "stats row.",
+)
+def embedding_norm_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    base = table(spark, sf, "embeddings").select(
+        "vec_id", F.sqrt(dot).cast("decimal(18,9)").alias("nrm")
+    )
+    s = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nrm").alias("s1"),
+            F.sum(F.col("nrm") * F.col("nrm")).alias("s2"),
+        )
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    zval = (F.col("nrm").cast("double") - mean) / F.sqrt(var)
+    return (
+        base.crossJoin(s)
+        .withColumn("_z", zval)
+        .filter(F.abs(F.col("_z")) > 2)
+        .select(
+            "vec_id",
+            F.round(F.col("nrm").cast("double"), 6).alias("norm"),
+            F.round(F.col("_z"), 4).alias("z"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "text_bigram_novelty",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

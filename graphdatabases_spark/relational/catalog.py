@@ -113,7 +113,10 @@ def _load_all() -> None:
 #   agg_approx_count_distinct  — r4: now exact count + within_5pct
 #   kmeans_assign_init         — r4: new entry
 #   dedup_keep_first_normalized, docs_stratified_sample,
-#   orders_repeat_intervals, text_bigram_novelty — r4: new batch-5 entries
+#   orders_repeat_intervals, text_bigram_novelty,
+#   events_stream_click_attribution (stream-stream join),
+#   events_user_features, copurchase_lift, embedding_norm_outliers
+#   — r4: new batch-5 entries
 _VERIFIED_ROUND: dict[str, int] = {
     # r1-stale cohort (last externally verified in round 1)
     "agg_collect_set": 1, "agg_count_distinct": 1, "agg_cube": 1,

@@ -224,6 +224,75 @@ def events_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     "micro-batches; the final table must equal the batch join+agg, "
     "which is exactly the SQL oracle.",
 )
+@register(
+    "events_stream_click_attribution",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT p.user_id, p.value
+      FROM c JOIN p
+        ON p.user_id = c.user_id
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id,
+           count(*) AS n_pairs,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM pairs
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Runs the REAL Structured Streaming engine: STREAM-STREAM inner "
+    "join — purchases attributed to preceding same-user clicks within "
+    "30 minutes, both sides watermarked so join state is evicted as "
+    "event time advances (streaming/windows.py attribution_join). The "
+    "availableNow replay processes all files in one batch, so the "
+    "emitted pair set must equal the batch range join — the memory "
+    "sink is then batch-aggregated per user, which is exactly the SQL "
+    "oracle.",
+)
+def events_stream_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.streaming.windows import (
+        attribution_join,
+        read_events_stream,
+    )
+
+    staged, tag = _stage_events_micro(spark, sf)
+    clicks = read_events_stream(spark, staged).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, staged).filter(
+        F.col("event_type") == "purchase"
+    )
+    pairs = attribution_join(clicks, purchases, max_gap="30 minutes")
+    sink = f"stream_attrib_{tag}"
+    (
+        pairs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(F.col("purchase_value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def events_stream_enriched_nation(spark: SparkSession, sf: str) -> DataFrame:
     from graphdatabases_spark.streaming.windows import (
         enrich_with_dimension,

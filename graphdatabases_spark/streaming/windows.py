@@ -128,6 +128,45 @@ def enrich_with_dimension(
     return stream.join(F.broadcast(dim), on, how)
 
 
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM inner join: purchases attributed to any preceding
+    click by the same user within ``max_gap`` — the online attribution
+    operator (the batch as-of/range join's streaming sibling).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both ends, so each side's buffered state is evicted once
+    the other side's watermark passes ``ts + max_gap`` — the
+    requirement that keeps stream-stream join state finite on an
+    unbounded stream. Inner join in append mode: every matched pair
+    emits exactly once regardless of micro-batching (late rows beyond
+    the watermark would drop; the catalog replay runs availableNow
+    with all files in ONE batch, so the batch oracle equality is
+    exact).
+    """
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    return c.join(
+        p,
+        F.expr(
+            "c.user_id = p.user_id AND "
+            "p.ts >= c.ts AND "
+            f"p.ts <= c.ts + interval {max_gap}"
+        ),
+        "inner",
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("p.value").alias("purchase_value"),
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

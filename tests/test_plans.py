@@ -214,6 +214,7 @@ class TestPlansModule:
 _EAGER_STREAMING = {
     "events_stateful_running_totals",
     "events_stream_enriched_nation",
+    "events_stream_click_attribution",
 }
 
 
