@@ -73,10 +73,20 @@ def kmeans_fit(
     centroids = [list(r["e"]) for r in init_rows]
     for _ in range(iters):
         assigned = _assign(df, centroids)
+        # Mean = exact DECIMAL sum / count (not a double avg): double
+        # summation order varies with partitioning, which would make
+        # the trained centroids run-dependent; the decimal sum is exact
+        # on any partitioning AND engine-identical, which is what lets
+        # the full 5-round fit be replayed in the DuckDB oracle.
         new_rows = (
             assigned.select("cluster", F.posexplode("_e").alias("dim", "val"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("mean"))
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,15)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mean")
+            )
             .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}
@@ -95,15 +105,19 @@ def kmeans_summary(
     df: DataFrame, k: int = 8, iters: int = 5
 ) -> DataFrame:
     """(cluster, n, inertia) after ``iters`` Lloyd rounds — the catalog
-    surface.  Inertia is rounded coarsely (3 dp): it is a double sum
-    whose partition order varies, and this entry is a rows-only check."""
+    surface.  Inertia sums as DECIMAL (partition-order-exact) and is
+    rounded to 3 dp, absorbing the ~1e-10 difference between the
+    fold-order dist2 here and the inner-product-identity dist2 the SQL
+    oracle computes — so the whole fit is value-hash-checkable."""
     centroids = kmeans_fit(df, k=k, iters=iters)
     assigned = _assign(df, centroids)
     return (
         assigned.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("dist2"), 3).alias("inertia"),
+            F.round(
+                F.sum(F.col("dist2").cast("decimal(28,15)")).cast("double"), 3
+            ).alias("inertia"),
         )
         .orderBy("cluster")
     )

@@ -214,7 +214,13 @@ def _nearest_centroids(
     """
     from pyspark.sql.window import Window
 
-    cos = _dot(F.col("_vec"), F.col("c_vec")) / (F.col("_norm") * F.col("c_norm"))
+    # Ranking cosine is rounded to 6 dp (cid tie-break): raw-double
+    # ranking is deterministic within one engine but an external SQL
+    # mirror could differ by an ulp near centroid-boundary ties — the
+    # rounding makes assignment cross-engine reproducible.
+    cos = F.round(
+        _dot(F.col("_vec"), F.col("c_vec")) / (F.col("_norm") * F.col("c_norm")), 6
+    )
     w = Window.partitionBy(id_name).orderBy(F.col("_cc").desc(), F.col("cid"))
     return (
         vectors.crossJoin(F.broadcast(centroids))
@@ -258,10 +264,20 @@ def ivf_train(
     )
     for _ in range(lloyd_iters):
         assigned = _nearest_centroids(v, cents, nprobe=1, id_name="_id")
+        # Centroid mean = exact DECIMAL sum / count, cast to double:
+        # a plain double avg depends on partition fold order, which
+        # would make the trained centroids run- and engine-dependent;
+        # the decimal sum is exact on any partitioning (same discipline
+        # as the catalog's money aggregations).
         mean = (
             assigned.select("cid", F.posexplode("_vec").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,15)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .groupBy("cid")
             .agg(
                 F.transform(

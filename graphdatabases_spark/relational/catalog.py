@@ -117,6 +117,10 @@ def _load_all() -> None:
 #   events_stream_click_attribution (stream-stream join),
 #   events_user_features, copurchase_lift, embedding_norm_outliers
 #   — r4: new batch-5 entries
+#   similarity_ann_lsh, similarity_ann_ivf, kmeans_embeddings — r4:
+#   upgraded from rows-only to full value-hash oracles (portable
+#   hyperplane signs; deterministic IVF quantizer and the 5-round
+#   Lloyd fit replayed in SQL) — NO rows-only entries remain
 _VERIFIED_ROUND: dict[str, int] = {
     # r1-stale cohort (last externally verified in round 1)
     "agg_collect_set": 1, "agg_count_distinct": 1, "agg_cube": 1,
@@ -150,8 +154,7 @@ _VERIFIED_ROUND: dict[str, int] = {
     "q16_supplier_part_counts": 2, "q17_small_qty_revenue": 2,
     "q20_part_promotion": 2, "q21_waiting_suppliers": 2,
     "q2_min_cost_supplier": 2, "q8_market_share": 2,
-    "q9_product_profit": 2, "similarity_ann_ivf": 2,
-    "similarity_ann_lsh": 2, "similarity_cosine_topk": 2,
+    "q9_product_profit": 2, "similarity_cosine_topk": 2,
     "similarity_threshold_pairs": 2, "text_fingerprint": 2,
     "text_language_guess": 2, "text_quality_score": 2,
     "text_tfidf_topterms": 2, "text_token_stats": 2,
@@ -171,7 +174,7 @@ _VERIFIED_ROUND: dict[str, int] = {
     "graph_degree_assortativity": 3, "graph_node_jaccard": 3,
     "grouped_map_zscore": 3, "join_broadcast_dim": 3, "join_full_outer": 3,
     "join_left_outer": 3, "join_semi": 3, "join_sortmerge_fact": 3,
-    "json_extract_events": 3, "kmeans_embeddings": 3, "knn_label_vote": 3,
+    "json_extract_events": 3, "knn_label_vote": 3,
     "merge_upsert_orders": 3, "multimodal_frame_sample": 3,
     "multimodal_resize_thumbs": 3, "orders_validity_intervals": 3,
     "sample_systematic_orders": 3, "scalar_array_funcs": 3,

@@ -378,11 +378,59 @@ def similarity_threshold_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return S.threshold_pairs(v, threshold=0.3).orderBy("id_a", "id_b")
 
 
+def _lsh_bucket_sql(num_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB mirror of ``lsh_bucket_signature``: the ±1 hyperplane
+    signs are module-level constants (driver-side md5, similarity.py
+    ``_hyperplane_signs``), inlined here as signed element sums in the
+    SAME left-to-right fold order — so bucket longs are bit-identical
+    across engines and the ANN result is value-hash-checkable."""
+    from graphdatabases_spark.functions.similarity import _hyperplane_signs
+
+    bits = []
+    for p in range(num_planes):
+        signs = _hyperplane_signs(dim, p)
+        terms = "".join(
+            f"{'+' if s > 0 else '-'}e[{j + 1}]" for j, s in enumerate(signs)
+        )
+        bits.append(f"CAST(({terms}) >= 0 AS BIGINT) * {2 ** p}")
+    return " + ".join(bits)
+
+
 @register(
     "similarity_ann_lsh",
-    oracle=None,  # bucketing is engine-internal; recall vs brute force is pytest-checked
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, e, {_lsh_bucket_sql()} AS bucket FROM v
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < 5),
+    ranked AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_inner_product(q.e, c.e)
+                   / (sqrt(list_inner_product(q.e, q.e))
+                      * sqrt(list_inner_product(c.e, c.e))), 6) AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_inner_product(q.e, c.e)
+                              / (sqrt(list_inner_product(q.e, q.e))
+                                 * sqrt(list_inner_product(c.e, c.e))), 6)
+                        DESC, c.vec_id
+             ) AS rank
+      FROM q JOIN b c
+        ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
     doc="Approximate top-k via random-hyperplane LSH buckets — the "
-    "100 TB path (bucket join replaces the crossJoin).",
+    "100 TB path (bucket join replaces the crossJoin). The hyperplane "
+    "signs are portable md5-derived constants, so the oracle rebuilds "
+    "the same buckets in SQL and the whole ANN result (bucket "
+    "restriction + within-bucket exact cosine ranking) is value-hash-"
+    "checked, not just recall-gated.",
 )
 def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
@@ -390,13 +438,93 @@ def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return S.ann_cosine_topk(q, emb, k=3).orderBy("query_id", "rank")
 
 
+# Cosine between a vector row (alias x: e, nrm) and a centroid row
+# (alias s: ce, cnrm), rounded like _nearest_centroids.
+_IVF_CC = (
+    "round(list_inner_product({x}.e, {s}.ce) / ({x}.nrm * {s}.cnrm), 6)"
+)
+
+
 @register(
     "similarity_ann_ivf",
-    oracle=None,  # clustering is engine-internal; recall vs brute force is pytest-checked
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             e AS ce, nrm AS cnrm
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
+    ),
+    a0 AS (
+      SELECT vec_id, cid, e FROM (
+        SELECT x.vec_id, s.cid, x.e,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY {_IVF_CC.format(x='x', s='s')} DESC, s.cid
+               ) AS rr
+        FROM v x CROSS JOIN seeds s
+      ) WHERE rr = 1
+    ),
+    m AS (
+      SELECT cid, i,
+             CAST(sum(CAST(e[CAST(i AS INT)] AS DECIMAL(28,15))) AS DOUBLE)
+               / count(*) AS mval
+      FROM a0 CROSS JOIN range(1, 65) t(i)
+      GROUP BY cid, i
+    ),
+    cents AS (
+      SELECT cid, ce, sqrt(list_inner_product(ce, ce)) AS cnrm FROM (
+        SELECT cid, list(mval ORDER BY i) AS ce FROM m GROUP BY cid
+      )
+    ),
+    c_idx AS (
+      SELECT vec_id AS neighbor_id, cid, e, nrm FROM (
+        SELECT x.vec_id, s.cid, x.e, x.nrm,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY {_IVF_CC.format(x='x', s='s')} DESC, s.cid
+               ) AS rr
+        FROM v x CROSS JOIN cents s
+      ) WHERE rr = 1
+    ),
+    q_probe AS (
+      SELECT vec_id AS query_id, cid, e, nrm FROM (
+        SELECT x.vec_id, s.cid, x.e, x.nrm,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY {_IVF_CC.format(x='x', s='s')} DESC, s.cid
+               ) AS rr
+        FROM v x CROSS JOIN cents s
+        WHERE x.vec_id < 5
+      ) WHERE rr <= 2
+    ),
+    ranked AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_inner_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_inner_product(q.e, c.e)
+                              / (q.nrm * c.nrm), 6) DESC, c.neighbor_id
+             ) AS rank
+      FROM q_probe q JOIN c_idx c
+        ON c.cid = q.cid AND c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
     doc="Approximate top-k via an inverted file (deterministic k-means "
     "coarse quantizer, nprobe cluster probing) — the alternative 100 TB "
     "path: the corpus shuffles once by cluster id at index build, each "
-    "query touches only nprobe clusters.",
+    "query touches only nprobe clusters. The quantizer is fully "
+    "deterministic (lowest-id seeds, one Lloyd round with DECIMAL-"
+    "exact centroid means, 6-dp-rounded cosine ranking with cid "
+    "tie-break), so the oracle replays the entire build+probe in SQL "
+    "and the ANN result is value-hash-checked, not just recall-gated.",
 )
 def similarity_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")

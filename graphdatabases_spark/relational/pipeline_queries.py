@@ -350,15 +350,82 @@ def knn_label_vote(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# One unrolled Lloyd round (same chained-CTE idiom as the LPA / k-core
+# oracles): assign every vector to its nearest cents{prev} centroid
+# (squared-L2 via the inner-product identity, 6-dp-rounded ranking,
+# lowest-cid tie-break, matching clustering._assign), then rebuild each
+# centroid as the DECIMAL-exact per-dimension mean; empty clusters keep
+# the previous centroid (kmeans_fit's fallback).
+_KM_D2 = (
+    "list_inner_product(x.e, x.e) - 2 * list_inner_product(x.e, s.ce)"
+    " + list_inner_product(s.ce, s.ce)"
+)
+
+_KM_ROUND = f"""
+    a{{r}} AS (
+      SELECT vec_id, cid, e FROM (
+        SELECT x.vec_id, s.cid, x.e,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY round({_KM_D2}, 6), s.cid
+               ) AS rr
+        FROM v x CROSS JOIN cents{{prev}} s
+      ) WHERE rr = 1
+    ),
+    m{{r}} AS (
+      SELECT cid, i,
+             CAST(sum(CAST(e[CAST(i AS INT)] AS DECIMAL(28,15))) AS DOUBLE)
+               / count(*) AS mval
+      FROM a{{r}} CROSS JOIN range(1, 65) t(i)
+      GROUP BY cid, i
+    ),
+    cents{{r}} AS (
+      SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+      FROM cents{{prev}} p LEFT JOIN (
+        SELECT cid, list(mval ORDER BY i) AS ce FROM m{{r}} GROUP BY cid
+      ) n ON n.cid = p.cid
+    )
+"""
+
+
 @register(
     "kmeans_embeddings",
-    oracle=None,  # iterative — no single-SQL equivalent; invariants pinned
-    # in tests/test_pipeline_queries.py (partition of input, monotone
-    # inertia, label purity)
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    cents0 AS (
+      SELECT CAST(vec_id AS INT) AS cid, e AS ce FROM v WHERE vec_id < 8
+    ),
+    {_KM_ROUND.format(r=1, prev=0)},
+    {_KM_ROUND.format(r=2, prev=1)},
+    {_KM_ROUND.format(r=3, prev=2)},
+    {_KM_ROUND.format(r=4, prev=3)},
+    {_KM_ROUND.format(r=5, prev=4)},
+    af AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT x.vec_id, s.cid, {_KM_D2} AS d2,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY round({_KM_D2}, 6), s.cid
+               ) AS rr
+        FROM v x CROSS JOIN cents5 s
+      ) WHERE rr = 1
+    )
+    SELECT cid AS cluster, count(*) AS n,
+           round(CAST(sum(CAST(d2 AS DECIMAL(28,15))) AS DOUBLE), 3)
+             AS inertia
+    FROM af GROUP BY cid ORDER BY cid
+    """,
     doc="Distributed Lloyd's k-means (k=8, 5 iterations, deterministic "
     "lowest-id init) over the embedding corpus: literal-centroid "
     "assignment is shuffle-free; the update step is one bounded "
-    "k×dim aggregation per iteration (functions/clustering.py).",
+    "k×dim aggregation per iteration (functions/clustering.py). "
+    "Deterministic end to end (decimal-exact centroid means and "
+    "inertia sums), so the oracle unrolls all five Lloyd rounds as "
+    "chained CTEs and the fit is value-hash-checked — invariants "
+    "(partition of input, monotone inertia, purity) additionally "
+    "pinned in tests/test_pipeline_queries.py.",
 )
 def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")

@@ -206,25 +206,6 @@ def events_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "events_stream_enriched_nation",
-    oracle="""
-    SELECT coalesce(n.n_name, 'UNKNOWN') AS nation,
-           count(*) AS n,
-           CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)
-             AS total_value
-    FROM events e
-    LEFT JOIN customer c ON c.c_custkey = e.user_id
-    LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
-    GROUP BY 1 ORDER BY 1
-    """,
-    doc="Runs the REAL Structured Streaming engine: stream-static "
-    "dimension enrichment (events stream ⟕ broadcast customer→nation "
-    "dim, stateless — streaming/windows.py enrich_with_dimension) "
-    "feeding a complete-mode per-nation aggregate over availableNow "
-    "micro-batches; the final table must equal the batch join+agg, "
-    "which is exactly the SQL oracle.",
-)
-@register(
     "events_stream_click_attribution",
     oracle="""
     WITH c AS (
@@ -293,6 +274,25 @@ def events_stream_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "events_stream_enriched_nation",
+    oracle="""
+    SELECT coalesce(n.n_name, 'UNKNOWN') AS nation,
+           count(*) AS n,
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM events e
+    LEFT JOIN customer c ON c.c_custkey = e.user_id
+    LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Runs the REAL Structured Streaming engine: stream-static "
+    "dimension enrichment (events stream ⟕ broadcast customer→nation "
+    "dim, stateless — streaming/windows.py enrich_with_dimension) "
+    "feeding a complete-mode per-nation aggregate over availableNow "
+    "micro-batches; the final table must equal the batch join+agg, "
+    "which is exactly the SQL oracle.",
+)
 def events_stream_enriched_nation(spark: SparkSession, sf: str) -> DataFrame:
     from graphdatabases_spark.streaming.windows import (
         enrich_with_dimension,
