@@ -234,6 +234,67 @@ class TestWatermarkLateData:
         assert rows.get("00:00") == 2
 
 
+class TestStreamStreamJoin:
+    def test_attribution_pairs_cross_micro_batches(self, spark, tmp_path):
+        """STREAM-STREAM join state must survive micro-batch boundaries:
+        a click buffered in batch 1 must still pair with a purchase
+        arriving in batch 2 (within the 30-minute gap), while a
+        purchase 45 minutes after its click must never pair. One file
+        per trigger forces three separate batches."""
+        from graphdatabases_spark.streaming.windows import attribution_join
+
+        src = tmp_path / "attrib_src"
+        src.mkdir()
+
+        def write_file(name, rows):
+            pdf = pd.DataFrame(
+                rows,
+                columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            sdf = spark.createDataFrame(pdf)
+            sdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp_a"))
+            import glob
+            import shutil
+
+            part = glob.glob(str(tmp_path / "tmp_a" / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / name))
+
+        # Batch 1: clicks 1 (user 1) and 2 (user 2); purchase 101 pairs
+        # with click 1 inside the same batch (20-minute gap).
+        write_file("f1.parquet", [
+            (1, "2024-01-01 10:00:00", 1, "click", 0.0, "{}"),
+            (2, "2024-01-01 10:05:00", 2, "click", 0.0, "{}"),
+            (101, "2024-01-01 10:20:00", 1, "purchase", 10.0, "{}"),
+        ])
+        # Batch 2: purchase 102 pairs with click 1 ACROSS the batch
+        # boundary (25-minute gap — the buffered-state assertion);
+        # purchase 103 is 45 minutes after click 2 → out of gap.
+        write_file("f2.parquet", [
+            (102, "2024-01-01 10:25:00", 1, "purchase", 20.0, "{}"),
+            (103, "2024-01-01 10:50:00", 2, "purchase", 30.0, "{}"),
+        ])
+        # Batch 3: in-batch pair for user 3, and advances the watermark.
+        write_file("f3.parquet", [
+            (3, "2024-01-01 11:30:00", 3, "click", 0.0, "{}"),
+            (104, "2024-01-01 11:31:00", 3, "purchase", 40.0, "{}"),
+        ])
+
+        ev = read_events_stream(spark, str(src), max_files_per_trigger=1)
+        joined = attribution_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+            max_gap="30 minutes",
+            watermark="40 minutes",
+        )
+        got = run_stream_to_memory(joined, "t_attrib_mb", "append")
+        pairs = {
+            (r["click_id"], r["purchase_id"]): r["purchase_value"]
+            for r in got.collect()
+        }
+        assert pairs == {(1, 101): 10.0, (1, 102): 20.0, (3, 104): 40.0}
+
+
 class TestStatefulOperator:
     def test_running_totals_across_batches(self, spark, events_dir, tmp_path):
         """applyInPandasWithState keyed state must survive micro-batch
