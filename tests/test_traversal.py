@@ -102,6 +102,37 @@ def test_strategies_agree(spark):
     assert a == b
 
 
+def test_distributed_ssp_one_action_per_round(spark, monkeypatch):
+    """Each distributed BFS round must issue exactly ONE explicit action
+    (the fused count+destination-probe aggregate collect) — the earlier
+    shape ran a count() AND a filtered collect() per hop, serializing
+    two job launches. Pin the code shape by counting DataFrame.count /
+    .collect invocations during the traversal (checkpoint/persist
+    materializations are internal and not counted here)."""
+    from pyspark.sql import DataFrame
+
+    g = chain_graph(spark, 10)
+    calls = {"count": 0, "collect": 0}
+    orig_count, orig_collect = DataFrame.count, DataFrame.collect
+
+    def counting_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    def counting_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting_count)
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    rows = ssp(g, 0, 8, strategy="distributed").collect()
+    assert rows[0]["dist"] == 8
+    # 8 rounds -> 8 probe collects; constant slack for setup
+    # (edge-side materialization probe) and the final result collect.
+    assert calls["collect"] <= 8 + 3, calls
+    assert calls["count"] <= 2, calls
+
+
 def test_bfs_distances(spark):
     g = chain_graph(spark, 6)
     rows = {r["id"]: r["dist"] for r in bfs_distances(g, 0, strategy="local").collect()}
