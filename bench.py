@@ -9,6 +9,13 @@ re-expressed on Spark.
 
 Output: ONE JSON line
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Noise floor (measured round 4, three back-to-back runs on an otherwise
+idle box): the TOTAL is stable to ±3%, but INDIVIDUAL sub-second query
+timings swing ±20–27% run-to-run even with min-of-3 — single-query
+round-over-round deltas below ~30% are machine noise, not plan changes
+(plan regressions are caught structurally by tests/test_plans.py
+instead).
 """
 
 from __future__ import annotations
