@@ -460,7 +460,6 @@ def _bfs_distributed(
     edges: DataFrame,
     src: int,
     max_hops: int | None,
-    stop_at: int | None = None,
     checkpoint_every: int = CHECKPOINT_EVERY,
 ) -> DataFrame:
     """Frontier BFS as an iterative join loop; returns DataFrame(id, dist).
@@ -506,8 +505,6 @@ def _bfs_distributed(
                 # Collapse the growing union tree so plan size stays O(1).
                 visited = visited.localCheckpoint(eager=True)
             frontier = nxt
-            if stop_at is not None and frontier.filter(F.col("id") == stop_at).limit(1).count() > 0:
-                break
         return visited
     finally:
         sides.release()
