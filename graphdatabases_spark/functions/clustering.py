@@ -1,9 +1,12 @@
 """Distributed k-means over an embedding column — document clustering
 for training-data curation (topic balancing, dedup-by-cluster sampling).
 
-Iterative, so no single-SQL oracle exists (the catalog entry is a
-rows-only check; tests/test_pipeline_queries.py pins the invariants:
-partition of the input, monotone non-increasing inertia, label purity).
+Deterministic end to end (lowest-id seed init, 6-dp-rounded argmin with
+lowest-cluster tie-break, DECIMAL-exact centroid means), so the catalog
+entry's DuckDB oracle replays the full 5-round fit as chained CTEs and
+value-hash-checks it; tests/test_pipeline_queries.py additionally pins
+the invariants (partition of the input, monotone non-increasing
+inertia, label purity).
 
 Scale design (the 100-TB path):
 
@@ -39,18 +42,30 @@ def _dist2(vec_col, centroid: list[float]):
 
 def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Add ``cluster`` (argmin distance, lowest id wins ties) and
-    ``dist2`` columns.  Pure projection — no shuffle, no UDF."""
+    ``dist2`` (the RAW distance to the chosen centroid) columns.
+    Pure projection — no shuffle, no UDF.
+
+    The argmin compares distances ROUNDED to 6 dp (raw comparison is
+    deterministic within one engine, but the SQL oracle's
+    inner-product-identity d2 differs from the fold-order d2 here by
+    ~1e-13, so a raw near-tie could rank differently across engines;
+    with both sides rounding, ties resolve to the lowest cluster id
+    identically — the same discipline as the IVF centroid ranking)."""
     d = df.withColumn("_e", F.transform("embedding", lambda x: x.cast("double")))
     dist_cols = [
         _dist2(F.col("_e"), centroids[i]).alias(f"_d{i}")
         for i in range(len(centroids))
     ]
     d = d.select("*", *dist_cols)
-    best = F.least(*[F.col(f"_d{i}") for i in range(len(centroids))])
+    rounded = [F.round(F.col(f"_d{i}"), 6) for i in range(len(centroids))]
+    best_r = F.least(*rounded)
     cluster = F.lit(None).cast("int")
+    dist2 = F.lit(None).cast("double")
     for i in reversed(range(len(centroids))):
-        cluster = F.when(F.col(f"_d{i}") == best, F.lit(i)).otherwise(cluster)
-    return d.withColumn("cluster", cluster).withColumn("dist2", best).drop(
+        hit = rounded[i] == best_r
+        cluster = F.when(hit, F.lit(i)).otherwise(cluster)
+        dist2 = F.when(hit, F.col(f"_d{i}")).otherwise(dist2)
+    return d.withColumn("cluster", cluster).withColumn("dist2", dist2).drop(
         *[f"_d{i}" for i in range(len(centroids))]
     )
 
@@ -63,10 +78,11 @@ def kmeans_fit(
     id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Lloyd's iterations with deterministic init (the vectors of the k
-    smallest ids).  Returns the final centroid matrix."""
+    smallest ids, numbered by position — no density assumption on the
+    id space).  Returns the final centroid matrix."""
     init_rows = (
-        df.filter(F.col(id_col) < k)
-        .orderBy(id_col)
+        df.orderBy(id_col)
+        .limit(k)
         .select(F.transform(vec_col, lambda x: x.cast("double")).alias("e"))
         .collect()
     )

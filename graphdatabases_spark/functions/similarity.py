@@ -1,14 +1,16 @@
 """Embedding similarity search: brute-force cosine top-k, LSH-bucketed
 ANN, and IVF (inverted-file) ANN.
 
-Brute force is the oracle-checkable baseline (exact, deterministic,
-fold-order-stable dot products via ``zip_with``+``aggregate`` — all
-JVM-side, no UDFs). The random-hyperplane LSH variant and the IVF
-variant are the 100-TB paths: LSH joins on sign-signature buckets; IVF
-partitions the corpus by nearest coarse centroid and probes only
-``nprobe`` clusters per query, so neither materializes the crossJoin.
-Recall is tested against brute force in pytest (no SQL oracle — the
-bucketing/clustering is engine-internal).
+Brute force is the exact baseline (deterministic, fold-order-stable dot
+products via ``zip_with``+``aggregate`` — all JVM-side, no UDFs). The
+random-hyperplane LSH variant and the IVF variant are the 100-TB paths:
+LSH joins on sign-signature buckets; IVF partitions the corpus by
+nearest coarse centroid and probes only ``nprobe`` clusters per query,
+so neither materializes the crossJoin. All three are value-hash-checked
+against DuckDB SQL mirrors (the LSH hyperplane signs are portable
+md5-derived constants inlined into the oracle; the IVF quantizer is
+deterministic and replayed in SQL); recall vs brute force is
+additionally gated in pytest.
 """
 
 from __future__ import annotations

@@ -458,6 +458,10 @@ def kcore(
     100-TB shape. Small graphs peel on the driver (same fixpoint,
     no per-round job overhead).
     """
+    if max_iters < 1:
+        # The for/else warning below reads the loop's `dropped`; a
+        # zero-round "peel" would also silently return unpeeled degrees.
+        raise ValueError(f"kcore needs max_iters >= 1, got {max_iters}")
     e = _edges(graph)
     if _pick_strategy(e, strategy, local_threshold) == "local":
         return _kcore_local(graph, e, k)

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from graphdatabases_spark.functions import text as T
 from graphdatabases_spark.relational.catalog import register, table
 
 
@@ -1104,12 +1105,10 @@ def events_type_transitions(spark: SparkSession, sf: str) -> DataFrame:
 # interval featurization, bigram novelty
 # ---------------------------------------------------------------------------
 
-# Shared normalized-token fragment (DuckDB side) — same normalization as
-# the llm_queries TOKS macro.
-_TOKS = (
-    "list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),"
-    " x -> x <> '')"
-)
+# Shared normalized-token fragment (DuckDB side) — THE llm_queries TOKS
+# macro (one definition; a private copy here would silently desync from
+# functions/text.py's TOKEN_SPLIT_RE pipeline).
+from graphdatabases_spark.relational.llm_queries import TOKS as _TOKS  # noqa: E402
 
 
 @register(
@@ -1134,14 +1133,7 @@ _TOKS = (
     "joins — the same plan at 100 TB.",
 )
 def dedup_keep_first_normalized(spark: SparkSession, sf: str) -> DataFrame:
-    toks = F.array_sort(
-        F.array_distinct(
-            F.filter(
-                F.split(F.lower(F.trim("text")), "[^a-z0-9]+"),
-                lambda x: x != "",
-            )
-        )
-    )
+    toks = F.array_sort(T.distinct_tokens(F.col("text")))
     sig = F.sha2(F.array_join(toks, " "), 256)
     return (
         table(spark, sf, "documents")
@@ -1455,10 +1447,9 @@ def embedding_norm_outliers(spark: SparkSession, sf: str) -> DataFrame:
     "top-k aggregation.",
 )
 def text_bigram_novelty(spark: SparkSession, sf: str) -> DataFrame:
-    toks = F.filter(
-        F.split(F.lower(F.trim("text")), "[^a-z0-9]+"), lambda x: x != ""
+    d = table(spark, sf, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
     )
-    d = table(spark, sf, "documents").select("doc_id", toks.alias("toks"))
     bg = d.select(
         "doc_id",
         F.explode(

@@ -395,7 +395,9 @@ _KM_ROUND = f"""
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
     cents0 AS (
-      SELECT CAST(vec_id AS INT) AS cid, e AS ce FROM v WHERE vec_id < 8
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             e AS ce
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
     ),
     {_KM_ROUND.format(r=1, prev=0)},
     {_KM_ROUND.format(r=2, prev=1)},
@@ -436,7 +438,11 @@ def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     "kmeans_assign_init",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    c AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             e AS ce
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
+    ),
     d AS (
       SELECT v.vec_id, c.cid,
              list_inner_product(v.e, v.e)
@@ -457,22 +463,22 @@ def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     FROM best GROUP BY cid ORDER BY cid
     """,
     doc="One k-means ASSIGNMENT step against the deterministic literal "
-    "init centroids (the k=8 lowest-id vectors) — (cluster, n) out. "
-    "This is the hash-checkable core of the Lloyd's kernel: assignment "
-    "is a pure shuffle-free projection (functions/clustering.py "
-    "_assign), so the external oracle verifies the exact argmin "
-    "semantics value-for-value, while the iterative fixpoint "
-    "(kmeans_embeddings) stays rows-only. Tie-break: lowest cluster "
-    "id (matching _assign); oracle d2 via the expanded inner-product "
-    "identity, rounded to 6 dp before ranking.",
+    "init centroids (the k=8 lowest-id vectors, numbered by position) "
+    "— (cluster, n) out. This is the hash-checkable core of the "
+    "Lloyd's kernel in isolation: assignment is a pure shuffle-free "
+    "projection (functions/clustering.py _assign), and both engines "
+    "rank on the 6-dp-rounded distance with lowest-cluster tie-break "
+    "(oracle d2 via the expanded inner-product identity). The full "
+    "iterative fit is separately hash-checked by kmeans_embeddings' "
+    "unrolled 5-round oracle.",
 )
 def kmeans_assign_init(spark: SparkSession, sf: str) -> DataFrame:
     from graphdatabases_spark.functions.clustering import _assign
 
     emb = table(spark, sf, "embeddings")
     init_rows = (
-        emb.filter(F.col("vec_id") < 8)
-        .orderBy("vec_id")
+        emb.orderBy("vec_id")
+        .limit(8)
         .select(F.transform("embedding", lambda x: x.cast("double")).alias("e"))
         .collect()
     )

@@ -133,11 +133,13 @@ def _stage_events_micro(spark: SparkSession, sf: str) -> tuple[str, str]:
     """Stage a microsecond-ts copy of ``events.parquet`` for the file-
     stream source (the raw parquet carries TIMESTAMP(NANOS)).
 
-    The temp path is keyed on a CONTENT signature of the source —
-    path + per-file (name, size, mtime) — not just the sf path, so a
-    regenerated source parquet at the same location gets a fresh stage
-    instead of silently replaying stale data.  Returns (staged_path,
-    tag) — the tag also namespaces each caller's memory sink.
+    ONE staging dir per source path (so regenerating the source never
+    accumulates orphaned copies in the temp dir); a ``_SIG`` marker
+    stores a CONTENT signature of the source — per-file (name, size,
+    mtime) — and a mismatch triggers an overwrite re-stage, so a
+    regenerated source parquet at the same location never silently
+    replays stale data.  Returns (staged_path, tag) — the tag (keyed on
+    path + signature) also namespaces each caller's memory sink.
     """
     import hashlib
     import os
@@ -152,14 +154,22 @@ def _stage_events_micro(spark: SparkSession, sf: str) -> tuple[str, str]:
     elif os.path.exists(src):
         st = os.stat(src)
         sig_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    tag = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:12]
-    staged = os.path.join(tempfile.gettempdir(), f"sg_events_stream_{tag}")
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+    sig = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:12]
+    path_tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    staged = os.path.join(tempfile.gettempdir(), f"sg_events_stream_{path_tag}")
+    marker = os.path.join(staged, "_SIG")
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            current = fh.read().strip()
+    if current != sig or not os.path.exists(os.path.join(staged, "_SUCCESS")):
         # Parallel write — a coalesce(1) here would funnel the whole
         # stage through one task; downstream consumers re-key anyway,
         # so the file count doesn't affect results.
         table(spark, sf, "events").write.mode("overwrite").parquet(staged)
-    return staged, tag
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return staged, f"{path_tag}_{sig}"
 
 
 @register(

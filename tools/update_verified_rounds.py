@@ -26,6 +26,11 @@ def main(repo: str) -> None:
         for name, row in json.load(open(path)).items():
             if row.get("hash_match") or row.get("err") == "no_oracle":
                 latest[name] = rnd
+            else:
+                # A LATER red row demotes the entry back to tier 0 (it
+                # must be re-proven first), even if an earlier round was
+                # green — dropping it from the map does exactly that.
+                latest.pop(name, None)
     by_round: dict[int, list[str]] = {}
     for name, rnd in latest.items():
         by_round.setdefault(rnd, []).append(name)
