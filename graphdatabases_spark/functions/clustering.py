@@ -6,7 +6,8 @@ lowest-cluster tie-break, DECIMAL-exact centroid means), so the catalog
 entry's DuckDB oracle replays the full 5-round fit as chained CTEs and
 value-hash-checks it; tests/test_pipeline_queries.py additionally pins
 the invariants (partition of the input, monotone non-increasing
-inertia, label purity).
+inertia — up to the ≤1e-6-per-point slack a 6-dp rounding tie can
+introduce — and label purity).
 
 Scale design (the 100-TB path):
 
@@ -48,9 +49,10 @@ def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     The argmin compares distances ROUNDED to 6 dp (raw comparison is
     deterministic within one engine, but the SQL oracle's
     inner-product-identity d2 differs from the fold-order d2 here by
-    ~1e-13, so a raw near-tie could rank differently across engines;
-    with both sides rounding, ties resolve to the lowest cluster id
-    identically — the same discipline as the IVF centroid ranking)."""
+    ~1e-13, so ANY raw near-tie could rank differently across engines;
+    rounding shrinks the cross-engine divergence window to the measure-
+    tiny case of a d2 landing within ~1e-13 of a 6-dp rounding
+    boundary — the same discipline as the IVF centroid ranking)."""
     d = df.withColumn("_e", F.transform("embedding", lambda x: x.cast("double")))
     dist_cols = [
         _dist2(F.col("_e"), centroids[i]).alias(f"_d{i}")
@@ -58,7 +60,8 @@ def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     ]
     d = d.select("*", *dist_cols)
     rounded = [F.round(F.col(f"_d{i}"), 6) for i in range(len(centroids))]
-    best_r = F.least(*rounded)
+    # F.least needs >= 2 columns; k=1 degenerates to the single distance.
+    best_r = F.least(*rounded) if len(rounded) > 1 else rounded[0]
     cluster = F.lit(None).cast("int")
     dist2 = F.lit(None).cast("double")
     for i in reversed(range(len(centroids))):
@@ -78,15 +81,22 @@ def kmeans_fit(
     id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Lloyd's iterations with deterministic init (the vectors of the k
-    smallest ids, numbered by position — no density assumption on the
-    id space).  Returns the final centroid matrix."""
+    smallest non-null ids, numbered by position — no density assumption
+    on the id space; the null filter matters because Spark sorts nulls
+    FIRST while the SQL oracle's engine sorts them LAST).  If the input
+    has fewer than k rows, k clamps to the row count.  Returns the
+    final centroid matrix."""
     init_rows = (
-        df.orderBy(id_col)
+        df.filter(F.col(id_col).isNotNull())
+        .orderBy(id_col)
         .limit(k)
         .select(F.transform(vec_col, lambda x: x.cast("double")).alias("e"))
         .collect()
     )
     centroids = [list(r["e"]) for r in init_rows]
+    if not centroids:
+        raise ValueError("kmeans_fit: input has no rows with a non-null id")
+    k = len(centroids)  # clamp: fewer rows than requested clusters
     for _ in range(iters):
         assigned = _assign(df, centroids)
         # Mean = exact DECIMAL sum / count (not a double avg): double

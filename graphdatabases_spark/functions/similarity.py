@@ -253,8 +253,10 @@ def ivf_train(
     v = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("_id"), "_vec", "_norm"
     )
+    # Null-id filter: Spark sorts nulls FIRST, the oracle's engine LAST.
     seeds = (
-        v.orderBy("_id")
+        v.filter(F.col("_id").isNotNull())
+        .orderBy("_id")
         .limit(num_clusters)
         .withColumn(
             "cid",

@@ -217,6 +217,10 @@ def connected_components(
     answer without O(diameter) job rounds.
     Returns DataFrame(id BIGINT, comp BIGINT).
     """
+    if max_iters < 1:
+        # Zero propagation rounds would silently return every vertex as
+        # its own component (same hazard class as the kcore guard).
+        raise ValueError(f"connected_components needs max_iters >= 1, got {max_iters}")
     e = _edges(graph)
     if _pick_strategy(e, strategy, local_threshold) == "local":
         return _connected_components_local(graph, e)

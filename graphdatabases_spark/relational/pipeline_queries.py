@@ -476,8 +476,10 @@ def kmeans_assign_init(spark: SparkSession, sf: str) -> DataFrame:
     from graphdatabases_spark.functions.clustering import _assign
 
     emb = table(spark, sf, "embeddings")
+    # Null-id filter: Spark sorts nulls FIRST, the oracle's engine LAST.
     init_rows = (
-        emb.orderBy("vec_id")
+        emb.filter(F.col("vec_id").isNotNull())
+        .orderBy("vec_id")
         .limit(8)
         .select(F.transform("embedding", lambda x: x.cast("double")).alias("e"))
         .collect()
