@@ -1358,16 +1358,27 @@ def copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
                   AS DECIMAL(18,9)) AS nrm
       FROM embeddings
     ),
-    s AS (
-      SELECT count(*) AS n, sum(nrm) AS s1, sum(nrm * nrm) AS s2 FROM v
+    s1 AS (
+      SELECT count(*) AS n,
+             CAST(round(CAST(sum(nrm) AS DOUBLE) / count(*), 6)
+                  AS DECIMAL(12,6)) AS c
+      FROM v
+    ),
+    d AS (
+      SELECT vec_id, nrm,
+             CAST(nrm - c AS DECIMAL(18,9)) AS dev
+      FROM v, s1
+    ),
+    s2 AS (
+      SELECT sum(dev) AS m1s, sum(dev * dev) AS m2s FROM d
     ),
     z AS (
       SELECT vec_id, nrm,
-             (CAST(nrm AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
-             / sqrt(CAST(s2 AS DOUBLE) / n
-                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             (CAST(dev AS DOUBLE) - CAST(m1s AS DOUBLE) / n)
+             / sqrt(CAST(m2s AS DOUBLE) / n
+                    - (CAST(m1s AS DOUBLE) / n) * (CAST(m1s AS DOUBLE) / n))
                AS zval
-      FROM v, s
+      FROM d, s2, s1
     )
     SELECT vec_id, CAST(round(CAST(nrm AS DOUBLE), 6) AS DOUBLE) AS norm,
            round(zval, 4) AS z
@@ -1377,10 +1388,15 @@ def copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
     doc="Embedding QA: vectors whose L2 norm is a >2-sigma outlier — "
     "the malformed-embedding detector run before indexing/clustering. "
     "Per-vector norms fold deterministically in index order (bit-"
-    "identical across engines), then get cast to DECIMAL so the "
-    "corpus moment sums are EXACT on any partitioning; the z "
-    "computation is closed-form double arithmetic off one broadcast "
-    "stats row.",
+    "identical across engines) and get cast to DECIMAL so moment sums "
+    "are EXACT on any partitioning. Moments are CENTERED on a 6-dp "
+    "anchor (round(mean)) before squaring: the raw sum-of-squares "
+    "formulation put a large scale-18 decimal through a decimal→double "
+    "cast whose rounding differs across engines by an ulp, and with "
+    "near-constant norms the variance is pure cancellation — centering "
+    "keeps every decimal that crosses into double TINY, so the cast is "
+    "well-conditioned and z is engine-identical. Two broadcast stats "
+    "rows, shift-invariant z, same output.",
 )
 def embedding_norm_outliers(spark: SparkSession, sf: str) -> DataFrame:
     v = F.transform("embedding", lambda x: x.cast("double"))
@@ -1390,18 +1406,28 @@ def embedding_norm_outliers(spark: SparkSession, sf: str) -> DataFrame:
     base = table(spark, sf, "embeddings").select(
         "vec_id", F.sqrt(dot).cast("decimal(18,9)").alias("nrm")
     )
-    s = F.broadcast(
+    s1 = F.broadcast(
         base.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("nrm").alias("s1"),
-            F.sum(F.col("nrm") * F.col("nrm")).alias("s2"),
+            F.round(F.sum("nrm").cast("double") / F.count(F.lit(1)), 6)
+            .cast("decimal(12,6)")
+            .alias("c"),
         )
     )
-    mean = F.col("s1").cast("double") / F.col("n")
-    var = F.col("s2").cast("double") / F.col("n") - mean * mean
-    zval = (F.col("nrm").cast("double") - mean) / F.sqrt(var)
+    d = base.crossJoin(s1).withColumn(
+        "dev", (F.col("nrm") - F.col("c")).cast("decimal(18,9)")
+    )
+    s2 = F.broadcast(
+        d.agg(
+            F.sum("dev").alias("m1s"),
+            F.sum(F.col("dev") * F.col("dev")).alias("m2s"),
+        )
+    )
+    m1 = F.col("m1s").cast("double") / F.col("n")
+    var = F.col("m2s").cast("double") / F.col("n") - m1 * m1
+    zval = (F.col("dev").cast("double") - m1) / F.sqrt(var)
     return (
-        base.crossJoin(s)
+        d.crossJoin(s2)
         .withColumn("_z", zval)
         .filter(F.abs(F.col("_z")) > 2)
         .select(

@@ -121,6 +121,7 @@ def _load_all() -> None:
 #   upgraded from rows-only to full value-hash oracles (portable
 #   hyperplane signs; deterministic IVF quantizer and the 5-round
 #   Lloyd fit replayed in SQL) — NO rows-only entries remain
+#   grouped_map_zscore — r4: output now rounds to 6 dp (sf0.1-robust)
 _VERIFIED_ROUND: dict[str, int] = {
     # r1-stale cohort (last externally verified in round 1)
     "agg_collect_set": 1, "agg_count_distinct": 1, "agg_cube": 1,
@@ -172,7 +173,7 @@ _VERIFIED_ROUND: dict[str, int] = {
     "filter_in_list": 3, "filter_like": 3, "filter_null_safe": 3,
     "filter_range_dates": 3, "fuzzy_levenshtein_parts": 3,
     "graph_degree_assortativity": 3, "graph_node_jaccard": 3,
-    "grouped_map_zscore": 3, "join_broadcast_dim": 3, "join_full_outer": 3,
+    "join_broadcast_dim": 3, "join_full_outer": 3,
     "join_left_outer": 3, "join_semi": 3, "join_sortmerge_fact": 3,
     "json_extract_events": 3, "knn_label_vote": 3,
     "merge_upsert_orders": 3, "multimodal_frame_sample": 3,

@@ -69,9 +69,12 @@ def udaf_priority_geomean(spark: SparkSession, sf: str) -> DataFrame:
     "grouped_map_zscore",
     oracle="""
     -- Mirrors the pandas kernel op-for-op: exact HUGEINT sums of cent
-    -- values, then the identical double expression — bit-identical
-    -- zscores, so no lossy rounding is needed (round(x, 2) was flipping
-    -- boundary values under pandas-vs-SQL avg/stddev last-ulp drift).
+    -- values, then the identical double expression.  Output rounds to
+    -- 6 dp: once the group's sum-of-squares exceeds 2^53 (sf >= 0.1),
+    -- DuckDB's two-step hugeint->double cast can differ from Python's
+    -- correctly-rounded int->float by one ulp (~1e-16 on the zscore) —
+    -- far below the 6-dp boundary, so rounding absorbs it; raw floats
+    -- would hash-mismatch on that last ulp.
     WITH g AS (
       SELECT o_orderpriority,
              count(*) AS n,
@@ -81,12 +84,13 @@ def udaf_priority_geomean(spark: SparkSession, sf: str) -> DataFrame:
       FROM orders GROUP BY o_orderpriority
     )
     SELECT o_orderkey, o.o_orderpriority,
-           CASE WHEN CAST(sxx AS DOUBLE) / n
-                     - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) > 0
-                THEN (floor(o_totalprice * 100 + 0.5) - CAST(sx AS DOUBLE) / n)
-                     / sqrt(CAST(sxx AS DOUBLE) / n
-                            - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
-                ELSE 0.0 END AS zscore
+           round(
+             CASE WHEN CAST(sxx AS DOUBLE) / n
+                       - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) > 0
+                  THEN (floor(o_totalprice * 100 + 0.5) - CAST(sx AS DOUBLE) / n)
+                       / sqrt(CAST(sxx AS DOUBLE) / n
+                              - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                  ELSE 0.0 END, 6) AS zscore
     FROM orders o JOIN g ON g.o_orderpriority = o.o_orderpriority
     ORDER BY o_orderkey
     """,
@@ -100,7 +104,11 @@ def grouped_map_zscore(spark: SparkSession, sf: str) -> DataFrame:
         orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
         .groupBy("o_orderpriority")
         .applyInPandas(zscore_per_group, schema=ZSCORE_SCHEMA)
-        .select("o_orderkey", "o_orderpriority", "zscore")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("zscore", 6).alias("zscore"),
+        )
         .orderBy("o_orderkey")
     )
 
