@@ -98,92 +98,167 @@ def _load_all() -> None:
 
 
 # Round in which the driver's sf0.01 gate LAST confirmed each entry green
-# (hash_match, or rows-only where no SQL oracle exists).  Derived from
-# CORRECTNESS_r0{1,2,3}.json; update per round.  The external gate
-# samples the FIRST 50 catalog entries in emission order, so emission is
-# staleness-ordered: entries with new/changed semantics first (must be
-# (re)proven), then oldest-verified-first so the external sample keeps
-# re-confirming the cohort whose code has churned longest since its last
-# external check.  All entries stay covered by the local DuckDB
-# differential (tests/test_oracle_catalog.py) regardless of order.
+# (hash_match, or rows-only where no SQL oracle exists).  Regenerated from
+# CORRECTNESS_r0{1,2,3,4}.json via tools/update_verified_rounds.py; update
+# per round.  The external gate samples the FIRST 50 catalog entries in
+# emission order, so emission is staleness-ordered: entries with
+# new/changed semantics first (must be (re)proven), then
+# oldest-verified-first so the external sample keeps re-confirming the
+# cohort whose code has churned longest since its last external check.
+# All entries stay covered by the local DuckDB differential
+# (tests/test_oracle_catalog.py) regardless of order.
 #
-# Absent from this map (→ emitted first, round 0):
-#   orders_rfm_segments        — r4: ntile → quantile-boundary semantics
-#   graph_kcore_entity         — r4: gained an unrolled-peel oracle
-#   agg_approx_count_distinct  — r4: now exact count + within_5pct
-#   kmeans_assign_init         — r4: new entry
-#   dedup_keep_first_normalized, docs_stratified_sample,
-#   orders_repeat_intervals, text_bigram_novelty,
-#   events_stream_click_attribution (stream-stream join),
-#   events_user_features, copurchase_lift, embedding_norm_outliers
-#   — r4: new batch-5 entries
-#   similarity_ann_lsh, similarity_ann_ivf, kmeans_embeddings — r4:
-#   upgraded from rows-only to full value-hash oracles (portable
-#   hyperplane signs; deterministic IVF quantizer and the 5-round
-#   Lloyd fit replayed in SQL) — NO rows-only entries remain
-#   grouped_map_zscore — r4: output now rounds to 6 dp (sf0.1-robust)
+# After r4 every entry has at least one green external row (no round-0
+# tier); the r5 sample therefore covers the 48-entry r1/r2-stale cohort
+# (+2 from r3 order) whose code has churned longest.
 _VERIFIED_ROUND: dict[str, int] = {
-    # r1-stale cohort (last externally verified in round 1)
-    "agg_collect_set": 1, "agg_count_distinct": 1, "agg_cube": 1,
-    "agg_grouping_sets": 1, "agg_percentile": 1, "agg_rollup": 1,
-    "agg_stats": 1, "join_anti": 1, "join_salted_skew": 1,
-    "join_theta_pairs": 1, "q10_returned_items": 1, "q14_promo_revenue": 1,
-    "q18_large_volume": 1, "q19_disjunctive": 1, "q1_pricing_summary": 1,
-    "q22_missed_customers": 1, "q3_shipping_priority": 1,
-    "q4_order_priority": 1, "q5_local_supplier": 1,
-    "q6_forecast_revenue": 1, "q7_volume_shipping": 1,
-    "scalar_case_when": 1, "scalar_date_funcs": 1, "scalar_math_funcs": 1,
-    "scalar_string_funcs": 1, "setop_except": 1, "setop_intersect": 1,
-    "setop_union": 1, "topk_global": 1, "window_lag_lead": 1,
-    "window_ntile": 1, "window_range_frame": 1, "window_rank": 1,
-    "window_running_sum": 1, "window_topk_per_group": 1,
+    # r1 cohort
+    "q22_missed_customers": 1,
     # r2 cohort
-    "dedup_exact_summary": 2, "dedup_jaccard_pairs": 2,
-    "dedup_lsh_candidates": 2, "dedup_minhash_signatures": 2,
-    "dedup_simhash": 2, "embedding_label_centroids": 2,
-    "events_dedup_first": 2, "events_session_windows": 2,
-    "events_sliding_10m5m": 2, "events_stateful_running_totals": 2,
-    "events_tumbling_hourly": 2, "graph_bfs_distances_entity": 2,
-    "graph_connected_components": 2, "graph_copurchase_pairs": 2,
-    "graph_degree_histogram": 2, "graph_khop_entity": 2,
-    "graph_khop_grid": 2, "graph_label_propagation": 2,
-    "graph_node_derivation": 2, "graph_pagerank": 2, "graph_ssp_grid": 2,
-    "graph_triangle_count": 2, "join_asof_events": 2,
-    "join_range_events": 2, "multimodal_metadata": 2,
-    "q11_important_parts": 2, "q12_priority_by_month": 2,
-    "q13_customer_distribution": 2, "q15_top_supplier": 2,
-    "q16_supplier_part_counts": 2, "q17_small_qty_revenue": 2,
-    "q20_part_promotion": 2, "q21_waiting_suppliers": 2,
-    "q2_min_cost_supplier": 2, "q8_market_share": 2,
-    "q9_product_profit": 2, "similarity_cosine_topk": 2,
-    "similarity_threshold_pairs": 2, "text_fingerprint": 2,
-    "text_language_guess": 2, "text_quality_score": 2,
-    "text_tfidf_topterms": 2, "text_token_stats": 2,
-    "udaf_priority_geomean": 2, "udf_embedding_l2norm": 2,
+    "dedup_exact_summary": 2,
+    "dedup_jaccard_pairs": 2,
+    "dedup_lsh_candidates": 2,
+    "dedup_minhash_signatures": 2,
+    "dedup_simhash": 2,
+    "embedding_label_centroids": 2,
+    "events_dedup_first": 2,
+    "events_session_windows": 2,
+    "events_sliding_10m5m": 2,
+    "events_stateful_running_totals": 2,
+    "events_tumbling_hourly": 2,
+    "graph_bfs_distances_entity": 2,
+    "graph_connected_components": 2,
+    "graph_copurchase_pairs": 2,
+    "graph_degree_histogram": 2,
+    "graph_khop_entity": 2,
+    "graph_khop_grid": 2,
+    "graph_label_propagation": 2,
+    "graph_node_derivation": 2,
+    "graph_pagerank": 2,
+    "graph_ssp_grid": 2,
+    "graph_triangle_count": 2,
+    "join_asof_events": 2,
+    "join_range_events": 2,
+    "multimodal_metadata": 2,
+    "q11_important_parts": 2,
+    "q12_priority_by_month": 2,
+    "q13_customer_distribution": 2,
+    "q15_top_supplier": 2,
+    "q16_supplier_part_counts": 2,
+    "q17_small_qty_revenue": 2,
+    "q20_part_promotion": 2,
+    "q21_waiting_suppliers": 2,
+    "q2_min_cost_supplier": 2,
+    "q8_market_share": 2,
+    "q9_product_profit": 2,
+    "similarity_cosine_topk": 2,
+    "similarity_threshold_pairs": 2,
+    "text_fingerprint": 2,
+    "text_language_guess": 2,
+    "text_quality_score": 2,
+    "text_tfidf_topterms": 2,
+    "text_token_stats": 2,
+    "udaf_priority_geomean": 2,
+    "udf_embedding_l2norm": 2,
     "udtf_bigram_counts": 2,
     # r3 cohort
-    "agg_mode_status_priority": 3, "dedup_connected_clusters": 3,
-    "dq_profile_orders": 3, "embedding_quantize_int8": 3,
-    "events_daily_retention": 3, "events_error_rate_hourly": 3,
-    "events_first_touch": 3, "events_funnel_conversion": 3,
-    "events_gap_fill_hourly": 3, "events_hourly_anomaly": 3,
-    "events_latest_per_user": 3, "events_rollup_multires": 3,
-    "events_session_stats": 3, "events_stream_enriched_nation": 3,
-    "events_type_pivot": 3, "events_type_transitions": 3,
-    "filter_in_list": 3, "filter_like": 3, "filter_null_safe": 3,
-    "filter_range_dates": 3, "fuzzy_levenshtein_parts": 3,
-    "graph_degree_assortativity": 3, "graph_node_jaccard": 3,
-    "join_broadcast_dim": 3, "join_full_outer": 3,
-    "join_left_outer": 3, "join_semi": 3, "join_sortmerge_fact": 3,
-    "json_extract_events": 3, "knn_label_vote": 3,
-    "merge_upsert_orders": 3, "multimodal_frame_sample": 3,
-    "multimodal_resize_thumbs": 3, "orders_validity_intervals": 3,
-    "sample_systematic_orders": 3, "scalar_array_funcs": 3,
-    "scan_filter_project": 3, "source_binary_listing": 3,
-    "split_assign_orders": 3, "stat_corr_part": 3,
-    "stat_histogram_events": 3, "stat_linreg_orders": 3,
-    "text_char_trigrams_by_lang": 3, "text_vocab_coverage": 3,
-    "window_first_last_frames": 3, "window_percent_rank_price": 3,
+    "agg_mode_status_priority": 3,
+    "dedup_connected_clusters": 3,
+    "dq_profile_orders": 3,
+    "embedding_quantize_int8": 3,
+    "events_daily_retention": 3,
+    "events_error_rate_hourly": 3,
+    "events_first_touch": 3,
+    "events_funnel_conversion": 3,
+    "events_gap_fill_hourly": 3,
+    "events_hourly_anomaly": 3,
+    "events_latest_per_user": 3,
+    "events_rollup_multires": 3,
+    "events_session_stats": 3,
+    "events_stream_enriched_nation": 3,
+    "events_type_pivot": 3,
+    "events_type_transitions": 3,
+    "filter_in_list": 3,
+    "filter_like": 3,
+    "filter_null_safe": 3,
+    "filter_range_dates": 3,
+    "fuzzy_levenshtein_parts": 3,
+    "graph_degree_assortativity": 3,
+    "graph_node_jaccard": 3,
+    "join_broadcast_dim": 3,
+    "join_full_outer": 3,
+    "join_left_outer": 3,
+    "join_semi": 3,
+    "join_sortmerge_fact": 3,
+    "json_extract_events": 3,
+    "knn_label_vote": 3,
+    "merge_upsert_orders": 3,
+    "multimodal_frame_sample": 3,
+    "multimodal_resize_thumbs": 3,
+    "orders_validity_intervals": 3,
+    "sample_systematic_orders": 3,
+    "scalar_array_funcs": 3,
+    "scan_filter_project": 3,
+    "source_binary_listing": 3,
+    "split_assign_orders": 3,
+    "stat_corr_part": 3,
+    "stat_histogram_events": 3,
+    "stat_linreg_orders": 3,
+    "text_char_trigrams_by_lang": 3,
+    "text_vocab_coverage": 3,
+    "window_first_last_frames": 3,
+    "window_percent_rank_price": 3,
+    # r4 cohort
+    "agg_approx_count_distinct": 4,
+    "agg_collect_set": 4,
+    "agg_count_distinct": 4,
+    "agg_cube": 4,
+    "agg_grouping_sets": 4,
+    "agg_percentile": 4,
+    "agg_rollup": 4,
+    "agg_stats": 4,
+    "copurchase_lift": 4,
+    "dedup_keep_first_normalized": 4,
+    "docs_stratified_sample": 4,
+    "embedding_norm_outliers": 4,
+    "events_stream_click_attribution": 4,
+    "events_user_features": 4,
+    "graph_kcore_entity": 4,
+    "grouped_map_zscore": 4,
+    "join_anti": 4,
+    "join_salted_skew": 4,
+    "join_theta_pairs": 4,
+    "kmeans_assign_init": 4,
+    "kmeans_embeddings": 4,
+    "orders_repeat_intervals": 4,
+    "orders_rfm_segments": 4,
+    "q10_returned_items": 4,
+    "q14_promo_revenue": 4,
+    "q18_large_volume": 4,
+    "q19_disjunctive": 4,
+    "q1_pricing_summary": 4,
+    "q3_shipping_priority": 4,
+    "q4_order_priority": 4,
+    "q5_local_supplier": 4,
+    "q6_forecast_revenue": 4,
+    "q7_volume_shipping": 4,
+    "scalar_case_when": 4,
+    "scalar_date_funcs": 4,
+    "scalar_math_funcs": 4,
+    "scalar_string_funcs": 4,
+    "setop_except": 4,
+    "setop_intersect": 4,
+    "setop_union": 4,
+    "similarity_ann_ivf": 4,
+    "similarity_ann_lsh": 4,
+    "text_bigram_novelty": 4,
+    "topk_global": 4,
+    "window_lag_lead": 4,
+    "window_ntile": 4,
+    "window_range_frame": 4,
+    "window_rank": 4,
+    "window_running_sum": 4,
+    "window_topk_per_group": 4,
 }
 
 
