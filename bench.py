@@ -211,10 +211,11 @@ def main() -> None:
     # likewise times submit + server compute WITHOUT materializing the
     # result cursor (SURVEY §3.2) — so the result-DataFrame fetch is
     # asserted outside the timed region.
-    # The micro rows cost ~50 ms each; min-of-3 keeps a host-scheduling
-    # blip from tripping a sub-100-ms comparison.
+    # The micro rows cost ~20-50 ms each, where single-run jitter is
+    # ±30-50% (round-5 adjudication: 12 back-to-back SSP runs spanned
+    # 25-39 ms on an identical code path); min-of-7 pins the floor.
     best = float("inf")
-    for _ in range(3):
+    for _ in range(7):
         t0 = time.perf_counter()
         res = khop(g, 1, 300)
         best = min(best, time.perf_counter() - t0)
@@ -222,7 +223,7 @@ def main() -> None:
     timings["grid_khop_300"] = round(best, 4)
 
     best = float("inf")
-    for _ in range(3):
+    for _ in range(7):
         t0 = time.perf_counter()
         res = ssp(g, 1, 151 * 130)
         best = min(best, time.perf_counter() - t0)

@@ -307,8 +307,27 @@ def _local_result_df(spark: SparkSession, rows: list, schema: StructType) -> Dat
 
         pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
         return spark.createDataFrame(pdf, schema)
-    # Array-typed or empty results: plain-list createDataFrame compiles
-    # to a LocalRelation in half the RPC roundtrips of parallelize().
+    if rows:
+        # Array-typed results (SSP paths): hand Spark ONE Arrow batch.
+        # The row-list path re-verifies every element against the schema
+        # driver-side (~6 ms extra on a 1-row path result — measured
+        # round 5); Arrow skips that entirely.
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(schema)
+            cols = {
+                f.name: [row[i] for row in rows]
+                for i, f in enumerate(schema.fields)
+            }
+            return spark.createDataFrame(
+                pa.table(cols, schema=arrow_schema), schema
+            )
+        except Exception:  # pragma: no cover - fallback for exotic types
+            pass
+    # Empty results: plain-list createDataFrame compiles to a
+    # LocalRelation in half the RPC roundtrips of parallelize().
     return spark.createDataFrame(rows, schema)
 
 
