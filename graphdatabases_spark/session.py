@@ -51,6 +51,20 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- Memory ----------------------------------------------------------
+        # Off-heap Tungsten pages: on-heap mode allocates execution pages
+        # as 64 MiB long[] — humongous objects under G1 — and a shuffle
+        # big enough to need many of them (first seen at sf1: a 6M-row
+        # groupBy) triggers commit/GC storms that made identical runs
+        # swing 1.7 s ↔ 25.8 s on this box (70%+ kernel time). Off-heap
+        # allocation removed the swing entirely (0.7-1.1 s steady). On a
+        # real cluster this is the same reason production configs enable
+        # it for shuffle-heavy jobs.
+        .config("spark.memory.offHeap.enabled", "true")
+        .config(
+            "spark.memory.offHeap.size",
+            os.environ.get("SPARK_GRAFT_OFFHEAP", "8g"),
+        )
         # --- Python/Arrow ---------------------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- Determinism ----------------------------------------------------

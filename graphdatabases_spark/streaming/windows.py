@@ -183,6 +183,40 @@ def run_stream_to_memory(
     return stream_df.sparkSession.table(query_name)
 
 
+def run_stream_checkpointed(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Run a streaming query to completion (availableNow) with a durable
+    checkpoint, appending every micro-batch's output to ``out_dir``
+    parquet via foreachBatch (the sink shape that supports any output
+    mode).
+
+    The fault-tolerance contract this enables: a SECOND invocation with
+    the same ``checkpoint_dir`` (even from a freshly built, identical
+    plan) resumes exactly where the first stopped — consumed source
+    files are not reprocessed and keyed operator state (stateful
+    aggregations, stream-stream join buffers) is restored from the
+    state store, not rebuilt. That recovery path is what breaks first
+    in production and is pinned by tests/test_streaming.py's
+    TestCheckpointRestart.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def write_stream_foreach_batch(stream_df: DataFrame, out_dir: str) -> None:
     """foreachBatch parquet sink: per-micro-batch custom write — the
     pattern for idempotent upserts / multi-sink fan-out at scale."""

@@ -333,6 +333,124 @@ class TestStatefulOperator:
         assert (abs(merged["total_got"] - merged["total_exp"]) < 1e-4).all()
 
 
+class TestCheckpointRestart:
+    """Stop a query mid-stream, restart from the same checkpointLocation
+    with a freshly built plan, and prove operator state was recovered
+    from the state store (not rebuilt) — the production fault-tolerance
+    path.  Phase boundaries are deterministic: phase 1's source dir
+    holds only the first file(s) and runs availableNow to completion
+    (checkpoint commits them); the remaining files are added before
+    phase 2 restarts."""
+
+    @staticmethod
+    def _write_events(spark, tmp_path, src, name, rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "tmp_ckpt")
+        )
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / "tmp_ckpt" / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / name))
+
+    def test_stateful_totals_restart_recovers_state(self, spark, tmp_path):
+        """applyInPandasWithState keyed state must survive a full query
+        stop/restart: phase 2's running totals must INCLUDE phase 1's
+        rows (a lost state store would restart every user's count at
+        its phase-2 row count)."""
+        from graphdatabases_spark.streaming.stateful import running_user_totals
+        from graphdatabases_spark.streaming.windows import run_stream_checkpointed
+
+        src = tmp_path / "ckpt_src"
+        src.mkdir()
+        out = str(tmp_path / "ckpt_out")
+        ckpt = str(tmp_path / "ckpt_state")
+
+        self._write_events(spark, tmp_path, src, "f1.parquet", [
+            (1, "2024-01-01 09:00:00", 1, "view", 10.0, "{}"),
+            (2, "2024-01-01 09:01:00", 1, "view", 5.0, "{}"),
+            (3, "2024-01-01 09:02:00", 2, "click", 7.0, "{}"),
+        ])
+        run_stream_checkpointed(
+            running_user_totals(read_events_stream(spark, str(src))),
+            out, ckpt, "update",
+        )
+
+        # Phase 2: new files appear; a FRESH identical plan restarts
+        # from the same checkpoint.
+        self._write_events(spark, tmp_path, src, "f2.parquet", [
+            (4, "2024-01-01 09:10:00", 1, "view", 2.0, "{}"),
+            (5, "2024-01-01 09:11:00", 3, "view", 1.0, "{}"),
+        ])
+        run_stream_checkpointed(
+            running_user_totals(read_events_stream(spark, str(src))),
+            out, ckpt, "update",
+        )
+
+        got = spark.read.parquet(out).toPandas()
+        # Source files were not reprocessed: user 1 has exactly two
+        # running rows (one per phase), not three.
+        assert len(got) == 4, got
+        final = got.sort_values("n").groupby("user_id").last()
+        # User 1's phase-2 row folds phase-1 state: n=3, total=17
+        # (state lost => n=1, total=2).
+        assert final.loc[1, "n"] == 3 and final.loc[1, "total"] == 17.0
+        assert final.loc[2, "n"] == 1 and final.loc[2, "total"] == 7.0
+        assert final.loc[3, "n"] == 1 and final.loc[3, "total"] == 1.0
+
+    def test_attribution_join_restart_recovers_buffered_side(self, spark, tmp_path):
+        """Stream-stream join buffers must survive restart: a click
+        consumed before the stop must still pair with a purchase that
+        only arrives after the restart (lost buffers => no pair, since
+        the click's file is never re-read)."""
+        from graphdatabases_spark.streaming.windows import (
+            attribution_join,
+            run_stream_checkpointed,
+        )
+
+        src = tmp_path / "ckpt_attr_src"
+        src.mkdir()
+        out = str(tmp_path / "ckpt_attr_out")
+        ckpt = str(tmp_path / "ckpt_attr_state")
+
+        def pipeline():
+            ev = read_events_stream(spark, str(src))
+            return attribution_join(
+                ev.filter(F.col("event_type") == "click"),
+                ev.filter(F.col("event_type") == "purchase"),
+                max_gap="30 minutes",
+                watermark="40 minutes",
+            )
+
+        # Phase 1: clicks only — zero pairs, clicks enter join state.
+        self._write_events(spark, tmp_path, src, "f1.parquet", [
+            (1, "2024-01-01 10:00:00", 1, "click", 0.0, "{}"),
+            (2, "2024-01-01 10:05:00", 2, "click", 0.0, "{}"),
+        ])
+        run_stream_checkpointed(pipeline(), out, ckpt, "append")
+
+        # Phase 2 (fresh plan, same checkpoint): purchase 101 pairs
+        # with buffered click 1 (20-min gap); purchase 103 is 45 min
+        # after click 2 — outside the gap even with recovered state.
+        self._write_events(spark, tmp_path, src, "f2.parquet", [
+            (101, "2024-01-01 10:20:00", 1, "purchase", 10.0, "{}"),
+            (103, "2024-01-01 10:50:00", 2, "purchase", 30.0, "{}"),
+        ])
+        run_stream_checkpointed(pipeline(), out, ckpt, "append")
+
+        got = spark.read.parquet(out)
+        pairs = {
+            (r["click_id"], r["purchase_id"]): r["purchase_value"]
+            for r in got.collect()
+        }
+        assert pairs == {(1, 101): 10.0}
+
+
 class TestRateSource:
     def test_rate_stream_schema_and_rows(self, spark, tmp_path):
         """The rate generator must match the events schema so every
