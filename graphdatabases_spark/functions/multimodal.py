@@ -11,11 +11,15 @@ The engine's convention for image/audio/video at 100 TB (SURVEY §2.2
   (columnar, bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``)
   is how decode/resize/frame-sample amortizes per-row Python cost
 
-The decode step itself is STUBBED here (image/audio codecs are not in
-this environment): ``decode_stub`` raises ``NotImplementedError`` unless
-given ``fake=True``, in which case it produces a deterministic fake
-"decoded" feature vector so the Spark-side plumbing (schema, batching,
-UDF signature) is real and tested.
+The GENERAL decode step is stubbed here (PIL/ffmpeg-class codecs are
+not in this environment): ``decode_stub`` raises ``NotImplementedError``
+unless given ``fake=True``, in which case it produces a deterministic
+fake "decoded" feature vector so the Spark-side plumbing (schema,
+batching, UDF signature) is real and tested.  The pluggable ``codec``
+parameter on each kernel is the drop-in point for real decoders, and
+``pnm_codec.PnmCodec`` (dependency-free netpbm PGM/PPM parser, incl.
+concatenated-stream frame sampling) proves the interface with a real
+format end-to-end in tests.
 """
 
 from __future__ import annotations
@@ -61,24 +65,29 @@ def decode_stub(payload: bytes, fake: bool = False) -> list[float]:
 
 
 def extract_features(
-    df: DataFrame, payload_col: str = "payload", fake: bool = True
+    df: DataFrame,
+    payload_col: str = "payload",
+    fake: bool = True,
+    codec=None,
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow-batched: each Python worker receives columnar batches, decodes
-    per row, emits (id passthrough columns + features array). This is
-    the exact shape a real image/audio featurizer plugs into — swap
-    ``decode_stub`` for the real codec.
+    per row, emits (id passthrough columns + features array). ``codec``
+    is the pluggable real decoder (any object with
+    ``decode(payload) -> list[float]``, e.g. ``pnm_codec.PnmCodec``);
+    without one the deterministic fake exercises the same plumbing.
     """
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", features array<double>"
+    decode = codec.decode if codec is not None else (
+        lambda p: decode_stub(p, fake=fake)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decode_stub(bytes(p), fake=fake) for p in pdf[payload_col]
-            ]
+            feats = [decode(bytes(p)) for p in pdf[payload_col]]
             out = pdf.copy()
             out["features"] = feats
             yield out
@@ -110,20 +119,26 @@ def resize_images(
     height: int = 8,
     payload_col: str = "payload",
     fake: bool = True,
+    codec=None,
 ) -> DataFrame:
     """mapInPandas thumbnailing: input columns pass through, plus
-    (thumb BINARY, thumb_w INT, thumb_h INT). Arrow-batched — the real
-    resizer drops in by replacing ``resize_stub``."""
+    (thumb BINARY, thumb_w INT, thumb_h INT). Arrow-batched; ``codec``
+    (``resize(payload, w, h) -> bytes``) plugs a real resizer into the
+    identical plan — both paths emit exactly width·height bytes."""
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", thumb binary, thumb_w int, thumb_h int"
+    resize = (
+        codec.resize
+        if codec is not None
+        else (lambda p, w, h: resize_stub(p, w, h, fake=fake))
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
             out["thumb"] = [
-                resize_stub(bytes(p), width, height, fake=fake)
-                for p in pdf[payload_col]
+                resize(bytes(p), width, height) for p in pdf[payload_col]
             ]
             out["thumb_w"] = width
             out["thumb_h"] = height
@@ -159,6 +174,7 @@ def sample_frames(
     payload_col: str = "payload",
     id_cols: tuple[str, ...] = ("doc_id",),
     fake: bool = True,
+    codec=None,
 ) -> DataFrame:
     """mapInPandas frame sampling: emits ``num_frames`` rows per input
     row — (id passthroughs, frame_idx INT, frame BINARY). The 1→N fan-out
@@ -170,6 +186,11 @@ def sample_frames(
     ) + ", frame_idx int, frame binary"
 
     keep_names = [f.name for f in keep]
+    sample = (
+        codec.sample_frames
+        if codec is not None
+        else (lambda p, n: frame_sample_stub(p, n, fake=fake))
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,9 +201,7 @@ def sample_frames(
                 else ((),) * len(pdf)
             )
             for ids, payload in zip(id_iter, pdf[payload_col]):
-                for i, fr in enumerate(
-                    frame_sample_stub(bytes(payload), num_frames, fake=fake)
-                ):
+                for i, fr in enumerate(sample(bytes(payload), num_frames)):
                     rows.append((*ids, i, fr))
             yield pd.DataFrame(rows, columns=keep_names + ["frame_idx", "frame"])
 
