@@ -52,7 +52,13 @@ def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     ~1e-13, so ANY raw near-tie could rank differently across engines;
     rounding shrinks the cross-engine divergence window to the measure-
     tiny case of a d2 landing within ~1e-13 of a 6-dp rounding
-    boundary — the same discipline as the IVF centroid ranking)."""
+    boundary — the same discipline as the IVF centroid ranking).
+
+    Precondition: every row's embedding is non-null (a NULL embedding
+    would get a NULL cluster here while row_number-style SQL oracles
+    would rank it into cluster 0 — a cross-engine hazard).
+    ``kmeans_fit``/``kmeans_summary`` enforce it by filtering up front,
+    mirroring the null-id filter."""
     d = df.withColumn("_e", F.transform("embedding", lambda x: x.cast("double")))
     dist_cols = [
         _dist2(F.col("_e"), centroids[i]).alias(f"_d{i}")
@@ -86,6 +92,10 @@ def kmeans_fit(
     FIRST while the SQL oracle's engine sorts them LAST).  If the input
     has fewer than k rows, k clamps to the row count.  Returns the
     final centroid matrix."""
+    # Null-embedding rows can neither seed nor train a centroid (and
+    # _assign would give them a NULL cluster while the SQL oracle's
+    # row_number ranking would not) — drop them up front, like null ids.
+    df = df.filter(F.col(vec_col).isNotNull())
     init_rows = (
         df.filter(F.col(id_col).isNotNull())
         .orderBy(id_col)
@@ -135,6 +145,7 @@ def kmeans_summary(
     rounded to 3 dp, absorbing the ~1e-10 difference between the
     fold-order dist2 here and the inner-product-identity dist2 the SQL
     oracle computes — so the whole fit is value-hash-checkable."""
+    df = df.filter(F.col("embedding").isNotNull())
     centroids = kmeans_fit(df, k=k, iters=iters)
     assigned = _assign(df, centroids)
     return (

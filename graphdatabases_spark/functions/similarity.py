@@ -18,6 +18,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Fixture/corpus embedding dimensionality. The Spark kernels derive the
+# dim from the data at runtime; the SQL oracles cannot (the LSH
+# hyperplane-sign constants and the k-means/IVF per-dimension unrolls
+# are generated at import time), so every oracle builder imports THIS
+# constant and tests/test_llm_ops.py pins it against the fixture — a
+# fixture dim change fails loudly instead of silently desyncing the
+# oracles (ADVICE r4).
+EMBEDDING_DIM = 64
+
 def _as_double(vec_col):
     return F.transform(vec_col, lambda x: x.cast("double"))
 
@@ -127,7 +136,7 @@ def _hyperplane_signs(dim: int, plane_idx: int) -> list[float]:
 def lsh_bucket_signature(
     vectors: DataFrame,
     num_planes: int = 8,
-    dim: int = 64,
+    dim: int = EMBEDDING_DIM,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane (SRP) LSH signature: one sign bit per plane.
@@ -166,7 +175,7 @@ def ann_cosine_topk(
     corpus: DataFrame,
     k: int = 3,
     num_planes: int = 8,
-    dim: int = 64,
+    dim: int = EMBEDDING_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

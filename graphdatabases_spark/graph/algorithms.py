@@ -207,6 +207,7 @@ def connected_components(
     max_iters: int = 50,
     strategy: str = "auto",
     local_threshold: int = LOCAL_EDGE_THRESHOLD,
+    strict: bool = False,
 ) -> DataFrame:
     """Undirected connected components by iterative min-id propagation.
 
@@ -266,6 +267,21 @@ def connected_components(
             comp = new_comp
             if changed == 0:
                 break
+        else:
+            # Min-id propagation converges in O(component diameter)
+            # rounds; a caller-supplied max_iters can cut a long-path
+            # component short, leaving split component ids. Same
+            # surfacing contract as kcore: warn, or raise under strict.
+            if changed > 0:
+                msg = (
+                    f"connected_components: max_iters={max_iters} "
+                    f"exhausted before the fixpoint ({changed} labels "
+                    "still changing); components may be split — raise "
+                    "max_iters"
+                )
+                if strict:
+                    raise RuntimeError(msg)
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
         if prev_cached is not None:
             # Detach the result from the cache we are about to release.
             comp = comp.localCheckpoint(eager=True)
@@ -450,6 +466,7 @@ def kcore(
     max_iters: int = 50,
     strategy: str = "auto",
     local_threshold: int = LOCAL_EDGE_THRESHOLD,
+    strict: bool = False,
 ) -> DataFrame:
     """Nodes of the k-core (maximal subgraph with min degree ≥ k) and
     their within-core degrees. Returns DataFrame(id, core_degree).
@@ -516,14 +533,15 @@ def kcore(
             # still cut a deep peel (long path appendages) short.  A
             # silent return would contain nodes below k; surface it.
             if dropped > 0:
-                warnings.warn(
+                msg = (
                     f"kcore: max_iters={max_iters} exhausted before the "
                     f"peel fixpoint ({dropped} nodes still under k={k}); "
                     "result is the partially-peeled subgraph — raise "
-                    "max_iters",
-                    RuntimeWarning,
-                    stacklevel=2,
+                    "max_iters"
                 )
+                if strict:
+                    raise RuntimeError(msg)
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
         out = deg.select(F.col("src").alias("id"), F.col("deg").alias("core_degree"))
         out = out.localCheckpoint(eager=True)
         return out

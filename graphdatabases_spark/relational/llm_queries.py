@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from graphdatabases_spark.functions import dedup as D
 from graphdatabases_spark.functions import similarity as S
+from graphdatabases_spark.functions.similarity import EMBEDDING_DIM
 from graphdatabases_spark.functions import text as T
 from graphdatabases_spark.functions.multimodal import attach_binary_payload
 from graphdatabases_spark.relational.catalog import register, table
@@ -378,7 +379,7 @@ def similarity_threshold_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return S.threshold_pairs(v, threshold=0.3).orderBy("id_a", "id_b")
 
 
-def _lsh_bucket_sql(num_planes: int = 8, dim: int = 64) -> str:
+def _lsh_bucket_sql(num_planes: int = 8, dim: int = EMBEDDING_DIM) -> str:
     """DuckDB mirror of ``lsh_bucket_signature``: the ±1 hyperplane
     signs are module-level constants (driver-side md5, similarity.py
     ``_hyperplane_signs``), inlined here as signed element sums in the
@@ -473,7 +474,7 @@ _IVF_CC = (
       SELECT cid, i,
              CAST(sum(CAST(e[CAST(i AS INT)] AS DECIMAL(28,15))) AS DOUBLE)
                / count(*) AS mval
-      FROM a0 CROSS JOIN range(1, 65) t(i)
+      FROM a0 CROSS JOIN range(1, {EMBEDDING_DIM + 1}) t(i)
       GROUP BY cid, i
     ),
     cents AS (

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from graphdatabases_spark.functions import similarity as S
+from graphdatabases_spark.functions.similarity import EMBEDDING_DIM
 from graphdatabases_spark.functions.clustering import kmeans_summary
 from graphdatabases_spark.operators.sessionize import session_summary
 from graphdatabases_spark.relational.catalog import register, table
@@ -376,7 +377,7 @@ _KM_ROUND = f"""
       SELECT cid, i,
              CAST(sum(CAST(e[CAST(i AS INT)] AS DECIMAL(28,15))) AS DOUBLE)
                / count(*) AS mval
-      FROM a{{r}} CROSS JOIN range(1, 65) t(i)
+      FROM a{{r}} CROSS JOIN range(1, {EMBEDDING_DIM + 1}) t(i)
       GROUP BY cid, i
     ),
     cents{{r}} AS (

@@ -212,3 +212,48 @@ class TestKCore:
         assert loc, "3-core of the chorded ring must be non-empty"
         for _, d in loc:
             assert d >= 3
+
+
+class TestStrictMaxIters:
+    """strict=True turns max_iters exhaustion from a RuntimeWarning into
+    a raise so a non-fixpoint result can never be consumed silently
+    (VERDICT r4 directive 8)."""
+
+    def _long_chain(self, spark, n=12):
+        return spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "src long, dst long"
+        )
+
+    def test_kcore_strict_raises_on_exhaustion(self, spark):
+        # A 12-link chain's 2-core peels from both ends: max_iters=1
+        # cannot reach the (empty) fixpoint.
+        edges = self._long_chain(spark)
+        with pytest.raises(RuntimeError, match="max_iters=1 exhausted"):
+            kcore(edges, k=2, max_iters=1, strategy="distributed", strict=True)
+
+    def test_kcore_default_warns_not_raises(self, spark):
+        edges = self._long_chain(spark)
+        with pytest.warns(RuntimeWarning, match="max_iters=1 exhausted"):
+            out = kcore(edges, k=2, max_iters=1, strategy="distributed")
+        assert out.count() > 0  # partially-peeled result still returned
+
+    def test_cc_strict_raises_on_exhaustion(self, spark):
+        # Min-id propagation over a 12-link chain needs ~12 rounds.
+        edges = self._long_chain(spark)
+        with pytest.raises(RuntimeError, match="max_iters=2 exhausted"):
+            connected_components(
+                edges, max_iters=2, strategy="distributed", strict=True
+            )
+
+    def test_cc_default_warns_and_converged_run_is_silent(self, spark):
+        edges = self._long_chain(spark)
+        with pytest.warns(RuntimeWarning, match="components may be split"):
+            connected_components(edges, max_iters=2, strategy="distributed")
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")  # converged run must not warn
+            comp = connected_components(
+                edges, max_iters=50, strategy="distributed", strict=True
+            )
+        assert {r["comp"] for r in comp.collect()} == {0}

@@ -38,3 +38,99 @@ def test_query_runs_without_oracle(spark, sf_dir, name):
     df = q.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+class TestOracleSelfConsistency:
+    """Pins on the oracle TEXTS themselves (ADVICE r4): hazards that
+    would otherwise surface only as an opaque hash mismatch."""
+
+    @pytest.mark.parametrize(
+        "sf_dir2", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    )
+    def test_kcore_oracle_unroll_reaches_fixpoint(self, sf_dir2):
+        """graph_kcore_entity's oracle unrolls exactly 4 peel rounds; the
+        Spark side iterates to fixpoint. Assert round-idempotence d3==d4
+        so an insufficient unroll (fixture/sf change deepening the peel)
+        fails HERE with a clear message, not as a generic hash
+        mismatch."""
+        from tests.oracle_utils import duckdb_connection
+
+        oracle = REGISTRY["graph_kcore_entity"].oracle
+        head = oracle[: oracle.rindex("SELECT CAST(src AS BIGINT)")]
+        # MATERIALIZED: the probe references d3 AND d4; with DuckDB's
+        # default CTE inlining each reference re-evaluates the whole
+        # chained peel (exponential — minutes at sf0.1, seconds here).
+        head = head.replace(" AS (", " AS MATERIALIZED (")
+        probe = head + """
+        SELECT count(*) AS diff FROM (
+          (SELECT src, deg FROM d3 EXCEPT SELECT src, deg FROM d4)
+          UNION ALL
+          (SELECT src, deg FROM d4 EXCEPT SELECT src, deg FROM d3)
+        )
+        """
+        con = duckdb_connection(sf_dir2)
+        try:
+            diff = con.execute(probe).fetchone()[0]
+        finally:
+            con.close()
+        assert diff == 0, (
+            f"kcore oracle's 4-round unroll has not reached the peel "
+            f"fixpoint at {sf_dir2} ({diff} degree rows still changing) "
+            "— add more _KCORE_ROUND unrolls in graph_queries.py"
+        )
+
+    @pytest.mark.parametrize(
+        "sf_dir2",
+        [
+            "/root/testdata/sf0.001",
+            "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1",
+        ],
+    )
+    def test_fixture_embedding_dim_pins_oracle_constant(self, sf_dir2):
+        """The k-means/IVF oracles unroll EMBEDDING_DIM per-dimension
+        terms and the LSH oracle inlines EMBEDDING_DIM-length hyperplane
+        sign rows; the Spark side derives dim from the data. This pin
+        makes a fixture dim change fail loudly instead of desyncing
+        them."""
+        import duckdb
+
+        from graphdatabases_spark.functions.similarity import EMBEDDING_DIM
+
+        con = duckdb.connect()
+        try:
+            dims = con.execute(
+                f"SELECT DISTINCT len(embedding) FROM "
+                f"read_parquet('{sf_dir2}/embeddings.parquet')"
+            ).fetchall()
+        finally:
+            con.close()
+        assert dims == [(EMBEDDING_DIM,)], (
+            f"fixture embedding dim {dims} != shared constant "
+            f"{EMBEDDING_DIM} (functions/similarity.py) — update the "
+            "constant so the SQL oracles follow"
+        )
+
+    def test_kmeans_ignores_null_embedding_rows(self, spark, sf_dir):
+        """kmeans_fit/kmeans_summary drop null-embedding rows up front
+        (ADVICE r4): results must equal the clean-input run, not NULL-
+        cluster rows or a shifted init."""
+        from pyspark.sql import functions as F
+
+        from graphdatabases_spark.functions.clustering import kmeans_summary
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") < 64
+        )
+        with_null = emb.unionByName(
+            spark.createDataFrame(
+                [(10_000, None, 0)],
+                "vec_id bigint, embedding array<float>, label int",
+            )
+        )
+        clean = [tuple(r) for r in kmeans_summary(emb, k=4, iters=2).collect()]
+        nulled = [
+            tuple(r) for r in kmeans_summary(with_null, k=4, iters=2).collect()
+        ]
+        assert clean == nulled
+        assert all(c is not None for c, _, _ in nulled)

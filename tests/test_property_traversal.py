@@ -154,6 +154,118 @@ def test_ssp_numpy_equals_reference_python_bfs(seed):
     assert got_b == want_b, f"seed={seed} bounded"
 
 
+def _random_edges_big(seed: int) -> list[tuple[int, int]]:
+    """Bigger digraphs (n ≤ 200) for the iterative-algorithm properties
+    — deep enough peels/label cascades to exercise multiple rounds."""
+    rng = random.Random(seed)
+    n = rng.randint(20, 200)
+    m = rng.randint(n, 5 * n)
+    return sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+
+
+def _kcore_oracle(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Synchronous-round peel (independent of the kernel's queue-based
+    peel — the k-core is unique, so both must converge to it). Returns
+    {id: within-core degree}."""
+    from collections import Counter
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    alive = {u for uv in und for u in uv}
+    while True:
+        deg: Counter = Counter()
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        new = {v for v in alive if deg[v] >= k}
+        if new == alive:
+            return {v: deg[v] for v in alive}
+        alive = new
+
+
+def _lpa_oracle(edges: list[tuple[int, int]], num_iters: int) -> dict[int, int]:
+    """Definition-level synchronous LPA: each round every node adopts
+    the most frequent label among its symmetric neighbor MULTISET
+    (each directed edge contributes both directions; a self-loop
+    contributes the node's own label twice), ties → smallest label."""
+    from collections import Counter, defaultdict
+
+    nodes = sorted({u for uv in edges for u in uv})
+    nbrs: dict[int, list[int]] = defaultdict(list)
+    for a, b in edges:
+        nbrs[b].append(a)
+        nbrs[a].append(b)
+    labels = {v: v for v in nodes}
+    for _ in range(num_iters):
+        labels = {
+            v: min((-c, l) for l, c in Counter(labels[u] for u in nbrs[v]).items())[1]
+            for v in nodes
+        }
+    return labels
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000), k=st.integers(2, 3))
+def test_kcore_matches_synchronous_peel_oracle(spark, seed, k):
+    from graphdatabases_spark.graph.algorithms import kcore
+
+    edges = _random_edges_big(seed)
+    got = {
+        r["id"]: r["core_degree"]
+        for r in kcore(_edges_df(spark, edges), k=k).collect()
+    }
+    assert got == _kcore_oracle(edges, k), f"seed={seed} k={k}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000))
+def test_label_propagation_matches_definition_oracle(spark, seed):
+    from graphdatabases_spark.graph.algorithms import label_propagation
+
+    edges = _random_edges_big(seed)
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(_edges_df(spark, edges), num_iters=3).collect()
+    }
+    assert got == _lpa_oracle(edges, 3), f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", [77, 4242, 9001])
+def test_distributed_kcore_matches_oracle(spark, seed):
+    """The distributed peel loop must reach the same fixpoint as the
+    synchronous oracle (3 fixed seeds; auto-strategy runs local)."""
+    from graphdatabases_spark.graph.algorithms import kcore
+
+    edges = _random_edges_big(seed)
+    got = {
+        r["id"]: r["core_degree"]
+        for r in kcore(_edges_df(spark, edges), k=2, strategy="distributed").collect()
+    }
+    assert got == _kcore_oracle(edges, 2), f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", [77, 4242, 9001])
+def test_distributed_lpa_matches_oracle(spark, seed):
+    from graphdatabases_spark.graph.algorithms import label_propagation
+
+    edges = _random_edges_big(seed)
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(
+            _edges_df(spark, edges), num_iters=2, strategy="distributed"
+        ).collect()
+    }
+    assert got == _lpa_oracle(edges, 2), f"seed={seed}"
+
+
 def test_one_distributed_example_matches_oracle(spark):
     edges = _random_edges(seed=1234)
     src = edges[0][0]

@@ -36,6 +36,11 @@ SF_DIRS = {
     "0.1": "/root/testdata/sf0.1",
 }
 
+# Oracles pinned to a literal directory (duckdb read_blob can't use the
+# pre-registered views) only hold at that sf — same exclusion as
+# tests/test_oracle_catalog.py:17.
+PINNED_SF = {"source_binary_listing": "0.01"}
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -57,14 +62,15 @@ def main() -> int:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     failures: list[tuple[str, str, str]] = []
+    total_attempted = 0
     t_start = time.time()
     for sf in sfs:
         sf_dir = SF_DIRS[sf]
         t0 = time.time()
-        ok = 0
+        ok = attempted = 0
         for name in names:
             q = REGISTRY[name]
-            if q.oracle is None:
+            if q.oracle is None or PINNED_SF.get(name, sf) != sf:
                 continue
             try:
                 (verdict, detail), nrows = run_differential(
@@ -72,14 +78,16 @@ def main() -> int:
                 )
             except Exception as e:  # keep sweeping; report at the end
                 verdict, detail, nrows = "ERROR", repr(e)[:200], -1
+            attempted += 1
             if verdict == "MATCH":
                 ok += 1
             else:
                 failures.append((sf, name, f"{verdict} {detail or ''}"))
                 print(f"  FAIL sf{sf} {name}: {verdict} {detail or ''} ({nrows} rows)")
-        print(f"sf{sf}: {ok}/{len(names)} MATCH in {time.time() - t0:.0f}s")
+        total_attempted += attempted
+        print(f"sf{sf}: {ok}/{attempted} MATCH in {time.time() - t0:.0f}s")
     print(
-        f"sweep: {len(sfs) * len(names) - len(failures)}/{len(sfs) * len(names)} "
+        f"sweep: {total_attempted - len(failures)}/{total_attempted} "
         f"MATCH in {time.time() - t_start:.0f}s"
     )
     for sf, name, msg in failures:
