@@ -69,3 +69,14 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
     wider spans = fewer interpreted boundaries in the hot path."""
     plan = executed_plan(df)
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
+
+
+def aqe_skew_join_engaged(df: DataFrame) -> bool:
+    """True if the FINAL adaptive plan actually split a skewed partition
+    — ``SortMergeJoin(skew=true)`` / ``ShuffledHashJoin(skew=true)`` or
+    an ``AQEShuffleRead … skewed`` reader.  Call AFTER an action (the
+    initial plan never carries the markers); this is the runtime
+    evidence behind SCALE.md's "AQE skew-split handles residual hot
+    keys" claim."""
+    plan = executed_plan(df)
+    return "skew=true" in plan or "and skewed" in plan

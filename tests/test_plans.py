@@ -326,3 +326,74 @@ class TestBenchHeadlinePlanPins:
         plan = physical_plan(qs["graph_khop_entity"](spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") == 0, plan
         assert "BatchEvalPython" not in plan, plan
+
+
+class TestAQESkewRuntime:
+    """Runtime proof (not just config) that AQE splits a skewed shuffle
+    partition: SCALE.md's fact-fact row claims 'AQE skew-split' handles
+    residual hot keys, and until round 5 nothing ever made it fire —
+    the sf0.1 shuffles are all below the skew threshold."""
+
+    def test_skewed_sortmerge_join_gets_split(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphdatabases_spark.plans.inspect import aqe_skew_join_engaged
+
+        keys = [
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        ]
+        saved = {}
+        for k in keys:
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+        try:
+            # Force a shuffle join and scale the skew thresholds down to
+            # test size (defaults: 256 MiB / 64 MiB — the mechanism is
+            # identical, only the trigger point moves).
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "1MB",
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB"
+            )
+            # 90% of the left lands on key 0 — one shuffle partition
+            # ~18x the median, far past the 5x skew factor.
+            left = spark.range(2_000_000).select(
+                F.when(F.col("id") < 1_800_000, F.lit(0))
+                .otherwise(F.col("id") % 1000)
+                .alias("k"),
+                (F.col("id") * 7).alias("payload"),
+            )
+            right = spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") + 100).alias("dim")
+            )
+            # sum(payload) keeps the left side's payload column in the
+            # shuffle: the hot partition is then ~14 MiB of distinct
+            # longs. (Aggregating only right-side columns lets Catalyst
+            # prune payload, and 1.8M identical k=0 longs compress
+            # BELOW the skew threshold — the detector reads compressed
+            # map-output sizes.)
+            j = (
+                left.join(right, "k")
+                .groupBy()
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s"))
+            )
+            row = j.collect()[0]
+            # Correctness first: every left row matches exactly one dim.
+            assert row["n"] == 2_000_000
+            assert aqe_skew_join_engaged(j), (
+                "AQE did not split the skewed partition — check "
+                "spark.sql.adaptive.skewJoin.enabled in session defaults"
+            )
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
