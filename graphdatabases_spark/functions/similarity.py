@@ -170,6 +170,61 @@ def lsh_bucket_signature(
     return vectors.withColumn("bucket", sig)
 
 
+def lsh_build(
+    corpus: DataFrame,
+    num_planes: int = 8,
+    dim: int = EMBEDDING_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-time LSH index over a static corpus: bucket signature + norm
+    precomputed per vector. Same build/query amortization contract as
+    ``ivf_build`` — persist the returned frame and reuse it across
+    query batches; at steady state each batch pays only the bucket
+    join, not a corpus-wide signature recompute."""
+    cb = lsh_bucket_signature(corpus, num_planes, dim, vec_col)
+    return with_norm(cb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("bucket").alias("bucket_c"),
+        F.col("_vec").alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+    )
+
+
+def lsh_query(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    num_planes: int = 8,
+    dim: int = EMBEDDING_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a prebuilt ``lsh_build`` index: exact
+    cosine but only within the query's SRP bucket — the scale path
+    (broadcast bucket join instead of crossJoin; the corpus never
+    shuffles)."""
+    from pyspark.sql.window import Window
+
+    qb = lsh_bucket_signature(queries, num_planes, dim, vec_col)
+    q = with_norm(qb, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("bucket"),
+        F.col("_vec").alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    scored = (
+        index.join(F.broadcast(q), F.col("bucket") == F.col("bucket_c"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -179,34 +234,12 @@ def ann_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine but only within the query's SRP
-    bucket — the scale path (bucket join instead of crossJoin)."""
-    from pyspark.sql.window import Window
-
-    qb = lsh_bucket_signature(queries, num_planes, dim, vec_col)
-    cb = lsh_bucket_signature(corpus, num_planes, dim, vec_col)
-    q = with_norm(qb, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("bucket"),
-        F.col("_vec").alias("q_vec"),
-        F.col("_norm").alias("q_norm"),
+    """One-shot wrapper: ``lsh_build`` + ``lsh_query`` in a single plan
+    (for amortized batches, build once and call ``lsh_query``)."""
+    return lsh_query(
+        lsh_build(corpus, num_planes, dim, id_col, vec_col),
+        queries, k, num_planes, dim, id_col, vec_col,
     )
-    c = with_norm(cb, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("bucket").alias("bucket_c"),
-        F.col("_vec").alias("c_vec"),
-        F.col("_norm").alias("c_norm"),
-    )
-    cos = F.round(
-        _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 6
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("bucket") == F.col("bucket_c"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 # ---------------------------------------------------------------------------
