@@ -32,8 +32,15 @@ from pyspark.sql import functions as F
 
 def _dist2(vec_col, centroid: list[float]):
     """Squared L2 distance between an array<double> column and a Python
-    centroid, folded JVM-side in index order (deterministic)."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    centroid, folded JVM-side in index order (deterministic).
+
+    The centroid literal parses as ONE SQL expression: per-element
+    F.lit costs a py4j round-trip each (~26 ms per 64-dim centroid,
+    paid k times per assignment per Lloyd round); the %.17E rendering
+    round-trips every double exactly and parses as array<double>."""
+    lit = F.expr(
+        "array({})".format(",".join(f"{float(x):.17E}" for x in centroid))
+    )
     return F.aggregate(
         F.zip_with(vec_col, lit, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
