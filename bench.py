@@ -244,60 +244,14 @@ def main() -> None:
     # <1.0 = sublinear (fixed per-stage overhead amortizing away).
     sf1_section = {}
     if _sf_from_dir(sf_dir) == 0.1 and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
-        import importlib.util
-
-        spec = importlib.util.spec_from_file_location(
-            "make_sf1", Path(__file__).resolve().parent / "tools" / "make_sf1.py"
-        )
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        sf1_dir = mod.main()
-
-        sf1_queries = [
-            "q18_large_volume",
-            "join_sortmerge_fact",
-            "agg_cube",
-            "dedup_lsh_candidates",
-        ]
-        for name in sf1_queries:
-            qs[name](spark, sf1_dir).count()  # warm plan shape at sf1
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                n = qs[name](spark, sf1_dir).count()
-                best = min(best, time.perf_counter() - t0)
-                assert n >= 0
-            sf1_section[name] = {
-                "sec": round(best, 4),
-                "linear_x": round(best / (10 * timings[name]), 2),
-            }
-
-        emb1 = spark.read.parquet(f"{sf1_dir}/embeddings.parquet")
-        qbatch1 = emb1.filter(F.col("vec_id") < 100)
-        cents1, corpus1 = S.ivf_build(emb1, num_clusters=8)
-        cents1, corpus1 = cents1.persist(), corpus1.persist()
-        cents1.count(), corpus1.count()
-        lsh1 = S.lsh_build(emb1).persist()
-        lsh1.count()
-        sf1_ann = {
-            "ann_brute_100q": lambda: S.cosine_topk(qbatch1, emb1, k=3),
-            "ann_lsh_100q": lambda: S.lsh_query(lsh1, qbatch1, k=3),
-            "ann_ivf_100q": lambda: S.ivf_query(
-                (cents1, corpus1), qbatch1, k=3, nprobe=2
-            ),
-        }
-        for name, fn in sf1_ann.items():
-            fn().count()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                n = fn().count()
-                best = min(best, time.perf_counter() - t0)
-                assert n > 0
-            sf1_section[name] = {
-                "sec": round(best, 4),
-                "linear_x": round(best / (10 * timings[name]), 2),
-            }
+        try:
+            sf1_section = _sf1_scale_section(spark, qs, timings)
+        except Exception as e:  # pragma: no cover
+            # Supplementary evidence: a failure here (disk full during
+            # the derivation, etc.) must not void the round's primary
+            # record. stderr only — stdout stays one JSON line.
+            print(f"sf1 section skipped: {e!r}", file=sys.stderr)
+            sf1_section = {"error": repr(e)[:200]}
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -311,6 +265,69 @@ def main() -> None:
         out["sf1"] = sf1_section
     print(json.dumps(out))
     spark.stop()
+
+
+def _sf1_scale_section(spark, qs, timings: dict[str, float]) -> dict:
+    """Time the shuffle-heavy subset at the derived sf1 (10x) scale;
+    see the call site in main() for the rationale."""
+    import importlib.util
+
+    from pyspark.sql import functions as F  # noqa: N812
+    from graphdatabases_spark.functions import similarity as S
+
+    spec = importlib.util.spec_from_file_location(
+        "make_sf1", Path(__file__).resolve().parent / "tools" / "make_sf1.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sf1_dir = mod.main()
+
+    section: dict = {}
+    for name in [
+        "q18_large_volume",
+        "join_sortmerge_fact",
+        "agg_cube",
+        "dedup_lsh_candidates",
+    ]:
+        qs[name](spark, sf1_dir).count()  # warm plan shape at sf1
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf1_dir).count()
+            best = min(best, time.perf_counter() - t0)
+            assert n >= 0
+        section[name] = {
+            "sec": round(best, 4),
+            "linear_x": round(best / (10 * timings[name]), 2),
+        }
+
+    emb1 = spark.read.parquet(f"{sf1_dir}/embeddings.parquet")
+    qbatch1 = emb1.filter(F.col("vec_id") < 100)
+    cents1, corpus1 = S.ivf_build(emb1, num_clusters=8)
+    cents1, corpus1 = cents1.persist(), corpus1.persist()
+    cents1.count(), corpus1.count()
+    lsh1 = S.lsh_build(emb1).persist()
+    lsh1.count()
+    sf1_ann = {
+        "ann_brute_100q": lambda: S.cosine_topk(qbatch1, emb1, k=3),
+        "ann_lsh_100q": lambda: S.lsh_query(lsh1, qbatch1, k=3),
+        "ann_ivf_100q": lambda: S.ivf_query(
+            (cents1, corpus1), qbatch1, k=3, nprobe=2
+        ),
+    }
+    for name, fn in sf1_ann.items():
+        fn().count()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn().count()
+            best = min(best, time.perf_counter() - t0)
+            assert n > 0
+        section[name] = {
+            "sec": round(best, 4),
+            "linear_x": round(best / (10 * timings[name]), 2),
+        }
+    return section
 
 
 if __name__ == "__main__":

@@ -18,10 +18,16 @@ from graphdatabases_spark.relational.catalog import TABLES
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # Multi-file tables (the sf1 derivation writes fact tables as
+        # file-per-copy directories, like a cluster writer) need a glob.
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     return con
 

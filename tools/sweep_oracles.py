@@ -34,7 +34,14 @@ SF_DIRS = {
     "0.001": "/root/testdata/sf0.001",
     "0.01": "/root/testdata/sf0.01",
     "0.1": "/root/testdata/sf0.1",
+    # Derived 10x scale (tools/make_sf1.py; generated on demand) — not
+    # part of the default sweep; request with --sf 1.
+    "1": os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".data", "sf1",
+    ),
 }
+DEFAULT_SFS = ["0.001", "0.01", "0.1"]
 
 # Oracles pinned to a literal directory (duckdb read_blob can't use the
 # pre-registered views) only hold at that sf — same exclusion as
@@ -57,7 +64,7 @@ def main() -> int:
     if unknown:
         print(f"unknown entries: {unknown}", file=sys.stderr)
         return 2
-    sfs = args.sf or sorted(SF_DIRS)
+    sfs = args.sf or DEFAULT_SFS
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -66,6 +73,16 @@ def main() -> int:
     t_start = time.time()
     for sf in sfs:
         sf_dir = SF_DIRS[sf]
+        if sf == "1" and not os.path.isdir(sf_dir):
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "make_sf1",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "make_sf1.py"),
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            sf_dir = mod.main()
         t0 = time.time()
         ok = attempted = 0
         for name in names:
