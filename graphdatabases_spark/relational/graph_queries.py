@@ -613,14 +613,18 @@ def graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
 # rounds at every test sf (measured); 4 rounds are unrolled for margin —
 # extra rounds past the fixpoint are identity, and the differential
 # would catch an insufficient unroll as a hash mismatch.
+# MATERIALIZED: s{prev} is referenced twice and each level chains into
+# the next, so DuckDB's default CTE inlining re-evaluates the whole
+# peel exponentially in the unroll depth (first measured as a
+# multi-GB spill at the derived sf1 scale; harmless at the gate sfs).
 _KCORE_ROUND = """
-    s{prev} AS (SELECT src AS id FROM d{prev} WHERE deg >= 2),
-    sym{k} AS (
+    s{prev} AS MATERIALIZED (SELECT src AS id FROM d{prev} WHERE deg >= 2),
+    sym{k} AS MATERIALIZED (
       SELECT y.src, y.dst FROM sym{prev} y
       JOIN s{prev} u ON u.id = y.src
       JOIN s{prev} v ON v.id = y.dst
     ),
-    d{k} AS (SELECT src, count(*) AS deg FROM sym{k} GROUP BY src)
+    d{k} AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym{k} GROUP BY src)
 """
 
 
@@ -628,16 +632,16 @@ _KCORE_ROUND = """
     "graph_kcore_entity",
     oracle=f"""
     WITH {ENTITY_EDGES_SQL},
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM edges WHERE src <> dst
     ),
-    sym0 AS (
+    sym0 AS MATERIALIZED (
       SELECT a AS src, b AS dst FROM und
       UNION ALL
       SELECT b AS src, a AS dst FROM und
     ),
-    d0 AS (SELECT src, count(*) AS deg FROM sym0 GROUP BY src),
+    d0 AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym0 GROUP BY src),
     {_KCORE_ROUND.format(k=1, prev=0)},
     {_KCORE_ROUND.format(k=2, prev=1)},
     {_KCORE_ROUND.format(k=3, prev=2)},

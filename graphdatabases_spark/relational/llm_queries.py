@@ -449,18 +449,18 @@ _IVF_CC = (
 @register(
     "similarity_ann_ivf",
     oracle=f"""
-    WITH v AS (
+    WITH v AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS e,
              sqrt(list_inner_product(embedding::DOUBLE[],
                                      embedding::DOUBLE[])) AS nrm
       FROM embeddings
     ),
-    seeds AS (
+    seeds AS MATERIALIZED (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
              e AS ce, nrm AS cnrm
       FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
     ),
-    a0 AS (
+    a0 AS MATERIALIZED (
       SELECT vec_id, cid, e FROM (
         SELECT x.vec_id, s.cid, x.e,
                row_number() OVER (
@@ -470,14 +470,14 @@ _IVF_CC = (
         FROM v x CROSS JOIN seeds s
       ) WHERE rr = 1
     ),
-    m AS (
+    m AS MATERIALIZED (
       SELECT cid, i,
              CAST(sum(CAST(e[CAST(i AS INT)] AS DECIMAL(28,15))) AS DOUBLE)
                / count(*) AS mval
       FROM a0 CROSS JOIN range(1, {EMBEDDING_DIM + 1}) t(i)
       GROUP BY cid, i
     ),
-    cents AS (
+    cents AS MATERIALIZED (
       SELECT cid, ce, sqrt(list_inner_product(ce, ce)) AS cnrm FROM (
         SELECT cid, list(mval ORDER BY i) AS ce FROM m GROUP BY cid
       )

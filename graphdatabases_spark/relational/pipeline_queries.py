@@ -362,8 +362,11 @@ _KM_D2 = (
     " + list_inner_product(s.ce, s.ce)"
 )
 
+# MATERIALIZED: cents{{prev}} is referenced twice per round and rounds
+# chain, so default CTE inlining replays the whole fit exponentially
+# in the round count (3^5 at the 5-round unroll).
 _KM_ROUND = f"""
-    a{{r}} AS (
+    a{{r}} AS MATERIALIZED (
       SELECT vec_id, cid, e FROM (
         SELECT x.vec_id, s.cid, x.e,
                row_number() OVER (
@@ -373,14 +376,14 @@ _KM_ROUND = f"""
         FROM v x CROSS JOIN cents{{prev}} s
       ) WHERE rr = 1
     ),
-    m{{r}} AS (
+    m{{r}} AS MATERIALIZED (
       SELECT cid, i,
              CAST(sum(CAST(e[CAST(i AS INT)] AS DECIMAL(28,15))) AS DOUBLE)
                / count(*) AS mval
       FROM a{{r}} CROSS JOIN range(1, {EMBEDDING_DIM + 1}) t(i)
       GROUP BY cid, i
     ),
-    cents{{r}} AS (
+    cents{{r}} AS MATERIALIZED (
       SELECT p.cid, coalesce(n.ce, p.ce) AS ce
       FROM cents{{prev}} p LEFT JOIN (
         SELECT cid, list(mval ORDER BY i) AS ce FROM m{{r}} GROUP BY cid
@@ -392,10 +395,10 @@ _KM_ROUND = f"""
 @register(
     "kmeans_embeddings",
     oracle=f"""
-    WITH v AS (
+    WITH v AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
-    cents0 AS (
+    cents0 AS MATERIALIZED (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
              e AS ce
       FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)

@@ -89,12 +89,16 @@ def main() -> int:
             q = REGISTRY[name]
             if q.oracle is None or PINNED_SF.get(name, sf) != sf:
                 continue
+            tq = time.time()
             try:
                 (verdict, detail), nrows = run_differential(
                     spark, sf_dir, name, q.fn, q.oracle
                 )
             except Exception as e:  # keep sweeping; report at the end
                 verdict, detail, nrows = "ERROR", repr(e)[:200], -1
+            dt = time.time() - tq
+            if dt > 20:
+                print(f"  slow sf{sf} {name}: {dt:.0f}s")
             attempted += 1
             if verdict == "MATCH":
                 ok += 1
