@@ -397,3 +397,28 @@ class TestAQESkewRuntime:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestLshIndexQueryPlan:
+    def test_lsh_query_never_shuffles_the_corpus(self, spark, sf_dir):
+        """The amortized LSH path (round 5): a prebuilt persisted index
+        is probed by a broadcast bucket join — the corpus side must
+        read from cache with ZERO shuffle; the only hash exchange is
+        the per-query top-k window over the (small) candidate set."""
+        from pyspark.sql import functions as F
+
+        from graphdatabases_spark.functions import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = S.lsh_build(emb).persist()
+        try:
+            idx.count()
+            q = emb.filter(F.col("vec_id") < 5)
+            df = S.lsh_query(idx, q, k=3)
+            assert df.count() > 0
+            plan = physical_plan(df)
+            assert "InMemoryTableScan" in plan  # probes the prebuilt index
+            assert plan.count("BroadcastHashJoin") >= 1
+            assert plan.count("Exchange hashpartitioning") <= 1  # window only
+        finally:
+            idx.unpersist()
