@@ -354,6 +354,11 @@ def join_theta_pairs(spark: SparkSession, sf: str) -> DataFrame:
     doc="Range (interval) join: clicks within ±5 min of each error.",
 )
 def join_range_events(spark: SparkSession, sf: str) -> DataFrame:
+    # Bucketed interval join (operators/interval.py): the bare theta
+    # predicate would compile to BroadcastNestedLoopJoin — O(|L|·|R|)
+    # with a full-side broadcast; the bucketed form is one hash shuffle.
+    from graphdatabases_spark.operators.interval import interval_join
+
     ev = table(spark, sf, "events")
     err = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id"), F.col("ts").alias("e_ts")
@@ -361,14 +366,8 @@ def join_range_events(spark: SparkSession, sf: str) -> DataFrame:
     clk = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
     )
-    five = F.expr("INTERVAL 5 MINUTES")
     return (
-        err.join(
-            clk,
-            (F.col("c_ts") >= F.col("e_ts") - five)
-            & (F.col("c_ts") <= F.col("e_ts") + five),
-            "left",
-        )
+        interval_join(err, clk, "e_ts", "c_ts", 300, how="left")
         .groupBy("event_id")
         .agg(F.count("c_id").alias("clicks_nearby"))
         .orderBy("event_id")

@@ -196,3 +196,97 @@ class TestSaltedJoin:
         )
         n_buckets = salted.select(SALT_COL).distinct().count()
         assert n_buckets == 8
+
+
+class TestIntervalJoin:
+    """Bucketed interval join (operators/interval.py): correctness at
+    the exact tolerance boundary, left semantics, and the no-dup
+    guarantee (each qualifying pair meets in exactly one bucket)."""
+
+    def _frames(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        probe = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base + dt.timedelta(minutes=30)),
+                (3, base + dt.timedelta(hours=5)),  # matches nothing
+            ],
+            "pid bigint, p_ts timestamp",
+        )
+        build = spark.createDataFrame(
+            [
+                (10, base + dt.timedelta(seconds=300)),  # exactly tol from 1
+                (11, base + dt.timedelta(seconds=300, microseconds=1)),  # 1us over
+                (12, base + dt.timedelta(minutes=30, seconds=-299)),  # in for 2
+                (13, base + dt.timedelta(minutes=30, seconds=299)),  # in for 2
+            ],
+            "bid bigint, b_ts timestamp",
+        )
+        return probe, build
+
+    def test_inner_boundary_exact_to_the_microsecond(self, spark):
+        from graphdatabases_spark.operators.interval import interval_join
+
+        probe, build = self._frames(spark)
+        got = {
+            (r["pid"], r["bid"])
+            for r in interval_join(probe, build, "p_ts", "b_ts", 300).collect()
+        }
+        # bid 10 is exactly 300s from pid 1 (inclusive); bid 11 is 1 us
+        # beyond and must NOT pair — unix_timestamp()'s second
+        # truncation would have admitted it.
+        assert got == {(1, 10), (2, 12), (2, 13)}
+
+    def test_left_keeps_unmatched_probes_once(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphdatabases_spark.operators.interval import interval_join
+
+        probe, build = self._frames(spark)
+        got = interval_join(probe, build, "p_ts", "b_ts", 300, how="left")
+        per_probe = {
+            r["pid"]: r["n"]
+            for r in got.groupBy("pid").agg(F.count("bid").alias("n")).collect()
+        }
+        assert per_probe == {1: 1, 2: 2, 3: 0}
+        # the unmatched probe appears exactly once (null-extended)
+        assert got.filter(F.col("pid") == 3).count() == 1
+
+    def test_matches_naive_theta_join_on_random_data(self, spark):
+        """Differential vs the O(n*m) formulation on seeded random
+        timestamps — including fractional-second boundary cases."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from graphdatabases_spark.operators.interval import interval_join
+
+        rng = random.Random(99)
+        probe = spark.createDataFrame(
+            [(i, 1_700_000_000 + rng.randrange(0, 7200) * 1_000_000 + rng.randrange(10**6))
+             for i in range(80)],
+            "pid bigint, us bigint",
+        ).select("pid", F.timestamp_micros(F.col("us")).alias("p_ts"))
+        build = spark.createDataFrame(
+            [(i, 1_700_000_000 + rng.randrange(0, 7200) * 1_000_000 + rng.randrange(10**6))
+             for i in range(80)],
+            "bid bigint, us bigint",
+        ).select("bid", F.timestamp_micros(F.col("us")).alias("b_ts"))
+        tol = 600
+        fast = {
+            (r["pid"], r["bid"])
+            for r in interval_join(probe, build, "p_ts", "b_ts", tol).collect()
+        }
+        naive = {
+            (r["pid"], r["bid"])
+            for r in probe.join(
+                build,
+                F.abs(
+                    F.unix_micros(F.col("b_ts")) - F.unix_micros(F.col("p_ts"))
+                )
+                <= tol * 1_000_000,
+            ).collect()
+        }
+        assert fast == naive and len(fast) > 0
