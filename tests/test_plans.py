@@ -240,6 +240,45 @@ class TestUniversalGates:
     #                        already)
     _GLOBAL_WINDOW_OK = {"window_ntile", "similarity_ann_ivf"}
 
+    # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
+    # entry's broadcast side must be BOUNDED — a 1-row scalar aggregate
+    # (global avg/threshold/moments/totals), a <=k centroid/seed frame,
+    # or a documented bounded-n exact baseline. An UNBOUNDED side makes
+    # the join O(|L|*|R|) with a full-side broadcast — the round-5
+    # join_range_events cliff (fixed by the bucketed interval join).
+    _BNLJ_OK = {
+        "q22_missed_customers",       # 1-row avg(acctbal) scalar
+        "q11_important_parts",        # 1-row value-threshold scalar
+        "similarity_cosine_topk",     # documented bounded query batch
+        "similarity_threshold_pairs", # documented bounded-n exact baseline
+        "events_funnel_conversion",   # 1-row step totals (x2)
+        "knn_label_vote",             # bounded labeled reference batch
+        "events_hourly_anomaly",      # 1-row global mean/std scalar
+        "similarity_ann_ivf",         # k=8 seed/centroid frames
+        "orders_rfm_segments",        # 1-row quantile-boundary scalars
+        "copurchase_lift",            # 1-row total-orders scalar
+        "embedding_norm_outliers",    # 1-row decimal-moment scalars
+    }
+
+    def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):
+        """Universal rule: BroadcastNestedLoopJoin / CartesianProduct
+        may appear only in the allowlisted entries whose broadcast side
+        is provably bounded. A new theta join must be reshaped into an
+        equi-join (see operators/interval.py) or justified here."""
+        for name, fn in sorted(qs.items()):
+            if name in _EAGER_STREAMING or name in self._BNLJ_OK:
+                continue
+            plan = physical_plan(fn(spark, sf_dir))
+            assert (
+                "BroadcastNestedLoopJoin" not in plan
+                and "CartesianProduct" not in plan
+            ), (
+                f"{name}: nested-loop/cartesian join in plan — O(L*R) "
+                "with a full-side broadcast; reshape into an equi-join "
+                "(bucketed interval join, bucketed LSH, ...) or add to "
+                "_BNLJ_OK with a boundedness justification"
+            )
+
     def test_no_unbounded_global_window(self, spark, sf_dir, qs):
         """Universal rule: no catalog query may put an unpartitioned
         Window over unbounded input. Detection: a windowspecdefinition
