@@ -52,6 +52,8 @@ HEADLINE = [
     "graph_connected_components",
     "dedup_minhash_signatures",
     "dedup_lsh_candidates",
+    "dedup_embedding_neardup",
+    "text_repetition_score",
     "similarity_cosine_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

@@ -16,6 +16,10 @@ Batch 5 (round 4): normalize-then-keep-first dedup materialization,
 per-stratum deterministic sampling, repeat-purchase interval
 featurization, and corpus bigram-novelty quality scoring.
 
+Batch 6 (round 5): Gopher-style intra-document repetition filtering,
+eval-set n-gram decontamination, concat-and-chunk sequence packing,
+and temperature-scaled source mixture weights.
+
 Each entry has a DuckDB oracle under the catalog's determinism
 discipline (catalog.py docstring).
 
@@ -1508,4 +1512,297 @@ def text_bigram_novelty(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("novelty"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 6 (round 5): repetition filtering, decontamination, sequence
+# packing, mixture weights
+# ---------------------------------------------------------------------------
+
+
+def _ngram_array(toks, n: int):
+    """array<string> of token n-grams, space-joined, built JVM-side from
+    one ``sequence``+``transform`` pass (1-based, i .. i+n-1) — the same
+    index fold as the DuckDB ``list_transform(range(1, len-n+2), ...)``
+    mirror, so gram strings are byte-identical across engines."""
+    size = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), size - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+    cnt AS (
+      SELECT doc_id, u.tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM base) u(doc_id, tok)
+      GROUP BY doc_id, u.tok
+    ),
+    top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS g
+      FROM base
+    )
+    SELECT b.doc_id,
+           b.n AS n_toks,
+           round(top_c::DOUBLE / b.n, 6) AS top_tok_frac,
+           round(1.0 - len(list_distinct(g))::DOUBLE / (b.n - 1), 6)
+             AS dup_bigram_frac,
+           (round(top_c::DOUBLE / b.n, 6) > 0.125
+            OR round(1.0 - len(list_distinct(g))::DOUBLE / (b.n - 1), 6)
+               > 0.05) AS flagged
+    FROM base b JOIN top USING (doc_id) JOIN grams USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    doc="Gopher-style intra-document repetition quality filter: "
+    "top-token fraction (most frequent token's share) and duplicate-"
+    "bigram fraction per document, flagged above fixture-calibrated "
+    "thresholds (0.125 / 0.05 — real corpora run 0.2-ish). BOTH "
+    "metrics come from per-row higher-order folds (array_sort + "
+    "max-run aggregate for the mode count — counting the longest run "
+    "in the sorted token list IS the mode frequency — and a "
+    "sequence/transform bigram build): zero shuffles, zero UDFs, the "
+    "scan is the whole plan at any scale. Flags compare the 6-dp "
+    "ROUNDED metrics so an ulp can never flip a boolean across "
+    "engines.",
+)
+def text_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    toks = T.tokens(F.col("text"))
+    d = (
+        table(spark, sf, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    n = F.size("toks")
+    st = F.array_sort(F.col("toks"))
+    run = lambda acc, x: F.when(x == acc.prev, acc.run + F.lit(1)).otherwise(
+        F.lit(1)
+    )
+    top_c = F.aggregate(
+        st,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc.best, run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    grams = _ngram_array(F.col("toks"), 2)
+    top_frac = F.round(top_c.cast("double") / n, 6)
+    dup2 = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / (n - F.lit(1)),
+        6,
+    )
+    return (
+        d.select(
+            "doc_id",
+            n.alias("n_toks"),
+            top_frac.alias("top_tok_frac"),
+            dup2.alias("dup_bigram_frac"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("top_tok_frac") > 0.125) | (F.col("dup_bigram_frac") > 0.05),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_decontaminate_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      FROM t WHERE len(toks) >= 3
+    ),
+    ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+    corp AS (
+      SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+      FROM g WHERE doc_id % 97 <> 0
+    ),
+    m AS (
+      SELECT doc_id, max(n_grams) AS n_grams, count(*) AS n_overlap
+      FROM corp JOIN ev USING (gram) GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_overlap,
+           round(n_overlap::DOUBLE / n_grams, 6) AS contamination,
+           round(n_overlap::DOUBLE / n_grams, 6) >= 0.05 AS flagged
+    FROM m ORDER BY doc_id
+    """,
+    doc="Train/eval decontamination: documents sharing token 3-grams "
+    "with a held-out eval set (deterministic doc_id %% 97 == 0 "
+    "membership standing in for the benchmark suite) are scored by "
+    "overlap fraction over their distinct 3-grams and flagged at 5%%. "
+    "The eval n-gram set is DISTINCT-ed and broadcast (an eval suite "
+    "is bounded by construction — benchmarks are small); the corpus "
+    "side explodes grams and hash-aggregates once on doc_id, carrying "
+    "the per-doc gram count through the aggregation so no second join "
+    "is needed. One broadcast join + one keyed exchange at any corpus "
+    "size.",
+)
+def docs_decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    toks = T.tokens(F.col("text"))
+    g = (
+        table(spark, sf, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id", F.array_distinct(_ngram_array(F.col("toks"), 3)).alias("grams")
+        )
+    )
+    ev = (
+        g.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corp = g.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    contamination = F.round(
+        F.col("n_overlap").cast("double") / F.col("n_grams"), 6
+    )
+    return (
+        corp.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_overlap",
+            contamination.alias("contamination"),
+            (contamination >= 0.05).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_pack_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard, len({_TOKS}) AS n_toks
+      FROM documents
+    ),
+    cum AS (
+      SELECT shard, doc_id, n_toks,
+             sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM t WHERE n_toks > 0
+    )
+    SELECT shard,
+           CAST(floor((c - n_toks) / 512.0) AS BIGINT) AS chunk,
+           count(*) AS n_docs,
+           sum(n_toks) AS tok_total
+    FROM cum GROUP BY shard, chunk
+    ORDER BY shard, chunk
+    """,
+    doc="Concat-and-chunk sequence packing (training-batch prep): "
+    "documents stream in doc_id order within a shard, token counts "
+    "accumulate, and each document belongs to the 512-token chunk its "
+    "first token lands in. Sharding (doc_id %% 8) is exactly how "
+    "packing runs at scale — greedy packing is inherently sequential, "
+    "so you shard first and pack per shard in parallel; the window is "
+    "PARTITIONED by shard (gate-safe, no global sort) and all math is "
+    "integer-exact. tok_total may exceed 512 where a document "
+    "straddles a chunk boundary (concat-and-chunk splits it "
+    "logically at tokenization time).",
+)
+def docs_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    toks = T.tokens(F.col("text"))
+    t = (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 8).alias("shard"),
+            F.size(toks).alias("n_toks"),
+        )
+        .filter(F.col("n_toks") > 0)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = t.withColumn("c", F.sum("n_toks").over(w))
+    chunk = F.floor((F.col("c") - F.col("n_toks")) / F.lit(512.0)).cast("long")
+    return (
+        cum.select("shard", chunk.alias("chunk"), "n_toks")
+        .groupBy("shard", "chunk")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("tok_total"))
+        .orderBy("shard", "chunk")
+    )
+
+
+@register(
+    "docs_mixture_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len({_TOKS})) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(CAST(sqrt(n_tokens::DOUBLE) AS DECIMAL(28,15)))
+                  AS DOUBLE) AS z
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           round(sqrt(n_tokens::DOUBLE) / z, 6) AS weight
+    FROM per, tot
+    ORDER BY source
+    """,
+    doc="Temperature-scaled source mixture weights (alpha = 0.5, the "
+    "multilingual/multi-source rebalancing rule: w_i = sqrt(t_i) / "
+    "sum_j sqrt(t_j)) from exact integer token counts. sqrt is "
+    "IEEE-correctly-rounded (bit-identical across engines); the "
+    "normalizer sums the per-source sqrts as DECIMAL(28,15) so the "
+    "20-way sum is order-free (FIXTURES recipe), then one broadcast "
+    "1-row scalar join scales each source. Two tiny aggregations over "
+    "a 20-row frame derived from one combinable corpus scan.",
+)
+def docs_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    toks = T.tokens(F.col("text"))
+    per = (
+        table(spark, sf, "documents")
+        .select("source", F.size(toks).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    tot = per.agg(
+        F.sum(sq.cast("decimal(28,15)")).cast("double").alias("z")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(sq / F.col("z"), 6).alias("weight"),
+        )
+        .orderBy("source")
     )

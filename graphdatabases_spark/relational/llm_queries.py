@@ -379,6 +379,91 @@ def similarity_threshold_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return S.threshold_pairs(v, threshold=0.3).orderBy("id_a", "id_b")
 
 
+def _srp_band_bucket_sql(band: int, planes_per_band: int, dim: int) -> str:
+    """DuckDB mirror of one band's bucket in ``srp_band_pairs``: the
+    band's ``planes_per_band`` sign bits (portable md5 hyperplane
+    constants, same left-to-right element fold) packed little-endian."""
+    from graphdatabases_spark.functions.similarity import _hyperplane_signs
+
+    bits = []
+    for j in range(planes_per_band):
+        signs = _hyperplane_signs(dim, band * planes_per_band + j)
+        terms = "".join(
+            f"{'+' if s > 0 else '-'}e[{k + 1}]" for k, s in enumerate(signs)
+        )
+        bits.append(f"CAST(({terms}) >= 0 AS BIGINT) * {2 ** j}")
+    return " + ".join(bits)
+
+
+def _srp_bands_cte(num_bands: int = 4, planes_per_band: int = 12) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, e, {b} AS band, "
+        f"{_srp_band_bucket_sql(b, planes_per_band, EMBEDDING_DIM)} AS bucket "
+        "FROM v"
+        for b in range(num_bands)
+    )
+
+
+# Componentwise perturbation factors for the planted near-duplicates:
+# ±1% keyed on the 0-based element index — cosine(original, planted)
+# ≈ 0.99996, far above the 0.99 gate, while every byte differs.  Pure
+# double arithmetic on the same inputs → bit-identical across engines.
+_PERTURB_PY = "1.0 + 0.01 * ((%d %% 7) - 3) / 3.0"  # doc only
+_PLANT_OFFSET = 1_000_000
+
+
+@register(
+    "dedup_embedding_neardup",
+    oracle=f"""
+    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    v AS (
+      SELECT vec_id, e FROM v0
+      UNION ALL
+      SELECT vec_id + {_PLANT_OFFSET},
+             list_transform(range(1, len(e) + 1),
+               i -> e[i] * (1.0 + 0.01 * (((i - 1) % 7) - 3) / 3.0))
+      FROM v0
+    ),
+    bands AS ({_srp_bands_cte()})
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL}, 6) AS cos
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_COS_SQL}, 6) >= 0.99
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding-cosine near-duplicate pairs at unbounded n: banded "
+    "multi-table SRP-LSH (4 tables x 12 sign bits — the 1-(1-p^r)^b "
+    "S-curve, same construction as the banded MinHash text path) "
+    "gates an exact fold-order-stable cosine at the realistic 0.99 "
+    "near-dup threshold. The fixture corpus has no natural near-dups "
+    "(max pairwise cosine ~0.51), so the query derives a dup-injected "
+    "corpus — every vector gets a deterministic ±1% componentwise-"
+    "perturbed twin (cos ~ 0.99996, id + 1e6) — and must recover "
+    "exactly the planted pairs, independently recomputed by the "
+    "oracle. Candidates are bucket collisions (~1e-3 random-pair "
+    "rate at 12-bit bands), never all-pairs; one (band,bucket) hash "
+    "exchange + one pair-level distinct.",
+)
+def dedup_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0) + F.lit(0.01) * ((i % 7) - 3) / F.lit(3.0)),
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).unionByName(planted)
+    return S.srp_band_pairs(corpus, threshold=0.99).orderBy("id_a", "id_b")
+
+
 def _lsh_bucket_sql(num_planes: int = 8, dim: int = EMBEDDING_DIM) -> str:
     """DuckDB mirror of ``lsh_bucket_signature``: the ±1 hyperplane
     signs are module-level constants (driver-side md5, similarity.py

@@ -258,6 +258,8 @@ class TestUniversalGates:
         "orders_rfm_segments",        # 1-row quantile-boundary scalars
         "copurchase_lift",            # 1-row total-orders scalar
         "embedding_norm_outliers",    # 1-row decimal-moment scalars
+        "docs_mixture_weights",       # 1-row sqrt-sum normalizer scalar
+        "dedup_embedding_neardup",    # 1-row SRP plane-matrix relation
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):
