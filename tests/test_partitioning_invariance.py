@@ -1,0 +1,85 @@
+"""Partitioning-invariance gate: results must not depend on the plan's
+physical parallelism.
+
+SCALE.md claims every catalog entry is deterministic under re-partitioning
+(order-free DECIMAL accumulators, 6-dp rounding anchors, tie-broken
+sorts). At 100 TB the partition count is whatever AQE / the cluster
+picks that day, so "same answer under a different partitioning" is the
+distributed-correctness property — a float sum whose value shifts with
+the reduce-side partition count WILL flip a rounded digit eventually and
+fail the driver's exact value-hash gate non-reproducibly.
+
+This test enforces the claim on the entries whose accumulation order is
+most at the mercy of partitioning (floating aggregates, pandas
+GROUPED_AGG folds, tf-idf logs, iterative PageRank, decimal moments):
+each is computed under the session's defaults (8 shuffle partitions,
+128 MiB splits, AQE on) and again under an adversarially different
+physical layout — 3 shuffle partitions, 16 KiB scan splits (so even the
+sf0.01 files fan out to many scan tasks), AQE off (no partition
+coalescing to renormalize the layout) — and the two results must be
+EXACTLY equal (compare_frames MATCH; NEAR's 1e-9 tolerance is a failure
+here because the driver hashes exact values).
+
+Scale factor: sf0.01, not the usual sf0.001 — at sf0.001 every file fits
+one 16 KiB split and the scan-side reorder would be vacuous.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from graphdatabases_spark.relational import queries
+
+from tests.oracle_utils import compare_frames
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# Entries with order-sensitive accumulation if implemented naively.
+ENTRIES = [
+    "q1_pricing_summary",        # sum/avg over the biggest fact table
+    "agg_stats",                 # avg/stddev moments
+    "agg_percentile",            # exact percentiles need a global view
+    "udaf_priority_geomean",     # pandas GROUPED_AGG log-space fold
+    "window_running_sum",        # frame order under re-partitioned input
+    "text_tfidf_topterms",       # log-idf floats + top-k ties
+    "embedding_norm_outliers",   # decimal-exact moments claim
+    "docs_mixture_weights",      # DECIMAL(28,15) order-free normalizer claim
+    "text_repetition_score",     # per-row folds (should be trivially stable)
+    "similarity_cosine_topk",    # float dot products + top-k ties
+    "udf_embedding_l2norm",      # pandas scalar UDF over re-batched input
+    "copurchase_lift",           # ratio-of-counts floats
+    "graph_pagerank",            # iterative float mass-passing
+]
+
+VARIANT = {
+    "spark.sql.shuffle.partitions": "3",
+    "spark.sql.files.maxPartitionBytes": str(16 * 1024),
+    "spark.sql.adaptive.enabled": "false",
+}
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_result_invariant_to_partitioning(spark, qs, name):
+    fn = qs[name]
+    baseline = fn(spark, SF_DIR).toPandas()
+
+    saved = {k: spark.conf.get(k) for k in VARIANT}
+    try:
+        for k, v in VARIANT.items():
+            spark.conf.set(k, v)
+        reshaped = fn(spark, SF_DIR).toPandas()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    verdict, detail = compare_frames(baseline, reshaped)
+    assert verdict == "MATCH", (
+        f"{name} not partitioning-invariant ({verdict}): {detail} — "
+        "an accumulation order leaked into the result; anchor it "
+        "(DECIMAL accumulator or round() before compare/sort)."
+    )
