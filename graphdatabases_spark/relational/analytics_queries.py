@@ -1525,14 +1525,31 @@ def _ngram_array(toks, n: int):
     """array<string> of token n-grams, space-joined, built JVM-side from
     one ``sequence``+``transform`` pass (1-based, i .. i+n-1) — the same
     index fold as the DuckDB ``list_transform(range(1, len-n+2), ...)``
-    mirror, so gram strings are byte-identical across engines."""
-    size = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(1), size - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
+    mirror, so gram strings are byte-identical across engines.
+
+    ``toks`` is let-bound through a single-element ``transform(array(
+    toks), t -> ...)`` so the expression stays cheap when Catalyst
+    inlines it whole. Without the binding, ``InferFiltersFromGenerate``
+    + predicate pushdown copy an ``explode(_ngram_array(...))``'s child
+    into a pre-projection Filter with the ``toks`` ALIAS substituted by
+    its defining expression at every reference — and since expression
+    evaluation has no common-subexpression cache across a lambda's
+    iterations, each ``element_at(tokenize(text), i+j)`` re-runs the
+    full tokenizer, i.e. ~n×|grams| tokenizations per row. Measured on
+    docs_decontaminate_ngrams at the derived sf1: 271 s → the bound
+    form's single tokenization per evaluation (~8 s). The optimizer
+    cannot un-bind it: ``SimplifyExtractValueOps`` folds extract-over-
+    CreateArray only directly, not through an ArrayTransform."""
+
+    def grams(t):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(toks), grams), 1)
 
 
 @register(

@@ -303,6 +303,28 @@ class TestUniversalGates:
                 "input and add the query to _GLOBAL_WINDOW_OK"
             )
 
+    def test_ngram_lambdas_index_bound_arrays_not_the_tokenizer(
+        self, spark, sf_dir, qs
+    ):
+        """The n-gram builders must index a LET-BOUND token array, never
+        re-apply the tokenizer per element. When Catalyst inlines an
+        expression whole (InferFiltersFromGenerate's ``size(grams)>0``
+        pushed below the defining Project substitutes the alias at every
+        reference), an unbound ``element_at(tokenize(text), i+j)`` in
+        the transform lambda re-runs the tokenizer per gram per element
+        — measured 271 s vs 17 s on docs_decontaminate_ngrams at the
+        derived sf1 (analytics_queries._ngram_array). The bound form's
+        lambdas only ever index the lambda variable, so the tokenizer
+        application never appears as an element_at argument anywhere in
+        the plan."""
+        for name in ("docs_decontaminate_ngrams", "text_repetition_score"):
+            plan = physical_plan(qs[name](spark, sf_dir))
+            assert "element_at(filter(split" not in plan, (
+                f"{name}: tokenizer inlined into a per-element "
+                "element_at — n-gram lambda lost its let-binding "
+                "(see _ngram_array docstring)"
+            )
+
 
 class TestPipelinePlanShapes:
     """Plan pins for the batch-2/3 analytics entries' scale claims."""
