@@ -534,10 +534,19 @@ def text_char_trigrams_by_lang(spark: SparkSession, sf: str) -> DataFrame:
         .select("lang", F.lower(F.trim("text")).alias("t"))
         .filter(F.length("t") >= 3)
     )
+    # `t` is let-bound (single-element transform) so the inferred
+    # generator filter can't inline lower(trim(text)) into the
+    # per-element substring — the O(len^2)-per-doc hazard pinned by
+    # test_plans.py::test_ngram_lambdas_index_bound_arrays_not_the_
+    # tokenizer (input here is additionally bounded to 200 docs).
     tri = d.select(
         "lang",
         F.explode(
-            F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+            F.expr(
+                "element_at(transform(array(t), tt -> "
+                "transform(sequence(1, length(tt) - 2), "
+                "i -> substring(tt, i, 3))), 1)"
+            )
         ).alias("tri"),
     )
     counts = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))

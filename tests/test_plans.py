@@ -324,6 +324,14 @@ class TestUniversalGates:
                 "element_at — n-gram lambda lost its let-binding "
                 "(see _ngram_array docstring)"
             )
+        # Same hazard, character form: the trigram profile must never
+        # re-normalize the text per extracted substring.
+        plan = physical_plan(qs["text_char_trigrams_by_lang"](spark, sf_dir))
+        assert "substring(lower(trim" not in plan, (
+            "text_char_trigrams_by_lang: lower(trim(text)) inlined into "
+            "the per-element substring — char-trigram lambda lost its "
+            "let-binding"
+        )
 
 
 class TestPipelinePlanShapes:
