@@ -217,6 +217,63 @@ def run_stream_checkpointed(
     q.awaitTermination()
 
 
+def run_stream_exactly_once(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """``run_stream_checkpointed`` with an EXACTLY-ONCE parquet sink.
+
+    foreachBatch alone is at-least-once: Spark writes the epoch's commit
+    marker (``<checkpoint>/commits/<epoch>``) only AFTER the sink
+    returns, so a crash between the two replays the same batch_id on
+    restart — and a plain append sink then duplicates every row of that
+    batch. Exactly-once needs the sink itself to be idempotent per
+    batch_id (Structured Streaming's documented contract for custom
+    sinks); here each micro-batch owns the Hive-style partition
+    directory ``batch_id=<id>`` under ``out_dir``:
+
+    - ``mode("overwrite")`` scoped to that directory makes a replayed
+      write self-healing (a torn first attempt is clobbered, never
+      appended to), and
+    - a ``_COMMITTED`` marker written after the parquet commit lets a
+      replay skip the rewrite entirely and doubles as the consumer
+      contract (a dir without the marker is in-flight garbage).
+
+    Readers just ``spark.read.parquet(out_dir)`` — ``batch_id`` surfaces
+    as a partition column. The replay path (kill after sink success but
+    before the epoch commit, restart, same batch_id re-delivered with
+    identical offsets) is pinned by tests/test_streaming.py::
+    TestExactlyOnceSink, alongside a contrast test showing the plain
+    append sink really does duplicate under the same fault. The marker
+    check/write runs driver-side (foreachBatch bodies execute on the
+    driver; only the parquet write itself is distributed), so plain
+    file I/O is correct wherever the driver can reach ``out_dir`` — on
+    an object store, swap the two ``os`` calls for the Hadoop FS client
+    bound to the same path.
+    """
+    import os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        dest = os.path.join(out_dir, f"batch_id={batch_id}")
+        marker = os.path.join(dest, "_COMMITTED")
+        if os.path.exists(marker):
+            return  # replayed epoch: first attempt fully committed
+        batch_df.write.mode("overwrite").parquet(dest)
+        with open(marker, "w") as fh:
+            fh.write("")
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def write_stream_foreach_batch(stream_df: DataFrame, out_dir: str) -> None:
     """foreachBatch parquet sink: per-micro-batch custom write — the
     pattern for idempotent upserts / multi-sink fan-out at scale."""

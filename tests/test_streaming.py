@@ -451,6 +451,114 @@ class TestCheckpointRestart:
         assert pairs == {(1, 101): 10.0}
 
 
+class TestExactlyOnceSink:
+    """foreachBatch is at-least-once: Spark writes ``<ckpt>/commits/
+    <epoch>`` only AFTER the sink returns, so a crash in the window
+    between sink success and commit re-delivers the same batch_id (with
+    identical offsets) on restart. Inject that fault deterministically:
+    run an availableNow query to completion, delete the newest commits
+    file — exactly the on-disk state such a crash leaves — and restart
+    the identical plan."""
+
+    _ROWS = [
+        (1, "2024-01-01 09:00:00", 1, "view", 10.0, "{}"),
+        (2, "2024-01-01 09:01:00", 1, "view", 5.0, "{}"),
+        (3, "2024-01-01 09:02:00", 2, "click", 7.0, "{}"),
+    ]
+
+    @staticmethod
+    def _inject_replay(ckpt: str) -> None:
+        import glob
+        import os
+
+        commits = sorted(
+            glob.glob(os.path.join(ckpt, "commits", "*")),
+            key=lambda p: (
+                int(os.path.basename(p))
+                if os.path.basename(p).isdigit()
+                else -1
+            ),
+        )
+        assert commits, "no committed epoch to replay"
+        os.remove(commits[-1])
+        # The local Hadoop ChecksumFileSystem keeps a .N.crc sidecar;
+        # leaving it behind makes the replay's commit re-write fail as a
+        # spurious concurrent-modification (stale checksum), which a
+        # real crash would never leave either (the commit file and its
+        # crc are renamed into place together).
+        crc = os.path.join(
+            ckpt, "commits", f".{os.path.basename(commits[-1])}.crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    def _run(self, spark, tmp_path, runner):
+        src = tmp_path / "eo_src"
+        if not src.exists():
+            src.mkdir()
+            TestCheckpointRestart._write_events(
+                spark, tmp_path, src, "f1.parquet", self._ROWS
+            )
+        out = str(tmp_path / "eo_out")
+        ckpt = str(tmp_path / "eo_ckpt")
+        stream = read_events_stream(spark, str(src)).select(
+            "event_id", "ts", "user_id"
+        )
+        runner(stream, out, ckpt, "append")
+        return out, ckpt
+
+    def test_plain_append_sink_duplicates_on_replay(self, spark, tmp_path):
+        """The hazard is real: the at-least-once append sink duplicates
+        the replayed batch's rows."""
+        from graphdatabases_spark.streaming.windows import run_stream_checkpointed
+
+        out, ckpt = self._run(spark, tmp_path, run_stream_checkpointed)
+        assert spark.read.parquet(out).count() == 3
+        self._inject_replay(ckpt)
+        out, _ = self._run(spark, tmp_path, run_stream_checkpointed)
+        got = spark.read.parquet(out)
+        assert got.count() == 6, "replayed batch should have appended twice"
+
+    def test_exactly_once_sink_survives_replay(self, spark, tmp_path):
+        """The idempotent per-batch_id sink must absorb the replay: the
+        _COMMITTED marker short-circuits the rewrite."""
+        from graphdatabases_spark.streaming.windows import run_stream_exactly_once
+
+        out, ckpt = self._run(spark, tmp_path, run_stream_exactly_once)
+        assert spark.read.parquet(out).count() == 3
+        self._inject_replay(ckpt)
+        out, _ = self._run(spark, tmp_path, run_stream_exactly_once)
+        got = spark.read.parquet(out)
+        assert got.count() == 3
+        assert {r["event_id"] for r in got.collect()} == {1, 2, 3}
+        assert "batch_id" in got.columns  # partition column surfaces
+
+    def test_exactly_once_sink_heals_torn_write(self, spark, tmp_path):
+        """Crash MID-sink (partial parquet, no marker): the replay's
+        scoped overwrite must clobber the torn attempt, not append."""
+        import glob
+        import os
+
+        from graphdatabases_spark.streaming.windows import run_stream_exactly_once
+
+        out, ckpt = self._run(spark, tmp_path, run_stream_exactly_once)
+        self._inject_replay(ckpt)
+        # Simulate the torn first attempt: marker gone, a stray partial
+        # part-file present.
+        batch_dir = glob.glob(os.path.join(out, "batch_id=*"))[0]
+        os.remove(os.path.join(batch_dir, "_COMMITTED"))
+        part = glob.glob(os.path.join(batch_dir, "part-*"))[0]
+        with open(os.path.join(batch_dir, "part-torn.parquet"), "wb") as fh:
+            fh.write(open(part, "rb").read()[: 100])
+        out, _ = self._run(spark, tmp_path, run_stream_exactly_once)
+        got = spark.read.parquet(out)
+        assert got.count() == 3
+        assert {r["event_id"] for r in got.collect()} == {1, 2, 3}
+        assert not glob.glob(os.path.join(out, "*", "part-torn*")), (
+            "overwrite must have removed the torn part-file"
+        )
+
+
 class TestRateSource:
     def test_rate_stream_schema_and_rows(self, spark, tmp_path):
         """The rate generator must match the events schema so every
