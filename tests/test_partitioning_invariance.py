@@ -49,6 +49,11 @@ ENTRIES = [
     "udf_embedding_l2norm",      # pandas scalar UDF over re-batched input
     "copurchase_lift",           # ratio-of-counts floats
     "graph_pagerank",            # iterative float mass-passing
+    "dedup_minhash_signatures",  # per-doc min-folds over exploded shingles
+    "dedup_simhash",             # conditional-sum wide agg
+    "docs_pack_chunks",          # shard-partitioned running-sum window
+    "kmeans_embeddings",         # 5-round float fit + assignment
+    "graph_connected_components",  # iterative min-propagation fixpoint
 ]
 
 VARIANT = {
