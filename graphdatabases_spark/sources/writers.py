@@ -97,3 +97,47 @@ def write_range_sorted(
         else df.repartitionByRange(*sort_by)
     )
     parted.sortWithinPartitions(*sort_by).write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Compact a small-files parquet directory into ~``target_file_bytes``
+    files; returns the file count written.
+
+    The small-files problem is the dominant sink pathology at scale:
+    streaming micro-batches and over-parallel writers leave thousands of
+    KB-sized files per partition, and every later scan pays open/footer
+    overhead per file while the driver's file index bloats. Compaction
+    is one narrow job: size the target file count from the directory's
+    ACTUAL bytes (Hadoop listing, so it sees exactly what a scan would),
+    then rewrite through ``coalesce`` — which merges read-side splits
+    WITHOUT a shuffle; only when ``sort_by`` asks for re-clustering does
+    it pay a ``repartitionByRange`` exchange instead (same zone-map
+    layout as ``write_range_sorted``).
+
+    Parquet re-encodes on write, so compacted bytes usually shrink as
+    well (bigger row groups → better dictionary/RLE runs).
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(in_path)
+    if sort_by:
+        (
+            df.repartitionByRange(n, *sort_by)
+            .sortWithinPartitions(*sort_by)
+            .write.mode("overwrite")
+            .parquet(out_path)
+        )
+    else:
+        df.coalesce(n).write.mode("overwrite").parquet(out_path)
+    return n

@@ -101,6 +101,82 @@ class TestWriters:
         # Round trip intact.
         assert spark.read.parquet(out).count() == 10_000
 
+    def test_compaction_merges_small_files(self, spark, tmp_path):
+        """compact_parquet must collapse a fragmented directory to the
+        byte-sized target count, preserve the rows exactly, and merge
+        WITHOUT a shuffle (coalesce path)."""
+        import glob
+
+        from graphdatabases_spark.sources.writers import compact_parquet
+
+        frag = str(tmp_path / "frag")
+        out = str(tmp_path / "compact")
+        df = spark.range(20_000).select(
+            F.col("id"), (F.col("id") % 97).alias("k")
+        )
+        df.repartition(64).write.parquet(frag)
+        assert len(glob.glob(f"{frag}/part-*.parquet")) == 64
+
+        # Size the target so the byte-derived count lands between 1 and
+        # 64 — proves the ceil math reads actual directory bytes.
+        total = sum(
+            __import__("os").path.getsize(f)
+            for f in glob.glob(f"{frag}/part-*.parquet")
+        )
+        n = compact_parquet(
+            spark, frag, out, target_file_bytes=max(1, total // 3)
+        )
+        files = glob.glob(f"{out}/part-*.parquet")
+        assert len(files) == n
+        assert 1 < n < 64
+        got = spark.read.parquet(out)
+        assert got.count() == 20_000
+        assert got.agg(F.sum("id")).collect()[0][0] == 20_000 * 19_999 // 2
+        # coalesce path: no exchange in the rewrite plan
+        from graphdatabases_spark.plans.inspect import executed_plan
+
+        plan = executed_plan(spark.read.parquet(frag).coalesce(n))
+        assert "Exchange" not in plan
+
+    def test_compaction_with_sort_reclusters_ranges(self, spark, tmp_path):
+        """sort_by compaction must leave disjoint per-file key ranges
+        (the write_range_sorted zone-map contract) on previously
+        interleaved data."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from graphdatabases_spark.sources.writers import compact_parquet
+
+        frag = str(tmp_path / "frag_s")
+        out = str(tmp_path / "compact_s")
+        df = spark.range(10_000).select(
+            (F.col("id") * 7919 % 10_000).alias("k"), F.col("id").alias("v")
+        )
+        df.repartition(32).write.parquet(frag)
+        total = sum(
+            __import__("os").path.getsize(f)
+            for f in glob.glob(f"{frag}/part-*.parquet")
+        )
+        compact_parquet(
+            spark, frag, out,
+            target_file_bytes=max(1, total // 3), sort_by=["k"],
+        )
+        files = sorted(glob.glob(f"{out}/part-*.parquet"))
+        assert len(files) > 1
+        ranges = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            stats = [
+                md.row_group(rg).column(0).statistics
+                for rg in range(md.num_row_groups)
+            ]
+            ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+        ranges.sort()
+        for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert hi < lo, f"overlapping file ranges: {ranges}"
+        assert spark.read.parquet(out).count() == 10_000
+
     def test_bucketed_join_skips_shuffle(self, spark):
         """The point of write_bucketed: two tables bucketed on the join
         key must sort-merge join with NO Exchange on either side — the
