@@ -9,6 +9,7 @@ from graphdatabases_spark.sources.readers import (
     read_tsv_edges,
 )
 from graphdatabases_spark.sources.writers import (
+    compact_parquet,
     write_bucketed,
     write_csv,
     write_jsonl,
@@ -18,6 +19,7 @@ from graphdatabases_spark.sources.writers import (
 )
 
 __all__ = [
+    "compact_parquet",
     "parse_json_column",
     "read_csv",
     "read_jsonl",
