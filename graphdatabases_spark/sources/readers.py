@@ -13,11 +13,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    *,
+    merge_schema: bool = False,
+    ignore_corrupt: bool = False,
+) -> DataFrame:
     """Parquet scan; pass ``columns`` to make the projection explicit at
     the source (Catalyst prunes anyway once a select appears downstream,
-    but an explicit projection documents intent and survives refactors)."""
-    df = spark.read.parquet(path)
+    but an explicit projection documents intent and survives refactors).
+
+    ``merge_schema``: union the schemas of all footers instead of
+    trusting the first file — the read side of schema evolution (a
+    long-lived 100 TB table accretes columns; files written before a
+    column existed surface it as null). Off by default because footer
+    merging lists every file up front.
+
+    ``ignore_corrupt``: skip unreadable files instead of failing the
+    whole scan (per-task, via ``spark.sql.files.ignoreCorruptFiles``)
+    — the operational posture for petabyte directories where one torn
+    upload must not kill a full-table job. Off by default: silently
+    dropping data is a per-job decision, never a library default."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    if ignore_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    df = reader.parquet(path)
     return df.select(*columns) if columns else df
 
 

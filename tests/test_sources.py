@@ -5,6 +5,7 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from graphdatabases_spark.sources import (
@@ -42,6 +43,45 @@ class TestReaders:
         parsed = parse_json_column(df, "props", "k STRING", out="p")
         got = {r["id"]: r["p"]["k"] for r in parsed.collect()}
         assert got == {1: "v", 2: "w"}
+
+
+class TestSchemaEvolutionAndCorruption:
+    def test_merge_schema_unions_evolved_columns(self, spark, tmp_path):
+        """A table that gained a column mid-life must read as the union
+        schema with nulls for pre-evolution files — and WITHOUT
+        merge_schema the first-footer schema silently wins (why the
+        option exists)."""
+        from graphdatabases_spark.sources.readers import read_parquet
+
+        d = str(tmp_path / "evolve")
+        spark.range(3).selectExpr("id", "id * 2 AS old_col").write.parquet(d)
+        spark.range(3, 6).selectExpr(
+            "id", "id * 2 AS old_col", "id * 10 AS new_col"
+        ).write.mode("append").parquet(d)
+
+        merged = read_parquet(spark, d, merge_schema=True)
+        assert set(merged.columns) == {"id", "old_col", "new_col"}
+        rows = {r["id"]: r["new_col"] for r in merged.collect()}
+        assert rows[0] is None and rows[5] == 50
+        assert merged.count() == 6
+
+    def test_ignore_corrupt_skips_torn_file(self, spark, tmp_path):
+        """One torn upload in a directory must not kill the scan when
+        ignore_corrupt is on — and must keep failing loudly when off."""
+        from graphdatabases_spark.sources.readers import read_parquet
+
+        d = str(tmp_path / "corrupt")
+        spark.range(10).coalesce(1).write.parquet(d)
+        import glob
+
+        good = glob.glob(f"{d}/part-*.parquet")[0]
+        torn = good.replace("part-", "part-torn-")
+        with open(torn, "wb") as fh:
+            fh.write(open(good, "rb").read()[:50])  # no footer
+
+        with pytest.raises(Exception):
+            read_parquet(spark, d).count()
+        assert read_parquet(spark, d, ignore_corrupt=True).count() == 10
 
 
 class TestWriters:
