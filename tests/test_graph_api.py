@@ -51,6 +51,9 @@ class TestMutation:
         # id 1 kept its original props (MERGE = insert-if-absent).
         row = engine.get_single_node(properties={"name": "old"})
         assert row is not None and row["id"] == 1
+        # MERGE is idempotent: replaying the same frame changes nothing.
+        engine.merge_nodes_df(nodes)
+        assert engine.graph.num_vertices() == 2
 
     def test_clear(self, engine):
         engine.add_node(1)
