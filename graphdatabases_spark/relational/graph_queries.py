@@ -574,6 +574,17 @@ def graph_node_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     "Two broadcast-able joins of the edge list against the degree table.",
 )
 def graph_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    # The derived edge set feeds THREE consumers (two degree projections
+    # and the pair join probe) whose downstream partition keys differ,
+    # so ReuseExchange can't dedupe them and the plan re-derives the
+    # orders+lineitem union-distinct 4x (16 parquet scans). Leave it:
+    # materializing the edge set once via eager localCheckpoint was
+    # MEASURED SLOWER at the derived sf1 (28.8 s vs 13.8 s) — the
+    # checkpoint write plus the row-based RDD rescan forfeits columnar
+    # parquet batches and whole-stage codegen on every consumer, which
+    # costs more than re-running the pruned scans. (The iterative
+    # kernels still checkpoint: they reuse the SAME frame dozens of
+    # rounds, not 4x.)
     edges = entity_edges(spark, sf, dedup=True)
     deg = (
         edges.select(F.col("src").alias("id"))
