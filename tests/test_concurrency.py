@@ -1,0 +1,66 @@
+"""Concurrent-execution determinism.
+
+The external gate runs catalog entries sequentially, but a production
+session serves many queries at once (Spark explicitly supports
+concurrent actions on one SparkSession). The hazards are OURS, not
+Spark's: the traversal adjacency cache, the streaming staging cache,
+and any shared driver-side state must be safe under simultaneous
+first-touch from multiple threads.
+
+The test computes canonical value-hashes for a cross-section of entries
+(graph kernels with their adjacency cache cleared so threads race the
+fill, eager streaming replays racing the staging cache, joins, text,
+similarity) sequentially and then again from an 8-thread pool, and
+requires identical hashes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from concurrent.futures import ThreadPoolExecutor
+
+from graphdatabases_spark.relational import queries
+
+SF_DIR = "/root/testdata/sf0.01"
+
+NAMES = [
+    "graph_khop_entity",             # adjacency-cache fill race
+    "graph_pagerank",                # iterative kernel
+    "events_tumbling_hourly",        # streaming staging-cache race
+    "events_stateful_running_totals",  # real-engine streaming replay
+    "text_tfidf_topterms",
+    "dedup_lsh_candidates",
+    "q1_pricing_summary",
+    "similarity_cosine_topk",
+]
+
+
+def _canonical_hash(pdf) -> str:
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+    return hashlib.md5(pdf.to_csv(index=False).encode()).hexdigest()
+
+
+def test_concurrent_queries_match_sequential(spark):
+    qs = queries()
+
+    def run(name: str) -> str:
+        return _canonical_hash(qs[name](spark, SF_DIR).toPandas())
+
+    sequential = {n: run(n) for n in NAMES}
+
+    # Make the caches cold again so the concurrent pass races the fills.
+    from graphdatabases_spark.graph.traversal import _ADJ_CACHE
+
+    _ADJ_CACHE.clear()
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        concurrent = dict(zip(NAMES, ex.map(run, NAMES)))
+
+    mismatched = [n for n in NAMES if sequential[n] != concurrent[n]]
+    assert not mismatched, (
+        f"concurrent execution diverged for {mismatched} — a shared "
+        "driver-side cache is not thread-safe"
+    )
