@@ -76,6 +76,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     double's 2^53 exact range and drift by ±1 µs.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp-rendering entries (windows, date_trunc buckets) assume
+    # the UTC session timezone our own get_spark sets; pin it here too
+    # so the catalog is deterministic on ANY externally built session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":

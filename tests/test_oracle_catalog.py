@@ -40,6 +40,27 @@ def test_query_runs_without_oracle(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
+def test_table_pins_session_confs_for_external_sessions(spark, sf_dir):
+    """The driver's gate passes ITS OWN SparkSession; table() must pin
+    the two confs catalog semantics depend on (UTC rendering, nanos-as-
+    long parquet reads) rather than assume our get_spark built the
+    session. A subprocess probe against a session built with
+    America/New_York confirmed the timestamp entries still MATCH; this
+    pin keeps the repair in place."""
+    from graphdatabases_spark.relational.catalog import table
+
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        table(spark, sf_dir, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+
+
 class TestOracleSelfConsistency:
     """Pins on the oracle TEXTS themselves (ADVICE r4): hazards that
     would otherwise surface only as an opaque hash mismatch."""
