@@ -1730,7 +1730,7 @@ def docs_decontaminate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     SELECT shard,
            CAST(floor((c - n_toks) / 512.0) AS BIGINT) AS chunk,
            count(*) AS n_docs,
-           sum(n_toks) AS tok_total
+           CAST(sum(n_toks) AS BIGINT) AS tok_total
     FROM cum GROUP BY shard, chunk
     ORDER BY shard, chunk
     """,
@@ -1776,7 +1776,7 @@ def docs_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     WITH per AS (
       SELECT source, count(*) AS n_docs,
-             sum(len({_TOKS})) AS n_tokens
+             CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
     tot AS (

@@ -65,6 +65,37 @@ class TestOracleSelfConsistency:
     """Pins on the oracle TEXTS themselves (ADVICE r4): hazards that
     would otherwise surface only as an opaque hash mismatch."""
 
+    def test_no_oracle_emits_hugeint(self, sf_dir):
+        """Catalog-wide type gate (VERDICT r5 #1): an uncast DuckDB
+        integer ``sum()`` types its output column HUGEINT (int128),
+        which the external driver's hasher renders differently from
+        Spark's BIGINT — rows+schema pass, hash fails, and the local
+        float-coercing comparator can't see it. Round 5 shipped exactly
+        two such columns (docs_pack_chunks.tok_total,
+        docs_mixture_weights.n_tokens); this DESCRIBE sweep over every
+        oracle keeps the class extinct. DESCRIBE only binds the query
+        (no execution), so the whole catalog gates in seconds."""
+        from tests.oracle_utils import duckdb_connection
+
+        con = duckdb_connection(sf_dir)
+        offenders = []
+        try:
+            for name in sorted(REGISTRY):
+                oracle = REGISTRY[name].oracle
+                if oracle is None:
+                    continue
+                cols = con.execute(f"DESCRIBE {oracle}").fetchall()
+                for col in cols:
+                    cname, ctype = col[0], col[1]
+                    if "HUGEINT" in ctype.upper():
+                        offenders.append(f"{name}.{cname}: {ctype}")
+        finally:
+            con.close()
+        assert not offenders, (
+            "oracle columns typed HUGEINT/UHUGEINT (driver hash hazard "
+            "— add CAST(... AS BIGINT)): " + "; ".join(offenders)
+        )
+
     @pytest.mark.parametrize(
         "sf_dir2", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     )
