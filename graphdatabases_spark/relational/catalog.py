@@ -116,54 +116,8 @@ def _load_all() -> None:
 # tier); the r5 sample therefore covers the 48-entry r1/r2-stale cohort
 # (+2 from r3 order) whose code has churned longest.
 _VERIFIED_ROUND: dict[str, int] = {
-    # r1 cohort
-    "q22_missed_customers": 1,
     # r2 cohort
-    "dedup_exact_summary": 2,
-    "dedup_jaccard_pairs": 2,
-    "dedup_lsh_candidates": 2,
-    "dedup_minhash_signatures": 2,
-    "dedup_simhash": 2,
-    "embedding_label_centroids": 2,
-    "events_dedup_first": 2,
-    "events_session_windows": 2,
-    "events_sliding_10m5m": 2,
-    "events_stateful_running_totals": 2,
-    "events_tumbling_hourly": 2,
-    "graph_bfs_distances_entity": 2,
-    "graph_connected_components": 2,
-    "graph_copurchase_pairs": 2,
-    "graph_degree_histogram": 2,
-    "graph_khop_entity": 2,
-    "graph_khop_grid": 2,
-    "graph_label_propagation": 2,
-    "graph_node_derivation": 2,
-    "graph_pagerank": 2,
-    "graph_ssp_grid": 2,
-    "graph_triangle_count": 2,
-    "join_asof_events": 2,
-    "join_range_events": 2,
-    "multimodal_metadata": 2,
-    "q11_important_parts": 2,
-    "q12_priority_by_month": 2,
-    "q13_customer_distribution": 2,
-    "q15_top_supplier": 2,
-    "q16_supplier_part_counts": 2,
-    "q17_small_qty_revenue": 2,
-    "q20_part_promotion": 2,
-    "q21_waiting_suppliers": 2,
-    "q2_min_cost_supplier": 2,
-    "q8_market_share": 2,
-    "q9_product_profit": 2,
-    "similarity_cosine_topk": 2,
-    "similarity_threshold_pairs": 2,
-    "text_fingerprint": 2,
-    "text_language_guess": 2,
-    "text_quality_score": 2,
-    "text_tfidf_topterms": 2,
-    "text_token_stats": 2,
     "udaf_priority_geomean": 2,
-    "udf_embedding_l2norm": 2,
     "udtf_bigram_counts": 2,
     # r3 cohort
     "agg_mode_status_priority": 3,
@@ -263,6 +217,55 @@ _VERIFIED_ROUND: dict[str, int] = {
     "window_rank": 4,
     "window_running_sum": 4,
     "window_topk_per_group": 4,
+    # r5 cohort
+    "dedup_embedding_neardup": 5,
+    "dedup_exact_summary": 5,
+    "dedup_jaccard_pairs": 5,
+    "dedup_lsh_candidates": 5,
+    "dedup_minhash_signatures": 5,
+    "dedup_simhash": 5,
+    "docs_decontaminate_ngrams": 5,
+    "embedding_label_centroids": 5,
+    "events_dedup_first": 5,
+    "events_session_windows": 5,
+    "events_sliding_10m5m": 5,
+    "events_stateful_running_totals": 5,
+    "events_tumbling_hourly": 5,
+    "graph_bfs_distances_entity": 5,
+    "graph_connected_components": 5,
+    "graph_copurchase_pairs": 5,
+    "graph_degree_histogram": 5,
+    "graph_khop_entity": 5,
+    "graph_khop_grid": 5,
+    "graph_label_propagation": 5,
+    "graph_node_derivation": 5,
+    "graph_pagerank": 5,
+    "graph_ssp_grid": 5,
+    "graph_triangle_count": 5,
+    "join_asof_events": 5,
+    "join_range_events": 5,
+    "multimodal_metadata": 5,
+    "q11_important_parts": 5,
+    "q12_priority_by_month": 5,
+    "q13_customer_distribution": 5,
+    "q15_top_supplier": 5,
+    "q16_supplier_part_counts": 5,
+    "q17_small_qty_revenue": 5,
+    "q20_part_promotion": 5,
+    "q21_waiting_suppliers": 5,
+    "q22_missed_customers": 5,
+    "q2_min_cost_supplier": 5,
+    "q8_market_share": 5,
+    "q9_product_profit": 5,
+    "similarity_cosine_topk": 5,
+    "similarity_threshold_pairs": 5,
+    "text_fingerprint": 5,
+    "text_language_guess": 5,
+    "text_quality_score": 5,
+    "text_repetition_score": 5,
+    "text_tfidf_topterms": 5,
+    "text_token_stats": 5,
+    "udf_embedding_l2norm": 5,
 }
 
 
