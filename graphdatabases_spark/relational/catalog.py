@@ -98,6 +98,7 @@ def _load_all() -> None:
         udf_queries,
         pipeline_queries,
         analytics_queries,
+        curation_queries,
     )
 
 

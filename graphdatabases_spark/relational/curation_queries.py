@@ -1,0 +1,622 @@
+"""Batch-7 training-data curation surface (SURVEY §7 round-6 queue).
+
+Six corpus-curation operators a large-scale pretraining pipeline runs
+between raw crawl and tokenizer: C4-style line filtering, PII
+redaction accounting (defensive scrubbing), cross-document boilerplate
+line removal, RAG chunking with overlap, URL/domain rollups, and
+k-gram substring dedup (the rolling-hash approximation of
+suffix-array dedup).
+
+The fixture corpus is punctuation-free word salad, so — exactly like
+``docs_decontaminate_ngrams``'s ``doc_id % 97`` eval split and
+``dedup_embedding_neardup``'s dup-injected corpus — each entry derives
+the structure it filters DETERMINISTICALLY from ``doc_id`` in both
+engines (decorated lines, injected PII/URLs/footers, re-emitted
+suffix copies), then runs the real mechanism on it.  The mechanisms,
+not the injections, are the operators: every filter/redaction/dedup
+path is a string-level rule evaluated on materialized text.
+
+Scale notes (100 TB): entries 1/2/4/5 are pure per-row folds or one
+keyed aggregation — no joins, partial-agg combinable. Entries 3/6 are
+the posting-list shapes: explode → distinct → document-frequency
+hash-agg → one equi-join back on a 48-bit BIGINT key (the portable
+md5 hash both engines compute identically) instead of the raw line /
+8-gram string, keeping shuffle rows fixed-width.  Nothing is
+all-pairs; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdatabases_spark.functions import text as T
+from graphdatabases_spark.relational.analytics_queries import _ngram_array
+from graphdatabases_spark.relational.catalog import register, table
+from graphdatabases_spark.relational.llm_queries import TOKS as _TOKS
+
+# DuckDB mirror of functions/text.py::portable_hash64 (48-bit md5 prefix).
+_H = "('0x' || substr(md5({v}), 1, 12))::BIGINT"
+
+
+def _docs_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "documents")
+        .select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+    )
+
+
+@register(
+    "docs_c4_line_filters",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+    x AS (
+      SELECT doc_id, n, (n + 11) // 12 AS n_lines,
+        list_transform(range(0, (n + 11) // 12), j ->
+          CASE WHEN (doc_id * 7 + j) % 19 = 0 THEN chr(123) ELSE '' END
+          || array_to_string(list_slice(toks, j*12 + 1, j*12 + 12), ' ')
+          || CASE WHEN (doc_id + j) % 3 <> 2 THEN '.' ELSE '' END
+        ) AS lines
+      FROM b
+    ),
+    k AS (
+      SELECT doc_id, n, n_lines,
+        list_filter(lines, l -> l LIKE '%.'
+          AND NOT contains(l, chr(123))
+          AND len(string_split(l, ' ')) >= 5) AS kept
+      FROM x
+    ),
+    w AS (
+      SELECT doc_id, n, n_lines, len(kept) AS n_kept,
+        coalesce(list_sum(list_transform(kept,
+          l -> len(string_split(l, ' ')))), 0) AS kept_words
+      FROM k
+    )
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(kept_words AS BIGINT) AS kept_words,
+           round(CAST(kept_words AS DOUBLE) / n, 6) AS retained_frac
+    FROM w ORDER BY doc_id
+    """,
+    doc="C4-style heuristic line filtering: the corpus is lined (12 "
+    "tokens per line) and deterministically decorated from doc_id "
+    "(2/3 of lines get terminal punctuation, ~1/19 a brace prefix — "
+    "the code/boilerplate marker), then the classic C4 rules run ON "
+    "THE LINE STRINGS: keep only lines that end in terminal "
+    "punctuation, contain no curly brace, and have >= 5 words. "
+    "Per-document retained-token fraction is the downstream sampling "
+    "weight. Everything is a per-row higher-order fold over the line "
+    "array — zero joins, zero shuffles beyond the final ORDER BY.",
+)
+def docs_c4_line_filters(spark: SparkSession, sf: str) -> DataFrame:
+    b = _docs_tokens(spark, sf)
+    n = F.col("n")
+    n_lines = F.floor((n + F.lit(11)) / 12).cast("long")
+    toks = F.col("toks")
+    doc_id = F.col("doc_id")
+    lines = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("n_lines") - 1),
+        lambda j: F.concat(
+            F.when((doc_id * 7 + j) % 19 == 0, F.lit("{")).otherwise(""),
+            F.concat_ws(" ", F.slice(toks, (j * 12 + 1).cast("int"), 12)),
+            F.when((doc_id + j) % 3 != 2, F.lit(".")).otherwise(""),
+        ),
+    )
+
+    def words(line):
+        return F.size(F.split(line, " "))
+
+    kept = F.filter(
+        F.col("lines"),
+        lambda line: F.endswith(line, F.lit("."))
+        & ~F.contains(line, F.lit("{"))
+        & (words(line) >= 5),
+    )
+    kept_words = F.aggregate(
+        F.col("kept"), F.lit(0).cast("long"), lambda acc, line: acc + words(line)
+    )
+    return (
+        b.withColumn("n_lines", n_lines)
+        .withColumn("lines", lines)
+        .withColumn("kept", kept)
+        .withColumn("kept_words", kept_words)
+        .select(
+            "doc_id",
+            "n_lines",
+            F.size("kept").cast("long").alias("n_kept"),
+            "kept_words",
+            F.round(F.col("kept_words").cast("double") / n, 6).alias(
+                "retained_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+_IP_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+@register(
+    "docs_pii_redaction",
+    oracle=r"""
+    WITH aug AS (
+      SELECT source, doc_id,
+        text
+        || CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || doc_id || '@example.com now'
+             ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+             THEN ' call 555-' || (1000 + doc_id % 9000) || ' today'
+             ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+             THEN ' from 10.' || (doc_id % 256) || '.'
+                  || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256)
+             ELSE '' END AS t
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source,
+        len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS e,
+        len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS p,
+        len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS i,
+        length(t) - length(
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+            '\b555-[0-9]{4}\b', '[PHONE]', 'g'),
+            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g')) AS delta
+      FROM aug
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(e) AS BIGINT) AS n_emails,
+      CAST(sum(p) AS BIGINT) AS n_phones,
+      CAST(sum(i) AS BIGINT) AS n_ips,
+      CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_docs_with_pii,
+      CAST(sum(delta) AS BIGINT) AS chars_redacted
+    FROM cnt GROUP BY source ORDER BY source
+    """,
+    doc="Regex PII redaction accounting (defensive scrubbing): PII "
+    "tokens (emails, 555-prefixed phone numbers, dotted-quad IPs) are "
+    "deterministically injected from doc_id (%% 7 / %% 11 / %% 13 "
+    "membership), then counted AND redacted with the three standard "
+    "regex classes; the per-source rollup reports match counts, "
+    "affected-document counts, and characters removed by the "
+    "[EMAIL]/[PHONE]/[IP] replacement chain — the audit table a "
+    "scrubbing pass must emit. One combinable keyed aggregation over "
+    "a per-row regex scan; Spark regexp_replace is global by default, "
+    "mirrored by DuckDB's 'g' flag.",
+)
+def docs_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                doc_id.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(
+            doc_id % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                (F.lit(1000) + doc_id % 9000).cast("string"),
+                F.lit(" today"),
+            ),
+        ).otherwise(""),
+        F.when(
+            doc_id % 13 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (doc_id % 256).cast("string"),
+                F.lit("."),
+                ((doc_id * 7) % 256).cast("string"),
+                F.lit("."),
+                ((doc_id * 13) % 256).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    t = F.col("t")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+        ),
+        _IP_RE,
+        "[IP]",
+    )
+    cnt = (
+        table(spark, sf, "documents")
+        .select("source", "doc_id", aug.alias("t"))
+        .select(
+            "source",
+            F.regexp_count(t, F.lit(_EMAIL_RE)).alias("e"),
+            F.regexp_count(t, F.lit(_PHONE_RE)).alias("p"),
+            F.regexp_count(t, F.lit(_IP_RE)).alias("i"),
+            (F.length(t) - F.length(redacted)).alias("delta"),
+        )
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").cast("long").alias("n_emails"),
+            F.sum("p").cast("long").alias("n_phones"),
+            F.sum("i").cast("long").alias("n_ips"),
+            F.sum(
+                F.when(F.col("e") + F.col("p") + F.col("i") > 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_with_pii"),
+            F.sum("delta").cast("long").alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "docs_boilerplate_lines",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+    x AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 <> 3
+          THEN list_concat(
+            list_transform(range(0, (n + 5) // 6), j ->
+              array_to_string(list_slice(toks, j*6 + 1, j*6 + 6), ' ')),
+            ['copyright footer line ' || (doc_id % 3)])
+          ELSE list_transform(range(0, (n + 5) // 6), j ->
+            array_to_string(list_slice(toks, j*6 + 1, j*6 + 6), ' '))
+        END AS lines
+      FROM b
+    ),
+    h AS (
+      SELECT doc_id, {_H.format(v="line")} AS lh
+      FROM (SELECT doc_id, unnest(lines) AS line FROM x)
+    ),
+    df AS (
+      SELECT lh, count(*) AS df
+      FROM (SELECT DISTINCT lh, doc_id FROM h) GROUP BY lh
+    ),
+    per AS (
+      SELECT doc_id, count(*) AS n_lines,
+        CAST(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      FROM h JOIN df USING (lh) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, n_removed,
+           CAST(n_lines - n_removed AS BIGINT) AS n_kept,
+           round(CAST(n_removed AS DOUBLE) / n_lines, 6) AS removed_frac
+    FROM per ORDER BY doc_id
+    """,
+    doc="Cross-document line-level boilerplate removal (the "
+    "cookie-banner / footer scrub): the corpus is lined (6 tokens per "
+    "line) and 3/4 of documents get one of three rotating injected "
+    "footer lines (the deterministic stand-in for real boilerplate); "
+    "a line whose 48-bit hash appears in >= 5 DISTINCT documents is "
+    "boilerplate and removed everywhere. The posting list is "
+    "explode -> distinct(doc,line-hash) -> document-frequency "
+    "hash-agg -> one equi-join back on the fixed-width BIGINT line "
+    "hash (never the line string), so shuffle width is constant at "
+    "any corpus size and partial aggs combine map-side.",
+)
+def docs_boilerplate_lines(spark: SparkSession, sf: str) -> DataFrame:
+    b = _docs_tokens(spark, sf)
+    toks, doc_id = F.col("toks"), F.col("doc_id")
+    base_lines = F.transform(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.floor((F.col("n") + F.lit(5)) / 6).cast("long") - 1,
+        ),
+        lambda j: F.concat_ws(" ", F.slice(toks, (j * 6 + 1).cast("int"), 6)),
+    )
+    footer = F.concat(
+        F.lit("copyright footer line "), (doc_id % 3).cast("string")
+    )
+    lines = F.when(
+        doc_id % 4 != 3, F.concat(base_lines, F.array(footer))
+    ).otherwise(base_lines)
+    h = b.select(
+        "doc_id", F.explode(lines).alias("line")
+    ).select("doc_id", T.portable_hash64(F.col("line")).alias("lh"))
+    df = (
+        h.select("lh", "doc_id")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    per = (
+        h.join(df, "lh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("df") >= 5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        (F.col("n_lines") - F.col("n_removed")).cast("long").alias("n_kept"),
+        F.round(
+            F.col("n_removed").cast("double") / F.col("n_lines"), 6
+        ).alias("removed_frac"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_rag_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+    x AS (
+      SELECT doc_id, toks, n,
+        1 + (greatest(n - 64, 0) + 47) // 48 AS n_chunks
+      FROM b
+    ),
+    s AS (
+      SELECT doc_id, toks, n, n_chunks,
+        list_sum(list_transform(range(0, n_chunks),
+          i -> least(64, n - i*48))) AS chunk_tok_total
+      FROM x
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(chunk_tok_total AS BIGINT) AS chunk_tok_total,
+           CAST(chunk_tok_total - n AS BIGINT) AS overlap_toks,
+           md5(array_to_string(list_slice(toks, 1, 64), ' '))
+             AS first_chunk_fp
+    FROM s ORDER BY doc_id
+    """,
+    doc="RAG chunking with overlap (chunk = 64 tokens, stride = 48, "
+    "i.e. 16-token overlap): each document yields "
+    "1 + ceil(max(n-64,0)/48) windows; the entry emits the per-doc "
+    "chunk count, total chunk tokens, and the CONSERVATION check "
+    "column overlap_toks = chunk_tok_total - n_toks (every token "
+    "appears in >= 1 chunk; the excess is exactly the double-counted "
+    "overlap — pinned as an invariant in tests). first_chunk_fp "
+    "fingerprints the actual materialized window text so the entry "
+    "proves real slicing, not just arithmetic. Pure per-row list "
+    "folds — no explode, no join, no shuffle.",
+)
+def docs_rag_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    b = _docs_tokens(spark, sf)
+    n, toks = F.col("n"), F.col("toks")
+    n_chunks = (
+        F.lit(1)
+        + F.floor((F.greatest(n - 64, F.lit(0)) + F.lit(47)) / 48)
+    ).cast("long")
+    chunk_tok_total = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.least(F.lit(64).cast("long"), n - i * 48),
+    )
+    return (
+        b.withColumn("n_chunks", n_chunks)
+        .withColumn("chunk_tok_total", chunk_tok_total)
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_toks"),
+            "n_chunks",
+            "chunk_tok_total",
+            (F.col("chunk_tok_total") - n).cast("long").alias("overlap_toks"),
+            F.md5(F.concat_ws(" ", F.slice(toks, 1, 64))).alias(
+                "first_chunk_fp"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_URL_RE = r"https?://[a-z0-9.-]+(?:/[a-z0-9/._-]*)?"
+
+
+@register(
+    "docs_url_domain_rollup",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, n_chars,
+        text
+        || CASE WHEN doc_id % 3 = 0
+             THEN ' see https://site' || (doc_id % 23)
+                  || '.example.com/p/' || doc_id
+             ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+             THEN ' and http://cdn' || (doc_id % 7) || '.example.org/x'
+             ELSE '' END AS t
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, n_chars,
+        unnest(regexp_extract_all(t,
+          'https?://[a-z0-9.-]+(?:/[a-z0-9/._-]*)?')) AS url
+      FROM aug
+    ),
+    d AS (
+      SELECT doc_id, n_chars,
+        regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+        CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END AS https
+      FROM u
+    )
+    SELECT domain,
+      CAST(count(*) AS BIGINT) AS n_urls,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      round(CAST(sum(https) AS DOUBLE) / count(*), 6) AS https_frac,
+      round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_doc_chars
+    FROM d GROUP BY domain ORDER BY domain
+    """,
+    doc="URL extraction with per-domain quality rollups (the crawl "
+    "provenance table): URLs are deterministically injected from "
+    "doc_id (%% 3 -> one of 23 https site domains, %% 5 -> one of 7 "
+    "http cdn domains), extracted with the standard scheme://host "
+    "regex, and rolled up per domain: URL count, distinct containing "
+    "documents, https share, and average containing-document size. "
+    "The average divides an EXACT BIGINT sum (order-free) rather than "
+    "avg() over doubles, so the rounded value is engine- and "
+    "partitioning-invariant. Regex scan -> explode -> one keyed "
+    "aggregation; output cardinality is the (bounded) domain count.",
+)
+def docs_url_domain_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(
+                F.lit(" see https://site"),
+                (doc_id % 23).cast("string"),
+                F.lit(".example.com/p/"),
+                doc_id.cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(
+                F.lit(" and http://cdn"),
+                (doc_id % 7).cast("string"),
+                F.lit(".example.org/x"),
+            ),
+        ).otherwise(""),
+    )
+    u = (
+        table(spark, sf, "documents")
+        .select("doc_id", "n_chars", aug.alias("t"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.regexp_extract_all("t", F.lit(_URL_RE), 0)).alias(
+                "url"
+            ),
+        )
+    )
+    d = u.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("domain"),
+        F.when(F.col("url").startswith("https://"), 1).otherwise(0).alias(
+            "https"
+        ),
+    )
+    return (
+        d.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.round(
+                F.sum("https").cast("double") / F.count(F.lit(1)), 6
+            ).alias("https_frac"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_doc_chars"),
+        )
+        .orderBy("domain")
+    )
+
+
+@register(
+    "docs_substring_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    copies AS (
+      SELECT doc_id,
+        list_concat(list_slice(toks, 5, len(toks)),
+                    ['zz' || doc_id]) AS toks
+      FROM (SELECT doc_id + 1000000 AS doc_id, toks FROM t
+            WHERE doc_id % 41 = 0 AND len(toks) >= 12)
+    ),
+    corp AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) >= 8
+      UNION ALL SELECT doc_id, toks FROM copies
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(toks) - 6),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+          || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+          || toks[i+6] || ' ' || toks[i+7]))) AS gram
+      FROM corp
+    ),
+    h AS (SELECT doc_id, {_H.format(v="gram")} AS gh FROM g),
+    df AS (SELECT gh, count(*) AS df FROM h GROUP BY gh),
+    per AS (
+      SELECT doc_id, count(*) AS n_grams,
+        CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      FROM h JOIN df USING (gh) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_dup,
+           round(CAST(n_dup AS DOUBLE) / n_grams, 6) AS dup_frac,
+           round(CAST(n_dup AS DOUBLE) / n_grams, 6) >= 0.5 AS flagged
+    FROM per ORDER BY doc_id
+    """,
+    doc="Suffix-hash substring dedup (the k-gram rolling-hash posting "
+    "approximation of suffix-array substring dedup): the corpus is "
+    "augmented with deterministic long-shared-substring copies "
+    "(doc_id %% 41 == 0 documents re-emitted under id+1,000,000 as "
+    "their token suffix from position 5 plus a unique tail token, so "
+    "the pair shares a long substring but is NOT an exact dup), then "
+    "every token 8-gram is hashed to a 48-bit BIGINT, a "
+    "document-frequency posting list marks grams seen in >= 2 "
+    "documents, and each document is scored by its duplicated-gram "
+    "fraction (flagged at 50%% — both injected partners flag; "
+    "random cross-document 8-gram collisions are ~0). Like the LSH "
+    "kernels: explode -> hash-agg -> one BIGINT equi-join, shuffle "
+    "rows are fixed-width, nothing is all-pairs.",
+)
+def docs_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    t = (
+        table(spark, sf, "documents")
+        .select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    copies = (
+        t.filter((F.col("doc_id") % 41 == 0) & (F.col("n") >= 12))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.slice(F.col("toks"), 5, F.col("n") - 4),
+                F.array(
+                    F.concat(
+                        F.lit("zz"), (F.col("doc_id") + 1000000).cast("string")
+                    )
+                ),
+            ).alias("toks"),
+        )
+    )
+    corp = t.filter(F.col("n") >= 8).select("doc_id", "toks").unionByName(
+        copies
+    )
+    h = corp.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_ngram_array(F.col("toks"), 8))
+        ).alias("gram"),
+    ).select("doc_id", T.portable_hash64(F.col("gram")).alias("gh"))
+    df = h.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    dup_frac = F.round(F.col("n_dup").cast("double") / F.col("n_grams"), 6)
+    return (
+        h.join(df, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup",
+            dup_frac.alias("dup_frac"),
+            (dup_frac >= 0.5).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
