@@ -1,0 +1,240 @@
+"""Engine-internal invariants for the batch-7 curation ops (round 6):
+C4 keep-rule replay, PII injection accounting, boilerplate footer
+recovery, RAG chunk conservation, URL rollup closure, substring-dedup
+planted-pair recovery. Value-level correctness is separately proven by
+the DuckDB differentials (tests/test_oracle_catalog.py)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from graphdatabases_spark.relational import REGISTRY, queries
+
+queries()  # populate REGISTRY
+
+TOKEN_RE = re.compile("[^a-z0-9]+")
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in TOKEN_RE.split(text.lower().strip()) if t]
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+class TestC4LineFilters:
+    def test_keep_rules_replayed_in_python(self, spark, sf_dir):
+        """Independent per-line replay of the decorate+filter pipeline
+        for a sample of documents — catches rule drift the SQL oracle
+        (same derivation) could share."""
+        rows = {
+            r["doc_id"]: r
+            for r in REGISTRY["docs_c4_line_filters"].fn(spark, sf_dir).collect()
+        }
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40).collect()
+        assert docs
+        for d in docs:
+            toks = _py_tokens(d["text"])
+            kept_words = n_kept = 0
+            n_lines = math.ceil(len(toks) / 12)
+            for j in range(n_lines):
+                line = " ".join(toks[j * 12 : j * 12 + 12])
+                if (d["doc_id"] * 7 + j) % 19 == 0:
+                    line = "{" + line
+                if (d["doc_id"] + j) % 3 != 2:
+                    line = line + "."
+                words = len(line.split(" "))
+                if line.endswith(".") and "{" not in line and words >= 5:
+                    n_kept += 1
+                    kept_words += words
+            row = rows[d["doc_id"]]
+            assert (row["n_lines"], row["n_kept"], row["kept_words"]) == (
+                n_lines,
+                n_kept,
+                kept_words,
+            ), f"doc {d['doc_id']}"
+
+    def test_filters_actually_drop_lines(self, spark, sf_dir):
+        agg = (
+            REGISTRY["docs_c4_line_filters"]
+            .fn(spark, sf_dir)
+            .agg(
+                F.sum("n_lines").alias("nl"), F.sum("n_kept").alias("nk")
+            )
+            .collect()[0]
+        )
+        # Punctuation rule alone drops ~1/3; the filter must be real.
+        assert 0 < agg["nk"] < agg["nl"]
+
+
+class TestPiiRedaction:
+    def test_counts_close_over_injection_schedule(self, spark, sf_dir):
+        """Every injected PII token is found, and nothing else: the
+        corpus itself is alnum-only so the regex totals must equal the
+        doc_id modulus schedule exactly."""
+        out = REGISTRY["docs_pii_redaction"].fn(spark, sf_dir).collect()
+        ids = [r["doc_id"] for r in _docs(spark, sf_dir).select("doc_id").collect()]
+        assert sum(r["n_emails"] for r in out) == sum(1 for i in ids if i % 7 == 0)
+        assert sum(r["n_phones"] for r in out) == sum(1 for i in ids if i % 11 == 0)
+        assert sum(r["n_ips"] for r in out) == sum(1 for i in ids if i % 13 == 0)
+        assert sum(r["n_docs_with_pii"] for r in out) == sum(
+            1 for i in ids if i % 7 == 0 or i % 11 == 0 or i % 13 == 0
+        )
+        # Redaction must strictly shrink every matched span.
+        assert all(r["chars_redacted"] >= 0 for r in out)
+        assert sum(r["chars_redacted"] for r in out) > 0
+
+    def test_redaction_removes_all_matches(self, spark, sf_dir):
+        """After the replacement chain, zero PII patterns remain."""
+        from graphdatabases_spark.relational.curation_queries import (
+            _EMAIL_RE,
+            _IP_RE,
+            _PHONE_RE,
+        )
+
+        doc_id = F.col("doc_id")
+        aug = F.concat(
+            F.col("text"),
+            F.when(
+                doc_id % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    doc_id.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+        )
+        red = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(aug, _EMAIL_RE, "[EMAIL]"),
+                _PHONE_RE,
+                "[PHONE]",
+            ),
+            _IP_RE,
+            "[IP]",
+        )
+        residue = (
+            _docs(spark, sf_dir)
+            .select(red.alias("t"))
+            .filter(
+                F.regexp_count("t", F.lit(_EMAIL_RE))
+                + F.regexp_count("t", F.lit(_PHONE_RE))
+                + F.regexp_count("t", F.lit(_IP_RE))
+                > 0
+            )
+            .count()
+        )
+        assert residue == 0
+
+
+class TestBoilerplateLines:
+    def test_injected_footers_are_removed(self, spark, sf_dir):
+        out = REGISTRY["docs_boilerplate_lines"].fn(spark, sf_dir).collect()
+        footer_docs = [r for r in out if r["doc_id"] % 4 != 3]
+        bare_docs = [r for r in out if r["doc_id"] % 4 == 3]
+        assert footer_docs and bare_docs
+        # Every footer-carrying doc loses at least its footer line
+        # (footer df ~ |docs|/4 per variant >> threshold 5).
+        assert all(r["n_removed"] >= 1 for r in footer_docs)
+        # Removal is targeted, not wholesale: content lines survive.
+        assert all(r["n_kept"] >= 1 for r in footer_docs)
+        frac_f = sum(r["removed_frac"] for r in footer_docs) / len(footer_docs)
+        frac_b = sum(r["removed_frac"] for r in bare_docs) / len(bare_docs)
+        assert frac_f > frac_b
+
+
+class TestRagChunks:
+    def test_conservation_invariant(self, spark, sf_dir):
+        """chunk_tok_total - n_toks is exactly the double-counted
+        overlap: sum over non-first chunks of min(16, chunk_len)."""
+        for r in REGISTRY["docs_rag_chunks"].fn(spark, sf_dir).collect():
+            n = r["n_toks"]
+            expected_chunks = 1 + max(0, math.ceil((n - 64) / 48))
+            assert r["n_chunks"] == expected_chunks
+            lens = [min(64, n - i * 48) for i in range(expected_chunks)]
+            assert r["chunk_tok_total"] == sum(lens)
+            assert r["overlap_toks"] == sum(min(16, L) for L in lens[1:])
+            # Every chunk is non-empty and every token is covered.
+            assert all(L >= 1 for L in lens)
+            assert r["overlap_toks"] >= 0
+
+    def test_first_chunk_fp_is_real_text(self, spark, sf_dir):
+        """The fingerprint hashes the materialized first window, not a
+        constant: docs with distinct first-64-token prefixes must get
+        distinct fps."""
+        df = REGISTRY["docs_rag_chunks"].fn(spark, sf_dir)
+        n_fp = df.select("first_chunk_fp").distinct().count()
+        assert n_fp > df.count() * 0.5
+
+
+class TestUrlDomainRollup:
+    def test_rollup_closure(self, spark, sf_dir):
+        out = REGISTRY["docs_url_domain_rollup"].fn(spark, sf_dir).collect()
+        ids = [r["doc_id"] for r in _docs(spark, sf_dir).select("doc_id").collect()]
+        assert sum(r["n_urls"] for r in out) == sum(
+            1 for i in ids if i % 3 == 0
+        ) + sum(1 for i in ids if i % 5 == 0)
+        for r in out:
+            if r["domain"].endswith(".example.com"):
+                assert r["https_frac"] == 1.0
+            else:
+                assert r["domain"].endswith(".example.org")
+                assert r["https_frac"] == 0.0
+            assert r["n_docs"] <= r["n_urls"]
+
+
+class TestSubstringDedup:
+    def test_planted_suffix_copies_recovered(self, spark, sf_dir):
+        out = {
+            r["doc_id"]: r
+            for r in REGISTRY["docs_substring_dedup"].fn(spark, sf_dir).collect()
+        }
+        toks_by_id = {
+            r["doc_id"]: len(_py_tokens(r["text"]))
+            for r in _docs(spark, sf_dir).collect()
+        }
+        planted = [
+            i for i, n in toks_by_id.items() if i % 41 == 0 and n >= 12
+        ]
+        assert planted
+        for i in planted:
+            copy = out[i + 1000000]
+            # The copy is >= 50% shared 8-grams by construction.
+            assert copy["flagged"], f"copy of {i} not flagged"
+            # Long-enough originals share the same suffix grams.
+            if toks_by_id[i] >= 15:
+                assert out[i]["flagged"], f"original {i} not flagged"
+
+    def test_natural_duplicates_also_found(self, spark, sf_dir):
+        """The fixture corpus deliberately contains documents sharing
+        long spans (~8% at sf0.001); the posting list must find those
+        REAL dups too — but not flag wholesale. Spot-check one flagged
+        unplanted doc against a brute-force Python recount."""
+        df = REGISTRY["docs_substring_dedup"].fn(spark, sf_dir)
+        unplanted = df.filter(
+            (F.col("doc_id") < 1000000) & (F.col("doc_id") % 41 != 0)
+        )
+        n_flagged = unplanted.filter("flagged").count()
+        assert 0 < n_flagged < unplanted.count() * 0.3
+        probe = unplanted.filter("flagged").orderBy("doc_id").first()
+        texts = {
+            r["doc_id"]: _py_tokens(r["text"])
+            for r in _docs(spark, sf_dir).collect()
+        }
+        gram_docs: dict[str, set[int]] = {}
+        for i, toks in texts.items():
+            for g in {
+                " ".join(toks[j : j + 8]) for j in range(len(toks) - 7)
+            }:
+                gram_docs.setdefault(g, set()).add(i)
+        toks = texts[probe["doc_id"]]
+        grams = {" ".join(toks[j : j + 8]) for j in range(len(toks) - 7)}
+        # The copies only ADD df to grams of planted originals, so for
+        # this unplanted doc the base-corpus recount is a lower bound
+        # that must already clear the flag threshold.
+        n_dup = sum(1 for g in grams if len(gram_docs[g]) >= 2)
+        assert n_dup / len(grams) >= 0.5
