@@ -123,7 +123,22 @@ def compact_parquet(
 
     Parquet re-encodes on write, so compacted bytes usually shrink as
     well (bigger row groups → better dictionary/RLE runs).
+
+    Returns the ACTUAL part-file count written (listed from
+    ``out_path`` after the write), which can be below the byte-derived
+    target: ``coalesce(n)`` cannot increase partition count, and Spark
+    writes no part-file for an empty planned partition (ADVICE r5).
+    Raises ``ValueError`` when ``in_path`` resolves to ``out_path`` —
+    mode("overwrite") would delete the source under the reader.
     """
+    import os
+
+    if os.path.abspath(in_path) == os.path.abspath(out_path):
+        raise ValueError(
+            f"compact_parquet: in_path == out_path ({in_path!r}) — "
+            "overwrite would destroy the source mid-read; compact into "
+            "a sibling directory and swap"
+        )
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(in_path)
@@ -140,4 +155,11 @@ def compact_parquet(
         )
     else:
         df.coalesce(n).write.mode("overwrite").parquet(out_path)
-    return n
+    out = jvm.org.apache.hadoop.fs.Path(out_path)
+    out_fs = out.getFileSystem(conf)
+    written = 0
+    for status in out_fs.listStatus(out):
+        name = status.getPath().getName()
+        if name.startswith("part-"):
+            written += 1
+    return written

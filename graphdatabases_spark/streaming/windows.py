@@ -241,12 +241,18 @@ def run_stream_exactly_once(
       replay skip the rewrite entirely and doubles as the consumer
       contract (a dir without the marker is in-flight garbage).
 
-    Readers just ``spark.read.parquet(out_dir)`` — ``batch_id`` surfaces
-    as a partition column. The replay path (kill after sink success but
-    before the epoch commit, restart, same batch_id re-delivered with
-    identical offsets) is pinned by tests/test_streaming.py::
-    TestExactlyOnceSink, alongside a contrast test showing the plain
-    append sink really does duplicate under the same fault. The marker
+    After the query TERMINATES cleanly, ``spark.read.parquet(out_dir)``
+    is safe (``batch_id`` surfaces as a partition column) — every dir
+    is then committed.  While the query runs (or after a crash), a
+    naive recursive read can hit a torn in-flight part-file or see
+    uncommitted rows; concurrent/post-crash readers must use
+    ``read_committed_stream_output``, which scans ONLY ``batch_id=``
+    dirs carrying the ``_COMMITTED`` marker (ADVICE r5).  The replay
+    path (kill after sink success but before the epoch commit, restart,
+    same batch_id re-delivered with identical offsets) is pinned by
+    tests/test_streaming.py::TestExactlyOnceSink, alongside a contrast
+    test showing the plain append sink really does duplicate under the
+    same fault. The marker
     check/write runs driver-side (foreachBatch bodies execute on the
     driver; only the parquet write itself is distributed), so plain
     file I/O is correct wherever the driver can reach ``out_dir`` — on
@@ -272,6 +278,33 @@ def run_stream_exactly_once(
         .start()
     )
     q.awaitTermination()
+
+
+def read_committed_stream_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read an exactly-once sink's output safely DURING the query or
+    after a crash: only ``batch_id=<id>`` directories carrying the
+    ``_COMMITTED`` marker are scanned, so torn in-flight part-files and
+    uncommitted rows are invisible (the consumer half of
+    ``run_stream_exactly_once``'s contract).
+
+    ``basePath`` keeps ``batch_id`` as a partition column, so the frame
+    is schema-identical to a naive post-termination read.  Raises
+    ``FileNotFoundError`` when no epoch has committed yet — callers
+    distinguish "no output yet" from "empty output" explicitly.
+    """
+    import os
+
+    committed = sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("batch_id=")
+        and os.path.exists(os.path.join(out_dir, d, "_COMMITTED"))
+    )
+    if not committed:
+        raise FileNotFoundError(
+            f"no committed batch_id= directories under {out_dir!r}"
+        )
+    return spark.read.option("basePath", out_dir).parquet(*committed)
 
 
 def write_stream_foreach_batch(stream_df: DataFrame, out_dir: str) -> None:

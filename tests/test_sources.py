@@ -178,6 +178,33 @@ class TestWriters:
         plan = executed_plan(spark.read.parquet(frag).coalesce(n))
         assert "Exchange" not in plan
 
+    def test_compaction_rejects_in_place_overwrite(self, spark, tmp_path):
+        """in_path == out_path would have mode('overwrite') delete the
+        source under its own reader (ADVICE r5)."""
+        import pytest
+
+        from graphdatabases_spark.sources.writers import compact_parquet
+
+        p = str(tmp_path / "inplace")
+        spark.range(10).write.parquet(p)
+        with pytest.raises(ValueError, match="in_path == out_path"):
+            compact_parquet(spark, p, p)
+
+    def test_compaction_returns_actual_file_count(self, spark, tmp_path):
+        """coalesce(n) cannot INCREASE partition count: with a target
+        far below file size, the return value must be the files really
+        written (the input's partition count), not the byte-derived
+        target (ADVICE r5)."""
+        import glob
+
+        from graphdatabases_spark.sources.writers import compact_parquet
+
+        frag = str(tmp_path / "frag_two")
+        out = str(tmp_path / "compact_two")
+        spark.range(1000).repartition(2).write.parquet(frag)
+        n = compact_parquet(spark, frag, out, target_file_bytes=1)
+        assert n == len(glob.glob(f"{out}/part-*.parquet")) == 2
+
     def test_compaction_with_sort_reclusters_ranges(self, spark, tmp_path):
         """sort_by compaction must leave disjoint per-file key ranges
         (the write_range_sorted zone-map contract) on previously

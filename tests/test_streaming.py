@@ -559,6 +559,107 @@ class TestExactlyOnceSink:
         )
 
 
+class TestExactlyOnceConsumers:
+    """The consumer half of the exactly-once contract (ADVICE r5 +
+    VERDICT r5 #4): committed-only reads during faults, and small-files
+    compaction of the per-epoch sink layout."""
+
+    _F1 = [
+        (1, "2024-01-01 09:00:00", 1, "view", 10.0, "{}"),
+        (2, "2024-01-01 09:01:00", 1, "view", 5.0, "{}"),
+        (3, "2024-01-01 09:02:00", 2, "click", 7.0, "{}"),
+    ]
+    _F2 = [
+        (4, "2024-01-01 09:03:00", 2, "view", 2.0, "{}"),
+        (5, "2024-01-01 09:04:00", 3, "purchase", 99.0, "{}"),
+    ]
+
+    def _two_epochs(self, spark, tmp_path):
+        """Run the exactly-once sink twice over a growing source dir so
+        out_dir holds two committed batch_id= epochs."""
+        from graphdatabases_spark.streaming.windows import run_stream_exactly_once
+
+        src = tmp_path / "eoc_src"
+        src.mkdir()
+        out = str(tmp_path / "eoc_out")
+        ckpt = str(tmp_path / "eoc_ckpt")
+        for name, rows in (("f1.parquet", self._F1), ("f2.parquet", self._F2)):
+            TestCheckpointRestart._write_events(spark, tmp_path, src, name, rows)
+            stream = read_events_stream(spark, str(src)).select(
+                "event_id", "ts", "user_id"
+            )
+            run_stream_exactly_once(stream, out, ckpt, "append")
+        return out
+
+    def test_committed_reader_skips_inflight_epochs(self, spark, tmp_path):
+        """read_committed_stream_output must see exactly the committed
+        epochs even when a torn, marker-less epoch dir sits alongside
+        them (the state a mid-sink crash leaves)."""
+        import glob
+        import os
+
+        from graphdatabases_spark.streaming.windows import (
+            read_committed_stream_output,
+        )
+
+        out = self._two_epochs(spark, tmp_path)
+        dirs = sorted(glob.glob(os.path.join(out, "batch_id=*")))
+        assert len(dirs) == 2
+        # Tear the newest epoch: marker gone, truncated part-file left.
+        torn = dirs[-1]
+        os.remove(os.path.join(torn, "_COMMITTED"))
+        part = glob.glob(os.path.join(torn, "part-*"))[0]
+        with open(os.path.join(torn, "part-torn.parquet"), "wb") as fh:
+            fh.write(open(part, "rb").read()[:100])
+        got = read_committed_stream_output(spark, out)
+        assert "batch_id" in got.columns
+        assert {r["event_id"] for r in got.collect()} == {1, 2, 3}
+
+    def test_committed_reader_raises_before_first_commit(self, spark, tmp_path):
+        import pytest
+
+        from graphdatabases_spark.streaming.windows import (
+            read_committed_stream_output,
+        )
+
+        empty = tmp_path / "eoc_empty"
+        empty.mkdir()
+        with pytest.raises(FileNotFoundError):
+            read_committed_stream_output(spark, str(empty))
+
+    def test_compaction_behind_exactly_once_sink(self, spark, tmp_path):
+        """VERDICT r5 #4: epoch dirs -> compact_parquet -> reader
+        equivalence. The per-epoch layout is exactly the small-files
+        shape compaction exists for; the compacted dataset must be
+        row-identical (batch_id carried as a data column) and collapse
+        to the byte-derived file count."""
+        import glob
+        import os
+
+        from graphdatabases_spark.sources.writers import compact_parquet
+
+        out = self._two_epochs(spark, tmp_path)
+        compacted = str(tmp_path / "eoc_compact")
+        n_before = len(glob.glob(os.path.join(out, "batch_id=*", "part-*")))
+        assert n_before >= 2
+        written = compact_parquet(spark, out, compacted)
+        assert written == 1  # 5 tiny rows << default 128 MiB target
+        assert len(glob.glob(os.path.join(compacted, "part-*.parquet"))) == 1
+        a = {
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("event_id", "user_id", "batch_id")
+            .collect()
+        }
+        b = {
+            tuple(r)
+            for r in spark.read.parquet(compacted)
+            .select("event_id", "user_id", "batch_id")
+            .collect()
+        }
+        assert a == b and len(a) == 5
+
+
 class TestRateSource:
     def test_rate_stream_schema_and_rows(self, spark, tmp_path):
         """The rate generator must match the events schema so every
