@@ -51,7 +51,21 @@ def wav_decode(payload: bytes):
         cid = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         body = payload[pos + 8 : pos + 8 + size]
+        # A declared size larger than the remaining payload is a
+        # malformed/truncated container, not a short read to tolerate:
+        # silently truncating ``data`` would decode garbage-length
+        # audio, and a short ``fmt `` would surface as struct.error
+        # instead of this module's documented ValueError (ADVICE r5).
+        if len(body) < size:
+            raise ValueError(
+                f"truncated {cid!r} chunk: declared {size} bytes, "
+                f"{len(body)} available"
+            )
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(
+                    f"fmt chunk too short: {size} bytes (PCM needs 16)"
+                )
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

@@ -66,6 +66,21 @@ class TestWavParsing:
         with pytest.raises(ValueError, match="RIFF"):
             wav_decode(b"OggS" + b"\x00" * 40)
 
+    def test_rejects_truncated_fmt_chunk(self):
+        """A short fmt body must raise the documented ValueError, not
+        struct.error (ADVICE r5)."""
+        hdr = b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        short_fmt = b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+        with pytest.raises(ValueError, match="fmt chunk too short"):
+            wav_decode(hdr + short_fmt)
+
+    def test_rejects_data_chunk_overrunning_payload(self):
+        """A data chunk declaring more bytes than remain must raise,
+        not silently decode a truncated signal (ADVICE r5)."""
+        base = wav_encode(_sine(200))
+        with pytest.raises(ValueError, match="truncated b'data'"):
+            wav_decode(base[:-10])
+
 
 class TestWavCodecContracts:
     def test_decode_features_shape_and_values(self):
