@@ -32,6 +32,50 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def dtype_kind(dtype, series: pd.Series) -> str:
+    """Coarse hash-relevant dtype kind: int / float / bool / datelike /
+    decimal / other.  The external driver hashes engine-native value
+    RENDERINGS, so int-vs-float (``277`` vs ``277.0``), bool-vs-int and
+    decimal-vs-float divergences fail its gate even when the numeric
+    comparator below says equal — round 1's ``q12`` and round 5's two
+    HUGEINT columns were exactly this class.  object columns are
+    classified by their first non-null value (pandas lands Spark dates
+    and DuckDB HUGEINTs in object columns depending on version).
+
+    Shared by ``compare_frames`` (every pytest differential) and
+    ``tools/audit_oracle_dtypes.py`` (the standalone sweep).
+    """
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datelike"
+    if dtype == object:
+        non_null = series.dropna()
+        if len(non_null):
+            v = non_null.iloc[0]
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, (int, np.integer)):
+                return "int"
+            if isinstance(v, (float, np.floating)):
+                return "float"
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                return "datelike"
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
+        return "other"
+    return str(dtype)
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     if len(df) and len(df.columns):
@@ -76,6 +120,20 @@ def compare_frames(
         return ("MISMATCH", f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}")
     if len(a) != len(b):
         return ("MISMATCH", f"row count differs: spark={len(a)} oracle={len(b)}")
+    # Hash-relevant dtype parity (VERDICT r5 #7): equal VALUES under a
+    # diverging kind (int vs float, bool vs int, decimal vs float)
+    # still fail the driver's rendering hash.  Empty frames are skipped
+    # — classification needs a value and an empty hash matches anyway.
+    if len(a):
+        for col in a.columns:
+            ka = dtype_kind(a[col].dtype, a[col])
+            kb = dtype_kind(b[col].dtype, b[col])
+            if ka != kb:
+                return (
+                    "MISMATCH",
+                    f"col {col} dtype kind differs: spark={a[col].dtype}/"
+                    f"{ka} oracle={b[col].dtype}/{kb} (driver hash hazard)",
+                )
     any_near = False
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()

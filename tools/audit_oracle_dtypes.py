@@ -18,50 +18,13 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
-import numpy as np
 import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from graphdatabases_spark import get_spark
 from graphdatabases_spark.relational import REGISTRY, queries
-from tests.oracle_utils import duckdb_connection
-
-
-def _kind(dtype, series: pd.Series) -> str:
-    """Coarse hash-relevant kind: int / float / bool / datelike / other.
-
-    object columns are classified by their first non-null value (pandas
-    lands Spark dates and DuckDB HUGEINTs in object columns depending on
-    version, so the dtype alone is not enough).
-    """
-    if pd.api.types.is_bool_dtype(dtype):
-        return "bool"
-    if pd.api.types.is_integer_dtype(dtype):
-        return "int"
-    if pd.api.types.is_float_dtype(dtype):
-        return "float"
-    if pd.api.types.is_datetime64_any_dtype(dtype):
-        return "datelike"
-    if dtype == object:
-        non_null = series.dropna()
-        if len(non_null):
-            v = non_null.iloc[0]
-            if isinstance(v, bool):
-                return "bool"
-            if isinstance(v, (int, np.integer)):
-                return "int"
-            if isinstance(v, (float, np.floating)):
-                return "float"
-            import datetime
-            import decimal
-
-            if isinstance(v, (datetime.date, datetime.datetime)):
-                return "datelike"
-            if isinstance(v, decimal.Decimal):
-                return "decimal"
-        return "other"
-    return str(dtype)
+from tests.oracle_utils import dtype_kind, duckdb_connection
 
 
 def main() -> int:
@@ -88,8 +51,8 @@ def main() -> int:
             print(f"{name}: COLS spark={cols_s} oracle={cols_o}")
             continue
         for c in cols_s:
-            ks = _kind(spdf[c].dtype, spdf[c])
-            ko = _kind(opdf[c].dtype, opdf[c])
+            ks = dtype_kind(spdf[c].dtype, spdf[c])
+            ko = dtype_kind(opdf[c].dtype, opdf[c])
             # int-vs-float (either direction) and bool-vs-int are the
             # str()-visible breaks; decimal-vs-float is value-identical
             # only when the decimal is exact — flag it too.
