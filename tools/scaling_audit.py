@@ -1,5 +1,6 @@
-"""Round-close scaling audit: Spark-side wall time per catalog entry at
-sf0.1 vs the derived sf1 (10× the rows), flagging superlinear entries.
+"""Round-close scaling audit: Spark-side wall time AND shuffle-write
+bytes per catalog entry at sf0.1 vs the derived sf1 (10× the rows),
+flagging superlinear entries on either axis.
 
 The oracle sweep proves VALUES at every sf; this tool probes the other
 scale axis: does each entry's runtime grow ~linearly with input? A
@@ -15,6 +16,15 @@ noise discipline. Sub-second sf0.1 times are floored at 0.15 s for the
 ratio so fixed per-stage overhead doesn't mark a 40 ms query
 "superlinear" when it reaches 1 s at sf1. Results stream one line per
 entry so a chunked/interrupted audit loses nothing.
+
+Shuffle bytes (VERDICT r5 #5): wall time can stay linear while shuffle
+volume grows superlinearly (hidden re-expansion before an exchange, a
+join key losing selectivity at scale) — the round-5 tokenizer
+re-inlining was caught by wall-time luck. The audit therefore also
+records the delta of the status store's cumulative executor
+``totalShuffleWrite`` around each timed run and flags entries whose
+shuffle grows more than ``threshold``× over the 10× step (1 MiB floor
+on the denominator — KB-scale shuffles are all fixed overhead).
 
 Usage:
     python tools/scaling_audit.py                # all entries
@@ -49,11 +59,32 @@ SKIP = {"source_binary_listing"}
 FLOOR_S = 0.15
 
 
-def _time(fn, spark, sf_dir: str) -> float:
+SHUFFLE_FLOOR_B = 1024 * 1024
+
+
+def _shuffle_write_total(spark) -> int:
+    """Cumulative shuffle-write bytes across executors (status store);
+    per-run bytes are the delta around a run. The listener bus updates
+    the store asynchronously — drain it first so the delta is exact."""
+    sc = spark.sparkContext._jsc.sc()
+    try:
+        sc.listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        time.sleep(0.3)  # older/newer signature: settle heuristically
+    it = sc.statusStore().executorList(False).iterator()
+    total = 0
+    while it.hasNext():
+        total += it.next().totalShuffleWrite()
+    return total
+
+
+def _time(fn, spark, sf_dir: str) -> tuple[float, int]:
     fn(spark, sf_dir).count()  # warm
+    b0 = _shuffle_write_total(spark)
     t0 = time.perf_counter()
     fn(spark, sf_dir).count()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    return dt, _shuffle_write_total(spark) - b0
 
 
 def main() -> int:
@@ -80,25 +111,39 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = []
-    print(f"{'ratio':>7}  {'sf0.1':>7}  {'sf1':>7}  entry", flush=True)
+    print(
+        f"{'ratio':>7}  {'sf0.1':>7}  {'sf1':>7}  "
+        f"{'shB0.1':>9}  {'shB1':>9}  {'shR':>6}  entry",
+        flush=True,
+    )
     for name in names:
         fn = REGISTRY[name].fn
         try:
-            t01 = _time(fn, spark, SF01)
-            t1 = _time(fn, spark, SF1)
+            t01, b01 = _time(fn, spark, SF01)
+            t1, b1 = _time(fn, spark, SF1)
         except Exception as e:  # keep auditing; report at the end
-            rows.append((float("inf"), name, -1.0, -1.0, repr(e)[:120]))
-            print(f"{'ERR':>7}  {name}: {rows[-1][4]}", flush=True)
+            rows.append((float("inf"), float("inf"), name, -1.0, -1.0,
+                         -1, -1, repr(e)[:120]))
+            print(f"{'ERR':>7}  {name}: {rows[-1][7]}", flush=True)
             continue
         ratio = t1 / max(t01, FLOOR_S)
-        rows.append((ratio, name, t01, t1, ""))
-        mark = " <-- SUPERLINEAR" if ratio > args.threshold else ""
+        sh_ratio = b1 / max(b01, SHUFFLE_FLOOR_B)
+        rows.append((ratio, sh_ratio, name, t01, t1, b01, b1, ""))
+        mark = ""
+        if ratio > args.threshold:
+            mark = " <-- SUPERLINEAR (time)"
+        elif sh_ratio > args.threshold:
+            mark = " <-- SUPERLINEAR (shuffle)"
         print(
-            f"{ratio:7.1f}  {t01:6.2f}s  {t1:6.2f}s  {name}{mark}",
+            f"{ratio:7.1f}  {t01:6.2f}s  {t1:6.2f}s  "
+            f"{b01/1e6:8.1f}M  {b1/1e6:8.1f}M  {sh_ratio:6.1f}  "
+            f"{name}{mark}",
             flush=True,
         )
 
-    flagged = [r for r in rows if r[0] > args.threshold]
+    flagged = [
+        r for r in rows if r[0] > args.threshold or r[1] > args.threshold
+    ]
     print(
         f"audit: {len(rows)} entries, {len(flagged)} above "
         f"threshold {args.threshold} (10 = linear)",
