@@ -59,6 +59,10 @@ HEADLINE = [
     "similarity_ann_ivf",
     "text_tfidf_topterms",
     "events_tumbling_hourly",
+    # batch-7 curation surface (round 6): the posting-list dedup shape
+    # and the zero-shuffle per-row-fold shape.
+    "docs_substring_dedup",
+    "docs_c4_line_filters",
 ]
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graphdatabases_spark.functions import text as T
 from graphdatabases_spark.relational.analytics_queries import _ngram_array
@@ -619,4 +620,262 @@ def docs_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
             (dup_frac >= 0.5).alias("flagged"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_hash_sample",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+        len(list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+            x -> x <> '')) AS n_toks,
+        10 + (CAST(substr(source, 4) AS BIGINT) % 4) * 10 AS rate_pct,
+        ('0x' || substr(md5('smpl' || doc_id), 1, 12))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_sampled,
+      CAST(max(rate_pct) AS BIGINT) AS rate_pct,
+      round(100.0 * sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END)
+            / count(*), 6) AS realized_pct,
+      CAST(sum(CASE WHEN bucket < rate_pct THEN n_toks ELSE 0 END) AS BIGINT)
+        AS tok_sampled
+    FROM t GROUP BY source ORDER BY source
+    """,
+    doc="Deterministic hash-bucket sampling accounting (the train-subset "
+    "/ eval-split draw): each source gets a configured rate (10-40%%, "
+    "derived from the source number) and each document a stable 0-99 "
+    "bucket from the portable 48-bit md5 hash of its id — the ONLY way "
+    "to sample 100 TB reproducibly (no RNG state, no ordering "
+    "dependence; re-running or re-partitioning draws the SAME sample). "
+    "Unlike docs_stratified_sample's key-mod draw, the md5 bucket is "
+    "uncorrelated with id-derived structure (every other entry keys "
+    "injections off doc_id moduli — a %% 100 draw would collide with "
+    "them). The rollup reports configured vs realized rates and "
+    "sampled token mass per stratum. One scan, one combinable keyed "
+    "aggregation, zero joins.",
+)
+def docs_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    src_num = F.substring(F.col("source"), 4, 10).cast("long")
+    rate = (F.lit(10) + (src_num % 4) * 10).alias("rate_pct")
+    bucket = (
+        T.portable_hash64(
+            F.concat(F.lit("smpl"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    t = table(spark, sf, "documents").select(
+        "source",
+        F.size(T.tokens(F.col("text"))).alias("n_toks"),
+        rate,
+        bucket.alias("bucket"),
+    )
+    hit = F.col("bucket") < F.col("rate_pct")
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_sampled"),
+            F.max("rate_pct").cast("long").alias("rate_pct"),
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(hit, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("realized_pct"),
+            F.sum(F.when(hit, F.col("n_toks")).otherwise(0))
+            .cast("long")
+            .alias("tok_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "docs_unigram_surprise",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+    scored AS (
+      SELECT tok, CAST(length(bin(n_total // cnt)) - 1 AS BIGINT) AS surprise
+      FROM vocab, tot
+    ),
+    per AS (
+      SELECT doc_id, count(*) AS n_toks,
+        CAST(sum(surprise) AS BIGINT) AS sum_surprise
+      FROM tok JOIN scored USING (tok) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, sum_surprise,
+           round(CAST(sum_surprise AS DOUBLE) / n_toks, 6) AS avg_surprise,
+           round(CAST(sum_surprise AS DOUBLE) / n_toks, 6) < 4.0 AS flagged_low
+    FROM per ORDER BY doc_id
+    """,
+    doc="Unigram-surprise scoring (the perplexity-proxy quality "
+    "filter): a corpus-wide unigram table assigns each token the "
+    "INTEGER surprise floor(log2(total/count)) — computed as binary "
+    "digit length, so both engines agree bit-for-bit with no libm log "
+    "involved — and each document is scored by its mean token "
+    "surprise; implausibly predictable documents (avg < 4 bits) are "
+    "flagged, exactly how a cheap LM-free fluency filter runs before "
+    "the expensive model-based pass. The vocabulary is a hash-agg "
+    "(bounded by vocab size, not corpus size), re-joined per token "
+    "occurrence; the total is a broadcast 1-row scalar.",
+)
+def docs_unigram_surprise(spark: SparkSession, sf: str) -> DataFrame:
+    tok = (
+        table(spark, sf, "documents")
+        .select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("n_total"))
+    # `div` is true integer division (the DuckDB `//` mirror): a double
+    # `/`+floor would be exact at these magnitudes but not by contract.
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (F.length(F.bin(F.expr("n_total div cnt"))) - 1)
+        .cast("long")
+        .alias("surprise"),
+    )
+    avg = F.round(
+        F.col("sum_surprise").cast("double") / F.col("n_toks"), 6
+    )
+    return (
+        tok.join(F.broadcast(scored), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("surprise").cast("long").alias("sum_surprise"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "sum_surprise",
+            avg.alias("avg_surprise"),
+            (avg < 4.0).alias("flagged_low"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_source_overlap",
+    oracle=f"""
+    WITH fp AS (
+      SELECT DISTINCT source,
+        md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+      FROM documents
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY src_a, src_b
+    """,
+    doc="Cross-source contamination matrix: the canonical token-set "
+    "fingerprint collapses near-dup documents to one key; sources "
+    "sharing a fingerprint share content, and the pairwise rollup "
+    "(src_a < src_b) is the dedup-audit table that tells you WHICH "
+    "feeds are mirroring each other before you weight them. The "
+    "self-join runs per fingerprint group (dup clusters — tiny, "
+    "bounded by cluster size squared, never corpus all-pairs) after a "
+    "distinct (source, fp) projection; output cardinality is at most "
+    "sources², here 20x19/2.",
+)
+def docs_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    fp = (
+        table(spark, sf, "documents")
+        .select("source", T.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+@register(
+    "docs_select_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len({_TOKS}) AS n_toks,
+             len(list_distinct({_TOKS})) AS n_uniq,
+             (length(lower(text)) - length(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g')))
+               / greatest(length(lower(text)), 1) AS punct
+      FROM documents
+    ),
+    q AS (
+      SELECT source, doc_id, n_toks,
+        round((CASE WHEN n_toks BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END) * 0.4
+              + (1.0 - punct) * 0.3
+              + (n_uniq / greatest(n_toks, 1)) * 0.3, 6) AS quality
+      FROM t
+    ),
+    c AS (
+      SELECT source, doc_id, n_toks, quality,
+        sum(n_toks) OVER (PARTITION BY source
+          ORDER BY quality DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM q
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_selected,
+      CAST(sum(n_toks) AS BIGINT) AS tok_selected,
+      min(quality) AS cutoff_quality
+    FROM c WHERE cum <= 4096
+    GROUP BY source ORDER BY source
+    """,
+    doc="Token-budget-constrained corpus selection (the data-mixing "
+    "step that fills each source's training quota with its BEST "
+    "documents): within every source, documents are ranked by the "
+    "deterministic quality score (ties by doc_id) and greedily "
+    "selected while the running token sum stays within the 4096-token "
+    "per-source budget; the rollup reports how many documents and "
+    "tokens made the cut and the marginal quality cutoff. Greedy "
+    "selection is sequential per stratum, so it shards by source "
+    "exactly like sequence packing shards by doc group — the window "
+    "is PARTITIONed (parallel across sources), never a global sort.",
+)
+def docs_select_budget(spark: SparkSession, sf: str) -> DataFrame:
+    toks = T.tokens(F.col("text"))
+    q = table(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        q.withColumn("cum", F.sum("n_toks").over(w))
+        .filter(F.col("cum") <= 4096)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_toks").cast("long").alias("tok_selected"),
+            F.min("quality").alias("cutoff_quality"),
+        )
+        .orderBy("source")
     )
