@@ -399,6 +399,55 @@ class TestBenchHeadlinePlanPins:
         assert "BatchEvalPython" not in plan, plan
 
 
+class TestCurationPlanShapes:
+    """Shuffle-count pins for the round-6 curation surface — the scale
+    claims in curation_queries.py docstrings, enforced."""
+
+    def test_per_row_fold_entries_never_shuffle(self, spark, sf_dir, qs):
+        """docs_c4_line_filters and docs_rag_chunks are pure per-row
+        higher-order folds: zero hash exchanges (only the presentation
+        sort's range exchange is allowed)."""
+        for name in ("docs_c4_line_filters", "docs_rag_chunks"):
+            plan = physical_plan(qs[name](spark, sf_dir))
+            assert plan.count("Exchange hashpartitioning") == 0, (name, plan)
+            assert "BatchEvalPython" not in plan, name
+
+    def test_single_agg_entries_cost_one_exchange(self, spark, sf_dir, qs):
+        """The regex-scan rollups and the hash-sample draw are one
+        combinable keyed aggregation: exactly one hash exchange with a
+        map-side partial before it."""
+        for name in ("docs_pii_redaction", "docs_hash_sample"):
+            plan = physical_plan(qs[name](spark, sf_dir))
+            assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+            assert "partial_" in plan, name
+
+    def test_select_budget_agg_reuses_window_partitioning(
+        self, spark, sf_dir, qs
+    ):
+        """The per-source window and the per-source aggregation must
+        share ONE exchange — the groupBy rides the window's
+        hashpartitioning(source), it does not re-shuffle."""
+        plan = physical_plan(qs["docs_select_budget"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Window" in plan, plan
+
+    def test_posting_list_entries_bounded_exchanges(self, spark, sf_dir, qs):
+        """The posting-list dedup shapes (line/8-gram document
+        frequency, source-overlap matrix, unigram vocabulary) pay a
+        bounded, data-independent exchange count — and never a
+        cartesian product."""
+        budget = {
+            "docs_boilerplate_lines": 3,  # distinct, df agg, per-doc agg
+            "docs_substring_dedup": 2,  # df agg, per-doc agg
+            "docs_source_overlap": 3,  # distinct, fp join, pair agg
+            "docs_unigram_surprise": 3,  # vocab agg, per-doc agg, join
+        }
+        for name, n in budget.items():
+            plan = physical_plan(qs[name](spark, sf_dir))
+            assert plan.count("Exchange hashpartitioning") <= n, (name, plan)
+            assert "CartesianProduct" not in plan, name
+
+
 class TestAQESkewRuntime:
     """Runtime proof (not just config) that AQE splits a skewed shuffle
     partition: SCALE.md's fact-fact row claims 'AQE skew-split' handles
