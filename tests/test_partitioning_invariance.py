@@ -54,6 +54,10 @@ ENTRIES = [
     "docs_pack_chunks",          # shard-partitioned running-sum window
     "kmeans_embeddings",         # 5-round float fit + assignment
     "graph_connected_components",  # iterative min-propagation fixpoint
+    # round-6 curation additions
+    "docs_select_budget",        # quality-ranked window, ties by doc_id
+    "docs_unigram_surprise",     # vocab join + per-doc integer sums
+    "docs_substring_dedup",      # posting-list df join over exploded grams
 ]
 
 VARIANT = {
