@@ -129,34 +129,41 @@ def events_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _stage_events_micro(spark: SparkSession, sf: str) -> tuple[str, str]:
-    """Stage a microsecond-ts copy of ``events.parquet`` for the file-
-    stream source (the raw parquet carries TIMESTAMP(NANOS)).
+def _stage_table_for_stream(
+    spark: SparkSession, sf: str, name: str
+) -> tuple[str, str]:
+    """Stage a parquet copy of a testdata table for the file-stream
+    source (for ``events`` this also normalizes TIMESTAMP(NANOS) to
+    microseconds via ``table()``; file-stream sources cannot read a
+    bare single-file path the way batch scans can).
 
-    ONE staging dir per source path (so regenerating the source never
-    accumulates orphaned copies in the temp dir); a ``_SIG`` marker
-    stores a CONTENT signature of the source — per-file (name, size,
-    mtime) — and a mismatch triggers an overwrite re-stage, so a
-    regenerated source parquet at the same location never silently
-    replays stale data.  Returns (staged_path, tag) — the tag (keyed on
-    path + signature) also namespaces each caller's memory sink.
+    ONE staging dir per (table, source path) — so regenerating the
+    source never accumulates orphaned copies in the temp dir; a
+    ``_SIG`` marker stores a CONTENT signature of the source — per-file
+    (name, size, mtime) — and a mismatch triggers an overwrite
+    re-stage, so a regenerated source parquet at the same location
+    never silently replays stale data.  Returns (staged_path, tag) —
+    the tag (keyed on path + signature) also namespaces each caller's
+    memory sink.
     """
     import hashlib
     import os
     import tempfile
 
-    src = os.path.join(sf, "events.parquet")
+    src = os.path.join(sf, f"{name}.parquet")
     sig_parts = [src]
     if os.path.isdir(src):
-        for name in sorted(os.listdir(src)):
-            st = os.stat(os.path.join(src, name))
-            sig_parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        for fname in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, fname))
+            sig_parts.append(f"{fname}:{st.st_size}:{st.st_mtime_ns}")
     elif os.path.exists(src):
         st = os.stat(src)
         sig_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
     sig = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:12]
     path_tag = hashlib.md5(src.encode()).hexdigest()[:12]
-    staged = os.path.join(tempfile.gettempdir(), f"sg_events_stream_{path_tag}")
+    staged = os.path.join(
+        tempfile.gettempdir(), f"sg_{name}_stream_{path_tag}"
+    )
     marker = os.path.join(staged, "_SIG")
     current = None
     if os.path.exists(marker):
@@ -166,10 +173,15 @@ def _stage_events_micro(spark: SparkSession, sf: str) -> tuple[str, str]:
         # Parallel write — a coalesce(1) here would funnel the whole
         # stage through one task; downstream consumers re-key anyway,
         # so the file count doesn't affect results.
-        table(spark, sf, "events").write.mode("overwrite").parquet(staged)
+        table(spark, sf, name).write.mode("overwrite").parquet(staged)
         with open(marker, "w") as fh:
             fh.write(sig)
     return staged, f"{path_tag}_{sig}"
+
+
+def _stage_events_micro(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """Backward-compatible alias: stage ``events`` (micro-ts copy)."""
+    return _stage_table_for_stream(spark, sf, "events")
 
 
 @register(
@@ -342,3 +354,73 @@ def events_stream_enriched_nation(spark: SparkSession, sf: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(sink).orderBy("nation")
+
+
+@register(
+    "docs_stream_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+        md5(array_to_string(list_sort(list_distinct(
+          list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                      x -> x <> ''))), ' ')) AS fp
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_kept,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dropped
+    FROM fp GROUP BY source ORDER BY source
+    """,
+    doc="Runs the REAL Structured Streaming engine: exact streaming "
+    "dedup — the ingest-time shape that keeps a crawl feed clean "
+    "WITHOUT re-scanning the corpus. Documents arrive as a file "
+    "stream; dropDuplicates on (source, canonical fingerprint) holds "
+    "the seen-key set in keyed state store and emits only first "
+    "arrivals (availableNow micro-batch replay, append mode). WHICH "
+    "duplicate survives is arrival-order-dependent, so the entry "
+    "reports the deterministic quantity: per-source input/kept/"
+    "dropped counts, where kept = distinct fingerprints — exactly the "
+    "batch SQL oracle. Unbounded streams bound this state with a "
+    "watermark on arrival time; the availableNow replay here "
+    "deliberately retains all keys so the count contract is exact.",
+)
+def docs_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.functions import text as T
+
+    staged, tag = _stage_table_for_stream(spark, sf, "documents")
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(staged)
+        .withColumn("fp", T.fingerprint(F.col("text")))
+        .dropDuplicates(["source", "fp"])
+    )
+    sink = f"docs_stream_dedup_{tag}"
+    (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    kept = (
+        spark.table(sink)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
