@@ -879,3 +879,136 @@ def docs_select_budget(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "docs_incremental_dedup",
+    oracle=f"""
+    WITH fp AS (
+      SELECT source, doc_id,
+        md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+      FROM documents
+    ),
+    snap AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0),
+    newc AS (SELECT source, fp FROM fp WHERE doc_id % 3 <> 0)
+    SELECT n.source,
+      CAST(count(*) AS BIGINT) AS n_new,
+      CAST(sum(CASE WHEN s.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_novel,
+      CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_vs_snapshot
+    FROM newc n LEFT JOIN snap s ON n.fp = s.fp
+    GROUP BY n.source ORDER BY n.source
+    """,
+    doc="Incremental snapshot dedup (the continuously-crawled-corpus "
+    "shape): the prior snapshot's DISTINCT fingerprint set (doc_id %% "
+    "3 == 0 stands in for yesterday's corpus — chosen coprime to the "
+    "20-way source rotation so every source sees both sides) is "
+    "probed by today's crawl (%% 3 != 0); per source, the rollup "
+    "reports how much of "
+    "the new batch is novel vs already-ingested content — the "
+    "admission-control table an incremental pipeline writes instead "
+    "of re-deduplicating 100 TB from scratch. One distinct-projection "
+    "of the snapshot + one fingerprint equi-join; at scale the "
+    "snapshot side is a bucketed fingerprint index, and only the NEW "
+    "batch ever re-shuffles.",
+)
+def docs_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    fp = table(spark, sf, "documents").select(
+        "source", "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
+    snap = (
+        fp.filter(F.col("doc_id") % 3 == 0)
+        .select(F.col("fp").alias("sfp"))
+        .distinct()
+    )
+    newc = fp.filter(F.col("doc_id") % 3 != 0)
+    seen = F.col("sfp").isNotNull()
+    return (
+        newc.join(snap, newc["fp"] == snap["sfp"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.when(~seen, 1).otherwise(0)).cast("long").alias("n_novel"),
+            F.sum(F.when(seen, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_vs_snapshot"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "docs_dedup_canonical",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp,
+        len({_TOKS}) AS n_toks,
+        len(list_distinct({_TOKS})) AS n_uniq,
+        (length(lower(text)) - length(regexp_replace(lower(text),
+           '[^a-z0-9 ]', '', 'g')))
+          / greatest(length(lower(text)), 1) AS punct
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, fp,
+        round((CASE WHEN n_toks BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END) * 0.4
+              + (1.0 - punct) * 0.3
+              + (n_uniq / greatest(n_toks, 1)) * 0.3, 6) AS quality
+      FROM t
+    ),
+    sized AS (
+      SELECT fp, count(*) AS n_members FROM q GROUP BY fp
+      HAVING count(*) >= 2
+    ),
+    ranked AS (
+      SELECT q.fp, q.doc_id, q.quality,
+        row_number() OVER (PARTITION BY q.fp
+          ORDER BY q.quality DESC, q.doc_id) AS rk
+      FROM q JOIN sized ON q.fp = sized.fp
+    )
+    SELECT s.fp, CAST(s.n_members AS BIGINT) AS n_members,
+           r.doc_id AS canonical_doc_id, r.quality AS canonical_quality
+    FROM sized s JOIN ranked r ON r.fp = s.fp AND r.rk = 1
+    ORDER BY s.fp
+    """,
+    doc="Near-dup cluster canonicalization — detection to SELECTION: "
+    "every fingerprint cluster of size >= 2 keeps its best-quality "
+    "member (deterministic ties by doc_id), completing the dedup "
+    "story: dedup_keep_first_normalized picks the OLDEST member, this "
+    "entry picks the BEST by the catalog's quality score — the policy "
+    "that retains the cleanest copy of syndicated content. Shapes: "
+    "one hash-agg for cluster sizes, one fp-partitioned window for "
+    "the rank (both key on the fingerprint, so the exchange is "
+    "shared), one equi-join back.",
+)
+def docs_dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    q = table(spark, sf, "documents").select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    sized = (
+        q.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    w = Window.partitionBy("fp").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    ranked = (
+        q.join(sized.select("fp"), "fp")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        sized.join(ranked, "fp")
+        .select(
+            "fp",
+            "n_members",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("quality").alias("canonical_quality"),
+        )
+        .orderBy("fp")
+    )
