@@ -369,3 +369,66 @@ class TestSelectBudget:
             n_sel,
             tok_sel,
         )
+
+
+class TestIncrementalDedup:
+    def test_novelty_closure_and_snapshot_probe(self, spark, sf_dir):
+        import hashlib
+
+        out = REGISTRY["docs_incremental_dedup"].fn(spark, sf_dir).collect()
+        assert len(out) == 20  # mod-3 split is coprime to the source rotation
+        snap, new_by_src = set(), {}
+        for d in _docs(spark, sf_dir).collect():
+            fp = hashlib.md5(
+                " ".join(sorted(set(_py_tokens(d["text"])))).encode()
+            ).hexdigest()
+            if d["doc_id"] % 3 == 0:
+                snap.add(fp)
+            else:
+                new_by_src.setdefault(d["source"], []).append(fp)
+        for r in out:
+            fps = new_by_src[r["source"]]
+            assert r["n_new"] == len(fps)
+            assert r["n_dup_vs_snapshot"] == sum(1 for f in fps if f in snap)
+            assert r["n_novel"] + r["n_dup_vs_snapshot"] == r["n_new"]
+        assert sum(r["n_dup_vs_snapshot"] for r in out) > 0, (
+            "fixture near-dups must straddle the snapshot split"
+        )
+
+
+class TestDedupCanonical:
+    def test_best_quality_member_wins_with_doc_id_ties(self, spark, sf_dir):
+        out = REGISTRY["docs_dedup_canonical"].fn(spark, sf_dir).collect()
+        assert out, "fixture has exact-dup clusters"
+        docs = {
+            r["doc_id"]: r["text"] for r in _docs(spark, sf_dir).collect()
+        }
+        # Replay one cluster: canonical must be (max quality, min doc_id).
+        from graphdatabases_spark.functions import text as T
+
+        qdf = {
+            r["doc_id"]: (r["q"], r["fp"])
+            for r in _docs(spark, sf_dir)
+            .select(
+                "doc_id",
+                T.quality_score(F.col("text")).alias("q"),
+                T.fingerprint(F.col("text")).alias("fp"),
+            )
+            .collect()
+        }
+        by_fp: dict[str, list] = {}
+        for did, (q, fp) in qdf.items():
+            by_fp.setdefault(fp, []).append((did, q))
+        for r in out:
+            members = by_fp[r["fp"]]
+            assert r["n_members"] == len(members) >= 2
+            best = sorted(members, key=lambda m: (-m[1], m[0]))[0]
+            assert (r["canonical_doc_id"], r["canonical_quality"]) == best
+
+    def test_policy_differs_from_keep_first(self, spark, sf_dir):
+        """The quality policy must be a real policy: same clusters as
+        keep-first (fingerprint universe modulo hash fn), selection by
+        quality instead of age."""
+        canon = REGISTRY["docs_dedup_canonical"].fn(spark, sf_dir)
+        first = REGISTRY["dedup_keep_first_normalized"].fn(spark, sf_dir)
+        assert canon.count() == first.count()
