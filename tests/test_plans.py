@@ -447,6 +447,18 @@ class TestCurationPlanShapes:
             assert plan.count("Exchange hashpartitioning") <= n, (name, plan)
             assert "CartesianProduct" not in plan, name
 
+    def test_snapshot_dedup_entries_bounded_exchanges(self, spark, sf_dir, qs):
+        """Incremental dedup: snapshot distinct + fp probe join.
+        Canonical selection: size agg + fp window + join — all keyed on
+        the fingerprint, so the exchange count stays fixed."""
+        for name, n in (
+            ("docs_incremental_dedup", 2),
+            ("docs_dedup_canonical", 3),
+        ):
+            plan = physical_plan(qs[name](spark, sf_dir))
+            assert plan.count("Exchange hashpartitioning") <= n, (name, plan)
+            assert "CartesianProduct" not in plan, name
+
 
 class TestAQESkewRuntime:
     """Runtime proof (not just config) that AQE splits a skewed shuffle
