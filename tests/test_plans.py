@@ -259,6 +259,7 @@ class TestUniversalGates:
         "copurchase_lift",            # 1-row total-orders scalar
         "embedding_norm_outliers",    # 1-row decimal-moment scalars
         "docs_mixture_weights",       # 1-row sqrt-sum normalizer scalar
+        "docs_unigram_surprise",      # 1-row corpus-total-tokens scalar
         "dedup_embedding_neardup",    # 1-row SRP plane-matrix relation
     }
 
