@@ -1012,3 +1012,252 @@ def docs_dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("fp")
     )
+
+
+@register(
+    "docs_boilerplate_strip",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+    x AS (
+      SELECT doc_id, n,
+        CASE WHEN doc_id % 4 <> 3
+          THEN list_concat(
+            list_transform(range(0, (n + 5) // 6), j ->
+              array_to_string(list_slice(toks, j*6 + 1, j*6 + 6), ' ')),
+            ['copyright footer line ' || (doc_id % 3)])
+          ELSE list_transform(range(0, (n + 5) // 6), j ->
+            array_to_string(list_slice(toks, j*6 + 1, j*6 + 6), ' '))
+        END AS lines
+      FROM b
+    ),
+    e AS (
+      SELECT doc_id, n, unnest(lines) AS line,
+             generate_subscripts(lines, 1) AS pos
+      FROM x
+    ),
+    h AS (SELECT doc_id, n, pos, line, {_H.format(v="line")} AS lh FROM e),
+    df AS (
+      SELECT lh, count(*) AS df
+      FROM (SELECT DISTINCT lh, doc_id FROM h) GROUP BY lh
+    ),
+    kept AS (
+      SELECT h.doc_id, h.n, h.pos, h.line
+      FROM h JOIN df ON h.lh = df.lh WHERE df.df < 5
+    ),
+    rec AS (
+      SELECT doc_id, max(n) AS n_before,
+        array_to_string(list(line ORDER BY pos), ' ') AS text2
+      FROM kept GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_before AS BIGINT) AS n_toks_before,
+      CAST(len(list_filter(regexp_split_to_array(lower(trim(text2)),
+        '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_toks_after,
+      md5(text2) AS text_fp
+    FROM rec ORDER BY doc_id
+    """,
+    doc="Span-level boilerplate REMOVAL with text reconstruction — the "
+    "destructive counterpart of docs_boilerplate_lines: boilerplate "
+    "lines (hash document-frequency >= 5 over the same lined corpus + "
+    "injected footers) are dropped and the document is REBUILT from "
+    "its kept lines in original position order (order carried "
+    "explicitly: collect -> sort by position -> join; a bare "
+    "collect_list would be partitioning-dependent). n_toks_after "
+    "re-tokenizes the reconstructed text, pinning the conservation "
+    "law n_toks_after == n_toks_before - 6*(removed full lines) - "
+    "(removed footer/short-line tokens); text_fp hashes the actual "
+    "rebuilt string so the oracle certifies bytes, not counts. Same "
+    "posting-list shape as the detector plus one position-sorted "
+    "reassembly aggregation.",
+)
+def docs_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    b = _docs_tokens(spark, sf)
+    toks, doc_id = F.col("toks"), F.col("doc_id")
+    base_lines = F.transform(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.floor((F.col("n") + F.lit(5)) / 6).cast("long") - 1,
+        ),
+        lambda j: F.concat_ws(" ", F.slice(toks, (j * 6 + 1).cast("int"), 6)),
+    )
+    footer = F.concat(
+        F.lit("copyright footer line "), (doc_id % 3).cast("string")
+    )
+    lines = F.when(
+        doc_id % 4 != 3, F.concat(base_lines, F.array(footer))
+    ).otherwise(base_lines)
+    e = b.select(
+        "doc_id", "n", F.posexplode(lines).alias("pos0", "line")
+    ).select(
+        "doc_id",
+        "n",
+        (F.col("pos0") + 1).alias("pos"),
+        "line",
+        T.portable_hash64(F.col("line")).alias("lh"),
+    )
+    df = (
+        e.select("lh", "doc_id")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    kept = e.join(df, "lh").filter(F.col("df") < 5)
+    rec = kept.groupBy("doc_id").agg(
+        F.max("n").alias("n_before"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias("text2"),
+    )
+    return rec.select(
+        "doc_id",
+        F.col("n_before").cast("long").alias("n_toks_before"),
+        F.size(T.tokens(F.col("text2"))).cast("long").alias("n_toks_after"),
+        F.md5("text2").alias("text_fp"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_token_drift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half, unnest({_TOKS}) AS tok FROM documents
+    ),
+    c AS (
+      SELECT tok,
+        CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+      FROM tok GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS ta,
+             CAST(sum(cnt_b) AS BIGINT) AS tb
+      FROM c
+    )
+    SELECT tok, cnt_a, cnt_b,
+      round(
+        CAST(CAST(
+          (cnt_a * CAST(ta + tb AS DOUBLE) - (cnt_a + cnt_b) * CAST(ta AS DOUBLE))
+          * (cnt_a * CAST(ta + tb AS DOUBLE) - (cnt_a + cnt_b) * CAST(ta AS DOUBLE))
+             / ((cnt_a + cnt_b) * CAST(ta AS DOUBLE) * (ta + tb))
+             AS DECIMAL(28,12))
+        + CAST(
+          (cnt_b * CAST(ta + tb AS DOUBLE) - (cnt_a + cnt_b) * CAST(tb AS DOUBLE))
+          * (cnt_b * CAST(ta + tb AS DOUBLE) - (cnt_a + cnt_b) * CAST(tb AS DOUBLE))
+             / ((cnt_a + cnt_b) * CAST(tb AS DOUBLE) * (ta + tb))
+             AS DECIMAL(28,12)) AS DOUBLE), 6) AS chi2_part
+    FROM c, tot ORDER BY tok
+    """,
+    doc="Token-distribution drift between corpus halves (the "
+    "corpus-version regression check a pipeline runs before swapping "
+    "in a new crawl): per-token chi-squared contribution between the "
+    "doc_id-parity halves, algebraically rearranged so the observed-"
+    "minus-expected numerator is computed from INTEGER products "
+    "(o*N - n*T — exact in double far past any vocab size) and each "
+    "of the two per-half terms is cast DECIMAL(28,12) before the sum, "
+    "keeping the rounded 6-dp output engine- and order-invariant. "
+    "One explode -> hash-agg (bounded by vocabulary), one 1-row "
+    "broadcast total.",
+)
+def docs_token_drift(spark: SparkSession, sf: str) -> DataFrame:
+    tok = table(spark, sf, "documents").select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(T.tokens(F.col("text"))).alias("tok"),
+    )
+    c = tok.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_b"),
+    )
+    tot = c.agg(
+        F.sum("cnt_a").cast("long").alias("ta"),
+        F.sum("cnt_b").cast("long").alias("tb"),
+    )
+    a, bq = F.col("cnt_a"), F.col("cnt_b")
+    ta, tb = F.col("ta"), F.col("tb")
+    n_tok = a + bq
+    total = (ta + tb).cast("double")
+
+    def term(o, t):
+        d = o * total - n_tok * t.cast("double")
+        return ((d * d) / (n_tok * t.cast("double") * (ta + tb))).cast(
+            "decimal(28,12)"
+        )
+
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "cnt_a",
+            "cnt_b",
+            F.round((term(a, ta) + term(bq, tb)).cast("double"), 6).alias(
+                "chi2_part"
+            ),
+        )
+        .orderBy("tok")
+    )
+
+
+@register(
+    "docs_shard_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+        len({_TOKS}) AS n_toks,
+        ('0x' || substr(md5('shard' || doc_id), 1, 12))::BIGINT % 16
+          AS shard
+      FROM documents
+    )
+    SELECT shard,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+      CAST(sum(n_toks) AS BIGINT) AS n_toks,
+      min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+      CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM t GROUP BY shard ORDER BY shard
+    """,
+    doc="Hash-shard write manifest (the planner table a 100 TB "
+    "re-partition consults before committing a layout): documents "
+    "assign to 16 shards by the portable 48-bit hash — the same "
+    "stable draw as docs_hash_sample, so shard membership never "
+    "moves between runs or engines — and the manifest reports "
+    "per-shard document/byte/token mass, id bounds, and source "
+    "spread, exactly what a writer needs to size files and detect "
+    "hot shards BEFORE shuffling the corpus. One combinable keyed "
+    "aggregation.",
+)
+def docs_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    shard = (
+        T.portable_hash64(
+            F.concat(F.lit("shard"), F.col("doc_id").cast("string"))
+        )
+        % 16
+    )
+    return (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.size(T.tokens(F.col("text"))).alias("n_toks"),
+            shard.alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_bytes"),
+            F.sum("n_toks").cast("long").alias("n_toks"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("shard")
+    )
