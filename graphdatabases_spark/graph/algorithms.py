@@ -549,3 +549,141 @@ def kcore(
         if prev_cached is not None:
             prev_cached.unpersist()
         sym.unpersist()
+
+
+def _weighted_sssp_local(
+    wedges: DataFrame, src: int
+) -> DataFrame:
+    """Driver-side Dijkstra over a collected (src, dst, w) edge list —
+    the bounded fast path (same threshold contract as the other
+    kernels: only below LOCAL_EDGE_THRESHOLD edges)."""
+    import heapq
+
+    spark = _spark_of(wedges)
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for r in wedges.collect():
+        adj.setdefault(int(r["src"]), []).append((int(r["dst"]), int(r["w"])))
+    dist: dict[int, int] = {src: 0}
+    heap = [(0, src)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    rows = [(int(i), int(d)) for i, d in sorted(dist.items())]
+    return spark.createDataFrame(rows, "id bigint, dist bigint")
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    src: int,
+    weight_col: str = "w",
+    max_iters: int = 30,
+    strategy: str = "auto",
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
+    strict: bool = False,
+) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford / min-plus
+    relaxation) — the weighted sibling of ``traversal.ssp``'s
+    hop-count BFS.
+
+    Each round relaxes every edge once: dist' = min(dist, min over
+    in-edges of dist(src) + w). Converges in O(longest minimal-weight
+    path hop count) rounds; early-exits on the first round with zero
+    improvements (full-pass check, no LIMIT sampling), warns — or
+    raises under ``strict`` — if ``max_iters`` cuts the fixpoint
+    short. Negative weights are rejected (min-plus with negatives
+    cannot certify convergence without |V| rounds and cycle checks).
+
+    Scale shape: dist is hash-partitioned by id; each round is one
+    equi-join dist⋈edges on the edge source + one min-aggregation on
+    the destination — the same two-exchange round as PageRank/CC, with
+    ``localCheckpoint`` every ``CHECKPOINT_EVERY`` rounds to truncate
+    lineage. Small edge sets run driver-side Dijkstra instead (same
+    converged answer, no per-round job overhead).
+
+    Returns DataFrame(id BIGINT, dist BIGINT) over reachable nodes,
+    including the source at distance 0.
+    """
+    if max_iters < 1:
+        raise ValueError(f"weighted_sssp needs max_iters >= 1, got {max_iters}")
+    wedges = edges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    neg = wedges.filter(F.col("w") < 0).limit(1).count()
+    if neg:
+        raise ValueError("weighted_sssp requires non-negative weights")
+    if _pick_strategy(edges, strategy, local_threshold) == "local":
+        return _weighted_sssp_local(wedges, src)
+    spark = _spark_of(edges)
+    wedges = wedges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    prev_cached: DataFrame | None = None
+    try:
+        dist = spark.createDataFrame(
+            [(int(src), 0)], "id bigint, dist bigint"
+        )
+        for i in range(max_iters):
+            relaxed = (
+                wedges.join(dist, wedges.src == dist.id)
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("dist") + F.col("w")).alias("cand"),
+                )
+                .groupBy("id")
+                .agg(F.min("cand").alias("cand"))
+            )
+            new_dist = (
+                dist.join(relaxed, "id", "full")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce("dist", F.lit(1 << 62)),
+                        F.coalesce("cand", F.lit(1 << 62)),
+                    ).alias("dist"),
+                )
+            )
+            if (i + 1) % CHECKPOINT_EVERY == 0:
+                new_dist = new_dist.localCheckpoint(eager=True)
+            else:
+                new_dist = new_dist.persist(StorageLevel.MEMORY_AND_DISK)
+            changed = (
+                new_dist.alias("n")
+                .join(dist.alias("o"), "id", "left")
+                .filter(
+                    F.col("o.dist").isNull()
+                    | (F.col("n.dist") != F.col("o.dist"))
+                )
+                .count()
+            )
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = (
+                new_dist if (i + 1) % CHECKPOINT_EVERY != 0 else None
+            )
+            dist = new_dist
+            if changed == 0:
+                break
+        else:
+            if changed > 0:
+                msg = (
+                    f"weighted_sssp: max_iters={max_iters} exhausted "
+                    f"before the fixpoint ({changed} distances still "
+                    "improving); results may be over-estimates — raise "
+                    "max_iters"
+                )
+                if strict:
+                    raise RuntimeError(msg)
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        if prev_cached is not None:
+            dist = dist.localCheckpoint(eager=True)
+        return dist
+    finally:
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        wedges.unpersist()

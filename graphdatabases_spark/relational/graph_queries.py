@@ -26,6 +26,7 @@ from graphdatabases_spark.graph.algorithms import (
     connected_components,
     pagerank,
     triangle_count,
+    weighted_sssp,
 )
 from graphdatabases_spark.graph.generators import grid_graph, ring_graph
 from graphdatabases_spark.graph.traversal import bfs_distances, khop, ssp
@@ -673,3 +674,43 @@ def graph_kcore_entity(spark: SparkSession, sf: str) -> DataFrame:
 
     edges = entity_edges(spark, sf, dedup=True)
     return kcore(edges, k=2).orderBy("id")
+
+
+@register(
+    "graph_wsssp_entity",
+    oracle=f"""
+    WITH RECURSIVE {ENTITY_EDGES_SQL},
+    we AS (
+      SELECT src, dst, (src * 7 + dst * 13) % 9 + 1 AS w FROM edges
+    ),
+    walk(id, d, h) AS (
+      SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, wk.d + e.w, wk.h + 1
+      FROM walk wk JOIN we e ON e.src = wk.id WHERE wk.h < 3
+    )
+    SELECT id, CAST(min(d) AS BIGINT) AS dist
+    FROM walk WHERE id <> 1 GROUP BY id ORDER BY id
+    """,
+    doc="Weighted single-source shortest paths (Dijkstra/Bellman-Ford "
+    "class — the weighted sibling of ssp's hop-count BFS) from "
+    "customer 1 over the entity graph with deterministic per-edge "
+    "weights (src*7 + dst*13) %% 9 + 1. The entity graph is strictly "
+    "layered (customer -> order -> part -> supplier), so the oracle's "
+    "3-hop recursive walk enumerates every minimal path exactly; the "
+    "Spark kernel is the general min-plus relaxation loop "
+    "(graph/algorithms.py weighted_sssp): one dist-edges equi-join + "
+    "one min-agg per round, localCheckpoint lineage truncation, "
+    "full-pass early exit at the fixpoint, driver Dijkstra below the "
+    "local threshold — cross-checked equal in tests.",
+)
+def graph_wsssp_entity(spark: SparkSession, sf: str) -> DataFrame:
+    e = entity_edges(spark, sf, dedup=True)
+    we = e.withColumn(
+        "w", (F.col("src") * 7 + F.col("dst") * 13) % 9 + F.lit(1)
+    )
+    return (
+        weighted_sssp(we, src=1, max_iters=8)
+        .filter(F.col("id") != 1)
+        .orderBy("id")
+    )

@@ -257,3 +257,76 @@ class TestStrictMaxIters:
                 edges, max_iters=50, strategy="distributed", strict=True
             )
         assert {r["comp"] for r in comp.collect()} == {0}
+
+
+class TestWeightedSssp:
+    """weighted_sssp: min-plus relaxation vs driver Dijkstra, plus the
+    guard-rail contracts."""
+
+    def _wedges(self, spark):
+        # Two routes 0->3: direct hop w=10 vs detour 0->1->2->3 w=1+1+1,
+        # plus a longer-hop cheaper path needing >BFS-depth rounds.
+        rows = [
+            (0, 3, 10),
+            (0, 1, 1),
+            (1, 2, 1),
+            (2, 3, 1),
+            (3, 4, 2),
+            (0, 4, 99),
+        ]
+        return spark.createDataFrame(rows, "src long, dst long, w long")
+
+    def test_detour_beats_direct_edge(self, spark):
+        from graphdatabases_spark.graph.algorithms import weighted_sssp
+
+        got = {
+            r["id"]: r["dist"]
+            for r in weighted_sssp(
+                self._wedges(spark), src=0, strategy="local"
+            ).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 5}
+
+    def test_local_equals_distributed(self, spark):
+        from graphdatabases_spark.graph.algorithms import weighted_sssp
+
+        e = self._wedges(spark)
+        loc = sorted(
+            tuple(r) for r in weighted_sssp(e, src=0, strategy="local").collect()
+        )
+        dist = sorted(
+            tuple(r)
+            for r in weighted_sssp(e, src=0, strategy="distributed").collect()
+        )
+        assert loc == dist
+
+    def test_negative_weights_rejected(self, spark):
+        import pytest
+
+        from graphdatabases_spark.graph.algorithms import weighted_sssp
+
+        e = spark.createDataFrame(
+            [(0, 1, -1)], "src long, dst long, w long"
+        )
+        with pytest.raises(ValueError, match="non-negative"):
+            weighted_sssp(e, src=0)
+
+    def test_max_iters_exhaustion_warns_and_strict_raises(self, spark):
+        import warnings as _w
+
+        import pytest
+
+        from graphdatabases_spark.graph.algorithms import weighted_sssp
+
+        # 5-node chain needs 4 relaxation rounds; cap at 2.
+        e = spark.createDataFrame(
+            [(i, i + 1, 1) for i in range(4)], "src long, dst long, w long"
+        )
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            weighted_sssp(e, src=0, max_iters=2, strategy="distributed").collect()
+        assert any("fixpoint" in str(c.message) for c in caught)
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            weighted_sssp(
+                e, src=0, max_iters=2, strategy="distributed", strict=True
+            )
