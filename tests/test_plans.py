@@ -260,6 +260,7 @@ class TestUniversalGates:
         "embedding_norm_outliers",    # 1-row decimal-moment scalars
         "docs_mixture_weights",       # 1-row sqrt-sum normalizer scalar
         "docs_unigram_surprise",      # 1-row corpus-total-tokens scalar
+        "docs_token_drift",           # 1-row half-totals scalar
         "dedup_embedding_neardup",    # 1-row SRP plane-matrix relation
     }
 
