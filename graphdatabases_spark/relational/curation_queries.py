@@ -1261,3 +1261,124 @@ def docs_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE merge round (the k-means-unroll precedent):
+    count weighted adjacent symbol pairs, pick the (count DESC, pair
+    ASC) argmax, rewrite every sequence by literal replace on the
+    boundary-marked pair string."""
+    prev = f"s{r - 1}"
+    return f"""
+    p{r} AS (
+      SELECT pr, CAST(sum(f) AS BIGINT) AS n FROM (
+        SELECT f, unnest(list_transform(range(1, len(sy)), i ->
+          '|' || sy[i] || ' |' || sy[i + 1] || ' ')) AS pr
+        FROM (SELECT f, regexp_extract_all(seq, '\\|([^ ]+) ', 1) AS sy
+              FROM {prev})
+      ) GROUP BY pr
+    ),
+    m{r} AS (SELECT pr, n FROM p{r} ORDER BY n DESC, pr LIMIT 1),
+    s{r} AS (
+      SELECT f, replace(seq, (SELECT pr FROM m{r}),
+        '|' || translate((SELECT pr FROM m{r}), '| ', '') || ' ') AS seq
+      FROM {prev}
+    )"""
+
+
+_BPE_ROUNDS = 5
+
+
+@register(
+    "docs_bpe_merges",
+    oracle=f"""
+    WITH v AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok
+    ),
+    s0 AS (
+      SELECT f, array_to_string(list_transform(regexp_extract_all(tok, '.'),
+        c -> '|' || c || ' '), '') AS seq
+      FROM v
+    ),{",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f"SELECT {r} AS round, translate(pr, '| ', '') AS merged, n FROM m{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+      )}
+    ) ORDER BY round
+    """,
+    doc="BPE-style vocabulary induction ON the engine (the tokenizer-"
+    "training step of a data pipeline): token sequences start as "
+    "boundary-marked characters ('|h |e |l |l |o '), and each of 5 "
+    "merge rounds counts corpus-frequency-weighted adjacent symbol "
+    "pairs, picks the (count DESC, pair ASC) argmax, and rewrites "
+    "every sequence via literal string replacement — the '|sym ' "
+    "framing makes adjacent matches disjoint, so left-to-right "
+    "replace() implements greedy BPE identically in both engines "
+    "('abab' merges to '(ab)(ab)'). The merge table (round, merged "
+    "symbol, pair count) is the output — exactly what a tokenizer "
+    "trainer persists. Work is VOCABULARY-bounded after one corpus "
+    "token aggregation: each round is a hash-agg over distinct "
+    "sequences plus a 1-row argmax broadcast into the rewrite.",
+)
+def docs_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    v = (
+        table(spark, sf, "documents")
+        .select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    seq0 = F.concat_ws(
+        "",
+        F.transform(
+            F.regexp_extract_all("tok", F.lit("."), 0),
+            lambda c: F.concat(F.lit("|"), c, F.lit(" ")),
+        ),
+    )
+    s = v.select("f", seq0.alias("seq"))
+    outs = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        sy = F.regexp_extract_all("seq", F.lit(r"\|([^ ]+) "), 1)
+        pair_arr = F.when(
+            F.size(sy) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(sy) - 1),
+                lambda i: F.concat(
+                    F.lit("|"),
+                    F.element_at(sy, i),
+                    F.lit(" |"),
+                    F.element_at(sy, i + 1),
+                    F.lit(" "),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        p = (
+            s.select("f", F.explode(pair_arr).alias("pr"))
+            .groupBy("pr")
+            .agg(F.sum("f").cast("long").alias("n"))
+        )
+        m = p.orderBy(F.col("n").desc(), "pr").limit(1)
+        outs.append(
+            m.select(
+                F.lit(r).alias("round"),
+                F.translate("pr", "| ", "").alias("merged"),
+                "n",
+            )
+        )
+        s = s.crossJoin(
+            F.broadcast(m.select(F.col("pr").alias("_pr")))
+        ).select(
+            "f",
+            F.replace(
+                "seq",
+                F.col("_pr"),
+                F.concat(
+                    F.lit("|"), F.translate("_pr", "| ", ""), F.lit(" ")
+                ),
+            ).alias("seq"),
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("round")
