@@ -261,6 +261,7 @@ class TestUniversalGates:
         "docs_mixture_weights",       # 1-row sqrt-sum normalizer scalar
         "docs_unigram_surprise",      # 1-row corpus-total-tokens scalar
         "docs_token_drift",           # 1-row half-totals scalar
+        "docs_bpe_merges",            # 1-row argmax pair per merge round
         "dedup_embedding_neardup",    # 1-row SRP plane-matrix relation
     }
 
