@@ -1382,3 +1382,85 @@ def docs_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("round")
+
+
+@register(
+    "docs_mixture_grid",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    ),
+    src AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_src
+      FROM per GROUP BY source
+    ),
+    zs AS (
+      SELECT CAST(sum(CAST(sqrt(t_src::DOUBLE) AS DECIMAL(28,15)))
+                  AS DOUBLE) AS z FROM src
+    ),
+    zl AS (
+      SELECT source, CAST(sum(CAST(sqrt(n_tokens::DOUBLE)
+                  AS DECIMAL(28,15))) AS DOUBLE) AS zl
+      FROM per GROUP BY source
+    )
+    SELECT p.source, p.lang, p.n_docs, p.n_tokens,
+      round(sqrt(t_src::DOUBLE) / z, 6) AS w_source,
+      round(sqrt(n_tokens::DOUBLE) / zl, 6) AS w_lang_within,
+      round((sqrt(t_src::DOUBLE) / z) * (sqrt(n_tokens::DOUBLE) / zl), 6)
+        AS w_joint
+    FROM per p
+    JOIN src USING (source) JOIN zl USING (source) CROSS JOIN zs
+    ORDER BY p.source, p.lang
+    """,
+    doc="Hierarchical (two-level) temperature mixture — the sampling "
+    "grid a multi-source multilingual run actually trains from: "
+    "source weights w_s = sqrt(t_s)/Σ sqrt(t_s') across sources, lang "
+    "weights within each source w_l|s = sqrt(t_sl)/Σ_l' sqrt(t_sl'), "
+    "and the joint cell weight w_s * w_l|s. Generalizes "
+    "docs_mixture_weights: both normalizers sum the per-cell sqrts as "
+    "DECIMAL(28,15) (order-free), sqrt is IEEE-correctly-rounded, and "
+    "the two broadcasts are a 1-row global scalar and a 20-row "
+    "per-source frame — three tiny aggregations over one combinable "
+    "corpus scan, any scale.",
+)
+def docs_mixture_grid(spark: SparkSession, sf: str) -> DataFrame:
+    toks = T.tokens(F.col("text"))
+    per = (
+        table(spark, sf, "documents")
+        .select("source", "lang", F.size(toks).alias("n_toks"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    src = per.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("t_src")
+    )
+    sq_src = F.sqrt(F.col("t_src").cast("double"))
+    zs = src.agg(
+        F.sum(sq_src.cast("decimal(28,15)")).cast("double").alias("z")
+    )
+    sq_cell = F.sqrt(F.col("n_tokens").cast("double"))
+    zl = per.groupBy("source").agg(
+        F.sum(sq_cell.cast("decimal(28,15)")).cast("double").alias("zl")
+    )
+    w_source = sq_src / F.col("z")
+    w_within = sq_cell / F.col("zl")
+    return (
+        per.join(src, "source")
+        .join(zl, "source")
+        .crossJoin(F.broadcast(zs))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(w_source, 6).alias("w_source"),
+            F.round(w_within, 6).alias("w_lang_within"),
+            F.round(w_source * w_within, 6).alias("w_joint"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -262,6 +262,7 @@ class TestUniversalGates:
         "docs_unigram_surprise",      # 1-row corpus-total-tokens scalar
         "docs_token_drift",           # 1-row half-totals scalar
         "docs_bpe_merges",            # 1-row argmax pair per merge round
+        "docs_mixture_grid",          # 1-row global sqrt-sum normalizer
         "dedup_embedding_neardup",    # 1-row SRP plane-matrix relation
     }
 
