@@ -562,6 +562,8 @@ def _weighted_sssp_local(
     spark = _spark_of(wedges)
     adj: dict[int, list[tuple[int, int]]] = {}
     for r in wedges.collect():
+        if r["w"] < 0:
+            raise ValueError("weighted_sssp requires non-negative weights")
         adj.setdefault(int(r["src"]), []).append((int(r["dst"]), int(r["w"])))
     dist: dict[int, int] = {src: 0}
     heap = [(0, src)]
@@ -616,13 +618,18 @@ def weighted_sssp(
         F.col("dst").cast("long"),
         F.col(weight_col).cast("long").alias("w"),
     )
-    neg = wedges.filter(F.col("w") < 0).limit(1).count()
-    if neg:
-        raise ValueError("weighted_sssp requires non-negative weights")
+    # Negative weights are validated INSIDE each path (local: during
+    # the adjacency collect; distributed: on the persisted, already-
+    # repartitioned copy) — a separate up-front action would re-execute
+    # the caller's whole edge-derivation plan one extra time (measured:
+    # the entity-graph distinct exchange ran twice at sf1).
     if _pick_strategy(edges, strategy, local_threshold) == "local":
         return _weighted_sssp_local(wedges, src)
     spark = _spark_of(edges)
     wedges = wedges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    if wedges.filter(F.col("w") < 0).limit(1).count():
+        wedges.unpersist()
+        raise ValueError("weighted_sssp requires non-negative weights")
     prev_cached: DataFrame | None = None
     try:
         dist = spark.createDataFrame(
