@@ -32,6 +32,10 @@ NAMES = [
     "dedup_lsh_candidates",
     "q1_pricing_summary",
     "similarity_cosine_topk",
+    # round-6 additions: the streaming-dedup memory-sink tag reuse and
+    # the posting-list dedup under concurrent execution.
+    "docs_stream_dedup",
+    "docs_substring_dedup",
 ]
 
 
