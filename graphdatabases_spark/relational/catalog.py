@@ -104,8 +104,8 @@ def _load_all() -> None:
 
 # Round in which the driver's sf0.01 gate LAST confirmed each entry green
 # (hash_match, or rows-only where no SQL oracle exists).  Regenerated from
-# CORRECTNESS_r0{1,2,3,4}.json via tools/update_verified_rounds.py; update
-# per round.  The external gate samples the FIRST 50 catalog entries in
+# CORRECTNESS_r*.json via tools/update_verified_rounds.py; update per
+# round.  The external gate samples the FIRST 50 catalog entries in
 # emission order, so emission is staleness-ordered: entries with
 # new/changed semantics first (must be (re)proven), then
 # oldest-verified-first so the external sample keeps re-confirming the
@@ -113,57 +113,27 @@ def _load_all() -> None:
 # All entries stay covered by the local DuckDB differential
 # (tests/test_oracle_catalog.py) regardless of order.
 #
-# After r4 every entry has at least one green external row (no round-0
-# tier); the r5 sample therefore covers the 48-entry r1/r2-stale cohort
-# (+2 from r3 order) whose code has churned longest.
+# Every entry has a green external row (r6 was 50/50); the r7 sample
+# covers the new round-7 entries (tier 0) followed by the oldest
+# remaining r3/r4-stale cohort.
 _VERIFIED_ROUND: dict[str, int] = {
-    # r2 cohort
-    "udaf_priority_geomean": 2,
-    "udtf_bigram_counts": 2,
     # r3 cohort
     "agg_mode_status_priority": 3,
     "dedup_connected_clusters": 3,
     "dq_profile_orders": 3,
     "embedding_quantize_int8": 3,
-    "events_daily_retention": 3,
     "events_error_rate_hourly": 3,
-    "events_first_touch": 3,
-    "events_funnel_conversion": 3,
     "events_gap_fill_hourly": 3,
     "events_hourly_anomaly": 3,
-    "events_latest_per_user": 3,
     "events_rollup_multires": 3,
-    "events_session_stats": 3,
-    "events_stream_enriched_nation": 3,
-    "events_type_pivot": 3,
     "events_type_transitions": 3,
-    "filter_in_list": 3,
-    "filter_like": 3,
-    "filter_null_safe": 3,
-    "filter_range_dates": 3,
     "fuzzy_levenshtein_parts": 3,
-    "graph_degree_assortativity": 3,
-    "graph_node_jaccard": 3,
-    "join_broadcast_dim": 3,
-    "join_full_outer": 3,
-    "join_left_outer": 3,
-    "join_semi": 3,
-    "join_sortmerge_fact": 3,
-    "json_extract_events": 3,
-    "knn_label_vote": 3,
     "merge_upsert_orders": 3,
-    "multimodal_frame_sample": 3,
-    "multimodal_resize_thumbs": 3,
     "orders_validity_intervals": 3,
     "sample_systematic_orders": 3,
     "scalar_array_funcs": 3,
-    "scan_filter_project": 3,
-    "source_binary_listing": 3,
     "split_assign_orders": 3,
-    "stat_corr_part": 3,
-    "stat_histogram_events": 3,
     "stat_linreg_orders": 3,
-    "text_char_trigrams_by_lang": 3,
     "text_vocab_coverage": 3,
     "window_first_last_frames": 3,
     "window_percent_rank_price": 3,
@@ -267,6 +237,57 @@ _VERIFIED_ROUND: dict[str, int] = {
     "text_tfidf_topterms": 5,
     "text_token_stats": 5,
     "udf_embedding_l2norm": 5,
+    # r6 cohort
+    "docs_boilerplate_lines": 6,
+    "docs_boilerplate_strip": 6,
+    "docs_bpe_merges": 6,
+    "docs_c4_line_filters": 6,
+    "docs_dedup_canonical": 6,
+    "docs_hash_sample": 6,
+    "docs_incremental_dedup": 6,
+    "docs_mixture_grid": 6,
+    "docs_mixture_weights": 6,
+    "docs_pack_chunks": 6,
+    "docs_pii_redaction": 6,
+    "docs_rag_chunks": 6,
+    "docs_select_budget": 6,
+    "docs_shard_manifest": 6,
+    "docs_source_overlap": 6,
+    "docs_stream_dedup": 6,
+    "docs_substring_dedup": 6,
+    "docs_token_drift": 6,
+    "docs_unigram_surprise": 6,
+    "docs_url_domain_rollup": 6,
+    "events_daily_retention": 6,
+    "events_first_touch": 6,
+    "events_funnel_conversion": 6,
+    "events_latest_per_user": 6,
+    "events_session_stats": 6,
+    "events_stream_enriched_nation": 6,
+    "events_type_pivot": 6,
+    "filter_in_list": 6,
+    "filter_like": 6,
+    "filter_null_safe": 6,
+    "filter_range_dates": 6,
+    "graph_degree_assortativity": 6,
+    "graph_node_jaccard": 6,
+    "graph_wsssp_entity": 6,
+    "join_broadcast_dim": 6,
+    "join_full_outer": 6,
+    "join_left_outer": 6,
+    "join_semi": 6,
+    "join_sortmerge_fact": 6,
+    "json_extract_events": 6,
+    "knn_label_vote": 6,
+    "multimodal_frame_sample": 6,
+    "multimodal_resize_thumbs": 6,
+    "scan_filter_project": 6,
+    "source_binary_listing": 6,
+    "stat_corr_part": 6,
+    "stat_histogram_events": 6,
+    "text_char_trigrams_by_lang": 6,
+    "udaf_priority_geomean": 6,
+    "udtf_bigram_counts": 6,
 }
 
 
