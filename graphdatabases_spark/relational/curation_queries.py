@@ -1263,11 +1263,198 @@ def docs_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _bpe_round_sql(r: int) -> str:
+@register(
+    "docs_substring_strip",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    copies AS (
+      SELECT doc_id,
+        list_concat(list_slice(toks, 5, len(toks)),
+                    ['zz' || doc_id]) AS toks
+      FROM (SELECT doc_id + 1000000 AS doc_id, toks FROM t
+            WHERE doc_id % 41 = 0 AND len(toks) >= 12)
+    ),
+    corp AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) >= 8
+      UNION ALL SELECT doc_id, toks FROM copies
+    ),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(range(1, len(toks) - 6)) AS pos
+      FROM corp
+    ),
+    g AS (
+      SELECT doc_id, pos, {_H.format(v="gram")} AS gh
+      FROM (SELECT doc_id, pos,
+              toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] || ' '
+              || toks[pos+3] || ' ' || toks[pos+4] || ' ' || toks[pos+5]
+              || ' ' || toks[pos+6] || ' ' || toks[pos+7] AS gram
+            FROM e)
+    ),
+    df AS (
+      SELECT gh, count(*) AS df
+      FROM (SELECT DISTINCT gh, doc_id FROM g) GROUP BY gh
+    ),
+    dups AS (
+      SELECT doc_id, list_sort(list_distinct(list(pos))) AS dups
+      FROM g JOIN df USING (gh) WHERE df >= 2 GROUP BY doc_id
+    ),
+    j AS (
+      SELECT c.doc_id, c.toks, len(c.toks) AS n,
+             coalesce(d.dups, CAST([] AS BIGINT[])) AS dups
+      FROM corp c LEFT JOIN dups d ON c.doc_id = d.doc_id
+    ),
+    m AS (
+      SELECT doc_id, toks, n,
+        list_transform(range(1, n - 6), i -> list_contains(dups, i)) AS dm
+      FROM j
+    ),
+    r AS (
+      SELECT doc_id, toks, n,
+        list_filter(range(1, n + 1), p ->
+          len(list_filter(range(greatest(1, p - 7), least(p, len(dm)) + 1),
+              i -> dm[i])) = 0) AS kp
+      FROM m
+    )
+    SELECT doc_id,
+      CAST(n AS BIGINT) AS n_toks_before,
+      CAST(n - len(kp) AS BIGINT) AS n_removed,
+      CAST(len(kp) AS BIGINT) AS n_toks_after,
+      round(CAST(n - len(kp) AS DOUBLE) / n, 6) AS removed_frac,
+      md5(coalesce(array_to_string(list_transform(kp, p -> toks[p]), ' '),
+          '')) AS text_fp
+    FROM r ORDER BY doc_id
+    """,
+    doc="Cross-document duplicated-SPAN removal with reconstruction — "
+    "the production semantics docs_substring_dedup's flagging "
+    "approximates: over the same suffix-copy-augmented corpus, every "
+    "token-8-gram occurrence whose gram appears in >= 2 DISTINCT "
+    "documents marks its 8 token positions, covered positions are "
+    "dropped, and each document is rebuilt from the survivors in "
+    "order. Removal is SYMMETRIC (the span leaves every document that "
+    "carries it): an except-one policy would need a canonical-survivor "
+    "election per gram — a second global join plus an inter-document "
+    "ordering dependence — while symmetric removal is decided purely "
+    "by document frequency, keeping the operator partition- and "
+    "arrival-order-invariant at 100 TB. Shapes: posexplode -> "
+    "distinct(gh, doc) -> df hash-agg -> one BIGINT equi-join back -> "
+    "per-doc dup-position collection -> one doc_id join -> per-row "
+    "coverage fold and rebuild; shuffle rows stay fixed-width (48-bit "
+    "gram hashes + integer positions), nothing is all-pairs. text_fp "
+    "certifies the rebuilt bytes; n_toks_after = n_toks_before - "
+    "n_removed is the pinned conservation law.",
+)
+def docs_substring_strip(spark: SparkSession, sf: str) -> DataFrame:
+    t = (
+        table(spark, sf, "documents")
+        .select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    copies = (
+        t.filter((F.col("doc_id") % 41 == 0) & (F.col("n") >= 12))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.slice(F.col("toks"), 5, F.col("n") - 4),
+                F.array(
+                    F.concat(
+                        F.lit("zz"), (F.col("doc_id") + 1000000).cast("string")
+                    )
+                ),
+            ).alias("toks"),
+        )
+    )
+    corp = t.filter(F.col("n") >= 8).select("doc_id", "toks").unionByName(
+        copies
+    )
+    h = (
+        corp.select(
+            "doc_id",
+            F.posexplode(_ngram_array(F.col("toks"), 8)).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            T.portable_hash64(F.col("gram")).alias("gh"),
+        )
+    )
+    df = (
+        h.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dup_pos = (
+        h.join(df.filter(F.col("df") >= 2).select("gh"), "gh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("dups"))
+    )
+    j = corp.join(dup_pos, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(F.col("dups"), F.array().cast("array<long>")).alias(
+            "dups"
+        ),
+    )
+
+    def rebuild(toks):
+        n = F.size(toks)
+
+        def with_dups(dp):
+            dm_expr = F.transform(
+                F.sequence(F.lit(1), n - 7),
+                lambda i: F.array_contains(dp, i),
+            )
+
+            def with_mask(dm):
+                kept_expr = F.filter(
+                    F.sequence(F.lit(1), n),
+                    lambda p: ~F.exists(
+                        F.sequence(
+                            F.greatest(F.lit(1), p - 7),
+                            F.least(p, F.size(dm)),
+                        ),
+                        lambda i: F.element_at(dm, i),
+                    ),
+                )
+
+                def with_kept(kp):
+                    return F.struct(
+                        n.alias("n"),
+                        (n - F.size(kp)).alias("n_removed"),
+                        F.concat_ws(
+                            " ",
+                            F.transform(kp, lambda p: F.element_at(toks, p)),
+                        ).alias("text2"),
+                    )
+
+                return _let(kept_expr, with_kept)
+
+            return _let(dm_expr, with_mask)
+
+        return _let(F.col("dups"), with_dups)
+
+    s = j.select("doc_id", _let(F.col("toks"), rebuild).alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.n").cast("long").alias("n_toks_before"),
+        F.col("s.n_removed").cast("long").alias("n_removed"),
+        (F.col("s.n") - F.col("s.n_removed"))
+        .cast("long")
+        .alias("n_toks_after"),
+        F.round(
+            F.col("s.n_removed").cast("double") / F.col("s.n"), 6
+        ).alias("removed_frac"),
+        F.md5("s.text2").alias("text_fp"),
+    ).orderBy("doc_id")
+
+
+def _bpe_round_sql(r: int, carry: str = "f") -> str:
     """One unrolled BPE merge round (the k-means-unroll precedent):
     count weighted adjacent symbol pairs, pick the (count DESC, pair
     ASC) argmax, rewrite every sequence by literal replace on the
-    boundary-marked pair string."""
+    boundary-marked pair string.  ``carry`` is the column list carried
+    through the rewrite (must include ``f`` — the pair count uses it)."""
     prev = f"s{r - 1}"
     return f"""
     p{r} AS (
@@ -1280,13 +1467,85 @@ def _bpe_round_sql(r: int) -> str:
     ),
     m{r} AS (SELECT pr, n FROM p{r} ORDER BY n DESC, pr LIMIT 1),
     s{r} AS (
-      SELECT f, replace(seq, (SELECT pr FROM m{r}),
+      SELECT {carry}, replace(seq, (SELECT pr FROM m{r}),
         '|' || translate((SELECT pr FROM m{r}), '| ', '') || ' ') AS seq
       FROM {prev}
     )"""
 
 
 _BPE_ROUNDS = 5
+
+
+def _bpe_vocab(spark: SparkSession, sf: str, *, with_tok: bool = False):
+    """Corpus token vocabulary with frequencies — the single corpus-sized
+    aggregation everything BPE does is bounded by."""
+    v = (
+        table(spark, sf, "documents")
+        .select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    seq0 = F.concat_ws(
+        "",
+        F.transform(
+            F.regexp_extract_all("tok", F.lit("."), 0),
+            lambda c: F.concat(F.lit("|"), c, F.lit(" ")),
+        ),
+    )
+    cols = (["tok", "f"] if with_tok else ["f"]) + [seq0.alias("seq")]
+    return v.select(*cols)
+
+
+def _bpe_fit(s: DataFrame, rounds: int):
+    """Run ``rounds`` unrolled BPE merge rounds over boundary-marked
+    sequences ('|h |e |l |l |o ').  ``s`` needs columns ``f`` (corpus
+    frequency) and ``seq``; any other columns (e.g. ``tok``) ride
+    through the rewrite untouched.  Returns ``(merge_tables, final_s)``
+    — one 1-row (round, merged, n) DataFrame per round, plus the fully
+    rewritten sequence table (the ENCODED vocabulary)."""
+    keep = [c for c in s.columns if c != "seq"]
+    outs = []
+    for r in range(1, rounds + 1):
+        sy = F.regexp_extract_all("seq", F.lit(r"\|([^ ]+) "), 1)
+        pair_arr = F.when(
+            F.size(sy) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(sy) - 1),
+                lambda i: F.concat(
+                    F.lit("|"),
+                    F.element_at(sy, i),
+                    F.lit(" |"),
+                    F.element_at(sy, i + 1),
+                    F.lit(" "),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        p = (
+            s.select("f", F.explode(pair_arr).alias("pr"))
+            .groupBy("pr")
+            .agg(F.sum("f").cast("long").alias("n"))
+        )
+        m = p.orderBy(F.col("n").desc(), "pr").limit(1)
+        outs.append(
+            m.select(
+                F.lit(r).alias("round"),
+                F.translate("pr", "| ", "").alias("merged"),
+                "n",
+            )
+        )
+        s = s.crossJoin(
+            F.broadcast(m.select(F.col("pr").alias("_pr")))
+        ).select(
+            *keep,
+            F.replace(
+                "seq",
+                F.col("_pr"),
+                F.concat(
+                    F.lit("|"), F.translate("_pr", "| ", ""), F.lit(" ")
+                ),
+            ).alias("seq"),
+        )
+    return outs, s
 
 
 @register(
@@ -1323,65 +1582,250 @@ _BPE_ROUNDS = 5
     "sequences plus a 1-row argmax broadcast into the rewrite.",
 )
 def docs_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
-    v = (
-        table(spark, sf, "documents")
-        .select(F.explode(T.tokens(F.col("text"))).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("f"))
-    )
-    seq0 = F.concat_ws(
-        "",
-        F.transform(
-            F.regexp_extract_all("tok", F.lit("."), 0),
-            lambda c: F.concat(F.lit("|"), c, F.lit(" ")),
-        ),
-    )
-    s = v.select("f", seq0.alias("seq"))
-    outs = []
-    for r in range(1, _BPE_ROUNDS + 1):
-        sy = F.regexp_extract_all("seq", F.lit(r"\|([^ ]+) "), 1)
-        pair_arr = F.when(
-            F.size(sy) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(sy) - 1),
-                lambda i: F.concat(
-                    F.lit("|"),
-                    F.element_at(sy, i),
-                    F.lit(" |"),
-                    F.element_at(sy, i + 1),
-                    F.lit(" "),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        p = (
-            s.select("f", F.explode(pair_arr).alias("pr"))
-            .groupBy("pr")
-            .agg(F.sum("f").cast("long").alias("n"))
-        )
-        m = p.orderBy(F.col("n").desc(), "pr").limit(1)
-        outs.append(
-            m.select(
-                F.lit(r).alias("round"),
-                F.translate("pr", "| ", "").alias("merged"),
-                "n",
-            )
-        )
-        s = s.crossJoin(
-            F.broadcast(m.select(F.col("pr").alias("_pr")))
-        ).select(
-            "f",
-            F.replace(
-                "seq",
-                F.col("_pr"),
-                F.concat(
-                    F.lit("|"), F.translate("_pr", "| ", ""), F.lit(" ")
-                ),
-            ).alias("seq"),
-        )
+    outs, _ = _bpe_fit(_bpe_vocab(spark, sf), _BPE_ROUNDS)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("round")
+
+
+@register(
+    "docs_bpe_apply",
+    oracle=f"""
+    WITH v AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok
+    ),
+    s0 AS (
+      SELECT tok, f, array_to_string(list_transform(regexp_extract_all(tok, '.'),
+        c -> '|' || c || ' '), '') AS seq
+      FROM v
+    ),{",".join(_bpe_round_sql(r, carry="tok, f") for r in range(1, _BPE_ROUNDS + 1))},
+    enc AS (
+      SELECT tok, CAST(len(regexp_extract_all(seq, '\\|([^ ]+) ', 1)) AS BIGINT)
+        AS n_sym
+      FROM s{_BPE_ROUNDS}
+    ),
+    occ AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY source, tok
+    )
+    SELECT source,
+      CAST(sum(cnt) AS BIGINT) AS n_toks,
+      CAST(sum(cnt * length(tok)) AS BIGINT) AS n_chars,
+      CAST(sum(cnt * n_sym) AS BIGINT) AS n_bpe_symbols,
+      round(CAST(sum(cnt * length(tok)) AS DOUBLE) / sum(cnt * n_sym), 6)
+        AS compression_ratio,
+      round(CAST(sum(cnt * n_sym) AS DOUBLE) / sum(cnt), 6)
+        AS avg_symbols_per_token
+    FROM occ JOIN enc USING (tok)
+    GROUP BY source ORDER BY source
+    """,
+    doc="BPE APPLICATION — encode the corpus with the merge table "
+    "docs_bpe_merges induces, proving the induction output is USABLE: "
+    "the same 5 unrolled merge rounds rewrite the boundary-marked "
+    "vocabulary sequences (tok carried through the rewrite), the "
+    "encoded vocabulary maps each token to its post-merge symbol "
+    "count, and one join against per-(source, token) occurrence "
+    "counts rolls up per-source whitespace-token / character / "
+    "BPE-symbol totals, chars-per-symbol compression, and mean "
+    "symbols per token — the tokenizer-budget table a data pipeline "
+    "publishes per source. All ratios divide EXACT BIGINT sums, so "
+    "6-dp rounding is engine- and partitioning-invariant. Work stays "
+    "vocabulary-bounded after one corpus token aggregation; the "
+    "encoded vocab joins occurrence counts on the token key (AQE "
+    "broadcasts the vocab side at any realistic vocabulary size).",
+)
+def docs_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
+    _, s_final = _bpe_fit(
+        _bpe_vocab(spark, sf, with_tok=True), _BPE_ROUNDS
+    )
+    enc = s_final.select(
+        "tok",
+        F.size(F.regexp_extract_all("seq", F.lit(r"\|([^ ]+) "), 1))
+        .cast("long")
+        .alias("n_sym"),
+    )
+    occ = (
+        table(spark, sf, "documents")
+        .select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        occ.join(enc, "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_toks"),
+            F.sum(F.col("cnt") * F.length("tok"))
+            .cast("long")
+            .alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_sym"))
+            .cast("long")
+            .alias("n_bpe_symbols"),
+        )
+        .select(
+            "source",
+            "n_toks",
+            "n_chars",
+            "n_bpe_symbols",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_symbols"), 6
+            ).alias("compression_ratio"),
+            F.round(
+                F.col("n_bpe_symbols").cast("double") / F.col("n_toks"), 6
+            ).alias("avg_symbols_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+def _let(col, body):
+    """Let-bind ``col`` as a lambda variable so the body's many
+    references evaluate it ONCE per row.  Same binding trick as
+    ``analytics_queries._ngram_array``: Catalyst inlines column aliases
+    at every reference with no common-subexpression cache inside lambda
+    iterations, so an unbound reference to a derived array re-runs its
+    defining expression per iteration; a ``transform(array(x), t -> …)``
+    binding evaluates ``x`` once and the body sees the VALUE."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
+_IK = 4  # intra-document dedup gram length
+
+
+@register(
+    "docs_intradoc_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    a AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 6 = 0 AND len(toks) >= 10
+             THEN list_concat(toks, list_slice(toks, 3, 10))
+             ELSE toks END AS toks
+      FROM t
+    ),
+    b AS (SELECT doc_id, toks, len(toks) AS n FROM a WHERE len(toks) >= 4),
+    g AS (
+      SELECT doc_id, toks, n,
+        list_transform(range(1, n - 2), i ->
+          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+          || toks[i+3]) AS grams
+      FROM b
+    ),
+    d AS (
+      SELECT doc_id, toks, n,
+        list_transform(range(1, len(grams) + 1), i ->
+          list_position(grams, grams[i]) < i) AS dup
+      FROM g
+    ),
+    r AS (
+      SELECT doc_id, toks, n,
+        list_filter(range(1, n + 1), p ->
+          len(list_filter(range(greatest(1, p - 3), least(p, len(dup)) + 1),
+              i -> dup[i])) = 0) AS kp
+      FROM d
+    )
+    SELECT doc_id,
+      CAST(n AS BIGINT) AS n_toks_before,
+      CAST(n - len(kp) AS BIGINT) AS n_removed,
+      CAST(len(kp) AS BIGINT) AS n_toks_after,
+      round(CAST(n - len(kp) AS DOUBLE) / n, 6) AS removed_frac,
+      md5(array_to_string(list_transform(kp, p -> toks[p]), ' ')) AS text_fp
+    FROM r ORDER BY doc_id
+    """,
+    doc="Within-document repeated-n-gram REMOVAL with text "
+    "reconstruction (the Lee-et-al self-repetition scrub, intra-doc "
+    "counterpart of docs_substring_dedup): 1/6 of documents get their "
+    "tokens 3..10 re-appended (the deterministic stand-in for real "
+    "self-repetition), then every token 4-gram occurrence whose gram "
+    "already occurred EARLIER in the same document marks its 4 token "
+    "positions for removal, and the document is rebuilt from the "
+    "surviving positions in order — first occurrences always survive, "
+    "so the injected tail (and any natural repeat) is scrubbed while "
+    "the original text is untouched. text_fp hashes the rebuilt "
+    "string; n_toks_after = n_toks_before - n_removed is the pinned "
+    "conservation law. Everything is a per-row higher-order fold "
+    "(first-occurrence via array_position, coverage via a windowed "
+    "exists) — ZERO shuffles, embarrassingly parallel at 100 TB; "
+    "per-row cost is O(L²) gram compares with L bounded by upstream "
+    "chunking. Derived arrays are let-bound (_let) so Catalyst's "
+    "alias inlining cannot re-run the tokenizer per lambda iteration.",
+)
+def docs_intradoc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    doc_id = F.col("doc_id")
+    t = table(spark, sf, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("toks0")
+    )
+    aug = t.select(
+        "doc_id",
+        _let(
+            F.col("toks0"),
+            lambda tk: F.when(
+                (doc_id % 6 == 0) & (F.size(tk) >= 10),
+                F.concat(tk, F.slice(tk, 3, 8)),
+            ).otherwise(tk),
+        ).alias("toks"),
+    )
+    b = aug.filter(F.size("toks") >= _IK)
+
+    def scrub(toks):
+        n = F.size(toks)
+        grams_expr = F.transform(
+            F.sequence(F.lit(1), n - (_IK - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(_IK)]
+            ),
+        )
+
+        def with_grams(grams):
+            dup_expr = F.transform(
+                F.sequence(F.lit(1), F.size(grams)),
+                lambda i: F.array_position(grams, F.element_at(grams, i)) < i,
+            )
+
+            def with_dup(dup):
+                kept_expr = F.filter(
+                    F.sequence(F.lit(1), n),
+                    lambda p: ~F.exists(
+                        F.sequence(
+                            F.greatest(F.lit(1), p - (_IK - 1)),
+                            F.least(p, F.size(dup)),
+                        ),
+                        lambda i: F.element_at(dup, i),
+                    ),
+                )
+
+                def with_kept(kp):
+                    return F.struct(
+                        n.alias("n"),
+                        (n - F.size(kp)).alias("n_removed"),
+                        F.concat_ws(
+                            " ",
+                            F.transform(kp, lambda p: F.element_at(toks, p)),
+                        ).alias("text2"),
+                    )
+
+                return _let(kept_expr, with_kept)
+
+            return _let(dup_expr, with_dup)
+
+        return _let(grams_expr, with_grams)
+
+    s = b.select("doc_id", _let(F.col("toks"), scrub).alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.n").cast("long").alias("n_toks_before"),
+        F.col("s.n_removed").cast("long").alias("n_removed"),
+        (F.col("s.n") - F.col("s.n_removed"))
+        .cast("long")
+        .alias("n_toks_after"),
+        F.round(
+            F.col("s.n_removed").cast("double") / F.col("s.n"), 6
+        ).alias("removed_frac"),
+        F.md5("s.text2").alias("text_fp"),
+    ).orderBy("doc_id")
 
 
 @register(

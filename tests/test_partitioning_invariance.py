@@ -13,12 +13,11 @@ This test enforces the claim on the entries whose accumulation order is
 most at the mercy of partitioning (floating aggregates, pandas
 GROUPED_AGG folds, tf-idf logs, iterative PageRank, decimal moments):
 each is computed under the session's defaults (8 shuffle partitions,
-128 MiB splits, AQE on) and again under an adversarially different
-physical layout — 3 shuffle partitions, 16 KiB scan splits (so even the
-sf0.01 files fan out to many scan tasks), AQE off (no partition
-coalescing to renormalize the layout) — and the two results must be
-EXACTLY equal (compare_frames MATCH; NEAR's 1e-9 tolerance is a failure
-here because the driver hashes exact values).
+128 MiB splits, AQE on) and again under TWO adversarial layouts (see
+VARIANTS: the combined worst case, and a scan-split-only sweep that
+isolates spark.sql.files.maxPartitionBytes) — every run must be
+EXACTLY equal to the baseline (compare_frames MATCH; NEAR's 1e-9
+tolerance is a failure here because the driver hashes exact values).
 
 Scale factor: sf0.01, not the usual sf0.001 — at sf0.001 every file fits
 one 16 KiB split and the scan-side reorder would be vacuous.
@@ -58,12 +57,28 @@ ENTRIES = [
     "docs_select_budget",        # quality-ranked window, ties by doc_id
     "docs_unigram_surprise",     # vocab join + per-doc integer sums
     "docs_substring_dedup",      # posting-list df join over exploded grams
+    # round-7 curation additions
+    "docs_substring_strip",      # dup-position collect_set + rebuild fold
 ]
 
-VARIANT = {
-    "spark.sql.shuffle.partitions": "3",
-    "spark.sql.files.maxPartitionBytes": str(16 * 1024),
-    "spark.sql.adaptive.enabled": "false",
+# Two adversarial layouts, exercised separately so a failure localizes
+# to the knob that caused it:
+#   all-knobs — tiny reduce side (3 shuffle partitions), 16 KiB scan
+#     splits, AQE off: the combined worst case.
+#   scan-splits-only — ONLY spark.sql.files.maxPartitionBytes dropped to
+#     64 KiB, AQE and reduce parallelism left at session defaults: the
+#     pure map-side re-split a 100 TB scan sees when the cluster's split
+#     sizing changes, with AQE free to re-coalesce (the regime the
+#     all-knobs variant disables).
+VARIANTS = {
+    "all-knobs": {
+        "spark.sql.shuffle.partitions": "3",
+        "spark.sql.files.maxPartitionBytes": str(16 * 1024),
+        "spark.sql.adaptive.enabled": "false",
+    },
+    "scan-splits-only": {
+        "spark.sql.files.maxPartitionBytes": str(64 * 1024),
+    },
 }
 
 
@@ -72,14 +87,25 @@ def qs():
     return queries()
 
 
-@pytest.mark.parametrize("name", ENTRIES)
-def test_result_invariant_to_partitioning(spark, qs, name):
-    fn = qs[name]
-    baseline = fn(spark, SF_DIR).toPandas()
+_BASELINES: dict[str, object] = {}
 
-    saved = {k: spark.conf.get(k) for k in VARIANT}
+
+def _baseline(spark, fn, name):
+    if name not in _BASELINES:
+        _BASELINES[name] = fn(spark, SF_DIR).toPandas()
+    return _BASELINES[name]
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+@pytest.mark.parametrize("name", ENTRIES)
+def test_result_invariant_to_partitioning(spark, qs, name, variant):
+    fn = qs[name]
+    baseline = _baseline(spark, fn, name)
+
+    confs = VARIANTS[variant]
+    saved = {k: spark.conf.get(k) for k in confs}
     try:
-        for k, v in VARIANT.items():
+        for k, v in confs.items():
             spark.conf.set(k, v)
         reshaped = fn(spark, SF_DIR).toPandas()
     finally:
@@ -88,7 +114,8 @@ def test_result_invariant_to_partitioning(spark, qs, name):
 
     verdict, detail = compare_frames(baseline, reshaped)
     assert verdict == "MATCH", (
-        f"{name} not partitioning-invariant ({verdict}): {detail} — "
-        "an accumulation order leaked into the result; anchor it "
-        "(DECIMAL accumulator or round() before compare/sort)."
+        f"{name} not partitioning-invariant under {variant} "
+        f"({verdict}): {detail} — an accumulation order leaked into "
+        "the result; anchor it (DECIMAL accumulator or round() before "
+        "compare/sort)."
     )

@@ -262,6 +262,7 @@ class TestUniversalGates:
         "docs_unigram_surprise",      # 1-row corpus-total-tokens scalar
         "docs_token_drift",           # 1-row half-totals scalar
         "docs_bpe_merges",            # 1-row argmax pair per merge round
+        "docs_bpe_apply",             # same 1-row argmax rounds (shared fit)
         "docs_mixture_grid",          # 1-row global sqrt-sum normalizer
         "dedup_embedding_neardup",    # 1-row SRP plane-matrix relation
     }
@@ -462,6 +463,28 @@ class TestCurationPlanShapes:
             plan = physical_plan(qs[name](spark, sf_dir))
             assert plan.count("Exchange hashpartitioning") <= n, (name, plan)
             assert "CartesianProduct" not in plan, name
+
+    def test_round7_removal_entry_shapes(self, spark, sf_dir, qs):
+        """Round-7 removal/apply claims, enforced: the intra-document
+        scrub is a pure per-row fold (ZERO hash exchanges — only the
+        presentation sort's range exchange), and the cross-document
+        span strip pays the bounded posting-list budget (distinct, df
+        agg, dup-position agg + two equi-joins; never a cartesian).
+        docs_bpe_apply shares docs_bpe_merges' unrolled-argmax lineage
+        (its 1-row broadcasts are allowlisted in _BNLJ_OK); here we pin
+        only that it never degrades to a cartesian or Python row
+        path."""
+        plan = physical_plan(qs["docs_intradoc_dedup"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+        assert "BatchEvalPython" not in plan, plan
+
+        plan = physical_plan(qs["docs_substring_strip"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") <= 4, plan
+        assert "CartesianProduct" not in plan, plan
+
+        plan = physical_plan(qs["docs_bpe_apply"](spark, sf_dir))
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
 
 
 class TestAQESkewRuntime:
