@@ -31,6 +31,7 @@ from graphdatabases_spark.graph.traversal import (
     _collect_adjacency,
     _local_result_df,
     _pick_strategy,
+    hash_partitioned_on,
 )
 
 CHECKPOINT_EVERY = 4
@@ -626,7 +627,11 @@ def weighted_sssp(
     if _pick_strategy(edges, strategy, local_threshold) == "local":
         return _weighted_sssp_local(wedges, src)
     spark = _spark_of(edges)
-    wedges = wedges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    if not hash_partitioned_on(wedges, "src"):
+        wedges = wedges.repartition("src")
+    # else: src-bucketed edge table (SURVEY §1.2) — already clustered
+    # on the relaxation join key, the one-time shuffle is free.
+    wedges = wedges.persist(StorageLevel.MEMORY_AND_DISK)
     if wedges.filter(F.col("w") < 0).limit(1).count():
         wedges.unpersist()
         raise ValueError("weighted_sssp requires non-negative weights")

@@ -107,6 +107,27 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def hash_partitioned_on(df: DataFrame, col: str) -> bool:
+    """True when ``df``'s physical plan already reports hash
+    partitioning on exactly (``col``) — a scan of a table bucketed by
+    that column (the SURVEY §1.2 100-TB edge layout; the scan keeps its
+    bucketed form when a downstream operator wants it, or always under
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``) or
+    an upstream ``repartition(col)``.  The iterative kernels use this
+    to SKIP their one-time edge-side shuffle: each round's join then
+    exchanges only the frontier/dist side."""
+    try:
+        p = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .outputPartitioning()
+            .toString()
+        )
+    except Exception:  # non-classic backend: conservatively re-shuffle
+        return False
+    return p.startswith(f"hashpartitioning({col}#")
+
+
 def _pick_strategy(edges: DataFrame, strategy: str, local_threshold: int) -> str:
     decision = _decide_strategy(edges, strategy)
     if decision != "probe":
@@ -456,11 +477,16 @@ class _EdgeSides:
 
     def by_src(self) -> DataFrame:
         if self._by_src is None:
-            spark = _spark_of(self.plain)
-            n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-            self._by_src = self.plain.repartition(n, "src").persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            if hash_partitioned_on(self.plain, "src"):
+                # src-bucketed edge table (SURVEY §1.2): the cache is
+                # already src-clustered — no one-time shuffle needed.
+                self._by_src = self.plain
+            else:
+                spark = _spark_of(self.plain)
+                n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+                self._by_src = self.plain.repartition(n, "src").persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
         return self._by_src
 
     def join_frontier(self, frontier: DataFrame, frontier_rows: int) -> DataFrame:
@@ -471,7 +497,7 @@ class _EdgeSides:
 
     def release(self) -> None:
         self.plain.unpersist()
-        if self._by_src is not None:
+        if self._by_src is not None and self._by_src is not self.plain:
             self._by_src.unpersist()
 
 

@@ -464,6 +464,94 @@ class TestCurationPlanShapes:
             assert plan.count("Exchange hashpartitioning") <= n, (name, plan)
             assert "CartesianProduct" not in plan, name
 
+    def test_bucketed_edge_table_gives_shuffle_free_rounds(self, spark):
+        """SURVEY §1.2's 100-TB layout claim, enforced end-to-end:
+        against a src-bucketed edge table, the iterative kernels skip
+        their one-time edge-side shuffle — the per-round frontier join
+        exchanges ONLY the frontier side — and the traversal answers
+        are identical to the plain layout's."""
+        import pyspark.sql.functions as F
+        from graphdatabases_spark.graph import khop
+        from graphdatabases_spark.graph.algorithms import weighted_sssp
+        from graphdatabases_spark.graph.generators import grid_graph
+        from graphdatabases_spark.graph.traversal import (
+            _EdgeSides,
+            hash_partitioned_on,
+        )
+        from graphdatabases_spark.sources import write_bucketed
+
+        g = grid_graph(spark, 12)
+        plain = g.edges.select(
+            "src", "dst", (F.col("src") % 7 + 1).alias("w")
+        )
+        spark.sql("DROP TABLE IF EXISTS bkt_traversal_edges")
+        write_bucketed(
+            plain,
+            "bkt_traversal_edges",
+            buckets=8,
+            bucket_by=["src"],
+            sort_by=["src"],
+        )
+        # Pin the bucketed scan form (at toy sizes autoBucketedScan
+        # drops the layout when a standalone cached projection doesn't
+        # visibly benefit) and disable auto-broadcast so the asserted
+        # join is the real big-frontier shuffle shape.
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            t = spark.table("bkt_traversal_edges")
+            pairs = t.select("src", "dst")
+            assert hash_partitioned_on(pairs, "src")
+            assert not hash_partitioned_on(plain.select("src", "dst"), "src")
+
+            sides = _EdgeSides(pairs)
+            try:
+                # Bucketed layout reused as the shuffle-join side: no
+                # repartitioned second copy is built.
+                assert sides.by_src() is sides.plain
+                frontier = spark.range(10).select("id")
+                j = sides.join_frontier(frontier, frontier_rows=10**9)
+                plan = physical_plan(j)
+                assert plan.count("Exchange hashpartitioning") == 1, plan
+                assert "Exchange hashpartitioning(src" not in plan, plan
+            finally:
+                sides.release()
+
+            # Same answers as the plain layout, kernels forced
+            # distributed so the bucketed rounds actually run.
+            k_b = sorted(
+                r["id"]
+                for r in khop(t, 0, 5, strategy="distributed").collect()
+            )
+            k_p = sorted(
+                r["id"]
+                for r in khop(plain, 0, 5, strategy="distributed").collect()
+            )
+            assert k_b == k_p and len(k_b) == 5 * (5 + 3) // 2
+            w_b = {
+                r["id"]: r["dist"]
+                for r in weighted_sssp(
+                    t, 0, strategy="distributed", max_iters=40
+                ).collect()
+            }
+            w_p = {
+                r["id"]: r["dist"]
+                for r in weighted_sssp(
+                    plain, 0, strategy="distributed", max_iters=40
+                ).collect()
+            }
+            assert w_b == w_p and len(w_b) == 144
+        finally:
+            spark.conf.unset(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+            )
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+            spark.sql("DROP TABLE IF EXISTS bkt_traversal_edges")
+
     def test_round7_removal_entry_shapes(self, spark, sf_dir, qs):
         """Round-7 removal/apply claims, enforced: the intra-document
         scrub is a pure per-row fold (ZERO hash exchanges — only the
