@@ -63,6 +63,10 @@ HEADLINE = [
     # and the zero-shuffle per-row-fold shape.
     "docs_substring_dedup",
     "docs_c4_line_filters",
+    # round-7 removal surface: cross-doc span strip (posting list +
+    # per-row rebuild) and the O(L^2)-per-row intra-doc scrub.
+    "docs_substring_strip",
+    "docs_intradoc_dedup",
 ]
 
 

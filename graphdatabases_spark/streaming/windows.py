@@ -105,6 +105,34 @@ def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def streaming_dedup_bounded(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup — the state-eviction contract
+    the 100-TB unbounded-feed claim depends on (the catalog's
+    ``docs_stream_dedup`` deliberately retains all keys so its
+    availableNow replay equals the batch oracle; this is the form a
+    forever-running feed deploys).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes ``first_seen_ts + delay``: duplicates arriving
+    within the delay of the first occurrence are suppressed; a
+    duplicate arriving AFTER its key's state was evicted is re-admitted
+    as a fresh row.  That trade — bounded state for exactly-once-per-
+    key — is deliberate and testable
+    (tests/test_streaming.py::TestBoundedDedupEviction pins both the
+    suppression and the re-admission sides).  Unlike
+    ``dropDuplicates(keys + [ts])``, the event-time column is NOT part
+    of the key, so a duplicate with a different timestamp still dedups.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def enrich_with_dimension(
     stream: DataFrame,
     dim: DataFrame,

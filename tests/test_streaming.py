@@ -748,3 +748,167 @@ class TestRateSource:
             assert rows[0]["event_type"] in ("view", "click", "purchase")
         finally:
             q.stop()
+
+
+class TestBoundedDedupEviction:
+    """streaming_dedup_bounded's state-eviction contract — the bounded-
+    state dedup an unbounded 100-TB feed actually deploys: duplicates
+    arriving within the watermark delay of their key's first sighting
+    are suppressed, and a duplicate whose key state was already evicted
+    (watermark passed first_seen + delay) is RE-ADMITTED.  Both sides
+    of the trade pinned, across a checkpoint restart."""
+
+    def test_within_delay_suppressed_past_watermark_readmitted(
+        self, spark, tmp_path
+    ):
+        from graphdatabases_spark.functions import text as T
+        from graphdatabases_spark.streaming.windows import (
+            run_stream_checkpointed,
+            streaming_dedup_bounded,
+        )
+
+        src = tmp_path / "bd_src"
+        src.mkdir()
+        out = str(tmp_path / "bd_out")
+        ckpt = str(tmp_path / "bd_ckpt")
+
+        def write_docs(name, rows):
+            pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            stage = tmp_path / "bd_stage"
+            spark.createDataFrame(pdf).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(stage))
+            import glob
+            import shutil
+
+            shutil.copy(
+                glob.glob(str(stage / "part-*.parquet"))[0], str(src / name)
+            )
+
+        def run():
+            stream = (
+                spark.readStream.schema("doc_id long, ts timestamp, text string")
+                .parquet(str(src))
+                .withColumn("fp", T.fingerprint(F.col("text")))
+            )
+            dd = streaming_dedup_bounded(
+                stream, ["fp"], watermark="10 minutes"
+            )
+            run_stream_checkpointed(dd, out, ckpt, "append")
+
+        # Batch 1: doc 1 at 09:00; doc 2 at 12:00 advances the
+        # watermark to 11:50 at batch end, evicting doc 1's key state
+        # (held only until 09:00 + 10 min).
+        write_docs(
+            "f1.parquet",
+            [
+                (1, "2024-01-01 09:00:00", "alpha beta gamma"),
+                (2, "2024-01-01 12:00:00", "delta epsilon zeta"),
+            ],
+        )
+        run()
+        assert spark.read.parquet(out).count() == 2
+        # Batch 2: doc 3 is a fingerprint-dup of doc 2 INSIDE the delay
+        # (state alive until 12:10 > watermark 11:50) -> suppressed;
+        # doc 4 duplicates doc 1 AFTER its state eviction -> re-admitted.
+        write_docs(
+            "f2.parquet",
+            [
+                (3, "2024-01-01 12:01:00", "zeta delta epsilon"),
+                (4, "2024-01-01 12:05:00", "gamma alpha beta"),
+            ],
+        )
+        run()
+        got = spark.read.parquet(out).collect()
+        assert {r["doc_id"] for r in got} == {1, 2, 4}, (
+            "bounded dedup must suppress the in-delay dup (3) and "
+            "re-admit the post-eviction dup (4): got "
+            f"{sorted(r['doc_id'] for r in got)}"
+        )
+
+
+class TestConcurrentCommittedReader:
+    """A reader polling read_committed_stream_output WHILE the
+    exactly-once sink writes epochs (the staged round-7 hardening item):
+    every observation must be a union of FULLY committed batches —
+    no torn part-file read, no uncommitted rows, monotone growth."""
+
+    def test_reader_races_writer_sees_only_committed_prefixes(
+        self, spark, tmp_path
+    ):
+        import threading
+
+        from graphdatabases_spark.streaming.windows import (
+            read_committed_stream_output,
+            read_events_stream,
+            run_stream_exactly_once,
+        )
+
+        src = tmp_path / "race_src"
+        src.mkdir()
+        out = str(tmp_path / "race_out")
+        ckpt = str(tmp_path / "race_ckpt")
+        batches = {}
+        for k in range(10):
+            rows = [
+                (10 * k + j, f"2024-01-01 09:{k:02d}:00", k, "view", 1.0, "{}")
+                for j in range(3)
+            ]
+            batches[k] = frozenset(10 * k + j for j in range(3))
+            TestCheckpointRestart._write_events(
+                spark, tmp_path, src, f"f{k}.parquet", rows
+            )
+
+        snapshots: list[frozenset] = []
+        errors: list[str] = []
+        stop = threading.Event()
+
+        def reader():
+            while not stop.is_set():
+                try:
+                    ids = frozenset(
+                        r["event_id"]
+                        for r in read_committed_stream_output(
+                            spark, out
+                        ).collect()
+                    )
+                    snapshots.append(ids)
+                except FileNotFoundError:
+                    snapshots.append(frozenset())  # before first commit
+                except Exception as e:  # torn read = contract violation
+                    errors.append(repr(e))
+                    break
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        try:
+            stream = read_events_stream(
+                spark, str(src), max_files_per_trigger=1
+            ).select("event_id", "ts", "user_id")
+            run_stream_exactly_once(stream, out, ckpt, "append")
+        finally:
+            stop.set()
+            t.join(timeout=60)
+
+        assert not errors, errors
+        assert snapshots
+        # Only committed rows, at batch granularity: each source batch is
+        # either fully visible or fully absent in every observation.
+        for ids in snapshots:
+            for k, bs in batches.items():
+                inter = ids & bs
+                assert inter in (frozenset(), bs), (
+                    f"partial batch {k} observed: {sorted(inter)}"
+                )
+        # Commits only add epochs: observations grow monotonically.
+        for a, b in zip(snapshots, snapshots[1:]):
+            assert a <= b, "non-monotone committed view"
+        final = frozenset(
+            r["event_id"]
+            for r in read_committed_stream_output(spark, out).collect()
+        )
+        assert final == frozenset().union(*batches.values())
+        # The race was real: the reader saw at least one pre-final state
+        # (its first poll starts before the writer's first commit).
+        assert any(s != final for s in snapshots)
