@@ -178,6 +178,109 @@ def pagerank(
         links.unpersist()
 
 
+def _ppr_local(
+    graph, edges: DataFrame, sources: list[int], num_iters: int, damping: float
+) -> DataFrame:
+    """Driver-side PPR power iteration — identical recurrence to the
+    distributed loop."""
+    spark = _spark_of(edges)
+    adj = _collect_adjacency(edges)
+    vertices = _vertices_local(graph, adj)
+    src_set = set(sources)
+    base_w = (1.0 - damping) / len(src_set)
+    rank = {v: (1.0 / len(src_set) if v in src_set else 0.0) for v in vertices}
+    for _ in range(num_iters):
+        msg: dict[int, float] = {}
+        for u, vs in adj.items():
+            share = rank[u] / len(vs)
+            for v in vs:
+                msg[v] = msg.get(v, 0.0) + share
+        rank = {
+            v: (base_w if v in src_set else 0.0) + damping * msg.get(v, 0.0)
+            for v in vertices
+        }
+    return _local_result_df(
+        spark, [(v, rank[v]) for v in sorted(rank)], RANK_SCHEMA
+    )
+
+
+def personalized_pagerank(
+    graph: PropertyGraph | DataFrame,
+    sources: list[int],
+    num_iters: int = 10,
+    damping: float = 0.85,
+    strategy: str = "auto",
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart into ``sources``
+    — the "related entities" operator (recommendations, seed-set
+    expansion) that plain PageRank's uniform teleport cannot express.
+
+    Semantics (mirrored by the unrolled-CTE oracle): r0(v) = 1/|S| for
+    v ∈ S else 0; r_{t+1}(v) = (1-d)/|S|·[v ∈ S] + d·Σ_{u→v}
+    r_t(u)/outdeg(u). Dangling mass decays, exactly like ``pagerank``.
+    Teleport-source nodes therefore keep probability mass even with no
+    in-edges — the loop rebuilds each round from the FULL vertex set,
+    not just message receivers.
+
+    Same scale shape as ``pagerank``: the (src, dst, outdeg) relation
+    shuffles once (skipped when the edge scan is already
+    hash-partitioned on src — the bucketed 100-TB layout) and each
+    round is one join + one keyed aggregation.
+
+    Returns DataFrame(id BIGINT, rank DOUBLE).
+    """
+    if not sources:
+        raise ValueError("personalized_pagerank needs at least one source")
+    src_set = sorted(set(int(s) for s in sources))
+    edges = _edges(graph)
+    if _pick_strategy(edges, strategy, local_threshold) == "local":
+        return _ppr_local(graph, edges, src_set, num_iters, damping)
+    spark = _spark_of(edges)
+    vertices = _vertices_from(graph, edges)
+
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    links = edges.join(out_deg, edges.src == out_deg.id).select(
+        "src", "dst", "outdeg"
+    )
+    if not hash_partitioned_on(links, "src"):
+        links = links.repartition("src")
+    links = links.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        is_src = F.col("id").isin(src_set)
+        r0 = F.when(is_src, F.lit(1.0 / len(src_set))).otherwise(0.0)
+        base = F.when(
+            is_src, F.lit((1.0 - damping) / len(src_set))
+        ).otherwise(0.0)
+        ranks = vertices.withColumn("rank", r0)
+        for i in range(num_iters):
+            contribs = (
+                links.join(ranks, links.src == ranks.id)
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("outdeg")).alias("contrib"),
+                )
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("msg"))
+            )
+            ranks = vertices.join(contribs, "id", "left").select(
+                "id",
+                (
+                    base
+                    + F.lit(damping) * F.coalesce("msg", F.lit(0.0))
+                ).alias("rank"),
+            )
+            if (i + 1) % CHECKPOINT_EVERY == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        if num_iters % CHECKPOINT_EVERY != 0:
+            ranks = ranks.localCheckpoint(eager=True)
+        return ranks
+    finally:
+        links.unpersist()
+
+
 def _connected_components_local(graph, edges: DataFrame) -> DataFrame:
     """Union-find — the converged fixpoint of min-id propagation."""
     spark = _spark_of(edges)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from graphdatabases_spark.graph.algorithms import (
     connected_components,
     pagerank,
+    personalized_pagerank,
     triangle_count,
     weighted_sssp,
 )
@@ -245,6 +246,72 @@ GRID_EDGES_SQL = f"""
 )
 def graph_khop_grid(spark: SparkSession, sf: str) -> DataFrame:
     return khop(grid_graph(spark, GRID_N), src=0, hops=6).orderBy("id")
+
+
+_PPR_SOURCES = (0, GRID_N * 10 + 10)  # corner + center of the grid
+_PPR_ROUNDS = 6
+
+
+def _ppr_round_sql(k: int) -> str:
+    """One unrolled PPR power-iteration round (the LPA/k-means unroll
+    precedent — a recursive CTE can't both aggregate messages AND keep
+    message-less teleport nodes alive, since the working table may be
+    referenced only once)."""
+    srcs = ", ".join(str(s) for s in _PPR_SOURCES)
+    return f"""
+    r{k} AS (
+      SELECT v.i AS id,
+        CASE WHEN v.i IN ({srcs}) THEN 0.15 / {len(_PPR_SOURCES)}
+             ELSE 0.0 END
+          + 0.85 * coalesce(m.msg, 0.0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, sum(p.rank / o.d) AS msg
+        FROM r{k - 1} p
+        JOIN edges e ON e.src = p.id
+        JOIN outdeg o ON o.src = p.id
+        GROUP BY e.dst
+      ) m ON m.id = v.i
+    )"""
+
+
+@register(
+    "graph_ppr_grid",
+    oracle=f"""
+    WITH {GRID_EDGES_SQL},
+    verts AS (SELECT i FROM generate_series(0, {GRID_N * GRID_N - 1}) t(i)),
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (
+      SELECT i AS id,
+        CASE WHEN i IN ({", ".join(str(s) for s in _PPR_SOURCES)})
+             THEN 1.0 / {len(_PPR_SOURCES)} ELSE 0.0 END AS rank
+      FROM verts
+    ),{",".join(_ppr_round_sql(k) for k in range(1, _PPR_ROUNDS + 1))}
+    SELECT CAST(id AS BIGINT) AS id, round(rank, 6) AS rank
+    FROM r{_PPR_ROUNDS} ORDER BY id
+    """,
+    doc=f"Personalized PageRank (random walk with restart into the "
+    f"2-node teleport set {{0, {GRID_N * 10 + 10}}}), {_PPR_ROUNDS} "
+    "fixed rounds, d=0.85, on the 20x20 grid — the 'related entities' "
+    "operator plain PageRank's uniform teleport cannot express. The "
+    "oracle unrolls the power iteration as chained CTEs (each round "
+    "rebuilds from the FULL vertex set so teleport sources with no "
+    "in-edges keep their restart mass — a recursive CTE can only emit "
+    "message receivers). Engine-exact without decimal anchoring "
+    "because grid in-degree <= 2: each message aggregation sums at "
+    "most two doubles, so there is no accumulation-order freedom for "
+    "partitioning to exploit.",
+)
+def graph_ppr_grid(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        personalized_pagerank(
+            grid_graph(spark, GRID_N),
+            list(_PPR_SOURCES),
+            num_iters=_PPR_ROUNDS,
+            damping=0.85,
+        )
+        .select("id", F.round("rank", 6).alias("rank"))
+        .orderBy("id")
+    )
 
 
 @register(

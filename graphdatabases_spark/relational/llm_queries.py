@@ -755,3 +755,137 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@register(
+    "docs_bm25_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total
+      FROM dl
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    q AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+        FROM vocab
+      ) WHERE rn BETWEEN 21 AND 25
+    ),
+    tf AS (
+      SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+      FROM tok t JOIN q USING (tok) GROUP BY t.doc_id, t.tok
+    ),
+    dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    idf AS (
+      SELECT tok,
+        round(ln(((CAST(n_docs - df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5)) + 1.0), 9) AS idf
+      FROM dfreq, stats
+    ),
+    sc AS (
+      SELECT tf.doc_id,
+        CAST(idf * ((CAST(tf.tf AS DOUBLE) * 2.2)
+          / (CAST(tf.tf AS DOUBLE)
+             + (1.2 * (0.25 + (0.75 * (CAST(dl.dl AS DOUBLE)
+                 / (CAST(total AS DOUBLE) / n_docs)))))))
+          AS DECIMAL(28,12)) AS term
+      FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+             sum(term) AS s
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, n_matched, round(CAST(s AS DOUBLE), 6) AS bm25
+    FROM per ORDER BY s DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 top-k retrieval (k1=1.2, b=0.75) — the classic lexical "
+    "ranking the RAG stack runs beside embedding search: the query is "
+    "the corpus's frequency ranks 21-25 (mid-frequency terms, "
+    "deterministically derived like every fixture injection), each "
+    "matching document scores sum_t idf_t * tf*(k1+1)/(tf + "
+    "k1*(1-b+b*dl/avgdl)), and the 20 best documents are returned. "
+    "Engine-exactness discipline: idf (the ONLY transcendental — ln) "
+    "is rounded to 9 dp BEFORE use so a 1-ulp libm divergence cannot "
+    "propagate, every other float op is a correctly-rounded IEEE "
+    "+-*/ chain with identical parenthesization in both engines, and "
+    "per-term scores become DECIMAL(28,12) before the per-doc sum "
+    "(order-free; the token_drift precedent). The top-k sorts the "
+    "EXACT decimal with a doc_id tiebreak — deterministic cutoff. "
+    "Shapes: explode -> two vocab-bounded aggs, broadcast 5-term "
+    "query + 1-row stats, one (doc, term) agg, global top-20 via "
+    "TakeOrdered (no unbounded window; the rank window runs over 25 "
+    "rows).",
+)
+def docs_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tok = table(spark, sf, "documents").select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total"),
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    top25 = vocab.orderBy(F.col("cnt").desc(), "tok").limit(25)
+    w = Window.orderBy(F.col("cnt").desc(), "tok")  # 25 bounded rows
+    q = (
+        top25.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") >= 21) & (F.col("rn") <= 25))
+        .select("tok")
+    )
+    tf = (
+        tok.join(F.broadcast(q), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.round(
+            F.log(
+                (
+                    (F.col("n_docs") - F.col("df")).cast("double") + 0.5
+                )
+                / (F.col("df").cast("double") + 0.5)
+                + 1.0
+            ),
+            9,
+        ).alias("idf"),
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("total").cast("double") / F.col("n_docs")
+    term = (
+        F.col("idf")
+        * (
+            (tfd * 2.2)
+            / (tfd + (1.2 * (0.25 + (0.75 * (dld / avgdl)))))
+        )
+    ).cast("decimal(28,12)")
+    sc = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term.alias("term"))
+    )
+    per = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("term").alias("s"),
+    )
+    return (
+        per.orderBy(F.col("s").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "n_matched",
+            F.round(F.col("s").cast("double"), 6).alias("bm25"),
+        )
+    )

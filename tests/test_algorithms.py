@@ -330,3 +330,65 @@ class TestWeightedSssp:
             weighted_sssp(
                 e, src=0, max_iters=2, strategy="distributed", strict=True
             )
+
+
+class TestPersonalizedPagerank:
+    """personalized_pagerank: restart-mass semantics + strategy parity."""
+
+    def _graph(self, spark):
+        from graphdatabases_spark.graph import grid_graph
+
+        return grid_graph(spark, 8)
+
+    def test_local_equals_distributed(self, spark):
+        import pytest as _pt
+
+        from graphdatabases_spark.graph.algorithms import personalized_pagerank
+
+        g = self._graph(spark)
+        loc = sorted(
+            tuple(r)
+            for r in personalized_pagerank(
+                g, [0, 27], num_iters=5, strategy="local"
+            ).collect()
+        )
+        dist = sorted(
+            tuple(r)
+            for r in personalized_pagerank(
+                g, [0, 27], num_iters=5, strategy="distributed"
+            ).collect()
+        )
+        assert [i for i, _ in loc] == [i for i, _ in dist]
+        for (_, a), (_, b) in zip(loc, dist):
+            assert a == _pt.approx(b, abs=1e-12)
+
+    def test_restart_mass_and_locality(self, spark):
+        """Total mass stays <= 1 (dangling decay only removes mass),
+        teleport sources hold rank, and nodes unreachable from the
+        sources stay at exactly 0 — the personalization plain PageRank
+        cannot express (there every node gets (1-d)/N)."""
+        from graphdatabases_spark.graph.algorithms import personalized_pagerank
+
+        g = self._graph(spark)
+        ranks = {
+            r["id"]: r["rank"]
+            for r in personalized_pagerank(
+                g, [27], num_iters=6, strategy="local"
+            ).collect()
+        }
+        assert sum(ranks.values()) <= 1.0 + 1e-9
+        assert ranks[27] > 0
+        # Node 27 = (3, 3) on the 8-grid; the directed grid only walks
+        # right/down, so anything above/left of the source is
+        # unreachable and must hold ZERO mass.
+        assert ranks[0] == 0.0 and ranks[9] == 0.0
+        reachable = [v for v, r in ranks.items() if r > 0]
+        assert all(v % 8 >= 3 and v // 8 >= 3 for v in reachable)
+
+    def test_empty_sources_rejected(self, spark):
+        import pytest as _pt
+
+        from graphdatabases_spark.graph.algorithms import personalized_pagerank
+
+        with _pt.raises(ValueError, match="at least one source"):
+            personalized_pagerank(self._graph(spark), [])

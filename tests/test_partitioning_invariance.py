@@ -59,6 +59,8 @@ ENTRIES = [
     "docs_substring_dedup",      # posting-list df join over exploded grams
     # round-7 curation additions
     "docs_substring_strip",      # dup-position collect_set + rebuild fold
+    "docs_bm25_topk",            # decimal term sums + exact top-k cutoff
+    "graph_ppr_grid",            # iterative float mass-passing (teleport)
 ]
 
 # Two adversarial layouts, exercised separately so a failure localizes

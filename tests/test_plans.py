@@ -238,7 +238,14 @@ class TestUniversalGates:
     #   similarity_ann_ivf — seed numbering via row_number over
     #                        limit(num_clusters) rows (≤ k, one partition
     #                        already)
-    _GLOBAL_WINDOW_OK = {"window_ntile", "similarity_ann_ivf"}
+    #   docs_bm25_topk     — query-term rank via row_number over
+    #                        limit(25) rows (bounded, one partition
+    #                        already)
+    _GLOBAL_WINDOW_OK = {
+        "window_ntile",
+        "similarity_ann_ivf",
+        "docs_bm25_topk",
+    }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
     # entry's broadcast side must be BOUNDED — a 1-row scalar aggregate

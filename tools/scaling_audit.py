@@ -26,6 +26,18 @@ records the delta of the status store's cumulative executor
 shuffle grows more than ``threshold``× over the 10× step (1 MiB floor
 on the denominator — KB-scale shuffles are all fixed overhead).
 
+KNOWN BLIND SPOT (measured, round 7): shuffles executed while
+materializing a NESTED broadcast build side (a broadcast exchange
+whose subtree itself contains a broadcast join, e.g.
+``docs_substring_strip``'s df>=2 posting list) do not reach the
+executor summary's ``totalShuffleWrite`` even though the stages run —
+a minimal two-level-broadcast repro reads 0 bytes while the identical
+subtree driven standalone writes 16 MB. Entries whose exchanges all
+sit under such builds therefore read ~0 here; audit them by driving
+the inner aggregate standalone (docs_substring_strip's posting-list
+distinct: 2.74 MB at sf0.1 → 27.08 MB at sf1, exactly the 10× row
+growth — recorded in SCALE.md).
+
 Usage:
     python tools/scaling_audit.py                # all entries
     python tools/scaling_audit.py name1 name2    # subset
