@@ -889,3 +889,146 @@ def docs_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("s").cast("double"), 6).alias("bm25"),
         )
     )
+
+
+@register(
+    "dedup_hll_cardinality",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id % 4 AS shard,
+        md5(array_to_string(list_sort(list_distinct({TOKS})), ' ')) AS fp
+      FROM documents
+    ),
+    h AS (
+      SELECT shard, fp, {H.format(v="fp")} % 64 AS j,
+             {H.format(v="fp")} // 64 AS w
+      FROM fp
+    ),
+    rk AS (
+      SELECT shard, j,
+        CASE WHEN w = 0 THEN 43
+             ELSE 43 - length(bin(w)) END AS rank
+      FROM h
+    ),
+    regs AS (
+      SELECT shard, j, max(rank) AS m FROM rk GROUP BY shard, j
+    ),
+    acc AS (
+      SELECT shard,
+        CAST(count(*) AS BIGINT) AS n_present,
+        CAST(sum(CAST(pow(2.0, 50 - m) AS BIGINT)) AS BIGINT) AS s_present
+      FROM regs GROUP BY shard
+    ),
+    ex AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT fp) AS BIGINT) AS exact_distinct
+      FROM fp GROUP BY shard
+    ),
+    est AS (
+      SELECT e.shard, e.n_rows, e.exact_distinct,
+        CAST(64 - a.n_present AS BIGINT) AS n_zero_registers,
+        0.709 * 4096.0 * (1125899906842624.0 /
+          CAST(a.s_present + (64 - a.n_present) * 1125899906842624 AS DOUBLE))
+          AS raw
+      FROM ex e JOIN acc a ON e.shard = a.shard
+    ),
+    fin AS (
+      SELECT shard, n_rows, exact_distinct, n_zero_registers,
+        CASE WHEN raw <= 160.0 AND n_zero_registers > 0
+             THEN 64.0 * round(ln(64.0 / n_zero_registers), 9)
+             ELSE raw END AS estimate
+      FROM est
+    )
+    SELECT shard, n_rows, exact_distinct, n_zero_registers,
+      round(estimate, 3) AS hll_estimate,
+      round(abs(estimate - exact_distinct) / exact_distinct, 6) AS rel_err
+    FROM fin ORDER BY shard
+    """,
+    doc="Portable HyperLogLog cardinality sketch (m=64 registers), "
+    "built explicitly so BOTH engines compute identical registers — "
+    "unlike approx_count_distinct, whose HLL++ internals are "
+    "engine-private (that entry's oracle is exact-count + tolerance; "
+    "THIS entry value-hash-matches the sketch itself): the 48-bit "
+    "portable hash of each document fingerprint splits into a 6-bit "
+    "register index and a 42-bit value whose leading-zero rank "
+    "(computed as binary digit length, no loops) feeds a per-register "
+    "MAX — a fully combinable, order-free aggregate, the reason HLL "
+    "is THE 100-TB distinct-counter (map-side partial maxes merge "
+    "associatively; state is 64 bytes per group regardless of "
+    "cardinality). The harmonic-mean denominator sums EXACT BIGINTs "
+    "(2^(50-M) per register, so register sums never touch float "
+    "order), the one transcendental (linear-counting ln, engaged for "
+    "the small shards) is pre-rounded to 9 dp like docs_bm25_topk's "
+    "idf, and the raw/linear-counting branch switch compares "
+    "deterministic doubles. Per-shard output also carries the exact "
+    "distinct count and realized relative error.",
+)
+def dedup_hll_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    fp = table(spark, sf, "documents").select(
+        (F.col("doc_id") % 4).alias("shard"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    hh = T.portable_hash64(F.col("fp"))
+    h = fp.select(
+        "shard",
+        "fp",
+        (hh % 64).alias("j"),
+        F.shiftright(hh, 6).alias("w"),
+    )
+    rk = h.select(
+        "shard",
+        "j",
+        F.when(F.col("w") == 0, F.lit(43))
+        .otherwise(F.lit(43) - F.length(F.bin("w")))
+        .alias("rank"),
+    )
+    regs = rk.groupBy("shard", "j").agg(F.max("rank").alias("m"))
+    acc = regs.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), 50 - F.col("m")).cast("long"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    ex = fp.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("fp").cast("long").alias("exact_distinct"),
+    )
+    p50 = 1125899906842624  # 2^50
+    est = ex.join(acc, "shard").select(
+        "shard",
+        "n_rows",
+        "exact_distinct",
+        (F.lit(64) - F.col("n_present")).cast("long").alias("n_zero_registers"),
+        (
+            F.lit(0.709)
+            * F.lit(4096.0)
+            * (
+                F.lit(float(p50))
+                / (
+                    F.col("s_present")
+                    + (F.lit(64) - F.col("n_present")) * F.lit(p50)
+                ).cast("double")
+            )
+        ).alias("raw"),
+    )
+    estimate = F.when(
+        (F.col("raw") <= 160.0) & (F.col("n_zero_registers") > 0),
+        F.lit(64.0)
+        * F.round(F.log(F.lit(64.0) / F.col("n_zero_registers")), 9),
+    ).otherwise(F.col("raw"))
+    return (
+        est.withColumn("estimate", estimate)
+        .select(
+            "shard",
+            "n_rows",
+            "exact_distinct",
+            "n_zero_registers",
+            F.round(F.col("estimate"), 3).alias("hll_estimate"),
+            F.round(
+                F.abs(F.col("estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("shard")
+    )

@@ -16,6 +16,7 @@ from graphdatabases_spark.sources.writers import (
     write_orc,
     write_parquet,
     write_range_sorted,
+    write_zordered,
 )
 
 __all__ = [
@@ -32,4 +33,5 @@ __all__ = [
     "write_orc",
     "write_parquet",
     "write_range_sorted",
+    "write_zordered",
 ]

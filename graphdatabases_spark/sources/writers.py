@@ -10,6 +10,7 @@ bucketing (shuffle-free joins on high-cardinality keys like edge
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -97,6 +98,68 @@ def write_range_sorted(
         else df.repartitionByRange(*sort_by)
     )
     parted.sortWithinPartitions(*sort_by).write.mode(mode).parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    num_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered parquet: multi-column locality
+    in ONE file layout.
+
+    ``write_range_sorted`` gives tight zone maps on its leading sort
+    key only — a filter on the second column still touches every file.
+    Z-ordering interleaves the bits of each column's ``bits``-bit
+    quantized value (computed from a one-pass min/max, nulls low), so
+    files cover compact HYPER-RECTANGLES of the key space and min/max
+    footer stats prune scans filtered on ANY of the clustered columns —
+    the standard lakehouse layout for two-to-four-dimension selective
+    access at 100 TB (the same trick Delta/Iceberg OPTIMIZE ZORDER
+    applies; here it is ~20 lines of JVM-side bit arithmetic).
+
+    Cost: one extra aggregate pass for the per-column min/max (a 1-row
+    collect) plus the range shuffle the sorted layout needs anyway.
+    The Morton key is a derived column dropped before write; data bytes
+    are unchanged (row-count/value equality is pinned in tests).
+    """
+    if len(cols) < 2:
+        raise ValueError("write_zordered needs >= 2 columns (else use "
+                         "write_range_sorted)")
+    if bits * len(cols) > 63:
+        raise ValueError(f"bits={bits} x {len(cols)} cols exceeds a "
+                         "63-bit Morton key")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        rng = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
+        q = F.floor(
+            (F.coalesce(F.col(c).cast("double"), F.lit(mn or 0.0)) - F.lit(mn or 0.0))
+            * (float(top) / rng)
+        ).cast("long")
+        q = F.least(F.greatest(q, F.lit(0)), F.lit(top))  # clamp fp edges
+        for j in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(q, j).bitwiseAND(F.lit(1)), j * k + i)
+            )
+    (
+        df.withColumn("_zorder", z)
+        .repartitionByRange(num_files, "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def compact_parquet(

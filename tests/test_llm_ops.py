@@ -152,3 +152,22 @@ class TestMultimodal:
             by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
         for idxs in by_doc.values():
             assert sorted(idxs) == [0, 1, 2, 3]
+
+
+class TestHllCardinality:
+    """dedup_hll_cardinality estimator sanity (values are separately
+    hash-matched against the DuckDB oracle): both branches engage at
+    the fixture scales and the m=64 sketch stays within sane error."""
+
+    def test_estimator_behaves(self, spark, sf_dir):
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = REGISTRY["dedup_hll_cardinality"].fn(spark, sf_dir).collect()
+        assert {r["shard"] for r in rows} == {0, 1, 2, 3}
+        for r in rows:
+            assert r["exact_distinct"] <= r["n_rows"]
+            assert 0 <= r["n_zero_registers"] <= 64
+            # m=64 -> sigma ~ 1.04/8 = 13%; 50% is a hard sanity wall.
+            assert r["rel_err"] < 0.5, r
+            assert r["hll_estimate"] > 0

@@ -141,6 +141,68 @@ class TestWriters:
         # Round trip intact.
         assert spark.read.parquet(out).count() == 10_000
 
+    def test_zordered_layout_localizes_both_dimensions(self, spark, tmp_path):
+        """write_zordered's contract: with 16 files over a 2-D key
+        space, EVERY clustered column's per-file min/max span shrinks
+        to a fraction of the global span (files cover compact
+        hyper-rectangles of the Morton curve), so a point filter on
+        EITHER column prunes most files by footer stats — where the
+        lexicographic write_range_sorted layout localizes only its
+        leading key and a second-column filter touches every file."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from graphdatabases_spark.sources.writers import write_zordered
+
+        n = 40_000
+        df = spark.range(n).select(
+            ((F.col("id") * 7919) % 1000).alias("x"),
+            ((F.col("id") * 104729) % 1000).alias("y"),
+            F.col("id").alias("v"),
+        )
+        out = str(tmp_path / "zo")
+        write_zordered(df, out, ["x", "y"], num_files=16)
+        files = sorted(glob.glob(f"{out}/part-*.parquet"))
+        assert len(files) == 16
+
+        def file_range(path, colidx):
+            md = pq.ParquetFile(path).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(colidx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            return min(mins), max(maxs)
+
+        for colidx, name in ((0, "x"), (1, "y")):
+            spans, prunable = [], 0
+            for f in files:
+                lo, hi = file_range(f, colidx)
+                spans.append(hi - lo)
+                if not (lo <= 100 <= hi):
+                    prunable += 1
+            # Ideal 16-file Morton tiling is 4x4 -> per-dim span ~1/4
+            # of the 0..999 space; assert a generous 1/2.
+            assert sum(spans) / len(spans) <= 0.5 * 999, (name, spans)
+            # A point predicate on either column must prune most files.
+            assert prunable >= len(files) // 2, (name, prunable)
+
+        back = spark.read.parquet(out)
+        assert back.count() == n
+        assert back.agg(F.sum("v")).collect()[0][0] == n * (n - 1) // 2
+
+    def test_zordered_rejects_bad_args(self, spark, tmp_path):
+        import pytest
+
+        from graphdatabases_spark.sources.writers import write_zordered
+
+        df = spark.range(10).select(F.col("id").alias("x"), F.col("id").alias("y"))
+        with pytest.raises(ValueError, match=">= 2 columns"):
+            write_zordered(df, str(tmp_path / "z1"), ["x"])
+        with pytest.raises(ValueError, match="63-bit"):
+            write_zordered(df, str(tmp_path / "z2"), ["x", "y"], bits=32)
+
     def test_compaction_merges_small_files(self, spark, tmp_path):
         """compact_parquet must collapse a fragmented directory to the
         byte-sized target count, preserve the rows exactly, and merge
