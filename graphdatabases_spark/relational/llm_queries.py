@@ -1032,3 +1032,95 @@ def dedup_hll_cardinality(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "text_cms_heavy_hitters",
+    oracle=f"""
+    WITH tokc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({TOKS}) AS tok FROM documents) GROUP BY tok
+    ),
+    sk AS (
+      SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS c
+      FROM (SELECT 0 AS r, (('0x' || substr(md5('cms0:' || tok), 1, 12))::BIGINT % 256) AS bucket, cnt FROM tokc
+      UNION ALL SELECT 1 AS r, (('0x' || substr(md5('cms1:' || tok), 1, 12))::BIGINT % 256) AS bucket, cnt FROM tokc
+      UNION ALL SELECT 2 AS r, (('0x' || substr(md5('cms2:' || tok), 1, 12))::BIGINT % 256) AS bucket, cnt FROM tokc
+      UNION ALL SELECT 3 AS r, (('0x' || substr(md5('cms3:' || tok), 1, 12))::BIGINT % 256) AS bucket, cnt FROM tokc
+      ) GROUP BY r, bucket
+    ),
+    top AS (SELECT tok, cnt FROM tokc ORDER BY cnt DESC, tok LIMIT 20),
+    tq AS (SELECT tok, cnt, 0 AS r, (('0x' || substr(md5('cms0:' || tok), 1, 12))::BIGINT % 256) AS bucket FROM top
+      UNION ALL SELECT tok, cnt, 1 AS r, (('0x' || substr(md5('cms1:' || tok), 1, 12))::BIGINT % 256) AS bucket FROM top
+      UNION ALL SELECT tok, cnt, 2 AS r, (('0x' || substr(md5('cms2:' || tok), 1, 12))::BIGINT % 256) AS bucket FROM top
+      UNION ALL SELECT tok, cnt, 3 AS r, (('0x' || substr(md5('cms3:' || tok), 1, 12))::BIGINT % 256) AS bucket FROM top
+    ),
+    est AS (
+      SELECT tok, cnt, min(c) AS cms
+      FROM tq JOIN sk USING (r, bucket) GROUP BY tok, cnt
+    )
+    SELECT tok, cnt AS exact_cnt, CAST(cms AS BIGINT) AS cms_estimate,
+           CAST(cms - cnt AS BIGINT) AS overestimate
+    FROM est ORDER BY tok
+    """,
+    doc="Count-min-sketch heavy hitters (d=4 rows x w=256 "
+    "buckets): the second portable distributed sketch beside "
+    "dedup_hll_cardinality, and the streaming-friendly way to track "
+    "frequent tokens at 100 TB — the sketch is a fixed 4x256 "
+    "integer matrix built by one combinable keyed SUM (vocabulary "
+    "counts fold into buckets map-side; state is bounded regardless "
+    "of vocabulary size), and each of the exact top-20 tokens is "
+    "estimated as the MIN over its 4 bucket counters. "
+    "Everything is integer arithmetic over the portable 48-bit md5 "
+    "hash — no floats anywhere, so the sketch value-hash-matches the "
+    "oracle bit-for-bit. The output carries exact vs estimated counts "
+    "and the overestimate, whose one-sidedness (cms >= exact, the CMS "
+    "guarantee) is pinned in tests.",
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    tokc = (
+        table(spark, sf, "documents")
+        .select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+    def rb_array():
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            T.portable_hash64(
+                                F.concat(F.lit(f"cms{r}:"), F.col("tok"))
+                            )
+                            % 256
+                        ).alias("bucket"),
+                    )
+                    for r in range(4)
+                ]
+            )
+        )
+
+    pairs = tokc.select("tok", "cnt", rb_array().alias("rb")).select(
+        "tok", "cnt", "rb.r", "rb.bucket"
+    )
+    sk = pairs.groupBy("r", "bucket").agg(
+        F.sum("cnt").cast("long").alias("c")
+    )
+    top = tokc.orderBy(F.col("cnt").desc(), "tok").limit(20)
+    tq = top.select("tok", "cnt", rb_array().alias("rb")).select(
+        "tok", "cnt", "rb.r", "rb.bucket"
+    )
+    est = (
+        tq.join(F.broadcast(sk), ["r", "bucket"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("c").cast("long").alias("cms"))
+    )
+    return est.select(
+        "tok",
+        F.col("cnt").alias("exact_cnt"),
+        F.col("cms").alias("cms_estimate"),
+        (F.col("cms") - F.col("cnt")).cast("long").alias("overestimate"),
+    ).orderBy("tok")

@@ -171,3 +171,20 @@ class TestHllCardinality:
             # m=64 -> sigma ~ 1.04/8 = 13%; 50% is a hard sanity wall.
             assert r["rel_err"] < 0.5, r
             assert r["hll_estimate"] > 0
+
+
+class TestCmsHeavyHitters:
+    def test_one_sided_guarantee(self, spark, sf_dir):
+        """CMS never underestimates (min over d hashed counters each
+        >= the true count); with w=256 >> top-20 load, most heavy
+        hitters should estimate exactly."""
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = REGISTRY["text_cms_heavy_hitters"].fn(spark, sf_dir).collect()
+        assert len(rows) == 20
+        assert all(r["overestimate"] >= 0 for r in rows)
+        exact_hits = sum(1 for r in rows if r["overestimate"] == 0)
+        assert exact_hits >= 10, [
+            (r["tok"], r["overestimate"]) for r in rows
+        ]
