@@ -137,13 +137,16 @@ def pagerank(
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    # (src, dst, outdeg) — static over iterations: partition by src, persist.
-    links = (
-        edges.join(out_deg, edges.src == out_deg.id)
-        .select("src", "dst", "outdeg")
-        .repartition("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # (src, dst, outdeg) — static over iterations: partition by src,
+    # persist. The repartition is skipped when the plan already reports
+    # hashpartitioning(src) — a src-bucketed edge table, or the SMJ
+    # path of the outdeg join having exchanged on src already.
+    links = edges.join(out_deg, edges.src == out_deg.id).select(
+        "src", "dst", "outdeg"
     )
+    if not hash_partitioned_on(links, "src"):
+        links = links.repartition("src")
+    links = links.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         ranks = vertices.withColumn("rank", F.lit(1.0 / n))
         base = (1.0 - damping) / n

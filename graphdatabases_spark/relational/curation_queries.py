@@ -1908,3 +1908,208 @@ def docs_mixture_grid(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "docs_substring_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    copies AS (
+      SELECT doc_id,
+        list_concat(list_slice(toks, 5, len(toks)),
+                    ['zz' || doc_id]) AS toks
+      FROM (SELECT doc_id + 1000000 AS doc_id, toks FROM t
+            WHERE doc_id % 41 = 0 AND len(toks) >= 12)
+    ),
+    corp AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) >= 8
+      UNION ALL SELECT doc_id, toks FROM copies
+    ),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(range(1, len(toks) - 6)) AS pos
+      FROM corp
+    ),
+    g AS (
+      SELECT doc_id, pos, {_H.format(v="gram")} AS gh
+      FROM (SELECT doc_id, pos,
+              toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] || ' '
+              || toks[pos+3] || ' ' || toks[pos+4] || ' ' || toks[pos+5]
+              || ' ' || toks[pos+6] || ' ' || toks[pos+7] AS gram
+            FROM e)
+    ),
+    df AS (
+      SELECT gh, count(*) AS df
+      FROM (SELECT DISTINCT gh, doc_id FROM g) GROUP BY gh
+    ),
+    dups AS (
+      SELECT doc_id, list_sort(list_distinct(list(pos))) AS dups
+      FROM g JOIN df USING (gh) WHERE df >= 2 GROUP BY doc_id
+    ),
+    j AS (
+      SELECT c.doc_id, c.toks, len(c.toks) AS n, d.dups
+      FROM corp c JOIN dups d ON c.doc_id = d.doc_id
+    ),
+    m AS (
+      SELECT doc_id, toks, n,
+        list_transform(range(1, n - 6), i -> list_contains(dups, i)) AS dm
+      FROM j
+    ),
+    r AS (
+      SELECT doc_id, toks, n,
+        list_transform(range(1, n + 1), p ->
+          len(list_filter(range(greatest(1, p - 7), least(p, len(dm)) + 1),
+              i -> dm[i])) > 0) AS rm
+      FROM m
+    ),
+    sp AS (
+      SELECT doc_id, toks,
+        list_filter(range(1, n + 1),
+          p -> rm[p] AND (p = 1 OR NOT rm[p - 1])) AS starts,
+        list_filter(range(1, n + 1),
+          p -> rm[p] AND (p = n OR NOT rm[p + 1])) AS ends
+      FROM r
+    ),
+    x AS (
+      SELECT doc_id, toks,
+        unnest(list_transform(range(1, len(starts) + 1), ix ->
+          {{'s': starts[ix], 'l': ends[ix] - starts[ix] + 1}})) AS u
+      FROM sp
+    )
+    SELECT doc_id,
+      CAST(u.s AS BIGINT) AS span_start,
+      CAST(u.l AS BIGINT) AS span_len,
+      md5(array_to_string(list_slice(toks, u.s, u.s + u.l - 1), ' '))
+        AS span_fp
+    FROM x ORDER BY doc_id, span_start
+    """,
+    doc="Duplicated-span LOCATIONS — the provenance table behind "
+    "docs_substring_strip (a production dedup audit must record WHAT "
+    "was removed and WHERE, not just counts): the same df>=2 posting "
+    "list marks covered token positions, maximal removed runs become "
+    "(span_start, span_len) rows, and span_fp hashes the actual "
+    "removed token slice so downstream tooling can group identical "
+    "boilerplate spans across documents. Conservation law (pinned in "
+    "tests): per doc, sum(span_len) == docs_substring_strip.n_removed "
+    "and spans are disjoint, ordered, in-bounds. Same bounded "
+    "posting-list shapes as the strip entry; the run extraction is a "
+    "per-row fold (edge-detection filters over the coverage mask).",
+)
+def docs_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    t = (
+        table(spark, sf, "documents")
+        .select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    copies = (
+        t.filter((F.col("doc_id") % 41 == 0) & (F.col("n") >= 12))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.slice(F.col("toks"), 5, F.col("n") - 4),
+                F.array(
+                    F.concat(
+                        F.lit("zz"), (F.col("doc_id") + 1000000).cast("string")
+                    )
+                ),
+            ).alias("toks"),
+        )
+    )
+    corp = t.filter(F.col("n") >= 8).select("doc_id", "toks").unionByName(
+        copies
+    )
+    h = (
+        corp.select(
+            "doc_id",
+            F.posexplode(_ngram_array(F.col("toks"), 8)).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            T.portable_hash64(F.col("gram")).alias("gh"),
+        )
+    )
+    df = (
+        h.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dup_pos = (
+        h.join(df.filter(F.col("df") >= 2).select("gh"), "gh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("dups"))
+    )
+    j = corp.join(dup_pos, "doc_id")
+
+    def spans(toks):
+        n = F.size(toks)
+
+        def with_dups(dp):
+            dm_expr = F.transform(
+                F.sequence(F.lit(1), n - 7),
+                lambda i: F.array_contains(dp, i),
+            )
+
+            def with_mask(dm):
+                rm_expr = F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda p: F.exists(
+                        F.sequence(
+                            F.greatest(F.lit(1), p - 7),
+                            F.least(p, F.size(dm)),
+                        ),
+                        lambda i: F.element_at(dm, i),
+                    ),
+                )
+
+                def with_rm(rm):
+                    at = lambda p: F.element_at(rm, p)  # noqa: E731
+                    starts = F.filter(
+                        F.sequence(F.lit(1), n),
+                        lambda p: at(p)
+                        & ((p == 1) | ~at(F.greatest(p - 1, F.lit(1)))),
+                    )
+                    ends = F.filter(
+                        F.sequence(F.lit(1), n),
+                        lambda p: at(p)
+                        & ((p == n) | ~at(F.least(p + 1, n))),
+                    )
+
+                    def with_bounds(se):
+                        return F.transform(
+                            F.sequence(F.lit(1), F.size(se["s"])),
+                            lambda ix: F.struct(
+                                F.element_at(se["s"], ix).alias("s"),
+                                (
+                                    F.element_at(se["e"], ix)
+                                    - F.element_at(se["s"], ix)
+                                    + 1
+                                ).alias("l"),
+                            ),
+                        )
+
+                    return _let(
+                        F.struct(starts.alias("s"), ends.alias("e")),
+                        with_bounds,
+                    )
+
+                return _let(rm_expr, with_rm)
+
+            return _let(dm_expr, with_mask)
+
+        return _let(F.col("dups"), with_dups)
+
+    x = j.select(
+        "doc_id", "toks", F.explode(_let(F.col("toks"), spans)).alias("u")
+    )
+    return x.select(
+        "doc_id",
+        F.col("u.s").cast("long").alias("span_start"),
+        F.col("u.l").cast("long").alias("span_len"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("u.s"), F.col("u.l"))
+            )
+        ).alias("span_fp"),
+    ).orderBy("doc_id", "span_start")

@@ -221,3 +221,35 @@ class TestBpeApply:
         total_syms = sum(r["n_bpe_symbols"] for r in rows)
         total_toks = sum(r["n_toks"] for r in rows)
         assert total_toks <= total_syms < total_chars
+
+
+class TestSubstringSpans:
+    def test_conservation_vs_strip_and_span_geometry(self, spark, sf_dir):
+        """Provenance closure: per document, the span table's lengths
+        sum exactly to the strip entry's n_removed; spans are disjoint,
+        ordered, and in-bounds."""
+        spans: dict[int, list] = {}
+        for r in REGISTRY["docs_substring_spans"].fn(spark, sf_dir).collect():
+            spans.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_len"])
+            )
+        strip = {
+            r["doc_id"]: r
+            for r in REGISTRY["docs_substring_strip"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        assert spans, "expected removed spans in the dup-injected corpus"
+        for did, row in strip.items():
+            got = sorted(spans.get(did, []))
+            assert sum(ln for _, ln in got) == row["n_removed"], did
+            prev_end = 0
+            for start, ln in got:
+                assert ln >= 8, (did, got)  # a span covers >= one 8-gram
+                assert start > prev_end + 1 or prev_end == 0, (did, got)
+                prev_end = start + ln - 1
+            assert prev_end <= row["n_toks_before"], did
+        # Every doc with spans is exactly the set strip removed from.
+        assert set(spans) == {
+            d for d, r in strip.items() if r["n_removed"] > 0
+        }
