@@ -1823,3 +1823,99 @@ def docs_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "orders_quantile_histogram",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    n AS (SELECT pri, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY pri),
+    r AS (
+      SELECT pri, cents,
+             row_number() OVER (PARTITION BY pri ORDER BY cents) AS rn
+      FROM o
+    ),
+    q(q_label, num, den) AS (
+      VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)
+    ),
+    t AS (
+      SELECT n.pri, q.q_label,
+             (q.num * n.n + q.den - 1) // q.den AS rank, n.n
+      FROM n CROSS JOIN q
+    )
+    SELECT t.pri AS o_orderpriority, t.q_label, t.n AS n_rows,
+      CAST(t.rank AS BIGINT) AS rank,
+      round(CAST(r.cents AS DOUBLE) / 100, 2) AS value
+    FROM t JOIN r ON r.pri = t.pri AND r.rn = t.rank
+    ORDER BY o_orderpriority, q_label
+    """,
+    doc="EXACT distributed quantiles WITHOUT a global sort — the "
+    "two-pass histogram-refinement algorithm (per priority group: "
+    "p50/p90/p99 of o_totalprice, type-1 lower quantile at rank "
+    "ceil(q*n)). Pass 1 histograms prices into 64-KiB-cent buckets "
+    "(one combinable keyed agg; cumulative counts via a window over "
+    "the BOUNDED bucket list locates each quantile's bucket); pass 2 "
+    "sorts ONLY the target buckets' rows (a window partitioned per "
+    "(group, quantile) over ~1/bucket_count of the data) and picks the "
+    "in-bucket rank. The oracle computes the same ranks by brute "
+    "global sort — different algorithm, identical exact answer. "
+    "Determinism discipline: ranks are pure INTEGER arithmetic "
+    "((num*n + den - 1) div den — no 0.9*n float whose 1-ulp error "
+    "could shift a rank), cents = floor(price*100) in both engines "
+    "(DuckDB's int CAST rounds where Spark truncates, so neither is "
+    "used), and equal values land in the same bucket so in-bucket "
+    "row_number ties cannot change the selected VALUE. At 100 TB this "
+    "is the standard exact-percentile pattern: the histogram is tiny, "
+    "and only the handful of target buckets ever sort.",
+)
+def orders_quantile_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = o.withColumn("bucket", F.floor(F.col("cents") / 65536).cast("long"))
+    hist = b.groupBy("pri", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    wc = (
+        Window.partitionBy("pri")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(wc))
+        .withColumn("prev", F.col("cum") - F.col("c"))
+    )
+    n = hist.groupBy("pri").agg(F.sum("c").cast("long").alias("n"))
+    qdf = spark.createDataFrame(
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+        "q_label string, num long, den long",
+    )
+    t = n.crossJoin(F.broadcast(qdf)).select(
+        "pri",
+        "q_label",
+        "n",
+        F.expr("(num * n + den - 1) div den").alias("rank"),
+    )
+    tb = t.join(cum, "pri").filter(
+        (F.col("prev") < F.col("rank")) & (F.col("rank") <= F.col("cum"))
+    )
+    cand = b.join(
+        F.broadcast(
+            tb.select("pri", "bucket", "q_label", "n", "rank", "prev")
+        ),
+        ["pri", "bucket"],
+    )
+    wv = Window.partitionBy("pri", "q_label").orderBy("cents")
+    val = cand.withColumn("rn", F.row_number().over(wv)).filter(
+        F.col("rn") == F.col("rank") - F.col("prev")
+    )
+    return val.select(
+        F.col("pri").alias("o_orderpriority"),
+        "q_label",
+        F.col("n").alias("n_rows"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("cents").cast("double") / 100, 2).alias("value"),
+    ).orderBy("o_orderpriority", "q_label")

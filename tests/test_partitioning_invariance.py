@@ -61,6 +61,7 @@ ENTRIES = [
     "docs_substring_strip",      # dup-position collect_set + rebuild fold
     "docs_bm25_topk",            # decimal term sums + exact top-k cutoff
     "graph_ppr_grid",            # iterative float mass-passing (teleport)
+    "orders_quantile_histogram",  # two-pass rank selection across buckets
 ]
 
 # Two adversarial layouts, exercised separately so a failure localizes
