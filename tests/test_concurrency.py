@@ -36,6 +36,12 @@ NAMES = [
     # the posting-list dedup under concurrent execution.
     "docs_stream_dedup",
     "docs_substring_dedup",
+    # round-7 additions: span removal's collect_set + rebuild under
+    # concurrency, the BM25 top-k cutoff, and the two-pass quantile
+    # rank selection.
+    "docs_substring_strip",
+    "docs_bm25_topk",
+    "orders_quantile_histogram",
 ]
 
 
