@@ -126,6 +126,19 @@ def write_zordered(
     collect) plus the range shuffle the sorted layout needs anyway.
     The Morton key is a derived column dropped before write; data bytes
     are unchanged (row-count/value equality is pinned in tests).
+
+    File boundaries are ALIGNED to curve tiles: the range partitioning
+    key is ONLY the Morton key's top floor(log2(num_files)) bits (the
+    tile id, a discrete column with ~num_files distinct values) — the
+    sampler's bounds then land exactly ON tile values and a file never
+    straddles a major curve boundary. Range-partitioning the raw
+    Morton key instead puts sampled bounds mid-tile, and one
+    straddling file unions opposite regions of the space (the z = 1/2
+    boundary flips every dimension's high bit), destroying exactly the
+    locality the layout exists for — measured: mid-key bounds left
+    per-file spans at ~the full range on every dimension. Use a
+    power-of-two ``num_files`` for exact tile:file alignment; a skewed
+    tile yields a bigger file, never a misaligned one.
     """
     if len(cols) < 2:
         raise ValueError("write_zordered needs >= 2 columns (else use "
@@ -152,11 +165,15 @@ def write_zordered(
             z = z.bitwiseOR(
                 F.shiftleft(F.shiftright(q, j).bitwiseAND(F.lit(1)), j * k + i)
             )
+    fbits = max(num_files.bit_length() - 1, 0)
     (
         df.withColumn("_zorder", z)
-        .repartitionByRange(num_files, "_zorder")
-        .sortWithinPartitions("_zorder")
-        .drop("_zorder")
+        .withColumn(
+            "_zfile", F.shiftright(F.col("_zorder"), bits * k - fbits)
+        )
+        .repartitionByRange(num_files, "_zfile")
+        .sortWithinPartitions("_zfile", "_zorder")
+        .drop("_zorder", "_zfile")
         .write.mode(mode)
         .parquet(path)
     )
