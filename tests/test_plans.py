@@ -271,6 +271,7 @@ class TestUniversalGates:
         "docs_bpe_merges",            # 1-row argmax pair per merge round
         "docs_bpe_apply",             # same 1-row argmax rounds (shared fit)
         "docs_bm25_topk",             # 1-row corpus-stats scalar (x2)
+        "orders_quantile_histogram",  # 3-row quantile-spec literal frame
         "docs_mixture_grid",          # 1-row global sqrt-sum normalizer
         "dedup_embedding_neardup",    # 1-row SRP plane-matrix relation
     }
