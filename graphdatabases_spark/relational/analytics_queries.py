@@ -1919,3 +1919,135 @@ def orders_quantile_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.round(F.col("cents").cast("double") / 100, 2).alias("value"),
     ).orderBy("o_orderpriority", "q_label")
+
+
+_TD_DELTA = 32  # t-digest compression: fixed centroid budget per group
+_TD_BUCKET = 65536  # pass-1 histogram bucket width (cents)
+
+
+@register(
+    "orders_tdigest_sketch",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    h AS (
+      SELECT pri, cents // {_TD_BUCKET} AS bucket,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(cents) AS HUGEINT) AS s,
+             min(cents) AS lo, max(cents) AS hi
+      FROM o GROUP BY pri, bucket
+    ),
+    w AS (
+      SELECT *,
+             sum(c) OVER (PARTITION BY pri ORDER BY bucket) AS cum,
+             sum(c) OVER (PARTITION BY pri) AS n
+      FROM h
+    ),
+    z AS (
+      SELECT *, CAST(2 * (cum - c) + c AS HUGEINT) AS m2,
+             CAST(2 * n AS HUGEINT) AS den
+      FROM w
+    ),
+    cz AS (
+      SELECT *, CAST(
+        (CAST({_TD_DELTA // 2} AS HUGEINT)
+          * ((m2 - den) * abs(m2 - den) + den * den)) // (den * den)
+        AS BIGINT) AS centroid
+      FROM z
+    )
+    SELECT pri AS o_orderpriority, centroid,
+           CAST(sum(c) AS BIGINT) AS weight,
+           round(CAST(min(lo) AS DOUBLE) / 100, 2) AS lo_value,
+           round(CAST(max(hi) AS DOUBLE) / 100, 2) AS hi_value,
+           round(CAST(sum(s) AS DOUBLE) / CAST(sum(c) AS BIGINT) / 100, 6)
+             AS mean_value
+    FROM cz GROUP BY pri, centroid
+    ORDER BY o_orderpriority, centroid
+    """,
+    doc="PORTABLE t-digest-style quantile sketch (the HLL/CMS portable-"
+    "sketch discipline applied to quantiles): per priority group, "
+    f"o_totalprice cents are digested into <= {_TD_DELTA} centroids "
+    "whose q-space width shrinks toward the tails — t-digest's "
+    "defining property — via the ALGEBRAIC tail-biased scale function "
+    "k(q) = (DELTA/2)*(u*|u| + 1), u = 2q-1 (k' = 2*DELTA*|u|: max at "
+    "the tails, 0 at the median), chosen over the classic asin k1 "
+    "because it evaluates in EXACT integer arithmetic — no libm call "
+    "whose 1-ulp divergence could flip a floor() at a centroid "
+    "boundary. Pass 1 histograms cents into 64-KiB buckets (one "
+    "combinable keyed agg); a window over the BOUNDED bucket list "
+    "yields exact integer mid-ranks m2/2 = prev + c/2; each bucket's "
+    "centroid id is floor((DELTA/2)*(a*|a| + den^2)/den^2) with "
+    "a = m2 - den, den = 2n — numerator >= 0 since a >= -den, so "
+    "truncating div == floor in both engines (Spark decimal(15) "
+    "operands keep the product chain at precision 35 <= 38; the "
+    "oracle uses HUGEINT, BIGINT-cast on output). Per centroid the "
+    "digest stores weight, [lo, hi] key range, and exact-decimal-sum "
+    "mean. Assignment is monotonic in q, so centroids tile the sorted "
+    "key range contiguously — the rank-r value provably lies inside "
+    "the covering centroid's [lo, hi] (pinned in "
+    "tests/test_round8_analytics.py). At 100 TB: one keyed agg + one "
+    "bounded window + one bounded agg, all-integer until the final "
+    "renderings; supports n <= 5e14 rows per group before the "
+    "decimal(15) cast saturates.",
+)
+def orders_tdigest_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    h = (
+        o.withColumn(
+            "bucket", F.expr(f"cents div {_TD_BUCKET}").cast("long")
+        )
+        .groupBy("pri", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.col("cents").cast("decimal(28,0)")).alias("s"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+    )
+    wc = (
+        Window.partitionBy("pri")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("pri")
+    z = (
+        h.withColumn("cum", F.sum("c").over(wc))
+        .withColumn("n", F.sum("c").over(wn))
+        .withColumn("m2", 2 * (F.col("cum") - F.col("c")) + F.col("c"))
+        .withColumn("den", (2 * F.col("n")).cast("decimal(15,0)"))
+        .withColumn(
+            "a", (F.col("m2") - 2 * F.col("n")).cast("decimal(15,0)")
+        )
+    )
+    num = F.lit(_TD_DELTA // 2).cast("decimal(2,0)") * (
+        F.col("a") * F.abs(F.col("a")) + F.col("den") * F.col("den")
+    )
+    cz = z.withColumn("num", num).withColumn(
+        "centroid", F.expr("num div (den * den)").cast("long")
+    )
+    return (
+        cz.groupBy("pri", "centroid")
+        .agg(
+            F.sum("c").cast("long").alias("weight"),
+            F.min("lo").alias("_lo"),
+            F.max("hi").alias("_hi"),
+            F.sum("s").alias("_s"),
+        )
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "centroid",
+            "weight",
+            F.round(F.col("_lo").cast("double") / 100, 2).alias("lo_value"),
+            F.round(F.col("_hi").cast("double") / 100, 2).alias("hi_value"),
+            F.round(
+                F.col("_s").cast("double") / F.col("weight") / 100, 6
+            ).alias("mean_value"),
+        )
+        .orderBy("o_orderpriority", "centroid")
+    )

@@ -1,0 +1,113 @@
+"""Engine-internal invariants for the round-8 analytics ops, starting
+with the portable t-digest sketch: value-level correctness is proven by
+the DuckDB differential (tests/test_oracle_catalog.py); here we pin the
+properties that make the digest a USABLE quantile sketch — contiguous
+tiling of the sorted key range, the t-digest tail-resolution shape, and
+the bounded-error containment law (the exact rank-r value lies inside
+the covering centroid's [lo, hi] range)."""
+
+from __future__ import annotations
+
+import math
+
+from graphdatabases_spark.relational import REGISTRY, queries
+
+queries()  # populate REGISTRY
+
+_QS = (0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99)
+
+
+def _digest(spark, sf_dir):
+    rows = REGISTRY["orders_tdigest_sketch"].fn(spark, sf_dir).collect()
+    by_pri: dict[str, list] = {}
+    for r in rows:
+        by_pri.setdefault(r["o_orderpriority"], []).append(r)
+    for cs in by_pri.values():
+        cs.sort(key=lambda r: r["centroid"])
+    return by_pri
+
+
+def _exact(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    by_pri: dict[str, list] = {}
+    for r in rows:
+        by_pri.setdefault(r["o_orderpriority"], []).append(
+            math.floor(r["o_totalprice"] * 100)
+        )
+    for v in by_pri.values():
+        v.sort()
+    return by_pri
+
+
+class TestTDigestSketch:
+    def test_centroids_tile_key_range_contiguously(self, spark, sf_dir):
+        """Monotonic q -> centroid assignment means centroid value
+        ranges must be disjoint and ordered: hi of centroid i < lo of
+        centroid i+1 (buckets are wholly assigned, so ranges cannot
+        interleave)."""
+        for pri, cs in _digest(spark, sf_dir).items():
+            assert cs, pri
+            for lo_c, hi_c in zip(cs, cs[1:]):
+                assert lo_c["hi_value"] <= hi_c["lo_value"], (
+                    pri,
+                    lo_c["centroid"],
+                )
+                assert lo_c["lo_value"] <= lo_c["mean_value"] / 1 + 1e-6
+                assert lo_c["mean_value"] <= lo_c["hi_value"] + 1e-6
+
+    def test_rank_containment_bounded_error(self, spark, sf_dir):
+        """THE sketch guarantee: for each target quantile q, walk the
+        digest's cumulative weights to the covering centroid; the exact
+        rank-ceil(q*n) value must lie inside that centroid's
+        [lo, hi] — so a digest-interpolated estimate is never off by
+        more than one centroid's key range."""
+        digest = _digest(spark, sf_dir)
+        exact = _exact(spark, sf_dir)
+        assert set(digest) == set(exact)
+        checked = 0
+        for pri, cs in digest.items():
+            vals = exact[pri]
+            n = len(vals)
+            assert sum(c["weight"] for c in cs) == n
+            for q in _QS:
+                rank = max(1, math.ceil(q * n))  # type-1 lower quantile
+                true_val = vals[rank - 1] / 100.0
+                cum = 0
+                cover = None
+                for c in cs:
+                    cum += c["weight"]
+                    if rank <= cum:
+                        cover = c
+                        break
+                assert cover is not None
+                assert cover["lo_value"] - 0.01 <= true_val, (pri, q)
+                assert true_val <= cover["hi_value"] + 0.01, (pri, q)
+                checked += 1
+        assert checked >= len(digest) * len(_QS)
+
+    def test_tail_resolution_exceeds_middle(self, spark, sf_dir):
+        """t-digest's defining shape: q-space centroid width shrinks
+        toward the tails.  With k(q) = 16*(u|u| + 1) the two middle
+        centroids (15, 16) each span 12.5% of the mass while the two
+        edge centroids span ~2.6% — assert edge weights are strictly
+        smaller than middle weights wherever both exist."""
+        for pri, cs in _digest(spark, sf_dir).items():
+            by_id = {c["centroid"]: c["weight"] for c in cs}
+            n = sum(by_id.values())
+            if n < 200:  # too small for the shape to be meaningful
+                continue
+            mid = max(
+                by_id.get(15, 0),
+                by_id.get(16, 0),
+            )
+            edge = max(by_id.get(0, 0), by_id.get(31, 0))
+            assert edge < mid, pri
+
+    def test_centroid_budget_respected(self, spark, sf_dir):
+        for pri, cs in _digest(spark, sf_dir).items():
+            assert len(cs) <= 32, pri
+            assert all(0 <= c["centroid"] <= 31 for c in cs), pri
