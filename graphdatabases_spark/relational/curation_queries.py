@@ -1681,6 +1681,110 @@ def docs_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_bpe_fertility",
+    oracle=f"""
+    WITH v AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok
+    ),
+    s0 AS (
+      SELECT tok, f, array_to_string(list_transform(regexp_extract_all(tok, '.'),
+        c -> '|' || c || ' '), '') AS seq
+      FROM v
+    ),{",".join(_bpe_round_sql(r, carry="tok, f") for r in range(1, _BPE_ROUNDS + 1))},
+    enc AS (
+      SELECT tok, CAST(len(regexp_extract_all(seq, '\\|([^ ]+) ', 1)) AS BIGINT)
+        AS n_sym
+      FROM s{_BPE_ROUNDS}
+    ),
+    occ AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT lang, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY lang, tok
+    ),
+    per AS (
+      SELECT lang,
+        CAST(sum(cnt) AS BIGINT) AS n_toks,
+        CAST(sum(cnt * n_sym) AS BIGINT) AS n_bpe_symbols
+      FROM occ JOIN enc USING (tok) GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_toks) AS BIGINT) AS tt,
+             CAST(sum(n_bpe_symbols) AS BIGINT) AS ts
+      FROM per
+    )
+    SELECT lang, n_toks, n_bpe_symbols,
+      round(CAST(n_bpe_symbols AS DOUBLE) / n_toks, 6) AS fertility,
+      round((CAST(n_bpe_symbols AS DOUBLE) / n_toks)
+            / (CAST(ts AS DOUBLE) / tt), 6) AS fertility_ratio
+    FROM per, tot ORDER BY lang
+    """,
+    doc="Per-LANGUAGE BPE fertility — the tokenizer-fairness table "
+    "multilingual pipelines publish (how many subword symbols each "
+    "language pays per whitespace token under a tokenizer trained on "
+    "the MIXED corpus, cf. the 'tokenizer premium' analyses of "
+    "multilingual BPE): the same 5 corpus-wide unrolled merge rounds "
+    "as docs_bpe_merges encode the vocabulary, one join against "
+    "per-(lang, token) occurrence counts rolls up each language "
+    "stratum, and a 1-row corpus-totals broadcast normalizes into "
+    "fertility_ratio = lang fertility / corpus mean fertility (> 1 = "
+    "the language is tokenized less efficiently than the corpus "
+    "average — the fairness signal that drives per-language vocab "
+    "budgets). Generalizes docs_bpe_apply's per-source rollup along "
+    "the fairness axis. Every rendered number divides EXACT BIGINT "
+    "sums (fertility and ratio are each one or two IEEE divisions of "
+    "exact operands), so 6-dp rounding is engine- and partitioning-"
+    "invariant. Work stays vocabulary-bounded after one corpus token "
+    "aggregation; the per-lang rollup output is |langs| rows and its "
+    "totals normalizer is a 1-row broadcast (allowlisted).",
+)
+def docs_bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    _, s_final = _bpe_fit(
+        _bpe_vocab(spark, sf, with_tok=True), _BPE_ROUNDS
+    )
+    enc = s_final.select(
+        "tok",
+        F.size(F.regexp_extract_all("seq", F.lit(r"\|([^ ]+) "), 1))
+        .cast("long")
+        .alias("n_sym"),
+    )
+    occ = (
+        table(spark, sf, "documents")
+        .select("lang", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    per = (
+        occ.join(enc, "tok")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_toks"),
+            F.sum(F.col("cnt") * F.col("n_sym"))
+            .cast("long")
+            .alias("n_bpe_symbols"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_toks").cast("long").alias("tt"),
+        F.sum("n_bpe_symbols").cast("long").alias("ts"),
+    )
+    fert = F.col("n_bpe_symbols").cast("double") / F.col("n_toks")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_toks",
+            "n_bpe_symbols",
+            F.round(fert, 6).alias("fertility"),
+            F.round(
+                fert / (F.col("ts").cast("double") / F.col("tt")), 6
+            ).alias("fertility_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _let(col, body):
     """Let-bind ``col`` as a lambda variable so the body's many
     references evaluate it ONCE per row.  Same binding trick as

@@ -42,6 +42,11 @@ NAMES = [
     "docs_substring_strip",
     "docs_bm25_topk",
     "orders_quantile_histogram",
+    # late round-7 additions: the t-digest's per-partition clustering
+    # under thread-shared session state, and the BPE fertility rollup
+    # racing the shared unrolled-merge fit.
+    "orders_tdigest_sketch",
+    "docs_bpe_fertility",
 ]
 
 
