@@ -87,6 +87,53 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def stage_derived(
+    sf_dir: str, name: str, kind: str, writer
+) -> tuple[str, str]:
+    """Stage a DERIVED parquet copy of a testdata table (re-clustered,
+    re-timestamped, …), re-materialized only when the SOURCE content
+    changes.
+
+    ONE staging dir per (table, kind, source path) — regenerating the
+    source never accumulates orphaned copies in the temp dir; a ``_SIG``
+    marker stores a CONTENT signature of the source — per-file
+    (name, size, mtime) — and a mismatch triggers an overwrite re-stage,
+    so a regenerated source parquet at the same location never silently
+    serves stale derived data.  ``writer(out_path)`` performs the
+    actual materialization (plain copy, z-order cluster, …).  Returns
+    (staged_path, tag); the tag (keyed on path + signature) also
+    namespaces any caller-side sinks.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    sig_parts = [src]
+    if os.path.isdir(src):
+        for fname in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, fname))
+            sig_parts.append(f"{fname}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        sig_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    sig = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:12]
+    path_tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    staged = os.path.join(
+        tempfile.gettempdir(), f"sg_{name}_{kind}_{path_tag}"
+    )
+    marker = os.path.join(staged, "_SIG")
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            current = fh.read().strip()
+    if current != sig or not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        writer(staged)
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return staged, f"{path_tag}_{sig}"
+
+
 def _load_all() -> None:
     # Import side-effect modules that populate REGISTRY.
     from graphdatabases_spark.relational import (  # noqa: F401

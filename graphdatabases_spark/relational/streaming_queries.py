@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graphdatabases_spark.relational.catalog import register, table
+from graphdatabases_spark.relational.catalog import register, stage_derived, table
 from graphdatabases_spark.streaming.windows import (
     session_window_stats,
     sliding_window_counts,
@@ -146,37 +146,17 @@ def _stage_table_for_stream(
     the tag (keyed on path + signature) also namespaces each caller's
     memory sink.
     """
-    import hashlib
-    import os
-    import tempfile
-
-    src = os.path.join(sf, f"{name}.parquet")
-    sig_parts = [src]
-    if os.path.isdir(src):
-        for fname in sorted(os.listdir(src)):
-            st = os.stat(os.path.join(src, fname))
-            sig_parts.append(f"{fname}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(src):
-        st = os.stat(src)
-        sig_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    sig = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:12]
-    path_tag = hashlib.md5(src.encode()).hexdigest()[:12]
-    staged = os.path.join(
-        tempfile.gettempdir(), f"sg_{name}_stream_{path_tag}"
+    # Parallel write — a coalesce(1) here would funnel the whole stage
+    # through one task; downstream consumers re-key anyway, so the file
+    # count doesn't affect results.
+    return stage_derived(
+        sf,
+        name,
+        "stream",
+        lambda out: table(spark, sf, name)
+        .write.mode("overwrite")
+        .parquet(out),
     )
-    marker = os.path.join(staged, "_SIG")
-    current = None
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            current = fh.read().strip()
-    if current != sig or not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        # Parallel write — a coalesce(1) here would funnel the whole
-        # stage through one task; downstream consumers re-key anyway,
-        # so the file count doesn't affect results.
-        table(spark, sf, name).write.mode("overwrite").parquet(staged)
-        with open(marker, "w") as fh:
-            fh.write(sig)
-    return staged, f"{path_tag}_{sig}"
 
 
 def _stage_events_micro(spark: SparkSession, sf: str) -> tuple[str, str]:

@@ -103,3 +103,54 @@ def test_funnel_is_monotone(spark, sf_dir):
     row = pipeline_queries.events_funnel_conversion(spark, sf_dir).collect()[0]
     assert row["n_view_users"] >= row["n_click_users"] >= row["n_purchase_users"]
     assert row["n_view_users"] > 0
+
+
+def test_zorder_catalog_scan_prunes_both_dimensions(spark):
+    """`lineitem_zorder_scan`'s staged layout must actually deliver
+    what the entry's doc claims: parquet footer min/max stats over the
+    staged 16-file copy exclude files for EACH of the two clustered
+    columns independently, and the 2-D conjunction touches at most a
+    quarter of the files.  (A leading-key range sort would pass the
+    l_partkey assertion and fail the l_suppkey one — this pin is what
+    separates Z-order from write_range_sorted in the query surface.)
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from graphdatabases_spark.relational.pipeline_queries import (
+        _stage_lineitem_zordered,
+    )
+
+    staged = _stage_lineitem_zordered(spark, "/root/testdata/sf0.01")
+    files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
+    assert len(files) >= 8, "expected a multi-file clustered layout"
+
+    def col_range(path: str, col: str) -> tuple[int, int]:
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.to_arrow_schema().names.index(col)
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        return min(los), max(his)
+
+    def hits(col: str, lo: int, hi: int) -> set[str]:
+        out = set()
+        for f in files:
+            fmin, fmax = col_range(f, col)
+            if fmin <= hi and fmax >= lo:
+                out.add(f)
+        return out
+
+    hit_p = hits("l_partkey", 1, 200)   # 10% of the key space at sf0.01
+    hit_s = hits("l_suppkey", 1, 10)    # 10% of the key space at sf0.01
+    assert len(hit_p) < len(files), "l_partkey stats prune nothing"
+    assert len(hit_s) < len(files), "l_suppkey stats prune nothing"
+    both = hit_p & hit_s
+    assert len(both) <= len(files) // 4, (
+        f"2-D conjunction should touch ≤ 1/4 of files, got "
+        f"{len(both)}/{len(files)}"
+    )
