@@ -284,6 +284,128 @@ def personalized_pagerank(
         links.unpersist()
 
 
+SEED_RANK_SCHEMA = StructType(
+    [
+        StructField("seed", LongType(), False),
+        StructField("id", LongType(), False),
+        StructField("rank", DoubleType(), False),
+    ]
+)
+
+
+def _ppr_batch_local(
+    graph, edges: DataFrame, seeds: list[int], num_iters: int, damping: float
+) -> DataFrame:
+    """Driver-side per-seed PPR — identical sparse recurrence to the
+    distributed loop (only touched vertices carry state)."""
+    spark = _spark_of(edges)
+    adj = _collect_adjacency(edges)
+    rows: list[tuple[int, int, float]] = []
+    for s in seeds:
+        rank = {s: 1.0}
+        for _ in range(num_iters):
+            msg: dict[int, float] = {}
+            for u, r in rank.items():
+                vs = adj.get(u)
+                if not vs:
+                    continue
+                share = r / len(vs)
+                for v in vs:
+                    msg[v] = msg.get(v, 0.0) + share
+            rank = {v: damping * m for v, m in msg.items()}
+            rank[s] = rank.get(s, 0.0) + (1.0 - damping)
+        rows.extend((s, v, rank[v]) for v in sorted(rank))
+    return _local_result_df(spark, rows, SEED_RANK_SCHEMA)
+
+
+def personalized_pagerank_batch(
+    graph: PropertyGraph | DataFrame,
+    seeds: list[int],
+    num_iters: int = 10,
+    damping: float = 0.85,
+    strategy: str = "auto",
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
+) -> DataFrame:
+    """Per-seed personalized PageRank for a seed BATCH — the "related
+    items for every seed in one pass" shape (batch recommendations,
+    seed-set expansion serving). Unlike ``personalized_pagerank``,
+    which spreads one normalized restart distribution over the whole
+    seed set, each seed here gets its OWN unit restart mass, so rank
+    vectors are per-seed normalized and directly comparable across
+    seeds: r0(s, v) = [v = s]; r_{t+1}(s, v) = (1-d)·[v = s] +
+    d·Σ_{u→v} r_t(s, u)/outdeg(u).
+
+    Scale shape: the state is SPARSE — DataFrame(seed, id, rank) holds
+    only vertices the walk has touched (per-seed PPR mass is confined
+    to the k-hop neighborhood after k rounds), never |V|×|S| rows. The
+    (src, dst, outdeg) relation shuffles once (skipped when the edge
+    scan is already hash-partitioned on src — the bucketed 100-TB
+    layout); each round is one join plus one (seed, dst) keyed
+    aggregation whose width tracks the frontier, not the graph.
+
+    Returns DataFrame(seed BIGINT, id BIGINT, rank DOUBLE) with only
+    rank > 0 rows (exactly the vertices whose dense rank is nonzero).
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank_batch needs at least one seed")
+    seed_list = sorted(set(int(s) for s in seeds))
+    edges = _edges(graph)
+    if _pick_strategy(edges, strategy, local_threshold) == "local":
+        return _ppr_batch_local(graph, edges, seed_list, num_iters, damping)
+    spark = _spark_of(edges)
+
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    links = edges.join(out_deg, edges.src == out_deg.id).select(
+        "src", "dst", "outdeg"
+    )
+    if not hash_partitioned_on(links, "src"):
+        links = links.repartition("src")
+    links = links.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seed_keys = spark.createDataFrame(
+            [(s, s) for s in seed_list], "seed BIGINT, id BIGINT"
+        )
+        ranks = spark.createDataFrame(
+            [(s, s, 1.0) for s in seed_list], SEED_RANK_SCHEMA
+        )
+        base = F.when(
+            F.col("id") == F.col("seed"), F.lit(1.0 - damping)
+        ).otherwise(F.lit(0.0))
+        for i in range(num_iters):
+            msgs = (
+                links.join(ranks, links.src == ranks.id)
+                .select(
+                    "seed",
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("outdeg")).alias("contrib"),
+                )
+                .groupBy("seed", "id")
+                .agg(F.sum("contrib").alias("msg"))
+            )
+            # Sparse rebuild: message receivers ∪ the |S| teleport keys
+            # (full outer on the tiny key frame) — vertices with
+            # neither stay implicit zeros instead of materializing
+            # |V|×|S| state. The value expression mirrors the dense
+            # recurrence term-for-term (base + d·Σ, the Σ aggregated
+            # FIRST) so the unrolled-CTE oracle is bit-identical.
+            ranks = msgs.join(seed_keys, ["seed", "id"], "full_outer").select(
+                "seed",
+                "id",
+                (
+                    base + F.lit(damping) * F.coalesce("msg", F.lit(0.0))
+                ).alias("rank"),
+            )
+            if (i + 1) % CHECKPOINT_EVERY == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        if num_iters % CHECKPOINT_EVERY != 0:
+            ranks = ranks.localCheckpoint(eager=True)
+        return ranks
+    finally:
+        links.unpersist()
+
+
 def _connected_components_local(graph, edges: DataFrame) -> DataFrame:
     """Union-find — the converged fixpoint of min-id propagation."""
     spark = _spark_of(edges)

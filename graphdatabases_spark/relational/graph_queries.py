@@ -26,6 +26,7 @@ from graphdatabases_spark.graph.algorithms import (
     connected_components,
     pagerank,
     personalized_pagerank,
+    personalized_pagerank_batch,
     triangle_count,
     weighted_sssp,
 )
@@ -311,6 +312,90 @@ def graph_ppr_grid(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("id", F.round("rank", 6).alias("rank"))
         .orderBy("id")
+    )
+
+
+_PPR_BATCH_SEEDS = (0, GRID_N * 10 + 10, GRID_N * GRID_N - 1)
+_PPR_BATCH_ROUNDS = 5
+_PPR_BATCH_K = 5
+
+
+def _ppr_batch_round_sql(k: int) -> str:
+    """One unrolled batched-PPR round: the dense verts×seeds rebuild.
+    Zero-rank rows contribute exactly 0.0 to the message sums, so the
+    dense oracle's nonzero values are bit-identical to the engine's
+    sparse state (x + 0.0 == x for x >= 0)."""
+    return f"""
+    b{k} AS (
+      SELECT sv.seed, sv.id,
+        CASE WHEN sv.id = sv.seed THEN 0.15 ELSE 0.0 END
+          + 0.85 * coalesce(m.msg, 0.0) AS rank
+      FROM sv
+      LEFT JOIN (
+        SELECT p.seed, e.dst AS id, sum(p.rank / o.d) AS msg
+        FROM b{k - 1} p
+        JOIN edges e ON e.src = p.id
+        JOIN outdeg o ON o.src = p.id
+        GROUP BY p.seed, e.dst
+      ) m ON m.seed = sv.seed AND m.id = sv.id
+    )"""
+
+
+@register(
+    "graph_ppr_seed_topk",
+    oracle=f"""
+    WITH {GRID_EDGES_SQL},
+    verts AS (SELECT i FROM generate_series(0, {GRID_N * GRID_N - 1}) t(i)),
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    seeds(s) AS (VALUES {", ".join(f"({s})" for s in _PPR_BATCH_SEEDS)}),
+    sv AS (SELECT s.s AS seed, v.i AS id FROM seeds s, verts v),
+    b0 AS (
+      SELECT seed, id, CASE WHEN id = seed THEN 1.0 ELSE 0.0 END AS rank
+      FROM sv
+    ),{",".join(_ppr_batch_round_sql(k) for k in range(1, _PPR_BATCH_ROUNDS + 1))},
+    ranked AS (
+      SELECT seed, id, round(rank, 6) AS rank,
+        row_number() OVER (
+          PARTITION BY seed ORDER BY round(rank, 6) DESC, id
+        ) AS pos
+      FROM b{_PPR_BATCH_ROUNDS} WHERE rank > 0
+    )
+    SELECT CAST(seed AS BIGINT) AS seed, CAST(id AS BIGINT) AS id,
+           rank, CAST(pos AS INT) AS pos
+    FROM ranked WHERE pos <= {_PPR_BATCH_K}
+    ORDER BY seed, pos
+    """,
+    doc=f"Top-{_PPR_BATCH_K} personalized PageRank per seed for the "
+    f"batch {{{', '.join(str(s) for s in _PPR_BATCH_SEEDS)}}} (corner, "
+    "center, and the DANGLING bottom-right corner — outdeg 0, so its "
+    "walk keeps only the restart mass), "
+    f"{_PPR_BATCH_ROUNDS} rounds, d=0.85 on the 20x20 grid — the "
+    "batch 'related items per seed' serving shape. Each seed carries "
+    "its OWN unit restart mass (per-seed normalization), unlike "
+    "graph_ppr_grid's shared distribution. Engine state is SPARSE "
+    "(seed, id, rank>0 only); the oracle unrolls the dense verts×seeds "
+    "power iteration, equivalent bit-for-bit because zero-rank rows "
+    "add exactly 0.0 to every message sum and grid in-degree <= 2 "
+    "keeps each sum inside 2-term commutativity. Top-k ranks on the "
+    "6-dp-rounded score with id tie-break.",
+)
+def graph_ppr_seed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ranks = personalized_pagerank_batch(
+        grid_graph(spark, GRID_N),
+        list(_PPR_BATCH_SEEDS),
+        num_iters=_PPR_BATCH_ROUNDS,
+        damping=0.85,
+    )
+    w = Window.partitionBy("seed").orderBy(
+        F.round("rank", 6).desc(), F.col("id")
+    )
+    return (
+        ranks.select("seed", "id", F.round("rank", 6).alias("rank"))
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= _PPR_BATCH_K)
+        .orderBy("seed", "pos")
     )
 
 

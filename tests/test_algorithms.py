@@ -392,3 +392,92 @@ class TestPersonalizedPagerank:
 
         with _pt.raises(ValueError, match="at least one source"):
             personalized_pagerank(self._graph(spark), [])
+
+
+class TestPersonalizedPagerankBatch:
+    """personalized_pagerank_batch: per-seed normalization, sparsity,
+    dangling seeds, and strategy parity."""
+
+    def _graph(self, spark):
+        from graphdatabases_spark.graph import grid_graph
+
+        return grid_graph(spark, 8)
+
+    def test_local_equals_distributed(self, spark):
+        import pytest as _pt
+
+        from graphdatabases_spark.graph.algorithms import (
+            personalized_pagerank_batch,
+        )
+
+        g = self._graph(spark)
+        loc = sorted(
+            tuple(r)
+            for r in personalized_pagerank_batch(
+                g, [0, 27, 63], num_iters=5, strategy="local"
+            ).collect()
+        )
+        dist = sorted(
+            tuple(r)
+            for r in personalized_pagerank_batch(
+                g, [0, 27, 63], num_iters=5, strategy="distributed"
+            ).collect()
+        )
+        assert [(s, i) for s, i, _ in loc] == [(s, i) for s, i, _ in dist]
+        for (_, _, a), (_, _, b) in zip(loc, dist):
+            assert a == _pt.approx(b, abs=1e-12)
+
+    def test_per_seed_unit_mass_and_sparsity(self, spark):
+        """Each seed's vector is independently normalized (mass <= 1,
+        dangling decay only), state holds ONLY rank>0 rows, and a
+        single-seed batch equals |S|x the shared-teleport kernel's
+        1-source run (which divides the same unit mass by |S|=1 —
+        i.e. they coincide exactly for one seed)."""
+        from graphdatabases_spark.graph.algorithms import (
+            personalized_pagerank,
+            personalized_pagerank_batch,
+        )
+
+        g = self._graph(spark)
+        rows = personalized_pagerank_batch(
+            g, [27], num_iters=6, strategy="local"
+        ).collect()
+        assert all(r["rank"] > 0 for r in rows)
+        assert sum(r["rank"] for r in rows) <= 1.0 + 1e-9
+        single = {
+            r["id"]: r["rank"]
+            for r in personalized_pagerank(
+                g, [27], num_iters=6, strategy="local"
+            ).collect()
+            if r["rank"] > 0
+        }
+        batch = {r["id"]: r["rank"] for r in rows}
+        assert batch.keys() == single.keys()
+        for v in batch:
+            assert abs(batch[v] - single[v]) < 1e-12
+        # Directed grid walks right/down only: everything above/left of
+        # (3,3) is unreachable and must be ABSENT, not rank-0.
+        assert all(v % 8 >= 3 and v // 8 >= 3 for v in batch)
+
+    def test_dangling_seed_keeps_restart_mass_only(self, spark):
+        """Seed 63 = bottom-right corner, outdeg 0: after round 1 the
+        walk holds exactly the restart mass at the seed, nothing else."""
+        from graphdatabases_spark.graph.algorithms import (
+            personalized_pagerank_batch,
+        )
+
+        rows = personalized_pagerank_batch(
+            self._graph(spark), [63], num_iters=4, strategy="distributed"
+        ).collect()
+        assert [(r["seed"], r["id"]) for r in rows] == [(63, 63)]
+        assert abs(rows[0]["rank"] - 0.15) < 1e-15
+
+    def test_empty_seeds_rejected(self, spark):
+        import pytest as _pt
+
+        from graphdatabases_spark.graph.algorithms import (
+            personalized_pagerank_batch,
+        )
+
+        with _pt.raises(ValueError, match="at least one seed"):
+            personalized_pagerank_batch(self._graph(spark), [])
