@@ -1124,3 +1124,190 @@ def text_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cms").alias("cms_estimate"),
         (F.col("cms") - F.col("cnt")).cast("long").alias("overestimate"),
     ).orderBy("tok")
+
+
+@register(
+    "dedup_hll_merge",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id % 8 AS shard,
+        md5(array_to_string(list_sort(list_distinct({TOKS})), ' ')) AS fp
+      FROM documents
+    ),
+    h AS (
+      SELECT shard, {H.format(v="fp")} % 64 AS j,
+             {H.format(v="fp")} // 64 AS w
+      FROM fp
+    ),
+    rk AS (
+      SELECT shard, j,
+        CASE WHEN w = 0 THEN 43 ELSE 43 - length(bin(w)) END AS rank
+      FROM h
+    ),
+    shard_regs AS (
+      SELECT shard, j, max(rank) AS m FROM rk GROUP BY shard, j
+    ),
+    merged AS (
+      SELECT j, CAST(count(*) AS BIGINT) AS n_shards_present,
+             max(m) AS m_merged
+      FROM shard_regs GROUP BY j
+    ),
+    whole AS (
+      SELECT j, max(rank) AS m_whole FROM rk GROUP BY j
+    )
+    SELECT merged.j, n_shards_present,
+           CAST(m_merged AS BIGINT) AS m_merged,
+           CAST(m_whole AS BIGINT) AS m_whole,
+           m_merged = m_whole AS registers_equal
+    FROM merged JOIN whole ON whole.j = merged.j
+    ORDER BY merged.j
+    """,
+    doc="HLL MERGEABILITY proof — the property that makes the sketch "
+    "usable in a map-reduce tree at 100 TB: 8 per-shard m=64 register "
+    "sets (the map-side artifacts a 1000-executor job would emit, 64 "
+    "bytes each) are merged AS DATA by per-register MAX — associative, "
+    "commutative, AND idempotent, so any tree shape, shard order, or "
+    "duplicated delivery yields identical registers — and the merged "
+    "sketch is pinned register-for-register equal to the whole-corpus "
+    "single-pass sketch (same portable 48-bit hash discipline as "
+    "dedup_hll_cardinality, whose estimator these registers feed). "
+    "Equality of the resulting cardinality estimates is pinned in "
+    "tests/test_llm_ops.py. Both paths are combinable hash-aggs; the "
+    "merge input is 8x64 rows regardless of corpus size.",
+)
+def dedup_hll_merge(spark: SparkSession, sf: str) -> DataFrame:
+    fp = table(spark, sf, "documents").select(
+        (F.col("doc_id") % 8).alias("shard"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    hh = T.portable_hash64(F.col("fp"))
+    rk = fp.select(
+        "shard",
+        (hh % 64).alias("j"),
+        F.when(F.shiftright(hh, 6) == 0, F.lit(43))
+        .otherwise(F.lit(43) - F.length(F.bin(F.shiftright(hh, 6))))
+        .alias("rank"),
+    )
+    shard_regs = rk.groupBy("shard", "j").agg(F.max("rank").alias("m"))
+    merged = shard_regs.groupBy("j").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards_present"),
+        F.max("m").alias("m_merged"),
+    )
+    whole = rk.groupBy("j").agg(F.max("rank").alias("m_whole"))
+    return (
+        merged.join(whole, "j")
+        .select(
+            "j",
+            "n_shards_present",
+            F.col("m_merged").cast("long").alias("m_merged"),
+            F.col("m_whole").cast("long").alias("m_whole"),
+            (F.col("m_merged") == F.col("m_whole")).alias("registers_equal"),
+        )
+        .orderBy("j")
+    )
+
+
+_CMS_MERGE_ROWS = 4
+
+
+def _cms_bucket_sql(r: int) -> str:
+    return f"(('0x' || substr(md5('cms{r}:' || tok), 1, 12))::BIGINT % 256)"
+
+
+@register(
+    "text_cms_merge",
+    oracle=f"""
+    WITH tokc AS (
+      SELECT shard, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT doc_id % 4 AS shard, unnest({TOKS}) AS tok FROM documents
+      ) GROUP BY shard, tok
+    ),
+    cells AS (
+      {" UNION ALL ".join(
+        f"SELECT shard, {r} AS r, {_cms_bucket_sql(r)} AS bucket, cnt FROM tokc"
+        for r in range(_CMS_MERGE_ROWS)
+      )}
+    ),
+    shard_sk AS (
+      SELECT shard, r, bucket, CAST(sum(cnt) AS BIGINT) AS c
+      FROM cells GROUP BY shard, r, bucket
+    ),
+    merged AS (
+      SELECT r, bucket, CAST(sum(c) AS BIGINT) AS c_merged,
+             CAST(count(*) AS BIGINT) AS n_shards_present
+      FROM shard_sk GROUP BY r, bucket
+    ),
+    whole AS (
+      SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS c_whole
+      FROM cells GROUP BY r, bucket
+    )
+    SELECT merged.r, merged.bucket, n_shards_present, c_merged, c_whole,
+           c_merged = c_whole AS cells_equal
+    FROM merged JOIN whole
+      ON whole.r = merged.r AND whole.bucket = merged.bucket
+    ORDER BY merged.r, merged.bucket
+    """,
+    doc="Count-min-sketch MERGEABILITY proof, the sum-matrix sibling of "
+    "dedup_hll_merge: 4 per-shard 4x256 integer matrices merge by "
+    "elementwise SUM (associative + commutative — any aggregation-tree "
+    "shape over 1000 executors gives the same matrix, though unlike "
+    "HLL's idempotent MAX a CMS shard must be delivered exactly once) "
+    "and the merged matrix is pinned cell-for-cell equal to the "
+    "whole-corpus single-pass sketch. The merge input is at most "
+    "4 shards x 4x256 cells regardless of corpus size; both paths are "
+    "combinable keyed SUMs over the same portable md5 bucket hash as "
+    "text_cms_heavy_hitters. All-integer, so the pin is bit-exact.",
+)
+def text_cms_merge(spark: SparkSession, sf: str) -> DataFrame:
+    tokc = (
+        table(spark, sf, "documents")
+        .select(
+            (F.col("doc_id") % 4).alias("shard"),
+            F.explode(T.tokens(F.col("text"))).alias("tok"),
+        )
+        .groupBy("shard", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cells = tokc.select(
+        "shard",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            T.portable_hash64(
+                                F.concat(F.lit(f"cms{r}:"), F.col("tok"))
+                            )
+                            % 256
+                        ).alias("bucket"),
+                    )
+                    for r in range(_CMS_MERGE_ROWS)
+                ]
+            )
+        ).alias("rb"),
+    ).select("shard", "cnt", "rb.r", "rb.bucket")
+    shard_sk = cells.groupBy("shard", "r", "bucket").agg(
+        F.sum("cnt").cast("long").alias("c")
+    )
+    merged = shard_sk.groupBy("r", "bucket").agg(
+        F.sum("c").cast("long").alias("c_merged"),
+        F.count(F.lit(1)).cast("long").alias("n_shards_present"),
+    )
+    whole = cells.groupBy("r", "bucket").agg(
+        F.sum("cnt").cast("long").alias("c_whole")
+    )
+    return (
+        merged.join(whole, ["r", "bucket"])
+        .select(
+            "r",
+            "bucket",
+            "n_shards_present",
+            "c_merged",
+            "c_whole",
+            (F.col("c_merged") == F.col("c_whole")).alias("cells_equal"),
+        )
+        .orderBy("r", "bucket")
+    )

@@ -188,3 +188,89 @@ class TestCmsHeavyHitters:
         assert exact_hits >= 10, [
             (r["tok"], r["overestimate"]) for r in rows
         ]
+
+
+class TestSketchMergeability:
+    """dedup_hll_merge / text_cms_merge: the merge-tree property itself
+    (values are separately hash-matched against the DuckDB oracles)."""
+
+    def test_hll_merge_equals_whole_and_estimates_agree(self, spark, sf_dir):
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = REGISTRY["dedup_hll_merge"].fn(spark, sf_dir).collect()
+        assert 1 <= len(rows) <= 64
+        assert all(r["registers_equal"] for r in rows)
+        assert all(1 <= r["n_shards_present"] <= 8 for r in rows)
+
+        # The estimator over merged registers IS the whole-corpus
+        # estimator — same harmonic sum, same zero-register count.
+        def estimate(regs: dict[int, int]) -> float:
+            import math
+
+            s = sum(2 ** (50 - m) for m in regs.values())
+            zeros = 64 - len(regs)
+            raw = 0.709 * 4096.0 * (2**50 / float(s + zeros * 2**50))
+            if raw <= 160.0 and zeros > 0:
+                return 64.0 * round(math.log(64.0 / zeros), 9)
+            return raw
+
+        merged = estimate({r["j"]: r["m_merged"] for r in rows})
+        whole = estimate({r["j"]: r["m_whole"] for r in rows})
+        assert merged == whole
+
+    def test_hll_merge_is_idempotent_and_order_free(self, spark, sf_dir):
+        """Register MAX tolerates re-delivery and any tree shape: fold
+        the shard sketches twice over (and in reverse), same registers."""
+        from graphdatabases_spark.functions import text as T
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hh = T.portable_hash64(T.fingerprint(F.col("text")))
+        rk = docs.select(
+            (F.col("doc_id") % 8).alias("shard"),
+            (hh % 64).alias("j"),
+            F.when(F.shiftright(hh, 6) == 0, F.lit(43))
+            .otherwise(F.lit(43) - F.length(F.bin(F.shiftright(hh, 6))))
+            .alias("rank"),
+        )
+        shard_regs = [
+            {
+                (r["j"]): r["m"]
+                for r in rk.filter(F.col("shard") == s)
+                .groupBy("j")
+                .agg(F.max("rank").alias("m"))
+                .collect()
+            }
+            for s in range(8)
+        ]
+
+        def merge(a, b):
+            out = dict(a)
+            for j, m in b.items():
+                out[j] = max(out.get(j, -1), m)
+            return out
+
+        fwd: dict = {}
+        for s in shard_regs:
+            fwd = merge(fwd, s)
+        rev: dict = {}
+        for s in reversed(shard_regs):
+            rev = merge(rev, s)
+            rev = merge(rev, s)  # duplicated delivery
+        assert fwd == rev
+
+    def test_cms_merge_equals_whole(self, spark, sf_dir):
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = REGISTRY["text_cms_merge"].fn(spark, sf_dir).collect()
+        assert 4 <= len(rows) <= 4 * 256
+        assert {r["r"] for r in rows} == {0, 1, 2, 3}
+        assert all(r["cells_equal"] for r in rows)
+        assert all(0 <= r["bucket"] < 256 for r in rows)
+        # Fixed-size sketch: per-row cell count bounded by width.
+        from collections import Counter
+
+        per_row = Counter(r["r"] for r in rows)
+        assert all(c <= 256 for c in per_row.values())
