@@ -2217,3 +2217,80 @@ def docs_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("span_fp"),
     ).orderBy("doc_id", "span_start")
+
+
+@register(
+    "docs_split_manifest",
+    oracle="""
+    WITH t AS (
+      SELECT source, lang, doc_id,
+        len(list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+            x -> x <> '')) AS n_toks,
+        ('0x' || substr(md5('splt' || doc_id), 1, 12))::BIGINT % 10 AS b
+      FROM documents
+    ),
+    g AS (
+      SELECT source, lang,
+        CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+             ELSE 'test' END AS split,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS n_toks
+      FROM t GROUP BY source, lang, split
+    )
+    SELECT source, lang, split, n_docs, n_toks,
+      CAST(sum(n_docs) OVER (PARTITION BY source, lang) AS BIGINT)
+        AS stratum_docs,
+      round(100.0 * n_docs
+            / sum(n_docs) OVER (PARTITION BY source, lang), 6) AS pct
+    FROM g ORDER BY source, lang, split
+    """,
+    doc="Stratified train/val/test SPLIT manifest: per-(source, lang) "
+    "stratum, every document draws a stable 0-9 bucket from the "
+    "portable 48-bit md5 of its id (salt 'splt' — distinct from "
+    "docs_hash_sample's 'smpl' draw, so the two draws are independent) "
+    "and lands in train (<8) / val (8) / test (9). Because the split "
+    "is a PURE FUNCTION of doc_id, no document can sit in two splits "
+    "and re-runs/re-partitionings/new shards reproduce the same "
+    "assignment — the only leakage-safe way to split 100 TB (pairwise "
+    "split-intersection emptiness is pinned in "
+    "tests/test_round9_curation.py). The manifest rolls up per-stratum "
+    "doc and token counts with realized split percentages (exact "
+    "integer ratios divided once). One scan, one keyed agg, one "
+    "stratum-partitioned window that reuses the agg's partitioning.",
+)
+def docs_split_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    b = (
+        T.portable_hash64(
+            F.concat(F.lit("splt"), F.col("doc_id").cast("string"))
+        )
+        % 10
+    )
+    split = (
+        F.when(b < 8, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    t = table(spark, sf, "documents").select(
+        "source",
+        "lang",
+        split.alias("split"),
+        F.size(T.tokens(F.col("text"))).alias("n_toks"),
+    )
+    g = t.groupBy("source", "lang", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_toks"),
+    )
+    w = Window.partitionBy("source", "lang")
+    return g.select(
+        "source",
+        "lang",
+        "split",
+        "n_docs",
+        "n_toks",
+        F.sum("n_docs").over(w).cast("long").alias("stratum_docs"),
+        F.round(
+            F.lit(100.0) * F.col("n_docs") / F.sum("n_docs").over(w), 6
+        ).alias("pct"),
+    ).orderBy("source", "lang", "split")

@@ -531,10 +531,10 @@ _IVF_CC = (
 )
 
 
-@register(
-    "similarity_ann_ivf",
-    oracle=f"""
-    WITH v AS MATERIALIZED (
+# Shared IVF-build oracle prefix (train + assign), used verbatim by
+# similarity_ann_ivf AND similarity_ivf_recall so the two entries pin
+# the SAME index build.
+_IVF_BUILD_SQL = f"""v AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS e,
              sqrt(list_inner_product(embedding::DOUBLE[],
                                      embedding::DOUBLE[])) AS nrm
@@ -576,7 +576,13 @@ _IVF_CC = (
                ) AS rr
         FROM v x CROSS JOIN cents s
       ) WHERE rr = 1
-    ),
+    )"""
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=f"""
+    WITH {_IVF_BUILD_SQL},
     q_probe AS (
       SELECT vec_id AS query_id, cid, e, nrm FROM (
         SELECT x.vec_id, s.cid, x.e, x.nrm,
@@ -1310,4 +1316,105 @@ def text_cms_merge(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("c_merged") == F.col("c_whole")).alias("cells_equal"),
         )
         .orderBy("r", "bucket")
+    )
+
+
+_RECALL_NQ = 20
+_RECALL_K = 5
+_RECALL_PROBES = (1, 2, 4)
+
+
+@register(
+    "similarity_ivf_recall",
+    oracle=f"""
+    WITH {{build}},
+    q_probe AS (
+      SELECT vec_id AS query_id, cid, rr, e, nrm FROM (
+        SELECT x.vec_id, s.cid, x.e, x.nrm,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY {{cc}} DESC, s.cid
+               ) AS rr
+        FROM v x CROSS JOIN cents s
+        WHERE x.vec_id < {_RECALL_NQ}
+      ) WHERE rr <= {max(_RECALL_PROBES)}
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_inner_product(q.e, c.e)
+                                / (q.nrm * c.nrm), 6) DESC, c.vec_id
+               ) AS rank
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_RECALL_NQ}
+      ) WHERE rank <= {_RECALL_K}
+    ),
+    ann AS (
+      SELECT np, query_id, neighbor_id FROM (
+        SELECT p.np, q.query_id, c.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.np, q.query_id
+                 ORDER BY round(list_inner_product(q.e, c.e)
+                                / (q.nrm * c.nrm), 6) DESC, c.neighbor_id
+               ) AS rank
+        FROM (VALUES {", ".join(f"({p})" for p in _RECALL_PROBES)}) p(np)
+        JOIN q_probe q ON q.rr <= p.np
+        JOIN c_idx c ON c.cid = q.cid AND c.neighbor_id <> q.query_id
+      ) WHERE rank <= {_RECALL_K}
+    )
+    SELECT CAST(np AS BIGINT) AS nprobe,
+           CAST({_RECALL_NQ} AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_results,
+           CAST(count(b.query_id) AS BIGINT) AS n_hits,
+           round(CAST(count(b.query_id) AS DOUBLE)
+                 / {_RECALL_NQ * _RECALL_K}, 6) AS recall_at_k
+    FROM ann a LEFT JOIN brute b
+      ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+    GROUP BY np ORDER BY np
+    """.format(build=_IVF_BUILD_SQL, cc=_IVF_CC.format(x="x", s="s")),
+    doc=f"IVF-ANN operating curve — recall@{_RECALL_K} at nprobe ∈ "
+    f"{{{', '.join(str(p) for p in _RECALL_PROBES)}}} over a "
+    f"{_RECALL_NQ}-query batch against the exact brute-force top-"
+    f"{_RECALL_K} (the published table every ANN deployment tunes "
+    "against: probe more cells → touch more of the corpus → higher "
+    "recall). The index builds ONCE (ivf_build; same deterministic "
+    "quantizer the similarity_ann_ivf oracle replays — the shared "
+    "_IVF_BUILD_SQL prefix pins build parity between the two entries) "
+    "and the three probe levels reuse it, exactly how a deployment "
+    "sweeps its operating point. Recall is an exact-integer hit count "
+    "over (query, neighbor) pairs divided once at the end, so the "
+    "whole curve value-hash-matches — not just a recall>=threshold "
+    "gate. Scale: brute force is the O(nq·N) calibration anchor on a "
+    "bounded query batch; each probed level joins only the probed "
+    "cells' posting lists.",
+)
+def similarity_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < _RECALL_NQ)
+    index = S.ivf_build(emb, num_clusters=8, lloyd_iters=1)
+    brute = S.cosine_topk(q, emb, k=_RECALL_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    ann = None
+    for p in _RECALL_PROBES:
+        part = S.ivf_query(index, q, k=_RECALL_K, nprobe=p).select(
+            F.lit(p).cast("long").alias("nprobe"), "query_id", "neighbor_id"
+        )
+        ann = part if ann is None else ann.unionByName(part)
+    return (
+        ann.join(brute, ["query_id", "neighbor_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.lit(_RECALL_NQ).cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_results"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                / F.lit(_RECALL_NQ * _RECALL_K),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
     )

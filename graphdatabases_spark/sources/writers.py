@@ -150,21 +150,10 @@ def write_zordered(
         *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
     ).collect()[0]
-    top = (1 << bits) - 1
+    mins = [stats[f"mn_{c}"] for c in cols]
+    maxs = [stats[f"mx_{c}"] for c in cols]
+    z = _morton_expr(cols, bits, mins, maxs)
     k = len(cols)
-    z = F.lit(0).cast("long")
-    for i, c in enumerate(cols):
-        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
-        rng = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
-        q = F.floor(
-            (F.coalesce(F.col(c).cast("double"), F.lit(mn or 0.0)) - F.lit(mn or 0.0))
-            * (float(top) / rng)
-        ).cast("long")
-        q = F.least(F.greatest(q, F.lit(0)), F.lit(top))  # clamp fp edges
-        for j in range(bits):
-            z = z.bitwiseOR(
-                F.shiftleft(F.shiftright(q, j).bitwiseAND(F.lit(1)), j * k + i)
-            )
     fbits = max(num_files.bit_length() - 1, 0)
     (
         df.withColumn("_zorder", z)
@@ -177,6 +166,246 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+    # Layout sidecar: the quantization bounds ARE the layout — an
+    # incremental maintenance pass must tile NEW batches with the
+    # ORIGINAL bounds or every tile id shifts (the Delta/Iceberg
+    # analogue is clustering metadata in the table log). Underscore
+    # prefix keeps it invisible to parquet readers, like _SUCCESS.
+    _write_sidecar(
+        df.sparkSession,
+        f"{path}/{ZORDER_SIDECAR}",
+        {
+            "cols": list(cols),
+            "bits": bits,
+            "num_files": num_files,
+            "mins": mins,
+            "maxs": maxs,
+        },
+    )
+
+
+ZORDER_SIDECAR = "_zorder_layout.json"
+
+
+def _morton_expr(cols: list[str], bits: int, mins: list, maxs: list):
+    """Morton key expression from SAVED quantization bounds (values
+    outside [mn, mx] clamp to the boundary tiles)."""
+    top = (1 << bits) - 1
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = mins[i], maxs[i]
+        rng = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
+        q = F.floor(
+            (F.coalesce(F.col(c).cast("double"), F.lit(mn or 0.0)) - F.lit(mn or 0.0))
+            * (float(top) / rng)
+        ).cast("long")
+        q = F.least(F.greatest(q, F.lit(0)), F.lit(top))  # clamp fp edges
+        for j in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(q, j).bitwiseAND(F.lit(1)), j * k + i)
+            )
+    return z
+
+
+def _write_sidecar(spark, path: str, payload: dict) -> None:
+    import json
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_sidecar(spark, path: str) -> dict:
+    import json
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        raise FileNotFoundError(
+            f"{path}: no Z-order layout sidecar — the table was not "
+            "written by write_zordered"
+        )
+    stream = fs.open(p)
+    try:
+        # py4j passes byte[] buffers by value, so a read-into-buffer
+        # loop mutates a JVM copy; commons-io (on Spark's classpath)
+        # drains the stream JVM-side and returns the string whole.
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _tile_rects(cols: list[str], bits: int, fbits: int) -> list[dict]:
+    """Per-tile hyper-rectangles in QUANTIZED space.
+
+    Tile id = the Morton key's top ``fbits`` bits. Morton bit position
+    p = j*k + i (column i's bit j), so each tile bit fixes one high
+    bit of one column; the tile's rectangle per column is
+    [base, base | free_mask] where base carries the fixed bits and
+    free_mask the remaining lower bits.
+    """
+    k = len(cols)
+    rects = []
+    for t in range(1 << fbits):
+        base = [0] * k
+        fixed_mask = [0] * k
+        for b in range(fbits):  # b indexes tile bits, LSB first
+            p = bits * k - fbits + b
+            i, j = p % k, p // k
+            fixed_mask[i] |= 1 << j
+            if (t >> b) & 1:
+                base[i] |= 1 << j
+        top = (1 << bits) - 1
+        rects.append(
+            {
+                "tile": t,
+                "lo": base,
+                "hi": [base[i] | (top & ~fixed_mask[i]) for i in range(k)],
+            }
+        )
+    return rects
+
+
+def compact_zordered_incremental(
+    spark,
+    path: str,
+    batch: DataFrame,
+) -> dict:
+    """Fold a new batch into a Z-order-clustered table, re-clustering
+    ONLY the files whose curve tiles the batch touches — the
+    continuous-ingest maintenance loop (Delta/Iceberg OPTIMIZE ZORDER
+    restricted to affected files, the only affordable form at 100 TB
+    where a full rewrite of the table per batch is out of the
+    question).
+
+    Mechanics: (1) the layout sidecar restores the ORIGINAL
+    quantization bounds (re-deriving them from old∪batch would shift
+    every tile id and force a full rewrite; out-of-range batch values
+    clamp into the boundary tiles); (2) the batch's touched tile set
+    is one small distinct over the batch; (3) each existing file's
+    parquet-footer min/max rectangle is intersected with the tile
+    rectangles — a FOOTER-ONLY read, the manifest scan, no data read
+    for untouched files. Because the writer aligns file boundaries to
+    tiles, the rectangle-overlap test is conservative: it may rewrite
+    a neighboring file, never miss an affected one; (4) affected files
+    ∪ batch re-cluster through the same tile-aligned range shuffle and
+    land as new part files; old affected files are deleted and kept
+    files are NOT rewritten (byte-identical — pinned in
+    tests/test_sources.py).
+
+    Returns {"files_total", "files_rewritten", "files_kept",
+    "tiles_touched", "rows_added"}.
+    """
+    import posixpath
+    import uuid
+
+    layout = _read_sidecar(spark, f"{path}/{ZORDER_SIDECAR}")
+    cols, bits = layout["cols"], layout["bits"]
+    mins, maxs = layout["mins"], layout["maxs"]
+    num_files = layout["num_files"]
+    k = len(cols)
+    fbits = max(int(num_files).bit_length() - 1, 0)
+    z = _morton_expr(cols, bits, mins, maxs)
+    tile_of = F.shiftright(z, bits * k - fbits)
+
+    batch_tiles = sorted(
+        r[0]
+        for r in batch.select(tile_of.alias("_tile")).distinct().collect()
+    )
+    top = (1 << bits) - 1
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    part_files = [
+        str(st.getPath())
+        for st in fs.listStatus(root)
+        if st.getPath().getName().startswith("part-")
+    ]
+
+    # Footer-only affected-file selection.
+    import pyarrow.parquet as pq
+
+    rects = [r for r in _tile_rects(cols, bits, fbits) if r["tile"] in set(batch_tiles)]
+
+    def quantize(v: float, i: int) -> int:
+        mn, mx = mins[i], maxs[i]
+        rng = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
+        q = int(((v if v is not None else (mn or 0.0)) - (mn or 0.0)) * (top / rng))
+        return min(max(q, 0), top)
+
+    affected, kept = [], []
+    for f in part_files:
+        local = f[len("file:"):] if f.startswith("file:") else f
+        md = pq.ParquetFile(local).metadata
+        names = [md.schema.column(ci).name for ci in range(md.num_columns)]
+        rect_lo, rect_hi = [], []
+        for c in cols:
+            ci = names.index(c)
+            st = [
+                md.row_group(rg).column(ci).statistics
+                for rg in range(md.num_row_groups)
+            ]
+            rect_lo.append(quantize(min(s.min for s in st), len(rect_lo)))
+            rect_hi.append(quantize(max(s.max for s in st), len(rect_hi)))
+        hit = any(
+            all(
+                rect_lo[i] <= r["hi"][i] and r["lo"][i] <= rect_hi[i]
+                for i in range(k)
+            )
+            for r in rects
+        )
+        (affected if hit else kept).append(f)
+
+    rows_added = batch.count()
+    if affected or rows_added:
+        to_cluster = batch.select(*spark.read.parquet(path).columns)
+        if affected:
+            to_cluster = spark.read.parquet(*affected).unionByName(to_cluster)
+        tmp = posixpath.join(path, f"_compact_tmp_{uuid.uuid4().hex}")
+        n_out = max(len(batch_tiles) + len(affected), 1)
+        (
+            to_cluster.withColumn("_zorder", z)
+            .withColumn("_zfile", F.shiftright(F.col("_zorder"), bits * k - fbits))
+            .repartitionByRange(n_out, "_zfile")
+            .sortWithinPartitions("_zfile", "_zorder")
+            .drop("_zorder", "_zfile")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        # Swap: new part files in (write-UUID names are collision-free),
+        # old affected files out, tmp dir gone.
+        tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+        for st in fs.listStatus(tmp_path):
+            name = st.getPath().getName()
+            if name.startswith("part-"):
+                fs.rename(
+                    st.getPath(),
+                    jvm.org.apache.hadoop.fs.Path(posixpath.join(path, name)),
+                )
+        for f in affected:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+        fs.delete(tmp_path, True)
+    return {
+        "files_total": len(part_files),
+        "files_rewritten": len(affected),
+        "files_kept": len(kept),
+        "tiles_touched": len(batch_tiles),
+        "rows_added": rows_added,
+    }
 
 
 def compact_parquet(

@@ -274,3 +274,32 @@ class TestSketchMergeability:
 
         per_row = Counter(r["r"] for r in rows)
         assert all(c <= 256 for c in per_row.values())
+
+
+class TestIvfRecallCurve:
+    """similarity_ivf_recall: the operating-curve shape itself (values
+    are separately hash-matched against the DuckDB oracle)."""
+
+    def test_recall_monotone_in_nprobe(self, spark, sf_dir):
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = {
+            r["nprobe"]: r
+            for r in REGISTRY["similarity_ivf_recall"].fn(spark, sf_dir).collect()
+        }
+        assert sorted(rows) == [1, 2, 4]
+        k, nq = 5, 20
+        prev = -1.0
+        for p in (1, 2, 4):
+            r = rows[p]
+            assert r["n_queries"] == nq
+            assert 0 < r["n_results"] <= k * nq
+            assert 0 <= r["n_hits"] <= r["n_results"]
+            # Probing a superset of cells can only add candidates, and
+            # top-k over a candidate superset never loses true hits
+            # ranked above the cutoff — recall is nondecreasing.
+            assert r["recall_at_k"] >= prev, (p, rows)
+            prev = r["recall_at_k"]
+        # Probing half the 8 cells must do clearly better than chance.
+        assert rows[4]["recall_at_k"] >= 0.5

@@ -244,6 +244,7 @@ class TestUniversalGates:
     _GLOBAL_WINDOW_OK = {
         "window_ntile",
         "similarity_ann_ivf",
+        "similarity_ivf_recall",  # same 8-row seed numbering as ann_ivf
         "docs_bm25_topk",
     }
 
@@ -262,6 +263,7 @@ class TestUniversalGates:
         "knn_label_vote",             # bounded labeled reference batch
         "events_hourly_anomaly",      # 1-row global mean/std scalar
         "similarity_ann_ivf",         # k=8 seed/centroid frames
+        "similarity_ivf_recall",      # same k=8 frames + bounded query batch
         "orders_rfm_segments",        # 1-row quantile-boundary scalars
         "copurchase_lift",            # 1-row total-orders scalar
         "embedding_norm_outliers",    # 1-row decimal-moment scalars

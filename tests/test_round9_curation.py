@@ -1,0 +1,100 @@
+"""Engine-side invariants for the round-7 batch-10 curation entries
+(values are separately hash-matched against the DuckDB oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphdatabases_spark.functions import text as T
+from graphdatabases_spark.relational import REGISTRY, queries
+
+
+class TestSplitManifest:
+    def _assignment(self, spark, sf_dir):
+        b = (
+            T.portable_hash64(
+                F.concat(F.lit("splt"), F.col("doc_id").cast("string"))
+            )
+            % 10
+        )
+        split = (
+            F.when(b < 8, F.lit("train"))
+            .when(b == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+        return (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", split.alias("split"))
+        )
+
+    def test_no_doc_in_two_splits(self, spark, sf_dir):
+        """Leakage check: pairwise split intersections are EMPTY."""
+        a = self._assignment(spark, sf_dir)
+        for s1, s2 in [("train", "val"), ("train", "test"), ("val", "test")]:
+            leaked = (
+                a.filter(F.col("split") == s1)
+                .select("doc_id")
+                .join(
+                    a.filter(F.col("split") == s2).select("doc_id"), "doc_id"
+                )
+                .count()
+            )
+            assert leaked == 0, (s1, s2)
+
+    def test_splits_partition_every_stratum(self, spark, sf_dir):
+        """Per-stratum split counts sum to the stratum size, and the
+        manifest covers every document exactly once."""
+        queries()
+        rows = REGISTRY["docs_split_manifest"].fn(spark, sf_dir).collect()
+        total_docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        )
+        assert sum(r["n_docs"] for r in rows) == total_docs
+        from collections import defaultdict
+
+        per_stratum = defaultdict(int)
+        for r in rows:
+            per_stratum[(r["source"], r["lang"])] += r["n_docs"]
+            assert r["n_docs"] <= r["stratum_docs"]
+        for r in rows:
+            assert per_stratum[(r["source"], r["lang"])] == r["stratum_docs"]
+
+    def test_realized_fractions_track_8_1_1(self, spark, sf_dir):
+        """Global realized fractions sit near the configured 80/10/10
+        (md5 buckets are uniform; wide tolerance for small strata)."""
+        queries()
+        rows = REGISTRY["docs_split_manifest"].fn(spark, sf_dir).collect()
+        from collections import Counter
+
+        n = Counter()
+        for r in rows:
+            n[r["split"]] += r["n_docs"]
+        total = sum(n.values())
+        assert 0.70 <= n["train"] / total <= 0.90
+        assert 0.03 <= n["val"] / total <= 0.20
+        assert 0.03 <= n["test"] / total <= 0.20
+
+    def test_assignment_is_repartition_invariant(self, spark, sf_dir):
+        """The draw depends only on doc_id: reshuffling the input
+        produces the identical manifest."""
+        queries()
+        base = REGISTRY["docs_split_manifest"].fn(spark, sf_dir).collect()
+        fn = REGISTRY["docs_split_manifest"].fn
+        import graphdatabases_spark.relational.catalog as C
+
+        orig = C.table
+
+        def shuffled(spark_, sf_, name):
+            df = orig(spark_, sf_, name)
+            return df.repartition(7) if name == "documents" else df
+
+        C.table = shuffled
+        try:
+            import graphdatabases_spark.relational.curation_queries as CQ
+
+            CQ.table = shuffled
+            again = fn(spark, sf_dir).collect()
+        finally:
+            C.table = orig
+            CQ.table = orig
+        assert [tuple(r) for r in base] == [tuple(r) for r in again]

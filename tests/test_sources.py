@@ -536,3 +536,160 @@ class TestIntervalJoin:
             ).collect()
         }
         assert fast == naive and len(fast) > 0
+
+
+class TestIncrementalZorderCompaction:
+    """compact_zordered_incremental: untouched files stay byte-identical,
+    content is old ∪ batch, the re-clustered region stays tile-aligned."""
+
+    def _table(self, spark, tmp_path):
+        from graphdatabases_spark.sources.writers import write_zordered
+
+        n = 40_000
+        df = spark.range(n).select(
+            ((F.col("id") * 7919) % 1000).alias("x"),
+            ((F.col("id") * 104729) % 1000).alias("y"),
+            F.col("id").alias("v"),
+        )
+        out = str(tmp_path / "zi")
+        write_zordered(df, out, ["x", "y"], num_files=16)
+        return out, n
+
+    @staticmethod
+    def _file_md5s(out):
+        import glob
+        import hashlib
+
+        return {
+            f: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(f"{out}/part-*.parquet")
+        }
+
+    def test_corner_batch_rewrites_only_nearby_files(self, spark, tmp_path):
+        from graphdatabases_spark.sources.writers import (
+            compact_zordered_incremental,
+        )
+
+        out, n = self._table(spark, tmp_path)
+        before = self._file_md5s(out)
+        # Batch confined to the low-x/low-y corner -> tile 0's region.
+        batch = spark.range(500).select(
+            (F.col("id") % 50).alias("x"),
+            ((F.col("id") * 3) % 50).alias("y"),
+            (F.col("id") + 10_000_000).alias("v"),
+        )
+        stats = compact_zordered_incremental(spark, out, batch)
+        assert stats["files_total"] == len(before)
+        assert stats["rows_added"] == 500
+        # A corner batch touches few tiles: most files survive untouched.
+        assert stats["files_rewritten"] <= stats["files_total"] // 2
+        assert stats["files_kept"] >= stats["files_total"] // 2
+        after = self._file_md5s(out)
+        kept = {f: h for f, h in before.items() if f in after}
+        assert len(kept) == stats["files_kept"]
+        for f, h in kept.items():
+            assert after[f] == h, f"kept file rewritten: {f}"
+        back = spark.read.parquet(out)
+        assert back.count() == n + 500
+        exp = n * (n - 1) // 2 + sum(i + 10_000_000 for i in range(500))
+        assert back.agg(F.sum("v")).collect()[0][0] == exp
+        # Batch rows are queryable through the clustered layout.
+        assert (
+            back.filter((F.col("x") < 50) & (F.col("y") < 50))
+            .filter(F.col("v") >= 10_000_000)
+            .count()
+            == 500
+        )
+
+    def test_layout_still_prunes_after_compaction(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from graphdatabases_spark.sources.writers import (
+            compact_zordered_incremental,
+        )
+
+        out, n = self._table(spark, tmp_path)
+        batch = spark.range(300).select(
+            (F.col("id") % 40).alias("x"),
+            ((F.col("id") * 7) % 40).alias("y"),
+            (F.col("id") + 20_000_000).alias("v"),
+        )
+        compact_zordered_incremental(spark, out, batch)
+        files = sorted(glob.glob(f"{out}/part-*.parquet"))
+        for colidx_name in ((0, "x"), (1, "y")):
+            colidx, name = colidx_name
+            prunable = 0
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                names = [md.schema.column(ci).name for ci in range(md.num_columns)]
+                ci = names.index(name)
+                lo = min(
+                    md.row_group(rg).column(ci).statistics.min
+                    for rg in range(md.num_row_groups)
+                )
+                hi = max(
+                    md.row_group(rg).column(ci).statistics.max
+                    for rg in range(md.num_row_groups)
+                )
+                if not (lo <= 900 <= hi):
+                    prunable += 1
+            # A far-corner point filter still prunes most files.
+            assert prunable >= len(files) // 2, (name, prunable)
+
+    def test_out_of_bounds_batch_clamps_into_boundary_tiles(
+        self, spark, tmp_path
+    ):
+        from graphdatabases_spark.sources.writers import (
+            compact_zordered_incremental,
+        )
+
+        out, n = self._table(spark, tmp_path)
+        batch = spark.range(100).select(
+            (F.col("id") + 5000).alias("x"),  # beyond the 0..999 bounds
+            (F.col("id") + 5000).alias("y"),
+            (F.col("id") + 30_000_000).alias("v"),
+        )
+        stats = compact_zordered_incremental(spark, out, batch)
+        assert stats["tiles_touched"] == 1  # clamps to the top tile
+        back = spark.read.parquet(out)
+        assert back.count() == n + 100
+        assert back.filter(F.col("x") >= 5000).count() == 100
+
+    def test_second_increment_composes(self, spark, tmp_path):
+        from graphdatabases_spark.sources.writers import (
+            compact_zordered_incremental,
+        )
+
+        out, n = self._table(spark, tmp_path)
+        b1 = spark.range(200).select(
+            (F.col("id") % 30).alias("x"),
+            (F.col("id") % 30).alias("y"),
+            (F.col("id") + 40_000_000).alias("v"),
+        )
+        b2 = spark.range(200).select(
+            (900 + F.col("id") % 30).alias("x"),
+            (900 + F.col("id") % 30).alias("y"),
+            (F.col("id") + 50_000_000).alias("v"),
+        )
+        s1 = compact_zordered_incremental(spark, out, b1)
+        s2 = compact_zordered_incremental(spark, out, b2)
+        assert s1["rows_added"] == s2["rows_added"] == 200
+        assert spark.read.parquet(out).count() == n + 400
+
+    def test_missing_sidecar_rejected(self, spark, tmp_path):
+        import pytest
+
+        from graphdatabases_spark.sources.writers import (
+            compact_zordered_incremental,
+        )
+
+        out = str(tmp_path / "plain")
+        spark.range(100).select(
+            F.col("id").alias("x"), F.col("id").alias("y")
+        ).write.parquet(out)
+        with pytest.raises(FileNotFoundError, match="sidecar"):
+            compact_zordered_incremental(spark, out, spark.range(1).select(
+                F.col("id").alias("x"), F.col("id").alias("y")
+            ))
