@@ -47,6 +47,9 @@ NAMES = [
     # racing the shared unrolled-merge fit.
     "orders_tdigest_sketch",
     "docs_bpe_fertility",
+    # round-7 continuation: the bounded-dedup replay's memory-sink tag
+    # reuse and epoch staging under concurrent execution.
+    "docs_stream_dedup_bounded",
 ]
 
 

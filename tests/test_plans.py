@@ -277,6 +277,7 @@ class TestUniversalGates:
         "orders_quantile_histogram",  # 3-row quantile-spec literal frame
         "docs_mixture_grid",          # 1-row global sqrt-sum normalizer
         "dedup_embedding_neardup",    # 1-row SRP plane-matrix relation
+        "docs_stream_dedup_bounded",  # 1-row re-admission count scalar
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):
