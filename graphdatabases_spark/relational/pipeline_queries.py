@@ -646,3 +646,82 @@ def lineitem_zorder_scan(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+def _stage_lineitem_zorder_incremental(spark: SparkSession, sf: str) -> str:
+    """Z-ordered lineitem built THROUGH the maintenance loop: the base
+    (l_suppkey > 2) is clustered by write_zordered, then the low-
+    suppkey stripe arrives as a batch and is folded in by
+    compact_zordered_incremental — so the staged table's very bytes
+    are the product of a footer-selected partial rewrite, not a
+    one-shot write. Staged once per source signature."""
+    from graphdatabases_spark.sources.writers import (
+        compact_zordered_incremental,
+        write_zordered,
+    )
+
+    def write(out: str) -> None:
+        li = table(spark, sf, "lineitem")
+        write_zordered(
+            li.filter(F.col("l_suppkey") > 2),
+            out,
+            ["l_partkey", "l_suppkey"],
+            num_files=16,
+        )
+        compact_zordered_incremental(
+            spark, out, li.filter(F.col("l_suppkey") <= 2)
+        )
+
+    staged, _ = stage_derived(sf, "lineitem", "zorder_incr", write)
+    return staged
+
+
+@register(
+    "lineitem_zorder_incremental_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN l_suppkey <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_batch_rows,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 1 AND 200 AND l_suppkey BETWEEN 0 AND 5
+    """,
+    doc="The INCREMENTAL Z-order maintenance loop proven in the query "
+    "surface (lineitem_zorder_scan's continuous-ingest sibling): the "
+    "staged table is built as base (l_suppkey > 2, write_zordered) "
+    "PLUS a low-suppkey batch folded in by "
+    "compact_zordered_incremental — footer-rectangle file selection "
+    "against the persisted _zorder_layout.json sidecar, untouched "
+    "files never rewritten, batch values below the base's suppkey "
+    "bounds clamping into the boundary tiles. The 2-D selective "
+    "predicate straddles the base/batch boundary (suppkey 0..5), so "
+    "equality with the plain-table oracle certifies the loop lost and "
+    "duplicated NOTHING across the partial rewrite; n_batch_rows "
+    "pins that batch rows actually flow through the compacted "
+    "region. The partial-rewrite mechanics themselves (byte-identical "
+    "kept files, tile-aligned rewrites) are pinned in "
+    "tests/test_sources.py. Exact per-row DECIMAL sums, rounded once.",
+)
+def lineitem_zorder_incremental_scan(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(_stage_lineitem_zorder_incremental(spark, sf))
+    hit = li.filter(
+        F.col("l_partkey").between(1, 200) & F.col("l_suppkey").between(0, 5)
+    )
+    money = "decimal(18,4)"
+    return hit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("l_suppkey") <= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch_rows"),
+        F.round(F.sum(F.col("l_quantity").cast(money)), 2)
+        .cast("double")
+        .alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast(money)), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )

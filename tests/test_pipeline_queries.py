@@ -154,3 +154,36 @@ def test_zorder_catalog_scan_prunes_both_dimensions(spark):
         f"2-D conjunction should touch ≤ 1/4 of files, got "
         f"{len(both)}/{len(files)}"
     )
+
+
+def test_zorder_incremental_staging_is_a_partial_rewrite(spark, tmp_path):
+    """`lineitem_zorder_incremental_scan`'s staging claim, reproduced
+    in isolation: building the same base + low-suppkey batch through
+    the maintenance loop rewrites only a strict subset of the base's
+    files (footer-selected), while total content equals base ∪ batch."""
+    from pyspark.sql import functions as F
+
+    from graphdatabases_spark.relational.catalog import table
+    from graphdatabases_spark.sources.writers import (
+        compact_zordered_incremental,
+        write_zordered,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    li = table(spark, sf, "lineitem")
+    out = str(tmp_path / "zi_li")
+    write_zordered(
+        li.filter(F.col("l_suppkey") > 2),
+        out,
+        ["l_partkey", "l_suppkey"],
+        num_files=16,
+    )
+    stats = compact_zordered_incremental(
+        spark, out, li.filter(F.col("l_suppkey") <= 2)
+    )
+    assert stats["rows_added"] == li.filter(F.col("l_suppkey") <= 2).count()
+    # The low-suppkey stripe clamps below the base's bounds: only the
+    # low-suppkey boundary tiles' files rewrite.
+    assert 0 < stats["files_rewritten"] < stats["files_total"]
+    assert stats["files_kept"] >= stats["files_total"] // 2
+    assert spark.read.parquet(out).count() == li.count()
