@@ -406,6 +406,92 @@ def personalized_pagerank_batch(
         links.unpersist()
 
 
+def personalized_pagerank_batch_units(
+    graph: PropertyGraph | DataFrame,
+    seeds: list[int],
+    num_iters: int = 3,
+    damping_pct: int = 85,
+    unit_scale: int = 10**12,
+) -> DataFrame:
+    """FIXED-POINT per-seed personalized PageRank: the integer variant
+    of ``personalized_pagerank_batch`` for graphs whose in-degree makes
+    double message sums accumulation-order-dependent (any real entity
+    graph — a popular item sums thousands of contributions, and float
+    addition order varies with partitioning).
+
+    Ranks are BIGINT micro-units (seed starts at ``unit_scale``); each
+    round is contrib = units div outdeg (truncating integer division),
+    msg = Σ contrib (exact integer sum — associative and commutative,
+    so ANY partitioning, shuffle order, or aggregation tree yields the
+    same bits), new = (100-damping_pct)%·unit_scale at the seed +
+    damping_pct·msg div 100. The deliberate truncation bias (< 1 unit
+    per division, i.e. < 1e-12 of the walk) buys ENGINE-EXACT
+    reproducibility — the same discipline as the catalog's DECIMAL
+    money sums and integer log2 surprise scores. Same sparse state and
+    scale shape as the double kernel; no local fast path is needed
+    because integer ops remove the only cross-strategy divergence.
+
+    Returns DataFrame(seed BIGINT, id BIGINT, rank_units BIGINT) with
+    the walk's touched vertices (rank_units may be 0 where truncation
+    consumed the mass — filter > 0 for the support set).
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank_batch_units needs at least one seed")
+    seed_list = sorted(set(int(s) for s in seeds))
+    edges = _edges(graph)
+    spark = _spark_of(edges)
+
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    links = edges.join(out_deg, edges.src == out_deg.id).select(
+        "src", "dst", "outdeg"
+    )
+    if not hash_partitioned_on(links, "src"):
+        links = links.repartition("src")
+    links = links.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        base_units = ((100 - damping_pct) * unit_scale) // 100
+        seed_keys = spark.createDataFrame(
+            [(s, s) for s in seed_list], "seed BIGINT, id BIGINT"
+        )
+        ranks = spark.createDataFrame(
+            [(s, s, unit_scale) for s in seed_list],
+            "seed BIGINT, id BIGINT, rank_units BIGINT",
+        )
+        base = F.when(
+            F.col("id") == F.col("seed"), F.lit(base_units)
+        ).otherwise(F.lit(0))
+        for i in range(num_iters):
+            msgs = (
+                links.join(ranks, links.src == ranks.id)
+                .select(
+                    "seed",
+                    F.col("dst").alias("id"),
+                    F.expr("rank_units div outdeg").alias("contrib"),
+                )
+                .groupBy("seed", "id")
+                .agg(F.sum("contrib").alias("msg"))
+            )
+            ranks = msgs.join(seed_keys, ["seed", "id"], "full_outer").select(
+                "seed",
+                "id",
+                (
+                    base
+                    + F.expr(
+                        f"({damping_pct} * coalesce(msg, 0)) div 100"
+                    )
+                ).cast("long").alias("rank_units"),
+            )
+            if (i + 1) % CHECKPOINT_EVERY == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        if num_iters % CHECKPOINT_EVERY != 0:
+            ranks = ranks.localCheckpoint(eager=True)
+        return ranks
+    finally:
+        links.unpersist()
+
+
 def _connected_components_local(graph, edges: DataFrame) -> DataFrame:
     """Union-find — the converged fixpoint of min-id propagation."""
     spark = _spark_of(edges)

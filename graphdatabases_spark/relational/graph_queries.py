@@ -866,3 +866,99 @@ def graph_wsssp_entity(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("id") != 1)
         .orderBy("id")
     )
+
+
+_PPR_ENT_SEEDS = (1, 2, 5)
+_PPR_ENT_ROUNDS = 3
+_PPR_ENT_K = 10
+_PPR_ENT_UNIT = 10**12
+
+
+def _ppr_ent_round_sql(k: int) -> str:
+    """One unrolled fixed-point batched-PPR round over the entity
+    graph — ALL-INTEGER (units div outdeg, exact BIGINT sums, 85% div
+    100), so accumulation order cannot matter in either engine."""
+    return f"""
+    u{k} AS (
+      SELECT sv.seed, sv.id,
+        CASE WHEN sv.id = sv.seed
+             THEN {15 * _PPR_ENT_UNIT // 100} ELSE 0 END
+        + (85 * coalesce(m.msg, 0)) // 100 AS units
+      FROM sv
+      LEFT JOIN (
+        SELECT p.seed, e.dst AS id, sum(p.units // o.d) AS msg
+        FROM u{k - 1} p
+        JOIN edges e ON e.src = p.id
+        JOIN outdeg o ON o.src = p.id
+        GROUP BY p.seed, e.dst
+      ) m ON m.seed = sv.seed AND m.id = sv.id
+    )"""
+
+
+@register(
+    "graph_ppr_seeds_entity",
+    oracle=f"""
+    WITH {ENTITY_EDGES_SQL},
+    verts AS (
+      SELECT DISTINCT v FROM (
+        SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    seeds(s) AS (VALUES {", ".join(f"({s})" for s in _PPR_ENT_SEEDS)}),
+    sv AS (SELECT s.s AS seed, v.v AS id FROM seeds s, verts v),
+    u0 AS (
+      SELECT seed, id,
+        CASE WHEN id = seed THEN {_PPR_ENT_UNIT} ELSE 0 END AS units
+      FROM sv
+    ),{",".join(_ppr_ent_round_sql(k) for k in range(1, _PPR_ENT_ROUNDS + 1))},
+    ranked AS (
+      SELECT seed, id, units,
+        row_number() OVER (
+          PARTITION BY seed ORDER BY units DESC, id
+        ) AS pos
+      FROM u{_PPR_ENT_ROUNDS} WHERE units > 0
+    )
+    SELECT CAST(seed AS BIGINT) AS seed, CAST(id AS BIGINT) AS id,
+           CAST(units AS BIGINT) AS rank_units, CAST(pos AS INT) AS pos
+    FROM ranked WHERE pos <= {_PPR_ENT_K}
+    ORDER BY seed, pos
+    """,
+    doc=f"Top-{_PPR_ENT_K} per-seed personalized PageRank for customer "
+    f"seeds {{{', '.join(str(s) for s in _PPR_ENT_SEEDS)}}} over the "
+    "REAL entity graph (customer→order→part→supplier) — "
+    "graph_ppr_seed_topk proves the batched kernel on the grid "
+    "fixture; this entry exercises the sparse state on tables whose "
+    "in-degree makes double arithmetic order-dependent (a popular "
+    "part sums thousands of contributions), so it runs the "
+    "FIXED-POINT integer kernel (personalized_pagerank_batch_units): "
+    "BIGINT micro-unit ranks, truncating div contributions, exact "
+    "integer sums — bit-identical under any partitioning, and the "
+    "oracle replays the identical arithmetic as unrolled CTEs. "
+    f"{_PPR_ENT_ROUNDS} rounds push each customer's unit mass "
+    "through the 3-layer DAG; suppliers are dangling so their mass "
+    "decays, exactly like the double kernel. The 'related "
+    "parts/suppliers per customer' batch-serving shape.",
+)
+def graph_ppr_seeds_entity(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from graphdatabases_spark.graph.algorithms import (
+        personalized_pagerank_batch_units,
+    )
+
+    ranks = personalized_pagerank_batch_units(
+        entity_edges(spark, sf, dedup=True),
+        list(_PPR_ENT_SEEDS),
+        num_iters=_PPR_ENT_ROUNDS,
+        unit_scale=_PPR_ENT_UNIT,
+    )
+    w = Window.partitionBy("seed").orderBy(
+        F.col("rank_units").desc(), F.col("id")
+    )
+    return (
+        ranks.filter(F.col("rank_units") > 0)
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= _PPR_ENT_K)
+        .orderBy("seed", "pos")
+    )

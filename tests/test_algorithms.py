@@ -481,3 +481,74 @@ class TestPersonalizedPagerankBatch:
 
         with _pt.raises(ValueError, match="at least one seed"):
             personalized_pagerank_batch(self._graph(spark), [])
+
+
+class TestPersonalizedPagerankBatchUnits:
+    """Fixed-point batched PPR: integer-exact, partition-invariant."""
+
+    def test_matches_double_kernel_within_truncation(self, spark):
+        """On the grid (in-degree <= 2) the integer kernel must agree
+        with the double kernel to within the documented truncation
+        bias (a few units per division chain)."""
+        from graphdatabases_spark.graph import grid_graph
+        from graphdatabases_spark.graph.algorithms import (
+            personalized_pagerank_batch,
+            personalized_pagerank_batch_units,
+        )
+
+        g = grid_graph(spark, 8)
+        dbl = {
+            (r["seed"], r["id"]): r["rank"]
+            for r in personalized_pagerank_batch(
+                g, [0, 27], num_iters=4, strategy="distributed"
+            ).collect()
+        }
+        unit = {
+            (r["seed"], r["id"]): r["rank_units"]
+            for r in personalized_pagerank_batch_units(
+                g, [0, 27], num_iters=4
+            ).collect()
+            if r["rank_units"] > 0
+        }
+        assert unit.keys() == {k for k, v in dbl.items() if v > 0}
+        for k, u in unit.items():
+            assert abs(u / 1e12 - dbl[k]) < 1e-9, (k, u, dbl[k])
+
+    def test_partition_invariance(self, spark):
+        """The whole point of the integer formulation: an adversarial
+        repartition of the edge list changes NO output bit."""
+        from pyspark.sql import functions as F
+
+        from graphdatabases_spark.graph.algorithms import (
+            personalized_pagerank_batch_units,
+        )
+
+        e = spark.range(4000).select(
+            (F.col("id") % 731).alias("src"),
+            ((F.col("id") * 37 + 11) % 731).alias("dst"),
+        ).distinct()
+        base = sorted(
+            tuple(r)
+            for r in personalized_pagerank_batch_units(
+                e, [0, 1, 2], num_iters=3
+            ).collect()
+        )
+        shuffled = sorted(
+            tuple(r)
+            for r in personalized_pagerank_batch_units(
+                e.repartition(17, "dst"), [0, 1, 2], num_iters=3
+            ).collect()
+        )
+        assert base == shuffled
+
+    def test_unit_mass_bounded(self, spark):
+        from graphdatabases_spark.graph import grid_graph
+        from graphdatabases_spark.graph.algorithms import (
+            personalized_pagerank_batch_units,
+        )
+
+        rows = personalized_pagerank_batch_units(
+            grid_graph(spark, 8), [27], num_iters=5
+        ).collect()
+        # Truncating divisions only LOSE mass: per-seed total <= 1.0.
+        assert sum(r["rank_units"] for r in rows) <= 10**12
