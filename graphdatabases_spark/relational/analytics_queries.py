@@ -2051,3 +2051,119 @@ def orders_tdigest_sketch(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "centroid")
     )
+
+
+@register(
+    "docs_split_contamination",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks,
+        ('0x' || substr(md5('splt' || doc_id), 1, 12))::BIGINT % 10 AS b
+      FROM documents
+    ),
+    g AS (
+      SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                  ELSE 'test' END AS split,
+        unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    sg AS (SELECT DISTINCT split, gram FROM g),
+    sizes AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n_grams FROM sg GROUP BY split
+    ),
+    shared AS (
+      SELECT a.split AS split_a, b.split AS split_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sg a JOIN sg b ON b.gram = a.gram AND a.split < b.split
+      GROUP BY a.split, b.split
+    )
+    SELECT split_a, split_b, sa.n_grams AS n_grams_a,
+           sb.n_grams AS n_grams_b, n_shared,
+           round(CAST(n_shared AS DOUBLE)
+                 / least(sa.n_grams, sb.n_grams), 6) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.split = split_a
+    JOIN sizes sb ON sb.split = split_b
+    ORDER BY split_a, split_b
+    """,
+    doc="Cross-SPLIT contamination matrix — docs_split_manifest's "
+    "companion check, the audit every training pipeline runs before a "
+    "launch: distinct token 3-grams per split (same salted 'splt' md5 "
+    "assignment as the manifest, so this measures the ACTUAL declared "
+    "splits), pairwise shared-gram counts via one self-equi-join on "
+    "gram, and the containment ratio n_shared / min(|A|, |B|) — the "
+    "fraction of the smaller (eval) side's grams that also occur in "
+    "the other split, i.e. how much of val/test a train-memorizing "
+    "model has already seen. Exact integer counts divided once. "
+    "Scale: the per-split distinct gram relation is one hash-agg "
+    "(vocabulary-bounded growth, not corpus-bounded); the pair join "
+    "co-partitions on gram; output is at most 3 rows. Unlike "
+    "docs_decontaminate_ngrams (a bounded BROADCAST eval suite "
+    "scored per document), both sides here are corpus-scale splits, "
+    "so the join must shuffle — the complementary shape.",
+)
+def docs_split_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    b = (
+        T.portable_hash64(
+            F.concat(F.lit("splt"), F.col("doc_id").cast("string"))
+        )
+        % 10
+    )
+    split = (
+        F.when(b < 8, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    toks = T.tokens(F.col("text"))
+    d = (
+        table(spark, sf, "documents")
+        .select(split.alias("split"), toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    sg = (
+        d.select(
+            "split",
+            F.explode(
+                F.array_distinct(_ngram_array(F.col("toks"), 3))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = sg.groupBy("split").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    a = sg.alias("a")
+    bb = sg.alias("b")
+    shared = (
+        a.join(
+            bb,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.split") < F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("split").alias("split_a"), F.col("n_grams").alias("n_grams_a")
+    )
+    sb = sizes.select(
+        F.col("split").alias("split_b"), F.col("n_grams").alias("n_grams_b")
+    )
+    return (
+        shared.join(sa, "split_a")
+        .join(sb, "split_b")
+        .select(
+            "split_a",
+            "split_b",
+            "n_grams_a",
+            "n_grams_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_grams_a", "n_grams_b"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("split_a", "split_b")
+    )

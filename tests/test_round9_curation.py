@@ -98,3 +98,57 @@ class TestSplitManifest:
             C.table = orig
             CQ.table = orig
         assert [tuple(r) for r in base] == [tuple(r) for r in again]
+
+
+class TestSplitContamination:
+    def test_matrix_shape_and_bounds(self, spark, sf_dir):
+        queries()
+        rows = REGISTRY["docs_split_contamination"].fn(spark, sf_dir).collect()
+        pairs = {(r["split_a"], r["split_b"]) for r in rows}
+        assert pairs <= {("test", "train"), ("test", "val"), ("train", "val")}
+        assert len(rows) >= 1
+        for r in rows:
+            assert r["split_a"] < r["split_b"]
+            assert 0 < r["n_shared"] <= min(r["n_grams_a"], r["n_grams_b"])
+            assert 0.0 < r["containment"] <= 1.0
+
+    def test_shared_counts_match_python_replay(self, spark, sf_dir):
+        """Whole-matrix replay: per-split distinct 3-gram sets built in
+        Python must reproduce every pairwise intersection size."""
+        from graphdatabases_spark.functions import text as T
+        from pyspark.sql import functions as F
+
+        b = (
+            T.portable_hash64(
+                F.concat(F.lit("splt"), F.col("doc_id").cast("string"))
+            )
+            % 10
+        )
+        split = (
+            F.when(b < 8, F.lit("train"))
+            .when(b == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(split.alias("split"), "text")
+            .collect()
+        )
+        import re as _re
+
+        sets: dict = {}
+        for r in docs:
+            toks = [t for t in _re.split(r"[^a-z0-9]+", r["text"].strip().lower()) if t]
+            if len(toks) < 3:
+                continue
+            grams = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+            sets.setdefault(r["split"], set()).update(grams)
+        queries()
+        rows = REGISTRY["docs_split_contamination"].fn(spark, sf_dir).collect()
+        for r in rows:
+            expect = len(sets[r["split_a"]] & sets[r["split_b"]])
+            assert r["n_shared"] == expect, (r, expect)
+            assert r["n_grams_a"] == len(sets[r["split_a"]])
+            assert r["n_grams_b"] == len(sets[r["split_b"]])
