@@ -2167,3 +2167,140 @@ def docs_split_contamination(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+@register(
+    "orders_tdigest_merge",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderpriority AS pri, o_orderkey % 4 AS shard,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    sh AS (
+      SELECT pri, shard, cents // {_TD_BUCKET} AS bucket,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(cents) AS HUGEINT) AS s,
+             min(cents) AS lo, max(cents) AS hi
+      FROM o GROUP BY pri, shard, bucket
+    ),
+    h AS (
+      SELECT pri, bucket,
+             CAST(sum(c) AS BIGINT) AS c,
+             CAST(sum(s) AS HUGEINT) AS s,
+             min(lo) AS lo, max(hi) AS hi,
+             CAST(count(*) AS BIGINT) AS n_shards
+      FROM sh GROUP BY pri, bucket
+    ),
+    w AS (
+      SELECT *,
+             sum(c) OVER (PARTITION BY pri ORDER BY bucket) AS cum,
+             sum(c) OVER (PARTITION BY pri) AS n
+      FROM h
+    ),
+    z AS (
+      SELECT *, CAST(2 * (cum - c) + c AS HUGEINT) AS m2,
+             CAST(2 * n AS HUGEINT) AS den
+      FROM w
+    ),
+    cz AS (
+      SELECT *, CAST(
+        (CAST({_TD_DELTA // 2} AS HUGEINT)
+          * ((m2 - den) * abs(m2 - den) + den * den)) // (den * den)
+        AS BIGINT) AS centroid
+      FROM z
+    )
+    SELECT pri AS o_orderpriority, centroid,
+           CAST(sum(c) AS BIGINT) AS weight,
+           CAST(max(n_shards) AS BIGINT) AS max_bucket_shards,
+           round(CAST(min(lo) AS DOUBLE) / 100, 2) AS lo_value,
+           round(CAST(max(hi) AS DOUBLE) / 100, 2) AS hi_value,
+           round(CAST(sum(s) AS DOUBLE) / CAST(sum(c) AS BIGINT) / 100, 6)
+             AS mean_value
+    FROM cz GROUP BY pri, centroid
+    ORDER BY o_orderpriority, centroid
+    """,
+    doc="t-digest MERGE — the quantile sibling of dedup_hll_merge / "
+    "text_cms_merge, with the honest mergeability statement: centroid "
+    "ids depend on GLOBAL ranks, so merging finished digests could "
+    "only be definitionally equal; what IS a mergeable sketch is the "
+    "digest's pass-1 state, the 64-KiB-bucket histogram (c, Σcents, "
+    "lo, hi per bucket — all combinable: sums, min, max over GLOBAL "
+    "bucket boundaries). This entry builds that state PER SHARD "
+    "(o_orderkey % 4 — the artifacts a 1000-executor tree would "
+    "emit), merges the four histograms AS DATA, re-runs the identical "
+    "integer-exact clustering on the merged state, and emits the "
+    "digest — which equals orders_tdigest_sketch's single-pass output "
+    "row-for-row (pinned in tests/test_round8_analytics.py; "
+    "max_bucket_shards documents that buckets genuinely straddle "
+    "shards, so the merge is not vacuous). Same DECIMAL/HUGEINT "
+    "arithmetic discipline as the single-pass entry.",
+)
+def orders_tdigest_merge(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_orderkey") % 4).alias("shard"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    sh = (
+        o.withColumn(
+            "bucket", F.expr(f"cents div {_TD_BUCKET}").cast("long")
+        )
+        .groupBy("pri", "shard", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.col("cents").cast("decimal(28,0)")).alias("s"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+    )
+    h = sh.groupBy("pri", "bucket").agg(
+        F.sum("c").cast("long").alias("c"),
+        F.sum("s").alias("s"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+    )
+    wc = (
+        Window.partitionBy("pri")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("pri")
+    z = (
+        h.withColumn("cum", F.sum("c").over(wc))
+        .withColumn("n", F.sum("c").over(wn))
+        .withColumn("m2", 2 * (F.col("cum") - F.col("c")) + F.col("c"))
+        .withColumn("den", (2 * F.col("n")).cast("decimal(15,0)"))
+        .withColumn(
+            "a", (F.col("m2") - 2 * F.col("n")).cast("decimal(15,0)")
+        )
+    )
+    num = F.lit(_TD_DELTA // 2).cast("decimal(2,0)") * (
+        F.col("a") * F.abs(F.col("a")) + F.col("den") * F.col("den")
+    )
+    cz = z.withColumn("num", num).withColumn(
+        "centroid", F.expr("num div (den * den)").cast("long")
+    )
+    return (
+        cz.groupBy("pri", "centroid")
+        .agg(
+            F.sum("c").cast("long").alias("weight"),
+            F.max("n_shards").cast("long").alias("max_bucket_shards"),
+            F.min("lo").alias("_lo"),
+            F.max("hi").alias("_hi"),
+            F.sum("s").alias("_s"),
+        )
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "centroid",
+            "weight",
+            "max_bucket_shards",
+            F.round(F.col("_lo").cast("double") / 100, 2).alias("lo_value"),
+            F.round(F.col("_hi").cast("double") / 100, 2).alias("hi_value"),
+            F.round(
+                F.col("_s").cast("double") / F.col("weight") / 100, 6
+            ).alias("mean_value"),
+        )
+        .orderBy("o_orderpriority", "centroid")
+    )

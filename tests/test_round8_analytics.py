@@ -111,3 +111,33 @@ class TestTDigestSketch:
         for pri, cs in _digest(spark, sf_dir).items():
             assert len(cs) <= 32, pri
             assert all(0 <= c["centroid"] <= 31 for c in cs), pri
+
+
+class TestTdigestMerge:
+    """orders_tdigest_merge: shard histograms merged as data, then
+    clustered, equal the single-pass digest — and the merge is not
+    vacuous (buckets straddle shards)."""
+
+    def test_merge_equals_single_pass(self, spark, sf_dir):
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        merged = REGISTRY["orders_tdigest_merge"].fn(spark, sf_dir).collect()
+        single = REGISTRY["orders_tdigest_sketch"].fn(spark, sf_dir).collect()
+        strip = lambda rows: [
+            (
+                r["o_orderpriority"],
+                r["centroid"],
+                r["weight"],
+                r["lo_value"],
+                r["hi_value"],
+                r["mean_value"],
+            )
+            for r in rows
+        ]
+        assert strip(merged) == strip(single)
+        # Non-vacuous: at least one histogram bucket received rows from
+        # multiple shards, so the merge really combined cross-shard
+        # state (all 4 collide at sf>=0.01; the sf0.001 fixture's 1.5k
+        # orders spread thinner).
+        assert max(r["max_bucket_shards"] for r in merged) >= 2
