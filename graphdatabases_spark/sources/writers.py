@@ -472,3 +472,114 @@ def compact_parquet(
         if name.startswith("part-"):
             written += 1
     return written
+
+
+ZORDER_POINTER = "_current"
+
+
+def _pointer_path(root: str) -> str:
+    import posixpath
+
+    return posixpath.join(root, ZORDER_POINTER)
+
+
+def write_zordered_versioned(
+    df: DataFrame,
+    root: str,
+    cols: list[str],
+    *,
+    num_files: int = 8,
+    bits: int = 16,
+) -> str:
+    """Create version ``v0`` of a VERSIONED z-ordered table: the layout
+    that supports atomic clustering EVOLUTION (``evolve_zordered``)
+    under concurrent readers. ``root`` holds immutable version
+    directories (``v0``, ``v1``, …) plus a one-line ``_current``
+    pointer file; ``read_zordered_current`` resolves the pointer then
+    scans only that version. Returns the created version name."""
+    import posixpath
+
+    write_zordered(
+        df, posixpath.join(root, "v0"), cols, num_files=num_files, bits=bits
+    )
+    _write_sidecar_text(df.sparkSession, _pointer_path(root), "v0")
+    return "v0"
+
+
+def evolve_zordered(
+    spark,
+    root: str,
+    cols: list[str],
+    *,
+    num_files: int = 8,
+    bits: int = 16,
+) -> str:
+    """Re-cluster a versioned z-ordered table onto NEW columns/bounds —
+    the full-rewrite path of the layout maintenance loop (the
+    incremental compactor handles same-layout batches; this handles
+    layout CHANGES: new clustering columns, new quantization bounds
+    after drift, new file budget).
+
+    The new version directory is written COMPLETELY (data + its own
+    ``_zorder_layout.json`` sidecar) before one atomic pointer rename
+    flips ``_current`` — a concurrent reader resolving the pointer
+    therefore sees entirely the old version or entirely the new one,
+    never a mix (pinned under a racing reader thread in
+    tests/test_sources.py). Old versions stay on disk for in-flight
+    readers; a retention sweep can drop them once no reader can hold
+    the old pointer (the Delta/Iceberg VACUUM analogue).
+
+    Returns the new version name.
+    """
+    import posixpath
+
+    current = _read_sidecar_text(spark, _pointer_path(root)).strip()
+    nxt = f"v{int(current[1:]) + 1}"
+    df = spark.read.parquet(posixpath.join(root, current))
+    write_zordered(
+        df, posixpath.join(root, nxt), cols, num_files=num_files, bits=bits
+    )
+    _write_sidecar_text(spark, _pointer_path(root), nxt)
+    return nxt
+
+
+def read_zordered_current(spark, root: str) -> DataFrame:
+    """Resolve ``_current`` and scan exactly that version directory."""
+    import posixpath
+
+    v = _read_sidecar_text(spark, _pointer_path(root)).strip()
+    return spark.read.parquet(posixpath.join(root, v))
+
+
+def _write_sidecar_text(spark, path: str, text: str) -> None:
+    """Atomic small-file publish: write ``path.tmp`` fully, then rename
+    over ``path`` — rename is atomic on POSIX and HDFS, so a reader
+    sees the old pointer or the new one, never a torn write."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(conf)
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    fs.rename(tmp, dst)
+
+
+def _read_sidecar_text(spark, path: str) -> str:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        raise FileNotFoundError(f"{path}: no version pointer — not a "
+                                "versioned z-ordered table")
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()

@@ -693,3 +693,86 @@ class TestIncrementalZorderCompaction:
             compact_zordered_incremental(spark, out, spark.range(1).select(
                 F.col("id").alias("x"), F.col("id").alias("y")
             ))
+
+
+class TestVersionedZorderEvolution:
+    """evolve_zordered: a layout change (new clustering columns/bounds)
+    publishes a complete new version behind one atomic pointer rename —
+    a racing reader sees entirely-old or entirely-new, never a mix."""
+
+    def test_evolution_preserves_content_and_changes_layout(
+        self, spark, tmp_path
+    ):
+        import json
+
+        from graphdatabases_spark.sources.writers import (
+            ZORDER_SIDECAR,
+            evolve_zordered,
+            read_zordered_current,
+            write_zordered_versioned,
+        )
+
+        n = 20_000
+        df = spark.range(n).select(
+            ((F.col("id") * 7919) % 1000).alias("x"),
+            ((F.col("id") * 104729) % 1000).alias("y"),
+            ((F.col("id") * 15485863) % 1000).alias("z"),
+            F.col("id").alias("v"),
+        )
+        root = str(tmp_path / "zv")
+        assert write_zordered_versioned(df, root, ["x", "y"], num_files=8) == "v0"
+        assert read_zordered_current(spark, root).count() == n
+        new = evolve_zordered(spark, root, ["y", "z"], num_files=8)
+        assert new == "v1"
+        back = read_zordered_current(spark, root)
+        assert back.count() == n
+        assert back.agg(F.sum("v")).collect()[0][0] == n * (n - 1) // 2
+        # The new version carries its OWN clustering metadata.
+        lay = json.loads(open(f"{root}/v1/{ZORDER_SIDECAR}").read())
+        assert lay["cols"] == ["y", "z"]
+        # The old version stays for in-flight readers.
+        assert spark.read.parquet(f"{root}/v0").count() == n
+
+    def test_racing_reader_never_sees_a_torn_version(self, spark, tmp_path):
+        import threading
+
+        from graphdatabases_spark.sources.writers import (
+            evolve_zordered,
+            read_zordered_current,
+            write_zordered_versioned,
+        )
+
+        n = 5_000
+        df = spark.range(n).select(
+            ((F.col("id") * 7919) % 500).alias("x"),
+            ((F.col("id") * 104729) % 500).alias("y"),
+            ((F.col("id") * 15485863) % 500).alias("z"),
+            F.col("id").alias("v"),
+        )
+        root = str(tmp_path / "zr")
+        write_zordered_versioned(df, root, ["x", "y"], num_files=4)
+        expect = n * (n - 1) // 2
+        errors: list = []
+        stop = threading.Event()
+
+        def reader():
+            while not stop.is_set():
+                try:
+                    got = read_zordered_current(spark, root)
+                    cnt = got.count()
+                    s = got.agg(F.sum("v")).collect()[0][0]
+                    if cnt != n or s != expect:
+                        errors.append((cnt, s))
+                except Exception as e:  # a torn swap would surface here
+                    errors.append(repr(e))
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        try:
+            for cols in (["y", "z"], ["x", "z"], ["x", "y"]):
+                evolve_zordered(spark, root, cols, num_files=4)
+        finally:
+            stop.set()
+            t.join(timeout=60)
+        assert not errors, errors[:3]
+        assert read_zordered_current(spark, root).count() == n
