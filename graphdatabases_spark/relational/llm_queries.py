@@ -1418,3 +1418,105 @@ def similarity_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+_LSH_RECALL_PLANES = (4, 6, 8)
+
+
+def _lsh_recall_ann_sql(np: int) -> str:
+    return f"""
+      SELECT {np} AS nplanes, query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_inner_product(q.e, c.e)
+                                / (sqrt(list_inner_product(q.e, q.e))
+                                   * sqrt(list_inner_product(c.e, c.e))), 6)
+                          DESC, c.vec_id
+               ) AS rank
+        FROM b{np} q JOIN b{np} c
+          ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_RECALL_NQ}
+      ) WHERE rank <= {_RECALL_K}"""
+
+
+@register(
+    "similarity_lsh_recall",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    {",".join(
+      f"b{np} AS (SELECT vec_id, e, {_lsh_bucket_sql(np)} AS bucket FROM v)"
+      for np in _LSH_RECALL_PLANES
+    )},
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_inner_product(q.e, c.e)
+                                / (sqrt(list_inner_product(q.e, q.e))
+                                   * sqrt(list_inner_product(c.e, c.e))), 6)
+                          DESC, c.vec_id
+               ) AS rank
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_RECALL_NQ}
+      ) WHERE rank <= {_RECALL_K}
+    ),
+    ann AS ({" UNION ALL ".join(_lsh_recall_ann_sql(np) for np in _LSH_RECALL_PLANES)}
+    )
+    SELECT CAST(nplanes AS BIGINT) AS nplanes,
+           CAST({_RECALL_NQ} AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_results,
+           CAST(count(b.query_id) AS BIGINT) AS n_hits,
+           round(CAST(count(b.query_id) AS DOUBLE)
+                 / {_RECALL_NQ * _RECALL_K}, 6) AS recall_at_k
+    FROM ann a LEFT JOIN brute b
+      ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+    GROUP BY nplanes ORDER BY nplanes
+    """,
+    doc=f"SRP-LSH operating curve — similarity_ivf_recall's sibling for "
+    "the hyperplane path: recall@5 at num_planes ∈ "
+    f"{{{', '.join(str(p) for p in _LSH_RECALL_PLANES)}}} over the "
+    f"same {_RECALL_NQ}-query batch vs the exact brute-force top-"
+    f"{_RECALL_K}. Fewer planes → coarser buckets → more candidates → "
+    "higher recall at higher cost; the curve is what an LSH deployment "
+    "tunes instead of nprobe. The md5-derived plane signs are shared "
+    "module constants, so the oracle rebuilds identical buckets in "
+    "SQL and the whole curve value-hash-matches. Recall is an "
+    "exact-integer hit count divided once. Scale: each plane count is "
+    "one bucket equi-join (never all-pairs); brute force is the "
+    "bounded-batch calibration anchor.",
+)
+def similarity_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < _RECALL_NQ)
+    brute = S.cosine_topk(q, emb, k=_RECALL_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    ann = None
+    for np_ in _LSH_RECALL_PLANES:
+        part = S.ann_cosine_topk(
+            q, emb, k=_RECALL_K, num_planes=np_
+        ).select(
+            F.lit(np_).cast("long").alias("nplanes"),
+            "query_id",
+            "neighbor_id",
+        )
+        ann = part if ann is None else ann.unionByName(part)
+    return (
+        ann.join(brute, ["query_id", "neighbor_id"], "left")
+        .groupBy("nplanes")
+        .agg(
+            F.lit(_RECALL_NQ).cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_results"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                / F.lit(_RECALL_NQ * _RECALL_K),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nplanes")
+    )

@@ -264,6 +264,7 @@ class TestUniversalGates:
         "events_hourly_anomaly",      # 1-row global mean/std scalar
         "similarity_ann_ivf",         # k=8 seed/centroid frames
         "similarity_ivf_recall",      # same k=8 frames + bounded query batch
+        "similarity_lsh_recall",      # bounded query batch brute anchor
         "orders_rfm_segments",        # 1-row quantile-boundary scalars
         "copurchase_lift",            # 1-row total-orders scalar
         "embedding_norm_outliers",    # 1-row decimal-moment scalars
