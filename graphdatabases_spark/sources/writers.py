@@ -583,3 +583,42 @@ def _read_sidecar_text(spark, path: str) -> str:
         return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
+
+
+def vacuum_zordered(spark, root: str, *, keep: int = 2) -> list[str]:
+    """Retention sweep for a VERSIONED z-ordered table: drop all but
+    the newest ``keep`` version directories — the VACUUM analogue that
+    bounds storage under continuous ``evolve_zordered`` churn.
+
+    The pointer's CURRENT version is never dropped regardless of
+    ``keep`` (clamped to >= 1), and versions newer than the pointer
+    (a concurrent evolution mid-publish) are also retained — the sweep
+    only removes versions strictly older than the retention window, so
+    a reader that resolved the pointer before the sweep can still be
+    scanning at most ``keep - 1`` versions back. The caller chooses
+    ``keep`` to cover its longest in-flight read (the same grace
+    contract Delta's VACUUM retention hours express).
+
+    Returns the removed version names (sorted).
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    rootp = jvm.org.apache.hadoop.fs.Path(root)
+    fs = rootp.getFileSystem(conf)
+    current = _read_sidecar_text(spark, _pointer_path(root)).strip()
+    cur_n = int(current[1:])
+    keep = max(1, keep)
+    versions = sorted(
+        int(st.getPath().getName()[1:])
+        for st in fs.listStatus(rootp)
+        if st.isDirectory() and st.getPath().getName().startswith("v")
+    )
+    cutoff = cur_n - keep + 1
+    removed = []
+    for v in versions:
+        if v < cutoff and v != cur_n:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{root}/v{v}"), True
+            )
+            removed.append(f"v{v}")
+    return removed

@@ -776,3 +776,37 @@ class TestVersionedZorderEvolution:
             t.join(timeout=60)
         assert not errors, errors[:3]
         assert read_zordered_current(spark, root).count() == n
+
+    def test_vacuum_drops_only_expired_versions(self, spark, tmp_path):
+        from graphdatabases_spark.sources.writers import (
+            evolve_zordered,
+            read_zordered_current,
+            vacuum_zordered,
+            write_zordered_versioned,
+        )
+
+        n = 2_000
+        df = spark.range(n).select(
+            ((F.col("id") * 7) % 100).alias("x"),
+            ((F.col("id") * 13) % 100).alias("y"),
+            ((F.col("id") * 31) % 100).alias("z"),
+            F.col("id").alias("v"),
+        )
+        root = str(tmp_path / "zvac")
+        write_zordered_versioned(df, root, ["x", "y"], num_files=4)
+        for cols in (["y", "z"], ["x", "z"], ["x", "y"]):
+            evolve_zordered(spark, root, cols, num_files=4)
+        import os
+
+        assert sorted(
+            d for d in os.listdir(root) if d.startswith("v")
+        ) == ["v0", "v1", "v2", "v3"]
+        removed = vacuum_zordered(spark, root, keep=2)
+        assert removed == ["v0", "v1"]
+        assert sorted(
+            d for d in os.listdir(root) if d.startswith("v")
+        ) == ["v2", "v3"]
+        assert read_zordered_current(spark, root).count() == n
+        # keep=0 clamps: the current version always survives.
+        assert vacuum_zordered(spark, root, keep=0) == ["v2"]
+        assert read_zordered_current(spark, root).count() == n
