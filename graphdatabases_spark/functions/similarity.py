@@ -628,3 +628,80 @@ def ivf_ann_topk(
     """
     index = ivf_build(corpus, num_clusters, lloyd_iters, id_col, vec_col)
     return ivf_query(index, queries, k, nprobe, id_col, vec_col)
+
+
+def ivf_write(index: tuple[DataFrame, DataFrame], path: str) -> None:
+    """Persist an IVF index (from ``ivf_build``): the cluster-assigned
+    corpus lands PARTITIONED BY ``cid`` — one directory per inverted
+    list — plus the k-row centroid table. This is the serving layout
+    the build/query split exists for at 100 TB: the one-time cluster
+    shuffle is paid at write; every later query batch reads only its
+    probed cells' directories (``ivf_query_disk``), a partition-pruned
+    scan of nprobe/k of the corpus."""
+    cents, c_idx = index
+    c_idx.write.partitionBy("cid").mode("overwrite").parquet(
+        f"{path}/corpus"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Reopen a persisted IVF index in ``ivf_query``'s expected shape."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    c_idx = spark.read.parquet(f"{path}/corpus")
+    return cents, c_idx
+
+
+def ivf_query_disk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a PERSISTED IVF index reading only the probed cells.
+
+    The query batch's probe set is resolved first (nprobe centroid ids
+    per query — a tiny collect over the broadcast centroid table), and
+    the corpus scan is then filtered with a STATIC ``cid IN (...)``
+    predicate, which partition-prunes the ``cid=`` directories at plan
+    time — the scan's input files are exactly the probed inverted
+    lists, never the whole corpus (pinned via ``inputFiles()`` in
+    tests/test_llm_ops.py). Results are identical to the in-memory
+    ``ivf_query`` over the same index.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), "_vec", "_norm"
+    )
+    q_probe = _nearest_centroids(q, cents, nprobe=nprobe, id_name="query_id").select(
+        "cid",
+        "query_id",
+        F.col("_vec").alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    cells = sorted(
+        r["cid"] for r in q_probe.select("cid").distinct().collect()
+    )
+    c_idx = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("cid").isin(cells)
+    )
+    from pyspark.sql.window import Window
+
+    cos = F.round(
+        _dot(F.col("q_vec"), F.col("c_vec2")) / (F.col("q_norm") * F.col("c_norm2")),
+        6,
+    )
+    scored = (
+        c_idx.join(F.broadcast(q_probe), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -303,3 +303,74 @@ class TestIvfRecallCurve:
             prev = r["recall_at_k"]
         # Probing half the 8 cells must do clearly better than chance.
         assert rows[4]["recall_at_k"] >= 0.5
+
+
+class TestIvfPersistence:
+    """ivf_write / ivf_load / ivf_query_disk: the serving split — probe
+    a persisted index reading ONLY the probed cells' partitions."""
+
+    def test_disk_probe_equals_memory_and_prunes_partitions(
+        self, spark, sf_dir, tmp_path
+    ):
+        from graphdatabases_spark.functions.similarity import (
+            ivf_build,
+            ivf_load,
+            ivf_query,
+            ivf_query_disk,
+            ivf_write,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5)
+        index = ivf_build(emb, num_clusters=8, lloyd_iters=1)
+        path = str(tmp_path / "ivf")
+        ivf_write(index, path)
+
+        mem = sorted(
+            tuple(r) for r in ivf_query(index, q, k=3, nprobe=2).collect()
+        )
+        loaded = sorted(
+            tuple(r)
+            for r in ivf_query(ivf_load(spark, path), q, k=3, nprobe=2)
+            .select("query_id", "neighbor_id", "cos", "rank")
+            .collect()
+        )
+        disk_df = ivf_query_disk(spark, path, q, k=3, nprobe=2)
+        disk = sorted(tuple(r) for r in disk_df.collect())
+        mem_rows = [
+            (r[0], r[1], r[2], r[3])
+            for r in mem
+        ]
+        assert loaded == disk == sorted(mem_rows)
+
+        # Partition pruning: with 5 queries x nprobe=2 over 8 cells, at
+        # least one cell is unprobed, and the scan's input files must
+        # come ONLY from probed cid= directories.
+        cents = ivf_load(spark, path)[0]
+        from graphdatabases_spark.functions.similarity import (
+            _nearest_centroids,
+            with_norm,
+        )
+
+        qn = with_norm(q, "embedding").select(
+            F.col("vec_id").alias("query_id"), "_vec", "_norm"
+        )
+        probed = {
+            r["cid"]
+            for r in _nearest_centroids(qn, cents, 2, "query_id")
+            .select("cid")
+            .distinct()
+            .collect()
+        }
+        assert len(probed) < 8, "fixture probes every cell; widen clusters"
+        # inputFiles() lists the relation's files BEFORE pruning; the
+        # plan's PartitionFilters show what the scan actually reads.
+        plan = disk_df._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "cid" in pf, plan
+        import re as _re
+
+        m = _re.search(r"IN \(([^)]*)\)", pf)
+        assert m, pf
+        plan_cids = {int(x) for x in m.group(1).split(",")}
+        assert plan_cids == probed, (plan_cids, probed)
