@@ -2294,3 +2294,157 @@ def docs_split_manifest(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(100.0) * F.col("n_docs") / F.sum("n_docs").over(w), 6
         ).alias("pct"),
     ).orderBy("source", "lang", "split")
+
+
+@register(
+    "docs_split_rebalance",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang, len({_TOKS}) AS n_toks
+      FROM documents
+      WHERE ('0x' || substr(md5('splt' || doc_id), 1, 12))::BIGINT % 10 < 8
+    ),
+    s AS (
+      SELECT source, lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS stratum_toks
+      FROM t GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT (sum(stratum_toks) * 3) // 5 AS budget,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s
+    ),
+    r AS (
+      SELECT s.*, tot.budget, tot.n,
+        row_number() OVER (ORDER BY stratum_toks, source, lang) AS idx,
+        sum(stratum_toks) OVER (ORDER BY stratum_toks, source, lang
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      FROM s, tot
+    ),
+    kk AS (
+      SELECT
+        coalesce(max(CASE WHEN pre + (n - idx) * stratum_toks <= budget
+                          THEN idx END), 0) AS k,
+        coalesce(max(CASE WHEN pre + (n - idx) * stratum_toks <= budget
+                          THEN pre END), 0) AS pk
+      FROM r
+    ),
+    q AS (
+      SELECT r.*, kk.k,
+        CASE WHEN r.n > kk.k
+             THEN (r.budget - kk.pk) // (r.n - kk.k) ELSE 0 END AS cap,
+        CASE WHEN r.n > kk.k
+             THEN (r.budget - kk.pk) % (r.n - kk.k) ELSE 0 END AS rem
+      FROM r, kk
+    )
+    SELECT source, lang, n_docs, stratum_toks,
+      CAST(CASE WHEN idx <= k THEN stratum_toks
+           ELSE cap + CASE WHEN idx - k <= rem THEN 1 ELSE 0 END
+           END AS BIGINT) AS quota_toks,
+      CAST(CASE WHEN idx <= k THEN 0 ELSE 1 END AS BIGINT) AS capped,
+      round(CAST(CASE WHEN idx <= k THEN stratum_toks
+            ELSE cap + CASE WHEN idx - k <= rem THEN 1 ELSE 0 END
+            END AS DOUBLE) / greatest(stratum_toks, 1), 6) AS fill_frac
+    FROM q ORDER BY source, lang
+    """,
+    doc="Per-stratum QUOTA REBALANCING over the split manifest (the "
+    "staged round-8 candidate): a global token budget — 60%% of the "
+    "train split's tokens, exact integer floor — is distributed "
+    "across (source, lang) strata by WATER-FILLING: every stratum "
+    "smaller than the water level keeps all its tokens, every larger "
+    "stratum is capped at the level, and the level is the unique "
+    "integer cap where the allocation exactly exhausts the budget "
+    "(the division remainder goes one token each to the first "
+    "remainder-many capped strata in deterministic order, so "
+    "sum(quota_toks) == budget EXACTLY — pinned as an invariant). "
+    "The closed form avoids iteration: with strata sorted ascending "
+    "by size, the cut k is the largest index whose prefix sum plus "
+    "(n-k) copies of its own size fits the budget; the cap is then "
+    "one exact integer division. Scale shape: the only per-document "
+    "work is one filtered scan + one keyed agg; the water-filling "
+    "windows and both 1-row scalar joins run on the STRATA relation, "
+    "bounded by |sources| x |langs| regardless of corpus size "
+    "(allowlisted in _GLOBAL_WINDOW_OK / _BNLJ_OK on that bound). "
+    "Reuses docs_split_manifest's salt-'splt' pure-function split, so "
+    "quota composes with the manifest without a second assignment.",
+)
+def docs_split_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    b = (
+        T.portable_hash64(
+            F.concat(F.lit("splt"), F.col("doc_id").cast("string"))
+        )
+        % 10
+    )
+    t = (
+        table(spark, sf, "documents")
+        .filter(b < 8)
+        .select(
+            "source", "lang", F.size(T.tokens(F.col("text"))).alias("n_toks")
+        )
+    )
+    s = t.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("stratum_toks"),
+    )
+    tot = s.agg(
+        F.expr("(sum(stratum_toks) * 3) div 5").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ww = Window.orderBy("stratum_toks", "source", "lang")
+    r = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn("idx", F.row_number().over(ww).cast("long"))
+        .withColumn(
+            "pre",
+            F.sum("stratum_toks")
+            .over(ww.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+    )
+    fits = F.col("pre") + (F.col("n") - F.col("idx")) * F.col(
+        "stratum_toks"
+    ) <= F.col("budget")
+    kk = r.agg(
+        F.coalesce(F.max(F.when(fits, F.col("idx"))), F.lit(0).cast("long"))
+        .alias("k"),
+        F.coalesce(F.max(F.when(fits, F.col("pre"))), F.lit(0).cast("long"))
+        .alias("pk"),
+    )
+    q = (
+        r.crossJoin(F.broadcast(kk))
+        .withColumn(
+            "cap",
+            F.when(
+                F.col("n") > F.col("k"),
+                F.expr("(budget - pk) div (n - k)"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "rem",
+            F.when(
+                F.col("n") > F.col("k"), (F.col("budget") - F.col("pk")) % (F.col("n") - F.col("k"))
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    quota = F.when(F.col("idx") <= F.col("k"), F.col("stratum_toks")).otherwise(
+        F.col("cap")
+        + F.when(F.col("idx") - F.col("k") <= F.col("rem"), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    )
+    return q.select(
+        "source",
+        "lang",
+        "n_docs",
+        "stratum_toks",
+        quota.cast("long").alias("quota_toks"),
+        F.when(F.col("idx") <= F.col("k"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("capped"),
+        F.round(
+            quota.cast("double") / F.greatest(F.col("stratum_toks"), F.lit(1)),
+            6,
+        ).alias("fill_frac"),
+    ).orderBy("source", "lang")

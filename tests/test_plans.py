@@ -246,6 +246,9 @@ class TestUniversalGates:
         "similarity_ann_ivf",
         "similarity_ivf_recall",  # same 8-row seed numbering as ann_ivf
         "docs_bm25_topk",
+        # water-filling windows run on the STRATA relation, bounded by
+        # |sources| x |langs| regardless of corpus size
+        "docs_split_rebalance",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
@@ -279,6 +282,7 @@ class TestUniversalGates:
         "docs_mixture_grid",          # 1-row global sqrt-sum normalizer
         "dedup_embedding_neardup",    # 1-row SRP plane-matrix relation
         "docs_stream_dedup_bounded",  # 1-row re-admission count scalar
+        "docs_split_rebalance",       # 1-row budget + 1-row cut scalars
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):

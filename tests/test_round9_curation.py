@@ -152,3 +152,46 @@ class TestSplitContamination:
             assert r["n_shared"] == expect, (r, expect)
             assert r["n_grams_a"] == len(sets[r["split_a"]])
             assert r["n_grams_b"] == len(sets[r["split_b"]])
+
+
+class TestSplitRebalance:
+    """Water-filling quota invariants for ``docs_split_rebalance``."""
+
+    def _frame(self, spark, sf_dir):
+        return queries()["docs_split_rebalance"](spark, sf_dir).collect()
+
+    def test_budget_exhausted_exactly(self, spark, sf_dir):
+        """sum(quota) == floor(0.6 * train tokens) EXACTLY whenever at
+        least one stratum is capped (the remainder distribution closes
+        the integer-division gap); if nothing is capped the whole train
+        corpus fit inside the budget."""
+        rows = self._frame(spark, sf_dir)
+        total = sum(r.stratum_toks for r in rows)
+        budget = (total * 3) // 5
+        alloc = sum(r.quota_toks for r in rows)
+        if any(r.capped for r in rows):
+            assert alloc == budget
+        else:
+            assert alloc == total <= budget
+
+    def test_quota_never_exceeds_stratum(self, spark, sf_dir):
+        for r in self._frame(spark, sf_dir):
+            assert 0 <= r.quota_toks <= r.stratum_toks
+            assert (r.capped == 0) == (r.quota_toks == r.stratum_toks) or (
+                # a capped stratum may coincidentally equal the level
+                r.capped == 1 and r.quota_toks <= r.stratum_toks
+            )
+
+    def test_water_level_is_flat(self, spark, sf_dir):
+        """All capped strata sit within one token of a single level,
+        and every uncapped stratum is no larger than that level — the
+        defining property of water-filling."""
+        rows = self._frame(spark, sf_dir)
+        capped = [r.quota_toks for r in rows if r.capped]
+        if not capped:
+            return
+        lo, hi = min(capped), max(capped)
+        assert hi - lo <= 1
+        for r in rows:
+            if not r.capped:
+                assert r.stratum_toks <= hi
