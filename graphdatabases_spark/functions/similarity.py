@@ -705,3 +705,26 @@ def ivf_query_disk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def quantize_symmetric(vec, bits: int):
+    """Per-vector symmetric scalar quantization of a double array to
+    signed ``bits``-bit integer levels (returned as doubles so the
+    downstream dot-product fold stays on the shared exact-in-double
+    integer path).
+
+    ``q_i = floor(x_i * (2^(bits-1) - 1) / max|x|)`` — floor, not
+    round, because floor is bit-identical across engines while
+    round-half ties are not. The per-vector max-abs scale needs no
+    corpus pass, so quantization is a pure per-row fold: at 100 TB the
+    int8 corpus is built in the same single scan that wrote it, at
+    bits/32 of the fp32 footprint (the memory-bandwidth lever that
+    makes brute-force re-ranking affordable).
+    """
+    levels = float((1 << (bits - 1)) - 1)
+    vmax = F.greatest(
+        F.array_max(F.transform(vec, F.abs)), F.lit(1e-30)
+    )
+    return F.transform(
+        vec, lambda x: F.floor(x * F.lit(levels) / vmax).cast("double")
+    )

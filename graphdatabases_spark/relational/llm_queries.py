@@ -1520,3 +1520,214 @@ def similarity_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("nplanes")
     )
+
+
+_QUANT_BITS = (4, 6, 8)
+
+
+def _quant_sql(bits: int) -> str:
+    lv = float((1 << (bits - 1)) - 1)
+    return f"list_transform(e, x -> floor(x * {lv} / vmax))"
+
+
+def _qcos_sql(col: str) -> str:
+    return (
+        f"round(list_inner_product(q.{col}, c.{col}) / "
+        f"greatest(sqrt(list_inner_product(q.{col}, q.{col})) * "
+        f"sqrt(list_inner_product(c.{col}, c.{col})), 1e-30), 6)"
+    )
+
+
+@register(
+    "similarity_quantized_recall",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+        greatest(list_max(list_transform(embedding::DOUBLE[],
+                                         x -> abs(x))), 1e-30) AS vmax
+      FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id, e,
+        {", ".join(f"{_quant_sql(b)} AS e{b}" for b in _QUANT_BITS)}
+      FROM v
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        round(list_inner_product(q.e, c.e)
+              / (sqrt(list_inner_product(q.e, q.e))
+                 * sqrt(list_inner_product(c.e, c.e))), 6) AS fp_cos,
+        {", ".join(f"{_qcos_sql(f'e{b}')} AS qc{b}" for b in _QUANT_BITS)}
+      FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_RECALL_NQ}
+    ),
+    br AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY fp_cos DESC, neighbor_id
+      ) AS brank
+      FROM scored
+    ),
+    stacked AS (
+      {" UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, brank, {b} AS bits, "
+        f"qc{b} AS qcos, fp_cos FROM br"
+        for b in _QUANT_BITS
+      )}
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY bits, query_id ORDER BY qcos DESC, neighbor_id
+      ) AS qrank
+      FROM stacked
+    )
+    SELECT CAST(bits AS BIGINT) AS bits,
+      CAST({_RECALL_NQ} AS BIGINT) AS n_queries,
+      CAST(sum(CASE WHEN qrank <= {_RECALL_K} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_results,
+      CAST(sum(CASE WHEN qrank <= {_RECALL_K} AND brank <= {_RECALL_K}
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      round(CAST(sum(CASE WHEN qrank <= {_RECALL_K}
+                     AND brank <= {_RECALL_K} THEN 1 ELSE 0 END)
+                 AS DOUBLE) / {_RECALL_NQ * _RECALL_K}, 6) AS recall_at_k,
+      round(CAST(sum(CAST(round(abs(fp_cos - qcos), 6)
+                          AS DECIMAL(18,6))) AS DOUBLE)
+            / count(*), 6) AS mean_abs_err,
+      round(bits / 32.0, 6) AS bytes_ratio
+    FROM rk GROUP BY bits ORDER BY bits
+    """,
+    doc=f"Scalar-quantization operating curve — the third sibling of "
+    "the IVF-nprobe and SRP-plane recall curves, for the memory- "
+    f"bandwidth axis: recall@{_RECALL_K} and mean |cos error| of "
+    f"signed {{{', '.join(str(b) for b in _QUANT_BITS)}}}-bit "
+    "per-vector symmetric quantization (floor, not round — floor is "
+    "bit-identical across engines) against the exact fp top-"
+    f"{_RECALL_K} over the same {_RECALL_NQ}-query batch. Quantized "
+    "dot products are integers exactly representable in double, so "
+    "the whole curve value-hash-matches; the mean error sums "
+    "DECIMAL(18,6) terms (order-invariant) and divides once. ONE "
+    "scan scores fp + all bit-widths per pair (the per-bits relation "
+    "is an explode, not a re-join), one partitioned window ranks "
+    "each. Scale: quantization itself is a pure per-row fold — at "
+    "100 TB the int8 corpus is bits/32 of the fp32 bytes, which is "
+    "what makes brute re-ranking after a coarse ANN stage affordable; "
+    "the brute pass here is the bounded-batch calibration anchor.",
+)
+def similarity_quantized_recall(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    v = S.with_norm(table(spark, sf, "embeddings"))
+    qz = v.select(
+        "vec_id",
+        "_vec",
+        "_norm",
+        *[
+            S.quantize_symmetric(F.col("_vec"), b).alias(f"e{b}")
+            for b in _QUANT_BITS
+        ],
+    )
+
+    def side(prefix):
+        return qz.select(
+            F.col("vec_id").alias(f"{prefix}_id"),
+            F.col("_vec").alias(f"{prefix}v"),
+            F.col("_norm").alias(f"{prefix}n"),
+            *[F.col(f"e{b}").alias(f"{prefix}e{b}") for b in _QUANT_BITS],
+        )
+
+    q = side("q").filter(F.col("q_id") < _RECALL_NQ)
+    c = side("c")
+
+    def qcos(b):
+        dot = S._dot(F.col(f"qe{b}"), F.col(f"ce{b}"))
+        na = F.sqrt(S._dot(F.col(f"qe{b}"), F.col(f"qe{b}")))
+        nb = F.sqrt(S._dot(F.col(f"ce{b}"), F.col(f"ce{b}")))
+        return F.round(dot / F.greatest(na * nb, F.lit(1e-30)), 6)
+
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round(
+                S._dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("fp_cos"),
+            *[qcos(b).alias(f"qc{b}") for b in _QUANT_BITS],
+        )
+    )
+    br = scored.withColumn(
+        "brank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("fp_cos").desc(), "neighbor_id"
+            )
+        ),
+    )
+    stacked = br.select(
+        "query_id",
+        "neighbor_id",
+        "brank",
+        "fp_cos",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("bits"),
+                        F.col(f"qc{b}").alias("qcos"),
+                    )
+                    for b in _QUANT_BITS
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "brank",
+        "fp_cos",
+        F.col("s.bits").alias("bits"),
+        F.col("s.qcos").alias("qcos"),
+    )
+    rk = stacked.withColumn(
+        "qrank",
+        F.row_number().over(
+            Window.partitionBy("bits", "query_id").orderBy(
+                F.col("qcos").desc(), "neighbor_id"
+            )
+        ),
+    )
+    in_k = F.col("qrank") <= _RECALL_K
+    hit = in_k & (F.col("brank") <= _RECALL_K)
+    return (
+        rk.groupBy("bits")
+        .agg(
+            F.lit(_RECALL_NQ).cast("long").alias("n_queries"),
+            F.sum(F.when(in_k, 1).otherwise(0)).cast("long").alias("n_results"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.when(hit, 1).otherwise(0)).cast("double")
+                / F.lit(_RECALL_NQ * _RECALL_K),
+                6,
+            ).alias("recall_at_k"),
+            F.round(
+                F.sum(
+                    F.round(F.abs(F.col("fp_cos") - F.col("qcos")), 6).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_abs_err"),
+        )
+        .select(
+            "bits",
+            "n_queries",
+            "n_results",
+            "n_hits",
+            "recall_at_k",
+            "mean_abs_err",
+            F.round(F.col("bits") / 32.0, 6).alias("bytes_ratio"),
+        )
+        .orderBy("bits")
+    )

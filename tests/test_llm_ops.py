@@ -374,3 +374,38 @@ class TestIvfPersistence:
         assert m, pf
         plan_cids = {int(x) for x in m.group(1).split(",")}
         assert plan_cids == probed, (plan_cids, probed)
+
+
+class TestQuantizedRecallCurve:
+    """similarity_quantized_recall: curve shape (values are separately
+    hash-matched against the DuckDB oracle at four scale factors)."""
+
+    def test_error_shrinks_and_recall_holds_as_bits_grow(self, spark, sf_dir):
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = {
+            r["bits"]: r
+            for r in REGISTRY["similarity_quantized_recall"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        assert sorted(rows) == [4, 6, 8]
+        k, nq = 5, 20
+        for b in (4, 6, 8):
+            r = rows[b]
+            assert r["n_queries"] == nq
+            assert r["n_results"] == k * nq
+            assert 0 <= r["n_hits"] <= r["n_results"]
+            assert abs(r["bytes_ratio"] - b / 32.0) < 1e-9
+        # Finer grids approximate every coordinate at least as well;
+        # the aggregate |cos error| must drop as bits grow.
+        assert (
+            rows[4]["mean_abs_err"]
+            > rows[6]["mean_abs_err"]
+            > rows[8]["mean_abs_err"]
+        )
+        # 8-bit quantization is the production operating point: it must
+        # recover nearly all fp neighbors, and clearly beat 4-bit.
+        assert rows[8]["recall_at_k"] >= 0.9
+        assert rows[8]["recall_at_k"] >= rows[4]["recall_at_k"]
