@@ -2296,10 +2296,20 @@ def docs_split_manifest(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("source", "lang", "split")
 
 
-@register(
-    "docs_split_rebalance",
-    oracle=f"""
-    WITH t AS (
+# ---------------------------------------------------------------------------
+# Water-filling quota rebalancing (shared by docs_split_rebalance and
+# docs_rebalance_select).  The CTE chain and the DataFrame builder are
+# the SAME logic kept side by side: a global token budget (60% of the
+# train split, exact integer floor) is distributed across (source,
+# lang) strata; with strata sorted ascending by size, the cut k is the
+# largest index whose prefix sum plus (n-k) copies of its own size
+# fits the budget, the integer cap is one exact division, and the
+# division remainder goes one token each to the first remainder-many
+# capped strata in deterministic order — so sum(quota) == budget
+# EXACTLY whenever anything is capped.
+# ---------------------------------------------------------------------------
+
+_WATERFILL_CTES = f"""t AS (
       SELECT source, lang, len({_TOKS}) AS n_toks
       FROM documents
       WHERE ('0x' || substr(md5('splt' || doc_id), 1, 12))::BIGINT % 10 < 8
@@ -2330,46 +2340,32 @@ def docs_split_manifest(spark: SparkSession, sf: str) -> DataFrame:
                           THEN pre END), 0) AS pk
       FROM r
     ),
-    q AS (
+    wq AS (
       SELECT r.*, kk.k,
-        CASE WHEN r.n > kk.k
-             THEN (r.budget - kk.pk) // (r.n - kk.k) ELSE 0 END AS cap,
-        CASE WHEN r.n > kk.k
-             THEN (r.budget - kk.pk) % (r.n - kk.k) ELSE 0 END AS rem
+        CAST(CASE WHEN idx <= kk.k THEN stratum_toks
+             ELSE (CASE WHEN r.n > kk.k
+                        THEN (r.budget - kk.pk) // (r.n - kk.k)
+                        ELSE 0 END)
+                  + (CASE WHEN idx - kk.k <=
+                          (CASE WHEN r.n > kk.k
+                                THEN (r.budget - kk.pk) % (r.n - kk.k)
+                                ELSE 0 END)
+                          THEN 1 ELSE 0 END)
+             END AS BIGINT) AS quota_toks
       FROM r, kk
-    )
-    SELECT source, lang, n_docs, stratum_toks,
-      CAST(CASE WHEN idx <= k THEN stratum_toks
-           ELSE cap + CASE WHEN idx - k <= rem THEN 1 ELSE 0 END
-           END AS BIGINT) AS quota_toks,
-      CAST(CASE WHEN idx <= k THEN 0 ELSE 1 END AS BIGINT) AS capped,
-      round(CAST(CASE WHEN idx <= k THEN stratum_toks
-            ELSE cap + CASE WHEN idx - k <= rem THEN 1 ELSE 0 END
-            END AS DOUBLE) / greatest(stratum_toks, 1), 6) AS fill_frac
-    FROM q ORDER BY source, lang
-    """,
-    doc="Per-stratum QUOTA REBALANCING over the split manifest (the "
-    "staged round-8 candidate): a global token budget — 60%% of the "
-    "train split's tokens, exact integer floor — is distributed "
-    "across (source, lang) strata by WATER-FILLING: every stratum "
-    "smaller than the water level keeps all its tokens, every larger "
-    "stratum is capped at the level, and the level is the unique "
-    "integer cap where the allocation exactly exhausts the budget "
-    "(the division remainder goes one token each to the first "
-    "remainder-many capped strata in deterministic order, so "
-    "sum(quota_toks) == budget EXACTLY — pinned as an invariant). "
-    "The closed form avoids iteration: with strata sorted ascending "
-    "by size, the cut k is the largest index whose prefix sum plus "
-    "(n-k) copies of its own size fits the budget; the cap is then "
-    "one exact integer division. Scale shape: the only per-document "
-    "work is one filtered scan + one keyed agg; the water-filling "
-    "windows and both 1-row scalar joins run on the STRATA relation, "
-    "bounded by |sources| x |langs| regardless of corpus size "
-    "(allowlisted in _GLOBAL_WINDOW_OK / _BNLJ_OK on that bound). "
-    "Reuses docs_split_manifest's salt-'splt' pure-function split, so "
-    "quota composes with the manifest without a second assignment.",
-)
-def docs_split_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    )"""
+
+
+def _waterfill_quotas(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum water-filling quotas as a DataFrame (the exact
+    DataFrame mirror of ``_WATERFILL_CTES``): columns (source, lang,
+    n_docs, stratum_toks, idx, k, quota_toks).
+
+    Scale shape: the only per-document work is one filtered scan + one
+    keyed agg; the water-filling window and both 1-row scalar joins
+    run on the STRATA relation, bounded by |sources| x |langs|
+    regardless of corpus size.
+    """
     b = (
         T.portable_hash64(
             F.concat(F.lit("splt"), F.col("doc_id").cast("string"))
@@ -2423,7 +2419,8 @@ def docs_split_rebalance(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn(
             "rem",
             F.when(
-                F.col("n") > F.col("k"), (F.col("budget") - F.col("pk")) % (F.col("n") - F.col("k"))
+                F.col("n") > F.col("k"),
+                (F.col("budget") - F.col("pk")) % (F.col("n") - F.col("k")),
             ).otherwise(F.lit(0).cast("long")),
         )
     )
@@ -2438,13 +2435,160 @@ def docs_split_rebalance(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         "n_docs",
         "stratum_toks",
+        "idx",
+        "k",
         quota.cast("long").alias("quota_toks"),
+    )
+
+
+@register(
+    "docs_split_rebalance",
+    oracle=f"""
+    WITH {_WATERFILL_CTES}
+    SELECT source, lang, n_docs, stratum_toks, quota_toks,
+      CAST(CASE WHEN idx <= k THEN 0 ELSE 1 END AS BIGINT) AS capped,
+      round(CAST(quota_toks AS DOUBLE)
+            / greatest(stratum_toks, 1), 6) AS fill_frac
+    FROM wq ORDER BY source, lang
+    """,
+    doc="Per-stratum QUOTA REBALANCING over the split manifest (the "
+    "staged round-8 candidate): a global token budget — 60%% of the "
+    "train split's tokens, exact integer floor — is distributed "
+    "across (source, lang) strata by WATER-FILLING: every stratum "
+    "smaller than the water level keeps all its tokens, every larger "
+    "stratum is capped at the level, and the level is the unique "
+    "integer cap where the allocation exactly exhausts the budget "
+    "(the division remainder goes one token each to the first "
+    "remainder-many capped strata in deterministic order, so "
+    "sum(quota_toks) == budget EXACTLY — pinned as an invariant). "
+    "The closed form avoids iteration: with strata sorted ascending "
+    "by size, the cut k is the largest index whose prefix sum plus "
+    "(n-k) copies of its own size fits the budget; the cap is then "
+    "one exact integer division. Scale shape: the only per-document "
+    "work is one filtered scan + one keyed agg; the water-filling "
+    "windows and both 1-row scalar joins run on the STRATA relation, "
+    "bounded by |sources| x |langs| regardless of corpus size "
+    "(allowlisted in _GLOBAL_WINDOW_OK / _BNLJ_OK on that bound). "
+    "Reuses docs_split_manifest's salt-'splt' pure-function split, so "
+    "quota composes with the manifest without a second assignment.",
+)
+def docs_split_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    q = _waterfill_quotas(spark, sf)
+    return q.select(
+        "source",
+        "lang",
+        "n_docs",
+        "stratum_toks",
+        "quota_toks",
         F.when(F.col("idx") <= F.col("k"), F.lit(0))
         .otherwise(F.lit(1))
         .cast("long")
         .alias("capped"),
         F.round(
-            quota.cast("double") / F.greatest(F.col("stratum_toks"), F.lit(1)),
+            F.col("quota_toks").cast("double")
+            / F.greatest(F.col("stratum_toks"), F.lit(1)),
             6,
         ).alias("fill_frac"),
     ).orderBy("source", "lang")
+
+
+@register(
+    "docs_rebalance_select",
+    oracle=f"""
+    WITH {_WATERFILL_CTES},
+    d AS (
+      SELECT source, lang, doc_id, len({_TOKS}) AS n_toks,
+        round((CASE WHEN len({_TOKS}) BETWEEN 10 AND 1000
+               THEN 1.0 ELSE 0.5 END) * 0.4
+              + (1.0 - (length(lower(text))
+                        - length(regexp_replace(lower(text),
+                                 '[^a-z0-9 ]', '', 'g')))
+                   / greatest(length(lower(text)), 1)) * 0.3
+              + (len(list_distinct({_TOKS}))
+                 / greatest(len({_TOKS}), 1)) * 0.3, 6) AS quality
+      FROM documents
+      WHERE ('0x' || substr(md5('splt' || doc_id), 1, 12))::BIGINT % 10 < 8
+    ),
+    c AS (
+      SELECT d.source, d.lang, d.doc_id, d.n_toks, d.quality,
+        wq.quota_toks,
+        sum(d.n_toks) OVER (PARTITION BY d.source, d.lang
+          ORDER BY d.quality DESC, d.doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d JOIN wq ON wq.source = d.source AND wq.lang = d.lang
+    )
+    SELECT source, lang,
+      CAST(any_value(quota_toks) AS BIGINT) AS quota_toks,
+      CAST(count(CASE WHEN cum <= quota_toks THEN 1 END) AS BIGINT)
+        AS n_selected,
+      CAST(coalesce(sum(CASE WHEN cum <= quota_toks THEN n_toks END), 0)
+           AS BIGINT) AS tok_selected,
+      round(CAST(coalesce(sum(CASE WHEN cum <= quota_toks THEN n_toks END),
+                          0) AS DOUBLE)
+            / greatest(any_value(quota_toks), 1), 6) AS quota_util
+    FROM c GROUP BY source, lang ORDER BY source, lang
+    """,
+    doc="Quota APPLICATION — the selection manifest that turns "
+    "docs_split_rebalance's water-filling quotas into an actual "
+    "document list: within every (source, lang) train stratum, "
+    "documents are ranked by the deterministic quality score (ties "
+    "by doc_id, exactly docs_select_budget's discipline) and greedily "
+    "kept while the running token sum stays within THAT STRATUM'S "
+    "rebalanced quota (not a constant budget). The rollup reports "
+    "docs/tokens selected and quota utilization; greedy never "
+    "overshoots, and under-filled strata (quota_util < 1) expose "
+    "where greedy whole-document packing strands budget — the "
+    "bin-packing slack a mixture designer watches. Scale shape: the "
+    "tiny quota relation broadcast-joins onto the per-doc scan, the "
+    "greedy cumsum is a stratum-PARTITIONED window (parallel across "
+    "strata, never global), and the final agg reuses the window's "
+    "partitioning — one document shuffle end to end.",
+)
+def docs_rebalance_select(spark: SparkSession, sf: str) -> DataFrame:
+    b = (
+        T.portable_hash64(
+            F.concat(F.lit("splt"), F.col("doc_id").cast("string"))
+        )
+        % 10
+    )
+    toks = T.tokens(F.col("text"))
+    d = (
+        table(spark, sf, "documents")
+        .filter(b < 8)
+        .select(
+            "source",
+            "lang",
+            "doc_id",
+            F.size(toks).alias("n_toks"),
+            T.quality_score(F.col("text")).alias("quality"),
+        )
+    )
+    quotas = _waterfill_quotas(spark, sf).select(
+        "source", "lang", "quota_toks"
+    )
+    w = (
+        Window.partitionBy("source", "lang")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.join(F.broadcast(quotas), ["source", "lang"]).withColumn(
+        "cum", F.sum("n_toks").over(w)
+    )
+    kept = F.col("cum") <= F.col("quota_toks")
+    return (
+        c.groupBy("source", "lang")
+        .agg(
+            F.first("quota_toks").cast("long").alias("quota_toks"),
+            F.count(F.when(kept, F.lit(1))).cast("long").alias("n_selected"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_toks"))), F.lit(0))
+            .cast("long")
+            .alias("tok_selected"),
+            F.round(
+                F.coalesce(F.sum(F.when(kept, F.col("n_toks"))), F.lit(0))
+                .cast("double")
+                / F.greatest(F.first("quota_toks"), F.lit(1)),
+                6,
+            ).alias("quota_util"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -249,6 +249,7 @@ class TestUniversalGates:
         # water-filling windows run on the STRATA relation, bounded by
         # |sources| x |langs| regardless of corpus size
         "docs_split_rebalance",
+        "docs_rebalance_select",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
@@ -284,6 +285,7 @@ class TestUniversalGates:
         "dedup_embedding_neardup",    # 1-row SRP plane-matrix relation
         "docs_stream_dedup_bounded",  # 1-row re-admission count scalar
         "docs_split_rebalance",       # 1-row budget + 1-row cut scalars
+        "docs_rebalance_select",      # same water-filling scalar pair
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):

@@ -195,3 +195,32 @@ class TestSplitRebalance:
         for r in rows:
             if not r.capped:
                 assert r.stratum_toks <= hi
+
+
+class TestRebalanceSelect:
+    """Quota-application invariants for ``docs_rebalance_select``."""
+
+    def test_selection_respects_every_quota(self, spark, sf_dir):
+        sel = {
+            (r.source, r.lang): r
+            for r in queries()["docs_rebalance_select"](
+                spark, sf_dir
+            ).collect()
+        }
+        quo = {
+            (r.source, r.lang): r
+            for r in queries()["docs_split_rebalance"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(sel) == set(quo)
+        for key, r in sel.items():
+            q = quo[key]
+            assert r.quota_toks == q.quota_toks
+            assert 0 <= r.tok_selected <= r.quota_toks
+            assert 0 <= r.n_selected <= q.n_docs
+            assert r.quota_util <= 1.0
+            # An uncapped stratum's quota equals its full size, so
+            # greedy whole-document packing fills it exactly.
+            if not q.capped:
+                assert r.tok_selected == q.stratum_toks == r.quota_toks
