@@ -2592,3 +2592,181 @@ def docs_rebalance_select(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "docs_bigram_lm_score",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks,
+        ('0x' || substr(md5('splt' || doc_id), 1, 12))::BIGINT % 10 AS b
+      FROM documents
+    ),
+    trn AS (SELECT doc_id, toks FROM d WHERE b < 8),
+    val AS (SELECT doc_id, toks FROM d WHERE b = 8 AND len(toks) >= 2),
+    tu AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(toks) AS tok FROM trn) GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM tu),
+    tb AS (
+      SELECT big, CAST(count(*) AS BIGINT) AS c2 FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+          i -> toks[i] || ' ' || toks[i+1])) AS big
+        FROM trn
+      ) GROUP BY big
+    ),
+    vb AS (
+      SELECT doc_id, big,
+        string_split(big, ' ')[1] AS w1,
+        string_split(big, ' ')[2] AS w2
+      FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          i -> toks[i] || ' ' || toks[i+1])) AS big
+        FROM val
+      )
+    ),
+    sc AS (
+      SELECT v.doc_id,
+        CASE WHEN tb.c2 IS NOT NULL
+             THEN CAST(length(bin(u1.c1 // tb.c2)) - 1 AS BIGINT)
+             WHEN u2.c1 IS NOT NULL
+             THEN 4 + CAST(length(bin(tot.n_total // u2.c1)) - 1 AS BIGINT)
+             ELSE 8 + CAST(length(bin(tot.n_total)) - 1 AS BIGINT)
+        END AS surprise,
+        CASE WHEN tb.c2 IS NULL AND u2.c1 IS NOT NULL
+             THEN 1 ELSE 0 END AS is_backoff,
+        CASE WHEN tb.c2 IS NULL AND u2.c1 IS NULL
+             THEN 1 ELSE 0 END AS is_oov
+      FROM vb v
+      LEFT JOIN tb ON tb.big = v.big
+      LEFT JOIN tu u1 ON u1.tok = v.w1
+      LEFT JOIN tu u2 ON u2.tok = v.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_bigrams,
+      CAST(sum(is_backoff) AS BIGINT) AS n_backoff,
+      CAST(sum(is_oov) AS BIGINT) AS n_oov,
+      CAST(sum(surprise) AS BIGINT) AS sum_surprise,
+      round(CAST(sum(surprise) AS DOUBLE) / count(*), 6) AS avg_surprise,
+      round(CAST(sum(surprise) AS DOUBLE) / count(*), 6) > 4.5
+        AS flagged_gibberish
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Bigram-LM scoring (the CCNet/KenLM statistical-quality shape, "
+    "trained ON-ENGINE): bigram and unigram count tables are built "
+    "from the TRAIN split (salt-'splt' bucket < 8 — the same "
+    "pure-function split the manifest/rebalance entries use, so the "
+    "LM never sees its own eval data), and every VAL-split document "
+    "(bucket == 8, >= 2 tokens) is scored by mean conditional "
+    "surprise with stupid-backoff: a train-seen bigram costs "
+    "floor(log2(C(w1)/C(w1w2))) bits, an unseen bigram backs off to "
+    "the unigram surprise plus a fixed 4-bit penalty, and an "
+    "out-of-vocabulary token pays the full-corpus surprise plus 8 — "
+    "all INTEGER bit counts via binary digit length, so both engines "
+    "agree with no libm log involved (docs_unigram_surprise's "
+    "discipline, lifted to conditional probabilities). Documents the "
+    "train LM predicts worst (avg > 4.5 bits — the operating point "
+    "for THIS fixture corpus; production recalibrates it per run on "
+    "the score histogram) are flagged — the "
+    "gibberish filter a curation pipeline runs after the heuristic "
+    "passes. Scale shape: both count tables are hash-aggs bounded by "
+    "(bi)vocabulary size, not corpus size; scoring is three "
+    "fixed-width left equi-joins + one keyed agg, and the corpus "
+    "total is a broadcast 1-row scalar. At 100 TB the bigram table "
+    "outgrows broadcast and the join degrades gracefully to a "
+    "shuffle hash join on the bigram key.",
+)
+def docs_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    b = (
+        T.portable_hash64(
+            F.concat(F.lit("splt"), F.col("doc_id").cast("string"))
+        )
+        % 10
+    )
+    d = table(spark, sf, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("toks"), b.alias("b")
+    )
+    trn = d.filter(F.col("b") < 8)
+    val = d.filter((F.col("b") == 8) & (F.size("toks") >= 2))
+
+    def bigrams(toks):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        )
+
+    tu = (
+        trn.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    tot = tu.agg(F.sum("c1").cast("long").alias("n_total"))
+    tb = (
+        trn.select(F.explode(bigrams(F.col("toks"))).alias("big"))
+        .groupBy("big")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    vb = val.select(
+        "doc_id", F.explode(bigrams(F.col("toks"))).alias("big")
+    ).select(
+        "doc_id",
+        "big",
+        F.split(F.col("big"), " ")[0].alias("w1"),
+        F.split(F.col("big"), " ")[1].alias("w2"),
+    )
+    u1 = tu.select(F.col("tok").alias("w1"), F.col("c1").alias("c1_w1"))
+    u2 = tu.select(F.col("tok").alias("w2"), F.col("c1").alias("c1_w2"))
+    bits = lambda x: (F.length(F.bin(x)) - 1).cast("long")  # noqa: E731
+    sc = (
+        vb.join(tb, "big", "left")
+        .join(F.broadcast(u1), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c2").isNotNull(),
+                bits(F.expr("c1_w1 div c2")),
+            )
+            .when(
+                F.col("c1_w2").isNotNull(),
+                F.lit(4) + bits(F.expr("n_total div c1_w2")),
+            )
+            .otherwise(F.lit(8) + bits(F.col("n_total")))
+            .alias("surprise"),
+            F.when(
+                F.col("c2").isNull() & F.col("c1_w2").isNotNull(), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("is_backoff"),
+            F.when(F.col("c2").isNull() & F.col("c1_w2").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_oov"),
+        )
+    )
+    avg = F.round(
+        F.col("sum_surprise").cast("double") / F.col("n_bigrams"), 6
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("is_backoff").cast("long").alias("n_backoff"),
+            F.sum("is_oov").cast("long").alias("n_oov"),
+            F.sum("surprise").cast("long").alias("sum_surprise"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_backoff",
+            "n_oov",
+            "sum_surprise",
+            avg.alias("avg_surprise"),
+            (avg > 4.5).alias("flagged_gibberish"),
+        )
+        .orderBy("doc_id")
+    )

@@ -286,6 +286,7 @@ class TestUniversalGates:
         "docs_stream_dedup_bounded",  # 1-row re-admission count scalar
         "docs_split_rebalance",       # 1-row budget + 1-row cut scalars
         "docs_rebalance_select",      # same water-filling scalar pair
+        "docs_bigram_lm_score",       # 1-row corpus-total scalar
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):

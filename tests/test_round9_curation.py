@@ -224,3 +224,67 @@ class TestRebalanceSelect:
             # greedy whole-document packing fills it exactly.
             if not q.capped:
                 assert r.tok_selected == q.stratum_toks == r.quota_toks
+
+
+class TestBigramLmScore:
+    """Python replay of the stupid-backoff bigram LM at sf0.001 —
+    proves the engine's conditional-surprise arithmetic and that only
+    TRAIN-split counts ever reach the model (no eval leakage)."""
+
+    def test_matches_pure_python_replay(self, spark, sf_dir):
+        import hashlib
+        import re
+        from collections import Counter
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .collect()
+        )
+
+        def toks(text):
+            return [
+                t
+                for t in re.split(r"[^a-z0-9]+", text.strip().lower())
+                if t
+            ]
+
+        def bucket(doc_id):
+            h = hashlib.md5(f"splt{doc_id}".encode()).hexdigest()[:12]
+            return int(h, 16) % 10
+
+        uni, bi = Counter(), Counter()
+        val = {}
+        for r in docs:
+            ts = toks(r.text)
+            b = bucket(r.doc_id)
+            if b < 8:
+                uni.update(ts)
+                bi.update(zip(ts, ts[1:]))
+            elif b == 8 and len(ts) >= 2:
+                val[r.doc_id] = ts
+        n_total = sum(uni.values())
+        bits = lambda x: x.bit_length() - 1  # noqa: E731
+
+        expect = {}
+        for doc_id, ts in val.items():
+            s = nb = no = 0
+            pairs = list(zip(ts, ts[1:]))
+            for w1, w2 in pairs:
+                if (w1, w2) in bi:
+                    s += bits(uni[w1] // bi[(w1, w2)])
+                elif w2 in uni:
+                    s += 4 + bits(n_total // uni[w2])
+                    nb += 1
+                else:
+                    s += 8 + bits(n_total)
+                    no += 1
+            expect[doc_id] = (len(pairs), nb, no, s)
+
+        got = {
+            r.doc_id: (r.n_bigrams, r.n_backoff, r.n_oov, r.sum_surprise)
+            for r in queries()["docs_bigram_lm_score"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == expect and len(got) > 0
