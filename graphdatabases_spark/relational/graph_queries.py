@@ -962,3 +962,218 @@ def graph_ppr_seeds_entity(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("pos") <= _PPR_ENT_K)
         .orderBy("seed", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate neighborhood function (HyperBall / ANF)
+# ---------------------------------------------------------------------------
+
+_ANF_ROUNDS = 3
+_ANF_M = 32  # registers per sketch (alpha_32 = 0.697)
+_ANF_H = "(('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 12))::BIGINT)"
+_P50 = 1125899906842624  # 2^50, the exact-BIGINT harmonic scale
+
+# Half-sampled entity graph for this entry (even order keys): ANF costs
+# one |E|-linear join per round in BOTH engines, and the full sf1 graph
+# puts the DuckDB oracle at ~5 min — the fixture discipline of
+# dedup_jaccard_pairs (bounded doc_id) applied to the edge multiset.
+_ANF_EDGES_SQL = f"""
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT o_custkey AS src, {ORDER_BASE} + o_orderkey AS dst
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT {ORDER_BASE} + l_orderkey, {PART_BASE} + l_partkey
+        FROM lineitem WHERE l_orderkey % 2 = 0
+        UNION ALL
+        SELECT {PART_BASE} + l_partkey, {SUPP_BASE} + l_suppkey
+        FROM lineitem WHERE l_orderkey % 2 = 0
+      )
+    )
+"""
+
+
+def _anf_round_sql(r: int) -> str:
+    return f"""r{r} AS (
+      SELECT node, j, max(m) AS m FROM (
+        SELECT node, j, m FROM r{r - 1}
+        UNION ALL
+        SELECT e.src AS node, x.j, x.m
+        FROM edges e JOIN r{r - 1} x ON x.node = e.dst
+      ) GROUP BY node, j
+    )"""
+
+
+def _anf_summary_sql(r: int) -> str:
+    m = _ANF_M
+    return f"""e{r} AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS np,
+        CAST(sum(CAST(pow(2.0, 50 - m) AS BIGINT)) AS BIGINT) AS sp
+      FROM r{r} GROUP BY node
+    ),
+    v{r} AS (
+      SELECT node, np,
+        0.697 * {m * m}.0 * ({_P50}.0 /
+          CAST(sp + ({m} - np) * {_P50} AS DOUBLE)) AS raw
+      FROM e{r}
+    ),
+    s{r} AS (
+      SELECT CAST({r} AS BIGINT) AS r,
+        CAST(count(*) AS BIGINT) AS n_nodes,
+        CAST(sum(np) AS BIGINT) AS n_regs,
+        sum(CAST(round(CASE WHEN raw <= {2.5 * m} AND np < {m}
+             THEN {m}.0 * round(ln({m}.0 / ({m} - np)), 9)
+             ELSE raw END, 6) AS DECIMAL(28,6))) AS anf_dec
+      FROM v{r}
+    )"""
+
+
+@register(
+    "graph_anf_hyperball",
+    oracle=f"""
+    WITH {_ANF_EDGES_SQL},
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges
+      )
+    ),
+    h AS (
+      SELECT node, {_ANF_H.format(v="node")} % {_ANF_M} AS j,
+             {_ANF_H.format(v="node")} // {_ANF_M} AS w
+      FROM nodes
+    ),
+    r0 AS (
+      SELECT node, j,
+        CASE WHEN w = 0 THEN 44 ELSE 44 - length(bin(w)) END AS m
+      FROM h
+    ),
+    {",".join(_anf_round_sql(r) for r in range(1, _ANF_ROUNDS + 1))},
+    {",".join(_anf_summary_sql(r) for r in range(_ANF_ROUNDS + 1))}
+    SELECT r, n_nodes, n_regs,
+      round(CAST(anf_dec AS DOUBLE), 3) AS anf_estimate,
+      round(CAST(anf_dec AS DOUBLE) / n_nodes, 6) AS avg_ball
+    FROM ({" UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(_ANF_ROUNDS + 1))})
+    ORDER BY r
+    """,
+    doc="Approximate neighborhood function via HyperBall (Boldi et "
+    "al.; Palmer et al.'s ANF with HLL counters): every node of the "
+    "half-sampled entity graph (even order keys — fixture-cost "
+    "bounding, the mechanism is unchanged) carries a portable "
+    "32-register HLL sketch of its OUT-ball, and round r merges each "
+    "node's sketch with its successors' round-(r-1) sketches — a "
+    "register-wise MAX, which is why the whole algorithm is three "
+    "unrolled join+combinable-agg rounds rather than |V| BFS "
+    "traversals (the reason ANF is THE way to measure reachability "
+    "growth / effective diameter at 100 TB: state is <= 32 small "
+    "ints per node, every round is one dst-keyed equi-join plus one "
+    "(node, register) hash-agg, both linear in |E|; rounds are "
+    "eagerly localCheckpoint'd so the lineage stays bounded exactly "
+    "like the BFS kernel). Per round the entry reports the summed "
+    "per-node ball estimates (dedup_hll_cardinality's exact-BIGINT "
+    "harmonic denominator and pre-rounded linear-counting branch, "
+    "alpha_32 = 0.697; per-node estimates round to 6 dp and sum as "
+    "DECIMAL(28,6) — order-invariant) and the occupied-register "
+    "count as an integer fingerprint of the sketch state. Realized "
+    "accuracy vs the exact per-round ANF is pinned in pytest at "
+    "sf0.001 (tests/test_algorithms.py).",
+)
+def graph_anf_hyperball(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.functions import text as T
+
+    m = _ANF_M
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(ORDER_BASE) + F.col("o_orderkey")).alias("dst"),
+        )
+    )
+    l = table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 2 == 0)
+    both = l.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.lit(ORDER_BASE) + F.col("l_orderkey")).alias("src"),
+                    (F.lit(PART_BASE) + F.col("l_partkey")).alias("dst"),
+                ),
+                F.struct(
+                    (F.lit(PART_BASE) + F.col("l_partkey")).alias("src"),
+                    (F.lit(SUPP_BASE) + F.col("l_suppkey")).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = o.union(both).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hh = T.portable_hash64(F.col("node").cast("string"))
+    w = F.shiftright(hh, 5)
+    regs = nodes.select(
+        "node",
+        (hh % m).alias("j"),
+        F.when(w == 0, F.lit(44))
+        .otherwise(F.lit(44) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("m"),
+    )
+
+    def summarize(regs_df, r):
+        per = regs_df.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("np"),
+            F.sum(F.pow(F.lit(2.0), 50 - F.col("m")).cast("long"))
+            .cast("long")
+            .alias("sp"),
+        )
+        raw = (
+            F.lit(0.697)
+            * F.lit(float(m * m))
+            * (
+                F.lit(float(_P50))
+                / (
+                    F.col("sp") + (F.lit(m) - F.col("np")) * F.lit(_P50)
+                ).cast("double")
+            )
+        )
+        est = F.when(
+            (raw <= 2.5 * m) & (F.col("np") < m),
+            F.lit(float(m))
+            * F.round(F.log(F.lit(float(m)) / (F.lit(m) - F.col("np"))), 9),
+        ).otherwise(raw)
+        return per.select(
+            F.round(est, 6).cast("decimal(28,6)").alias("est"), "np"
+        ).agg(
+            F.lit(r).cast("long").alias("r"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("np").cast("long").alias("n_regs"),
+            F.sum("est").alias("anf_dec"),
+        )
+
+    summaries = [summarize(regs, 0)]
+    for r in range(1, _ANF_ROUNDS + 1):
+        prop = edges.join(
+            regs.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "j", "m")
+        regs = (
+            regs.unionByName(prop)
+            .groupBy("node", "j")
+            .agg(F.max("m").cast("int").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        summaries.append(summarize(regs, r))
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        "r",
+        "n_nodes",
+        "n_regs",
+        F.round(F.col("anf_dec").cast("double"), 3).alias("anf_estimate"),
+        F.round(
+            F.col("anf_dec").cast("double") / F.col("n_nodes"), 6
+        ).alias("avg_ball"),
+    ).orderBy("r")

@@ -552,3 +552,66 @@ class TestPersonalizedPagerankBatchUnits:
         ).collect()
         # Truncating divisions only LOSE mass: per-seed total <= 1.0.
         assert sum(r["rank_units"] for r in rows) <= 10**12
+
+
+class TestAnfHyperball:
+    """graph_anf_hyperball: realized sketch accuracy vs the EXACT
+    neighborhood function (full per-node BFS in Python) at sf0.001,
+    plus the structural monotonicity the estimator must respect."""
+
+    def test_estimates_track_exact_anf(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = {
+            r["r"]: r
+            for r in REGISTRY["graph_anf_hyperball"].fn(spark, sf_dir).collect()
+        }
+        assert sorted(rows) == [0, 1, 2, 3]
+
+        ORDER_BASE, PART_BASE, SUPP_BASE = (
+            1_000_000_000,
+            2_000_000_000,
+            3_000_000_000,
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+        line = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+        succ = defaultdict(set)
+        nodes = set()
+        for o in orders:
+            if o.o_orderkey % 2 == 0:
+                s, d = o.o_custkey, ORDER_BASE + o.o_orderkey
+                succ[s].add(d)
+                nodes.update((s, d))
+        for l in line:
+            if l.l_orderkey % 2 == 0:
+                a = ORDER_BASE + l.l_orderkey
+                b = PART_BASE + l.l_partkey
+                c = SUPP_BASE + l.l_suppkey
+                succ[a].add(b)
+                succ[b].add(c)
+                nodes.update((a, b, c))
+
+        balls = {v: {v} for v in nodes}
+        for r in range(4):
+            exact = sum(len(b) for b in balls.values())
+            got = rows[r]
+            assert got["n_nodes"] == len(nodes)
+            # m=32 HLL: sigma ~ 1.04/sqrt(32) ~ 18% per node; summed
+            # estimates share hashes, so allow 25%.
+            assert abs(got["anf_estimate"] - exact) / exact < 0.25, (
+                r,
+                got["anf_estimate"],
+                exact,
+            )
+            balls = {
+                v: b | set().union(*(balls[u] for u in succ[v])) if succ[v] else b
+                for v, b in balls.items()
+            }
+
+        # Balls only grow: every per-round metric is nondecreasing.
+        for a, b in ((0, 1), (1, 2), (2, 3)):
+            assert rows[b]["n_regs"] >= rows[a]["n_regs"]
+            assert rows[b]["anf_estimate"] >= rows[a]["anf_estimate"] - 1e-6
