@@ -67,6 +67,12 @@ HEADLINE = [
     # per-row rebuild) and the O(L^2)-per-row intra-doc scrub.
     "docs_substring_strip",
     "docs_intradoc_dedup",
+    # round-7 continuation: LM-filter (vocab-bounded count tables),
+    # water-filling quota application (stratum-partitioned windows),
+    # and the quantization operating curve (one-scan pair scoring).
+    "docs_bigram_lm_score",
+    "docs_rebalance_select",
+    "similarity_quantized_recall",
 ]
 
 

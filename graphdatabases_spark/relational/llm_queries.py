@@ -1530,11 +1530,20 @@ def _quant_sql(bits: int) -> str:
     return f"list_transform(e, x -> floor(x * {lv} / vmax))"
 
 
-def _qcos_sql(col: str) -> str:
+def _qnorm_sql(bits: int) -> str:
     return (
-        f"round(list_inner_product(q.{col}, c.{col}) / "
-        f"greatest(sqrt(list_inner_product(q.{col}, q.{col})) * "
-        f"sqrt(list_inner_product(c.{col}, c.{col})), 1e-30), 6)"
+        f"sqrt(list_inner_product({_quant_sql(bits)}, {_quant_sql(bits)}))"
+        f" AS n{bits}"
+    )
+
+
+def _qcos_sql(b: int) -> str:
+    # Per-vector norms are precomputed in qz (one fold per vector, not
+    # one per pair); sqrt(x)*sqrt(y) is the same IEEE expression in
+    # both engines, so relocating it preserves the value hash.
+    return (
+        f"round(list_inner_product(q.e{b}, c.e{b}) / "
+        f"greatest(q.n{b} * c.n{b}, 1e-30), 6)"
     )
 
 
@@ -1549,7 +1558,8 @@ def _qcos_sql(col: str) -> str:
     ),
     qz AS (
       SELECT vec_id, e,
-        {", ".join(f"{_quant_sql(b)} AS e{b}" for b in _QUANT_BITS)}
+        {", ".join(f"{_quant_sql(b)} AS e{b}" for b in _QUANT_BITS)},
+        {", ".join(_qnorm_sql(b) for b in _QUANT_BITS)}
       FROM v
     ),
     scored AS (
@@ -1557,7 +1567,7 @@ def _qcos_sql(col: str) -> str:
         round(list_inner_product(q.e, c.e)
               / (sqrt(list_inner_product(q.e, q.e))
                  * sqrt(list_inner_product(c.e, c.e))), 6) AS fp_cos,
-        {", ".join(f"{_qcos_sql(f'e{b}')} AS qc{b}" for b in _QUANT_BITS)}
+        {", ".join(f"{_qcos_sql(b)} AS qc{b}" for b in _QUANT_BITS)}
       FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < {_RECALL_NQ}
     ),
@@ -1625,6 +1635,13 @@ def similarity_quantized_recall(spark: SparkSession, sf: str) -> DataFrame:
             for b in _QUANT_BITS
         ],
     )
+    qz = qz.select(
+        "*",
+        *[
+            F.sqrt(S._dot(F.col(f"e{b}"), F.col(f"e{b}"))).alias(f"n{b}")
+            for b in _QUANT_BITS
+        ],
+    )
 
     def side(prefix):
         return qz.select(
@@ -1632,6 +1649,7 @@ def similarity_quantized_recall(spark: SparkSession, sf: str) -> DataFrame:
             F.col("_vec").alias(f"{prefix}v"),
             F.col("_norm").alias(f"{prefix}n"),
             *[F.col(f"e{b}").alias(f"{prefix}e{b}") for b in _QUANT_BITS],
+            *[F.col(f"n{b}").alias(f"{prefix}n{b}") for b in _QUANT_BITS],
         )
 
     q = side("q").filter(F.col("q_id") < _RECALL_NQ)
@@ -1639,9 +1657,10 @@ def similarity_quantized_recall(spark: SparkSession, sf: str) -> DataFrame:
 
     def qcos(b):
         dot = S._dot(F.col(f"qe{b}"), F.col(f"ce{b}"))
-        na = F.sqrt(S._dot(F.col(f"qe{b}"), F.col(f"qe{b}")))
-        nb = F.sqrt(S._dot(F.col(f"ce{b}"), F.col(f"ce{b}")))
-        return F.round(dot / F.greatest(na * nb, F.lit(1e-30)), 6)
+        return F.round(
+            dot / F.greatest(F.col(f"qn{b}") * F.col(f"cn{b}"), F.lit(1e-30)),
+            6,
+        )
 
     scored = (
         F.broadcast(q)
