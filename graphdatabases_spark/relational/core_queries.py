@@ -1069,3 +1069,171 @@ def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pre-filter
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 65536  # bits
+_BLOOM_K = 3  # hash functions
+# DuckDB mirror of functions/text.py::portable_hash64 over (key || salt).
+_BLOOM_POS = (
+    "(('0x' || substr(md5(CAST({key} AS VARCHAR) || 'b{i}'), 1, 12))::BIGINT"
+    f" % {_BLOOM_M})"
+)
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal < 0
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(
+          "SELECT " + _BLOOM_POS.format(key="key", i=i) + " AS pos FROM build"
+          for i in range(_BLOOM_K)
+        )}
+      )
+    ),
+    stats AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM build) AS n_build,
+             (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set
+    ),
+    probe AS (
+      SELECT o_orderstatus, o_custkey,
+        {", ".join(
+          _BLOOM_POS.format(key="o_custkey", i=i) + f" AS p{i}"
+          for i in range(_BLOOM_K)
+        )}
+      FROM orders
+    ),
+    flagged AS (
+      SELECT o_orderstatus, o_custkey,
+        CASE WHEN {" AND ".join(
+          f"p{i} IN (SELECT pos FROM bits)" for i in range(_BLOOM_K)
+        )} THEN 1 ELSE 0 END AS in_bloom,
+        CASE WHEN o_custkey IN (SELECT key FROM build)
+             THEN 1 ELSE 0 END AS is_true
+      FROM probe
+    )
+    SELECT o_orderstatus,
+      CAST(count(*) AS BIGINT) AS n_probe,
+      CAST(sum(in_bloom) AS BIGINT) AS n_candidates,
+      CAST(sum(is_true) AS BIGINT) AS n_true_matches,
+      CAST(sum(CASE WHEN in_bloom = 1 AND is_true = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+      round(CAST(sum(CASE WHEN in_bloom = 1 AND is_true = 0
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+            / greatest(count(*) - sum(is_true), 1), 6) AS fp_rate,
+      any_value((SELECT n_build FROM stats)) AS n_build,
+      any_value((SELECT n_bits_set FROM stats)) AS n_bits_set
+    FROM flagged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc=f"Portable BLOOM-FILTER semi-join pre-filter — the standard "
+    "way a 100-TB engine avoids shuffling a fact table for a "
+    "selective semi-join (Spark's own runtime bloomFilter rewrite, "
+    "made explicit and engine-portable): the build side (negative- "
+    f"balance customers) sets k={_BLOOM_K} bit positions per key in "
+    f"an m={_BLOOM_M}-bit filter (positions are salted 48-bit md5 "
+    "hashes, identical in both engines), and the probe side (orders) "
+    "keeps only rows whose k positions are ALL set — a map-side test "
+    "against a broadcast bit-position relation that is bounded by m "
+    "BY CONSTRUCTION, never by build cardinality, so the broadcast "
+    "never outgrows the driver no matter how large the build side "
+    "grows. Membership is NEVER-FALSE-NEGATIVE (every true match "
+    "survives — pinned as an invariant) and the per-status rollup "
+    "reports the realized false-positive rate among true negatives, "
+    "which visibly degrades as the scale factor grows against the "
+    "fixed m (the m-sizing tradeoff a deployment tunes; ~2e-4 at "
+    "sf0.1, ~1e-1 at sf1). Exact per-row ground truth rides the same "
+    "scan via a second broadcast membership probe, so the entry "
+    "value-hash-pins both the filter's bits and its error behavior.",
+)
+def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.functions import text as T
+
+    def pos(key, i):
+        return (
+            T.portable_hash64(F.concat(key.cast("string"), F.lit(f"b{i}")))
+            % _BLOOM_M
+        )
+
+    build = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    bits = (
+        build.select(
+            F.explode(
+                F.array(*[pos(F.col("key"), i) for i in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    stats = build.agg(
+        F.count(F.lit(1)).cast("long").alias("n_build")
+    ).crossJoin(
+        bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    )
+    probe = table(spark, sf, "orders").select(
+        "o_orderstatus",
+        "o_custkey",
+        *[pos(F.col("o_custkey"), i).alias(f"p{i}") for i in range(_BLOOM_K)],
+    )
+    flagged = probe
+    for i in range(_BLOOM_K):
+        flagged = flagged.join(
+            F.broadcast(
+                bits.select(
+                    F.col("pos").alias(f"p{i}"), F.lit(1).alias(f"h{i}")
+                )
+            ),
+            f"p{i}",
+            "left",
+        )
+    flagged = flagged.join(
+        F.broadcast(build.select(F.col("key").alias("o_custkey"), F.lit(1).alias("t"))),
+        "o_custkey",
+        "left",
+    ).select(
+        "o_orderstatus",
+        F.when(
+            sum(
+                (F.col(f"h{i}").isNotNull().cast("int") for i in range(_BLOOM_K)),
+                F.lit(0),
+            )
+            == _BLOOM_K,
+            1,
+        )
+        .otherwise(0)
+        .alias("in_bloom"),
+        F.when(F.col("t").isNotNull(), 1).otherwise(0).alias("is_true"),
+    )
+    fp = F.sum(
+        F.when((F.col("in_bloom") == 1) & (F.col("is_true") == 0), 1).otherwise(
+            0
+        )
+    )
+    return (
+        flagged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probe"),
+            F.sum("in_bloom").cast("long").alias("n_candidates"),
+            F.sum("is_true").cast("long").alias("n_true_matches"),
+            fp.cast("long").alias("n_false_pos"),
+            F.round(
+                fp.cast("double")
+                / F.greatest(
+                    F.count(F.lit(1)) - F.sum("is_true"), F.lit(1)
+                ),
+                6,
+            ).alias("fp_rate"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .orderBy("o_orderstatus")
+    )

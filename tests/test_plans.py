@@ -71,6 +71,14 @@ class TestJoinStrategy:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
+    def test_bloom_prefilter_probes_map_side(self, spark, sf_dir, qs):
+        """The whole point of join_bloom_prefilter: the fact side must
+        test bit membership via BROADCAST joins (bits bounded by m) —
+        a sort-merge exchange of orders would defeat the filter."""
+        plan = physical_plan(qs["join_bloom_prefilter"](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 4, plan
+        assert "SortMergeJoin" not in plan
+
 
 class TestIterativePlanBounded:
     def test_khop_plan_does_not_grow_with_hops(self, spark):
@@ -287,6 +295,7 @@ class TestUniversalGates:
         "docs_split_rebalance",       # 1-row budget + 1-row cut scalars
         "docs_rebalance_select",      # same water-filling scalar pair
         "docs_bigram_lm_score",       # 1-row corpus-total scalar
+        "join_bloom_prefilter",       # 1-row build/bits-count scalar
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):

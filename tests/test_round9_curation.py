@@ -288,3 +288,25 @@ class TestBigramLmScore:
             ).collect()
         }
         assert got == expect and len(got) > 0
+
+
+class TestBloomPrefilter:
+    """join_bloom_prefilter: the no-false-negative contract and the
+    theoretical false-positive envelope (values are separately
+    hash-matched against the DuckDB oracle at four scale factors)."""
+
+    def test_never_false_negative_and_fp_within_theory(self, spark, sf_dir):
+        import math
+
+        rows = queries()["join_bloom_prefilter"](spark, sf_dir).collect()
+        assert rows
+        m, k = 65536, 3
+        for r in rows:
+            # Every true match must survive the filter.
+            assert r.n_candidates >= r.n_true_matches
+            assert r.n_false_pos == r.n_candidates - r.n_true_matches
+            assert r.n_bits_set <= min(k * r.n_build, m)
+            # Realized fp rate should sit near (1 - e^(-kn/m))^k; allow
+            # a generous band (small-sample noise at tiny SFs).
+            theory = (1.0 - math.exp(-k * r.n_build / m)) ** k
+            assert r.fp_rate <= max(3 * theory, 0.003), (r.fp_rate, theory)
