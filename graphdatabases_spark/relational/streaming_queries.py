@@ -590,3 +590,67 @@ def docs_stream_dedup_bounded(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("epoch")
     )
+
+
+@register(
+    "events_stream_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '5 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE user_id < 10
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           strftime(max(ts) + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS sess_end,
+           count(*) AS n
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, sess_start
+    """,
+    doc="Runs the REAL Structured Streaming engine: per-user SESSION "
+    "WINDOWS (5-min inactivity gap) built incrementally across "
+    "micro-batches — maxFilesPerTrigger=2 forces a multi-batch "
+    "availableNow replay, so sessions MERGE across batch boundaries "
+    "in the engine's session-window state store (the semantics batch "
+    "gaps-and-islands gets for free and a stream must earn); the "
+    "final complete-mode emission must equal events_session_windows' "
+    "batch oracle exactly. The replay uses an effectively-unbounded "
+    "watermark so no out-of-order file is late — complete mode keeps "
+    "all session state; the production 100-TB deployment runs "
+    "append+watermark instead, trading exact replay equality for "
+    "bounded state exactly as docs_stream_dedup_bounded documents "
+    "for dedup state.",
+)
+def events_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.streaming.windows import (
+        read_events_stream,
+        session_window_stats,
+    )
+
+    staged, tag = _stage_events_micro(spark, sf)
+    stream = read_events_stream(spark, staged, max_files_per_trigger=2)
+    sess = session_window_stats(
+        stream.filter(F.col("user_id") < 10),
+        "5 minutes",
+        watermark="3650 days",
+    )
+    sink = f"stream_sessions_{tag}"
+    (
+        sess.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink).orderBy("user_id", "sess_start")

@@ -221,6 +221,7 @@ class TestPlansModule:
 # table reads and their streaming behavior is covered by test_streaming.py.
 _EAGER_STREAMING = {
     "events_stateful_running_totals",
+    "events_stream_sessions",
     "events_stream_enriched_nation",
     "events_stream_click_attribution",
 }

@@ -912,3 +912,68 @@ class TestConcurrentCommittedReader:
         # The race was real: the reader saw at least one pre-final state
         # (its first poll starts before the writer's first commit).
         assert any(s != final for s in snapshots)
+
+
+class TestStreamingSessionMerge:
+    """events_stream_sessions: session-window state must MERGE across
+    micro-batch boundaries — one file per trigger, every session still
+    equal to the batch gaps-and-islands answer."""
+
+    def test_single_file_triggers_equal_batch_sessions(self, spark):
+        from graphdatabases_spark.relational import queries
+        from graphdatabases_spark.relational.streaming_queries import (
+            _stage_events_micro,
+        )
+        from graphdatabases_spark.streaming.windows import (
+            read_events_stream,
+            session_window_stats,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        staged, tag = _stage_events_micro(spark, sf_dir)
+        # Re-shard into 4 HASH-shuffled files: each micro-batch then
+        # carries an arbitrary time-interleaved slice, so sessions can
+        # only come out right if the engine MERGES window state across
+        # batches (and tolerates out-of-order arrival).
+        import os
+        import tempfile
+
+        sharded = os.path.join(
+            tempfile.gettempdir(), f"sess_shards_{tag}"
+        )
+        spark.read.parquet(staged).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(sharded)
+        n_files = len(
+            [f for f in os.listdir(sharded) if f.endswith(".parquet")]
+        )
+        assert n_files >= 2, "need multiple files to prove cross-batch merge"
+        stream = read_events_stream(spark, sharded, max_files_per_trigger=1)
+        sess = session_window_stats(
+            stream.filter(F.col("user_id") < 10),
+            "5 minutes",
+            watermark="3650 days",
+        )
+        sink = f"sess_merge_{tag}"
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert len(q.recentProgress) >= 2, "replay must span >1 micro-batch"
+        got = sorted(
+            tuple(r)
+            for r in spark.table(sink)
+            .select("user_id", "sess_start", "sess_end", "n")
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in queries()["events_session_windows"](
+                spark, sf_dir
+            ).collect()
+        )
+        assert got == want and len(want) > 0
