@@ -728,3 +728,42 @@ def quantize_symmetric(vec, bits: int):
     return F.transform(
         vec, lambda x: F.floor(x * F.lit(levels) / vmax).cast("double")
     )
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Incrementally ADD a vector batch to a persisted IVF index —
+    the serving-side counterpart of ``compact_zordered_incremental``:
+    the new batch is assigned to the EXISTING centroids (no
+    re-clustering, no touch of resident rows) and appended as new
+    files into only the receiving cells' ``cid=`` directories;
+    every pre-existing file stays byte-identical (pinned in
+    tests/test_llm_ops.py), so concurrent probes of untouched cells
+    are never disturbed. This is the FAISS ``add``-after-``train``
+    contract at 100 TB: ingest cost is one assignment pass over the
+    NEW batch only, and the coarse quantizer drifts only when an
+    explicit re-train rewrites the index (the full-rewrite path,
+    exactly like Z-order layout evolution vs incremental compaction).
+
+    Returns the sorted cell ids that received rows.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    c = with_norm(new_vectors, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "_vec", "_norm"
+    )
+    add = _nearest_centroids(c, cents, nprobe=1, id_name="neighbor_id").select(
+        "cid",
+        "neighbor_id",
+        F.col("_vec").alias("c_vec2"),
+        F.col("_norm").alias("c_norm2"),
+    )
+    touched = sorted(
+        r["cid"] for r in add.select("cid").distinct().collect()
+    )
+    add.write.partitionBy("cid").mode("append").parquet(f"{path}/corpus")
+    return touched

@@ -409,3 +409,82 @@ class TestQuantizedRecallCurve:
         # recover nearly all fp neighbors, and clearly beat 4-bit.
         assert rows[8]["recall_at_k"] >= 0.9
         assert rows[8]["recall_at_k"] >= rows[4]["recall_at_k"]
+
+
+class TestIvfIncrementalAppend:
+    """ivf_append: new batch lands ONLY in its receiving cells, every
+    resident file stays byte-identical, and a disk probe afterwards
+    equals an in-memory query over the union corpus assigned to the
+    SAME (untouched) centroids."""
+
+    def test_append_is_incremental_and_query_equivalent(
+        self, spark, sf_dir, tmp_path
+    ):
+        import hashlib
+        import os
+
+        from graphdatabases_spark.functions.similarity import (
+            ivf_append,
+            ivf_build,
+            ivf_query,
+            ivf_query_disk,
+            ivf_write,
+            with_norm,
+            _nearest_centroids,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base = emb.filter(F.col("vec_id") % 3 != 0)
+        batch = emb.filter(F.col("vec_id") % 3 == 0)
+        assert batch.count() > 0
+
+        path = str(tmp_path / "ivf")
+        cents, _ = index = ivf_build(base, num_clusters=8, lloyd_iters=1)
+        ivf_write(index, path)
+
+        def file_hashes(root):
+            out = {}
+            for dirpath, _, files in os.walk(f"{root}/corpus"):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(dirpath, f)
+                        out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+            return out
+
+        before = file_hashes(path)
+        touched = ivf_append(spark, path, batch)
+        after = file_hashes(path)
+
+        # Every resident file survives byte-identical; new files appear
+        # only under the touched cells' directories.
+        assert set(before) <= set(after)
+        assert all(after[p] == h for p, h in before.items())
+        new_files = set(after) - set(before)
+        assert new_files
+        for p in new_files:
+            cid = int(p.split("cid=")[1].split("/")[0])
+            assert cid in touched, (p, touched)
+
+        # Probing the appended index == in-memory query over the union
+        # corpus assigned to the SAME centroids (no re-train).
+        q = emb.filter(F.col("vec_id") < 5)
+        u = with_norm(emb).select(
+            F.col("vec_id").alias("neighbor_id"), "_vec", "_norm"
+        )
+        union_idx = _nearest_centroids(
+            u, cents, nprobe=1, id_name="neighbor_id"
+        ).select(
+            "cid",
+            "neighbor_id",
+            F.col("_vec").alias("c_vec2"),
+            F.col("_norm").alias("c_norm2"),
+        )
+        want = sorted(
+            tuple(r)
+            for r in ivf_query((cents, union_idx), q, k=3, nprobe=2).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in ivf_query_disk(spark, path, q, k=3, nprobe=2).collect()
+        )
+        assert got == want and len(got) > 0
