@@ -977,3 +977,100 @@ class TestStreamingSessionMerge:
             ).collect()
         )
         assert got == want and len(want) > 0
+
+
+class TestBoundedSessionWindows:
+    """The production (append + watermark) form of streaming session
+    windows — the bounded-state contract events_stream_sessions's
+    complete-mode replay deliberately sidesteps: finalized sessions
+    are emitted exactly once, a late event behind the watermark is
+    DROPPED (batch would have merged it), and a still-open session is
+    withheld at stream end."""
+
+    def test_finalized_emit_late_drop_open_withheld(self, spark, tmp_path):
+        import glob
+        import os
+        import shutil
+
+        from pyspark.sql.types import (
+            LongType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        from graphdatabases_spark.streaming.windows import (
+            session_window_stats,
+        )
+
+        schema = StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("ts", TimestampType()),
+            ]
+        )
+        base = 1_700_000_000
+
+        def mk(rows):
+            import datetime as dt
+
+            return [
+                (u, dt.datetime.fromtimestamp(base + m * 60, dt.timezone.utc)
+                 .replace(tzinfo=None))
+                for u, m in rows
+            ]
+
+        # The engine's watermark visibly lags one batch (the same
+        # lagging-eviction semantics docs_stream_dedup_bounded measured
+        # for dropDuplicates state): the filter applied to batch N uses
+        # the watermark derived from batch N-1's inputs, so the advance
+        # needs one extra epoch to take effect before the late arrival.
+        epochs = [
+            mk([(1, 0), (1, 2)]),   # user 1: session [00, 02]
+            mk([(2, 60)]),          # advances event time to 60 min
+            mk([(3, 65)]),          # watermark 50 now in force; -> 55
+            mk([(1, 4)]),           # LATE for user 1 (behind watermark)
+        ]
+        src = str(tmp_path / "sess_epochs")
+        os.makedirs(src)
+        for e, rows in enumerate(epochs):
+            tmp = str(tmp_path / f"_t{e}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            dst = os.path.join(src, f"e{e}.parquet")
+            shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (base + e, base + e))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sess = session_window_stats(stream, "5 minutes", watermark="10 minutes")
+        sink = "bounded_sessions_pin"
+        (
+            sess.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        got = [
+            (r.user_id, r.n) for r in spark.table(sink).collect()
+        ]
+        # Exactly ONE emission: user 1's finalized 2-event session.
+        # The late t=4min event (which batch sessionization would merge
+        # into a 3-event session) is dropped, and user 2's / user 3's
+        # still-open sessions are withheld at stream end.
+        assert got == [(1, 2)], got
+
+        # The batch oracle over the SAME rows disagrees by exactly the
+        # late row — that delta IS the bounded-state contract.
+        batch = session_window_stats(
+            spark.read.parquet(src), "5 minutes"
+        ).collect()
+        batch_u1 = [r.n for r in batch if r.user_id == 1]
+        assert batch_u1 == [3]
