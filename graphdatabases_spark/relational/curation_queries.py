@@ -2770,3 +2770,108 @@ def docs_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "docs_shard_rebalance",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id,
+        ('0x' || substr(md5('shrd' || doc_id), 1, 12))::BIGINT AS h
+      FROM documents
+    ),
+    a AS (
+      SELECT source, doc_id,
+        h % 10 AS mod10, h % 11 AS mod11,
+        list_max(list_transform(range(0, 10), s ->
+          (('0x' || substr(md5(doc_id || '#' || s), 1, 12))::BIGINT) * 16
+          + s)) % 16 AS hrw10,
+        list_max(list_transform(range(0, 11), s ->
+          (('0x' || substr(md5(doc_id || '#' || s), 1, 12))::BIGINT) * 16
+          + s)) % 16 AS hrw11
+      FROM d
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN mod10 <> mod11 THEN 1 ELSE 0 END) AS BIGINT)
+        AS moved_mod,
+      CAST(sum(CASE WHEN hrw10 <> hrw11 THEN 1 ELSE 0 END) AS BIGINT)
+        AS moved_hrw,
+      CAST(sum(CASE WHEN hrw10 <> hrw11 AND hrw11 = 10
+               THEN 1 ELSE 0 END) AS BIGINT) AS moved_to_new,
+      round(CAST(sum(CASE WHEN mod10 <> mod11 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS frac_moved_mod,
+      round(CAST(sum(CASE WHEN hrw10 <> hrw11 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS frac_moved_hrw
+    FROM a GROUP BY source ORDER BY source
+    """,
+    doc="Shard REBALANCE cost under modulo vs RENDEZVOUS (highest-"
+    "random-weight) hashing when the shard count grows 10 -> 11 — the "
+    "operational question behind every 100-TB resharding: modulo "
+    "reassigns ~10/11 of all keys (every byte re-shuffles), while HRW "
+    "— shard(k) = argmax_s H(k||s), computed portably as max over "
+    "(48-bit salted md5)*16+s so the argmax decodes from one BIGINT "
+    "max with deterministic tie-break in both engines — moves only "
+    "the ~1/11 of keys claimed by the NEW shard, and NEVER between "
+    "two old shards (moved_to_new == moved_hrw, visible in the "
+    "value hash; also pinned as an invariant). Pure per-row folds + "
+    "one keyed agg — zero joins, zero shuffle beyond the final agg; "
+    "at 100 TB the frac_moved_hrw column IS the fraction of the "
+    "corpus a shard-add forces through the network.",
+)
+def docs_shard_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    def hrw(n):
+        return (
+            F.array_max(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n - 1)),
+                    lambda s: T.portable_hash64(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("#"),
+                            s.cast("string"),
+                        )
+                    )
+                    * 16
+                    + s,
+                )
+            )
+            % 16
+        )
+
+    h = T.portable_hash64(
+        F.concat(F.lit("shrd"), F.col("doc_id").cast("string"))
+    )
+    a = table(spark, sf, "documents").select(
+        "source",
+        (h % 10).alias("mod10"),
+        (h % 11).alias("mod11"),
+        hrw(10).alias("hrw10"),
+        hrw(11).alias("hrw11"),
+    )
+    moved_mod = F.sum(F.when(F.col("mod10") != F.col("mod11"), 1).otherwise(0))
+    moved_hrw = F.sum(F.when(F.col("hrw10") != F.col("hrw11"), 1).otherwise(0))
+    return (
+        a.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            moved_mod.cast("long").alias("moved_mod"),
+            moved_hrw.cast("long").alias("moved_hrw"),
+            F.sum(
+                F.when(
+                    (F.col("hrw10") != F.col("hrw11"))
+                    & (F.col("hrw11") == 10),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("moved_to_new"),
+            F.round(moved_mod.cast("double") / F.count(F.lit(1)), 6).alias(
+                "frac_moved_mod"
+            ),
+            F.round(moved_hrw.cast("double") / F.count(F.lit(1)), 6).alias(
+                "frac_moved_hrw"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -310,3 +310,26 @@ class TestBloomPrefilter:
             # a generous band (small-sample noise at tiny SFs).
             theory = (1.0 - math.exp(-k * r.n_build / m)) ** k
             assert r.fp_rate <= max(3 * theory, 0.003), (r.fp_rate, theory)
+
+
+class TestShardRebalance:
+    """docs_shard_rebalance: the rendezvous minimal-movement law."""
+
+    def test_hrw_moves_only_to_the_new_shard_and_less_than_modulo(
+        self, spark, sf_dir
+    ):
+        rows = queries()["docs_shard_rebalance"](spark, sf_dir).collect()
+        assert rows
+        tot = sum(r.n_docs for r in rows)
+        hrw = sum(r.moved_hrw for r in rows)
+        mod = sum(r.moved_mod for r in rows)
+        for r in rows:
+            # THE rendezvous property: a key never moves between two
+            # OLD shards — every move is a claim by the new shard.
+            assert r.moved_to_new == r.moved_hrw
+            assert 0 <= r.moved_hrw <= r.n_docs
+        # Corpus-wide: HRW ~ 1/11 moved, modulo ~ 10/11 — the two must
+        # be separated by a wide margin at any scale factor.
+        assert hrw / tot < 0.25
+        assert mod / tot > 0.75
+        assert hrw < mod
