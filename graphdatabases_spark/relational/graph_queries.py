@@ -1052,8 +1052,14 @@ def _anf_summary_sql(r: int) -> str:
     {",".join(_anf_summary_sql(r) for r in range(_ANF_ROUNDS + 1))}
     SELECT r, n_nodes, n_regs,
       round(CAST(anf_dec AS DOUBLE), 3) AS anf_estimate,
-      round(CAST(anf_dec AS DOUBLE) / n_nodes, 6) AS avg_ball
+      round(CAST(anf_dec AS DOUBLE) / n_nodes, 6) AS avg_ball,
+      round(CAST(anf_dec AS DOUBLE) / CAST(fin_dec AS DOUBLE), 6)
+        AS frac_of_final,
+      CAST(CASE WHEN round(CAST(anf_dec AS DOUBLE)
+                           / CAST(fin_dec AS DOUBLE), 6) >= 0.9
+           THEN 1 ELSE 0 END AS BIGINT) AS reached_90
     FROM ({" UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(_ANF_ROUNDS + 1))})
+    CROSS JOIN (SELECT anf_dec AS fin_dec FROM s{_ANF_ROUNDS})
     ORDER BY r
     """,
     doc="Approximate neighborhood function via HyperBall (Boldi et "
@@ -1074,7 +1080,11 @@ def _anf_summary_sql(r: int) -> str:
     "harmonic denominator and pre-rounded linear-counting branch, "
     "alpha_32 = 0.697; per-node estimates round to 6 dp and sum as "
     "DECIMAL(28,6) — order-invariant) and the occupied-register "
-    "count as an integer fingerprint of the sketch state. Realized "
+    "count as an integer fingerprint of the sketch state, plus the "
+    "cumulative-growth fraction of the final-round ANF (frac_of_final; "
+    "reached_90 marks the classic 90%%-effective-diameter cut — the "
+    "first flagged round IS the effective diameter estimate, the "
+    "curve HyperBall exists to measure). Realized "
     "accuracy vs the exact per-round ANF is pinned in pytest at "
     "sf0.001 (tests/test_algorithms.py).",
 )
@@ -1168,12 +1178,25 @@ def graph_anf_hyperball(spark: SparkSession, sf: str) -> DataFrame:
     out = summaries[0]
     for s in summaries[1:]:
         out = out.unionByName(s)
-    return out.select(
-        "r",
-        "n_nodes",
-        "n_regs",
-        F.round(F.col("anf_dec").cast("double"), 3).alias("anf_estimate"),
-        F.round(
-            F.col("anf_dec").cast("double") / F.col("n_nodes"), 6
-        ).alias("avg_ball"),
-    ).orderBy("r")
+    fin = summaries[_ANF_ROUNDS].select(F.col("anf_dec").alias("fin_dec"))
+    frac = F.round(
+        F.col("anf_dec").cast("double") / F.col("fin_dec").cast("double"), 6
+    )
+    return (
+        out.crossJoin(F.broadcast(fin))
+        .select(
+            "r",
+            "n_nodes",
+            "n_regs",
+            F.round(F.col("anf_dec").cast("double"), 3).alias("anf_estimate"),
+            F.round(
+                F.col("anf_dec").cast("double") / F.col("n_nodes"), 6
+            ).alias("avg_ball"),
+            frac.alias("frac_of_final"),
+            F.when(frac >= 0.9, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("reached_90"),
+        )
+        .orderBy("r")
+    )

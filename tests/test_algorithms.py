@@ -615,3 +615,10 @@ class TestAnfHyperball:
         for a, b in ((0, 1), (1, 2), (2, 3)):
             assert rows[b]["n_regs"] >= rows[a]["n_regs"]
             assert rows[b]["anf_estimate"] >= rows[a]["anf_estimate"] - 1e-6
+            assert rows[b]["frac_of_final"] >= rows[a]["frac_of_final"] - 1e-6
+        # The final round defines the denominator: frac 1.0, flagged.
+        assert rows[3]["frac_of_final"] == 1.0
+        assert rows[3]["reached_90"] == 1
+        # reached_90 is a monotone cut — once reached, never unreached.
+        flags = [rows[r]["reached_90"] for r in (0, 1, 2, 3)]
+        assert flags == sorted(flags)
