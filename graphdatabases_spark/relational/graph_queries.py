@@ -1028,10 +1028,10 @@ def _anf_summary_sql(r: int) -> str:
     )"""
 
 
-@register(
-    "graph_anf_hyperball",
-    oracle=f"""
-    WITH {_ANF_EDGES_SQL},
+# The full sketch chain (edges -> nodes -> register init -> merge
+# rounds -> per-round summaries s0..s{_ANF_ROUNDS}), shared by the
+# ANF curve entry and the effective-diameter entry below.
+_ANF_CHAIN_SQL = f"""{_ANF_EDGES_SQL},
     nodes AS (
       SELECT DISTINCT node FROM (
         SELECT src AS node FROM edges
@@ -1049,46 +1049,14 @@ def _anf_summary_sql(r: int) -> str:
       FROM h
     ),
     {",".join(_anf_round_sql(r) for r in range(1, _ANF_ROUNDS + 1))},
-    {",".join(_anf_summary_sql(r) for r in range(_ANF_ROUNDS + 1))}
-    SELECT r, n_nodes, n_regs,
-      round(CAST(anf_dec AS DOUBLE), 3) AS anf_estimate,
-      round(CAST(anf_dec AS DOUBLE) / n_nodes, 6) AS avg_ball,
-      round(CAST(anf_dec AS DOUBLE) / CAST(fin_dec AS DOUBLE), 6)
-        AS frac_of_final,
-      CAST(CASE WHEN round(CAST(anf_dec AS DOUBLE)
-                           / CAST(fin_dec AS DOUBLE), 6) >= 0.9
-           THEN 1 ELSE 0 END AS BIGINT) AS reached_90
-    FROM ({" UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(_ANF_ROUNDS + 1))})
-    CROSS JOIN (SELECT anf_dec AS fin_dec FROM s{_ANF_ROUNDS})
-    ORDER BY r
-    """,
-    doc="Approximate neighborhood function via HyperBall (Boldi et "
-    "al.; Palmer et al.'s ANF with HLL counters): every node of the "
-    "half-sampled entity graph (even order keys — fixture-cost "
-    "bounding, the mechanism is unchanged) carries a portable "
-    "32-register HLL sketch of its OUT-ball, and round r merges each "
-    "node's sketch with its successors' round-(r-1) sketches — a "
-    "register-wise MAX, which is why the whole algorithm is three "
-    "unrolled join+combinable-agg rounds rather than |V| BFS "
-    "traversals (the reason ANF is THE way to measure reachability "
-    "growth / effective diameter at 100 TB: state is <= 32 small "
-    "ints per node, every round is one dst-keyed equi-join plus one "
-    "(node, register) hash-agg, both linear in |E|; rounds are "
-    "eagerly localCheckpoint'd so the lineage stays bounded exactly "
-    "like the BFS kernel). Per round the entry reports the summed "
-    "per-node ball estimates (dedup_hll_cardinality's exact-BIGINT "
-    "harmonic denominator and pre-rounded linear-counting branch, "
-    "alpha_32 = 0.697; per-node estimates round to 6 dp and sum as "
-    "DECIMAL(28,6) — order-invariant) and the occupied-register "
-    "count as an integer fingerprint of the sketch state, plus the "
-    "cumulative-growth fraction of the final-round ANF (frac_of_final; "
-    "reached_90 marks the classic 90%%-effective-diameter cut — the "
-    "first flagged round IS the effective diameter estimate, the "
-    "curve HyperBall exists to measure). Realized "
-    "accuracy vs the exact per-round ANF is pinned in pytest at "
-    "sf0.001 (tests/test_algorithms.py).",
-)
-def graph_anf_hyperball(spark: SparkSession, sf: str) -> DataFrame:
+    {",".join(_anf_summary_sql(r) for r in range(_ANF_ROUNDS + 1))}"""
+
+
+def _anf_summaries(spark: SparkSession, sf: str) -> list:
+    """Per-round HyperBall summaries ``[s0 .. s{_ANF_ROUNDS}]`` — each a
+    1-row DataFrame (r, n_nodes, n_regs, anf_dec) over the half-sampled
+    entity graph.  Shared by graph_anf_hyperball (the full curve) and
+    graph_effective_diameter (the interpolated 90% cut)."""
     from graphdatabases_spark.functions import text as T
 
     m = _ANF_M
@@ -1175,6 +1143,53 @@ def graph_anf_hyperball(spark: SparkSession, sf: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         summaries.append(summarize(regs, r))
+    return summaries
+
+
+@register(
+    "graph_anf_hyperball",
+    oracle=f"""
+    WITH {_ANF_CHAIN_SQL}
+    SELECT r, n_nodes, n_regs,
+      round(CAST(anf_dec AS DOUBLE), 3) AS anf_estimate,
+      round(CAST(anf_dec AS DOUBLE) / n_nodes, 6) AS avg_ball,
+      round(CAST(anf_dec AS DOUBLE) / CAST(fin_dec AS DOUBLE), 6)
+        AS frac_of_final,
+      CAST(CASE WHEN round(CAST(anf_dec AS DOUBLE)
+                           / CAST(fin_dec AS DOUBLE), 6) >= 0.9
+           THEN 1 ELSE 0 END AS BIGINT) AS reached_90
+    FROM ({" UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(_ANF_ROUNDS + 1))})
+    CROSS JOIN (SELECT anf_dec AS fin_dec FROM s{_ANF_ROUNDS})
+    ORDER BY r
+    """,
+    doc="Approximate neighborhood function via HyperBall (Boldi et "
+    "al.; Palmer et al.'s ANF with HLL counters): every node of the "
+    "half-sampled entity graph (even order keys — fixture-cost "
+    "bounding, the mechanism is unchanged) carries a portable "
+    "32-register HLL sketch of its OUT-ball, and round r merges each "
+    "node's sketch with its successors' round-(r-1) sketches — a "
+    "register-wise MAX, which is why the whole algorithm is three "
+    "unrolled join+combinable-agg rounds rather than |V| BFS "
+    "traversals (the reason ANF is THE way to measure reachability "
+    "growth / effective diameter at 100 TB: state is <= 32 small "
+    "ints per node, every round is one dst-keyed equi-join plus one "
+    "(node, register) hash-agg, both linear in |E|; rounds are "
+    "eagerly localCheckpoint'd so the lineage stays bounded exactly "
+    "like the BFS kernel). Per round the entry reports the summed "
+    "per-node ball estimates (dedup_hll_cardinality's exact-BIGINT "
+    "harmonic denominator and pre-rounded linear-counting branch, "
+    "alpha_32 = 0.697; per-node estimates round to 6 dp and sum as "
+    "DECIMAL(28,6) — order-invariant) and the occupied-register "
+    "count as an integer fingerprint of the sketch state, plus the "
+    "cumulative-growth fraction of the final-round ANF (frac_of_final; "
+    "reached_90 marks the classic 90%%-effective-diameter cut — the "
+    "first flagged round IS the effective diameter estimate, the "
+    "curve HyperBall exists to measure). Realized "
+    "accuracy vs the exact per-round ANF is pinned in pytest at "
+    "sf0.001 (tests/test_algorithms.py).",
+)
+def graph_anf_hyperball(spark: SparkSession, sf: str) -> DataFrame:
+    summaries = _anf_summaries(spark, sf)
     out = summaries[0]
     for s in summaries[1:]:
         out = out.unionByName(s)
@@ -1199,4 +1214,86 @@ def graph_anf_hyperball(spark: SparkSession, sf: str) -> DataFrame:
             .alias("reached_90"),
         )
         .orderBy("r")
+    )
+
+
+@register(
+    "graph_effective_diameter",
+    oracle=f"""
+    WITH {_ANF_CHAIN_SQL},
+    a AS (
+      SELECT {", ".join(
+        f"(SELECT CAST(anf_dec AS DOUBLE) FROM s{r}) AS a{r}"
+        for r in range(_ANF_ROUNDS + 1)
+      )},
+        (SELECT n_nodes FROM s0) AS n_nodes
+    ),
+    t AS (SELECT a.*, 0.9 * a{_ANF_ROUNDS} AS tgt FROM a)
+    SELECT n_nodes,
+      round(a{_ANF_ROUNDS}, 3) AS anf_final,
+      round(tgt, 3) AS target_anf,
+      CAST(CASE {" ".join(
+        f"WHEN a{r} >= tgt THEN {r}" for r in range(_ANF_ROUNDS)
+      )} ELSE {_ANF_ROUNDS} END AS BIGINT) AS d_eff_round,
+      round(CASE WHEN a0 >= tgt THEN 0.0 {" ".join(
+        f"WHEN a{r} >= tgt THEN {r - 1} + (tgt - a{r - 1}) / (a{r} - a{r - 1})"
+        for r in range(1, _ANF_ROUNDS + 1)
+      )} END, 6) AS d_eff_interp
+    FROM t
+    """,
+    doc="Effective diameter by linear interpolation over the HyperBall "
+    "ANF curve (the single number graph_anf_hyperball's curve exists "
+    "to produce; Palmer et al.'s eff-diameter definition as used by "
+    "SNAP/WebGraph): the target is 90%% of the final-round ANF, the "
+    "cut round r is the first whose ball sum reaches it, and the "
+    "fractional estimate interpolates between rounds r-1 and r — "
+    "d_eff = (r-1) + (target - anf[r-1]) / (anf[r] - anf[r-1]). "
+    "Every selected branch's denominator is strictly positive by "
+    "construction (anf[r] >= target > anf[r-1]). The curve is "
+    f"{_ANF_ROUNDS + 1} one-row summaries, so the interpolation is "
+    "pure 1-row scalar algebra on top of the shared _anf_summaries "
+    "chain — identical doubles in both engines, rounded once at 6 dp. "
+    "Scale shape is the ANF entry's: per round one dst-keyed "
+    "equi-join + one (node, register) hash-agg, state <= 32 small "
+    "ints per node, rounds localCheckpoint'd.",
+)
+def graph_effective_diameter(spark: SparkSession, sf: str) -> DataFrame:
+    summaries = _anf_summaries(spark, sf)
+    row = summaries[0].select(
+        "n_nodes", F.col("anf_dec").cast("double").alias("a0")
+    )
+    for r in range(1, _ANF_ROUNDS + 1):
+        row = row.crossJoin(
+            F.broadcast(
+                summaries[r].select(
+                    F.col("anf_dec").cast("double").alias(f"a{r}")
+                )
+            )
+        )
+    row = row.withColumn("tgt", F.lit(0.9) * F.col(f"a{_ANF_ROUNDS}"))
+
+    cut = F.lit(_ANF_ROUNDS)
+    interp = (
+        F.lit(_ANF_ROUNDS - 1)
+        + (F.col("tgt") - F.col(f"a{_ANF_ROUNDS - 1}"))
+        / (F.col(f"a{_ANF_ROUNDS}") - F.col(f"a{_ANF_ROUNDS - 1}"))
+    )
+    for r in range(_ANF_ROUNDS - 1, -1, -1):
+        hit = F.col(f"a{r}") >= F.col("tgt")
+        cut = F.when(hit, F.lit(r)).otherwise(cut)
+        interp = F.when(
+            hit,
+            F.lit(0.0)
+            if r == 0
+            else F.lit(r - 1)
+            + (F.col("tgt") - F.col(f"a{r - 1}"))
+            / (F.col(f"a{r}") - F.col(f"a{r - 1}")),
+        ).otherwise(interp)
+
+    return row.select(
+        "n_nodes",
+        F.round(F.col(f"a{_ANF_ROUNDS}"), 3).alias("anf_final"),
+        F.round(F.col("tgt"), 3).alias("target_anf"),
+        cut.cast("long").alias("d_eff_round"),
+        F.round(interp, 6).alias("d_eff_interp"),
     )

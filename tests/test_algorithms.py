@@ -622,3 +622,34 @@ class TestAnfHyperball:
         # reached_90 is a monotone cut — once reached, never unreached.
         flags = [rows[r]["reached_90"] for r in (0, 1, 2, 3)]
         assert flags == sorted(flags)
+
+
+class TestEffectiveDiameter:
+    """graph_effective_diameter: the interpolated value must be
+    consistent with the ANF curve entry it is derived from."""
+
+    def test_interp_consistent_with_curve(self, spark, sf_dir):
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()  # populate REGISTRY
+        curve = {
+            r["r"]: r
+            for r in REGISTRY["graph_anf_hyperball"].fn(spark, sf_dir).collect()
+        }
+        d = REGISTRY["graph_effective_diameter"].fn(spark, sf_dir).collect()
+        assert len(d) == 1
+        d = d[0]
+        rounds = sorted(curve)
+        # The cut round is the first round the curve entry flags.
+        first_flagged = min(r for r in rounds if curve[r]["reached_90"] == 1)
+        assert d["d_eff_round"] == first_flagged
+        # target = 0.9 * final ANF (both rounded to 3 dp independently).
+        final = curve[rounds[-1]]["anf_estimate"]
+        assert abs(d["anf_final"] - final) < 1e-3
+        assert abs(d["target_anf"] - 0.9 * final) < 0.01
+        # Interpolation lands inside (cut-1, cut] — or exactly 0.
+        if d["d_eff_round"] == 0:
+            assert d["d_eff_interp"] == 0.0
+        else:
+            assert d["d_eff_round"] - 1 < d["d_eff_interp"] <= d["d_eff_round"]
+        assert d["n_nodes"] == curve[0]["n_nodes"]

@@ -298,6 +298,7 @@ class TestUniversalGates:
         "docs_bigram_lm_score",       # 1-row corpus-total scalar
         "join_bloom_prefilter",       # 1-row build/bits-count scalar
         "graph_anf_hyperball",        # 1-row final-round ANF scalar
+        "graph_effective_diameter",   # 4 x 1-row ANF summaries folded
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):
