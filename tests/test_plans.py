@@ -288,6 +288,7 @@ class TestUniversalGates:
         "docs_bpe_merges",            # 1-row argmax pair per merge round
         "docs_bpe_apply",             # same 1-row argmax rounds (shared fit)
         "docs_bpe_fertility",         # argmax rounds + 1-row totals scalar
+        "docs_bpe_subword",           # same 1-row argmax rounds (marker s0)
         "docs_bm25_topk",             # 1-row corpus-stats scalar (x2)
         "orders_quantile_histogram",  # 3-row quantile-spec literal frame
         "docs_mixture_grid",          # 1-row global sqrt-sum normalizer

@@ -253,3 +253,49 @@ class TestSubstringSpans:
         assert set(spans) == {
             d for d, r in strip.items() if r["n_removed"] > 0
         }
+
+
+class TestBpeSubword:
+    """docs_bpe_subword: the word-boundary marker is a base symbol —
+    merges may absorb it at position 0 and nowhere else, and the merge
+    procedure itself must agree with a Python replay."""
+
+    def test_marker_placement_and_replay(self, spark, sf_dir):
+        rows = REGISTRY["docs_bpe_subword"].fn(spark, sf_dir).collect()
+        assert [r["round"] for r in rows] == [1, 2, 3, 4, 5]
+        for r in rows:
+            assert r["n"] >= 1
+            assert len(r["merged"]) >= 2
+            # marker only ever at position 0 (it is each sequence's
+            # first base symbol, so no pair puts it mid-merge)
+            assert "_" not in r["merged"][1:]
+            assert r["is_word_initial"] == int(r["merged"].startswith("_"))
+        # The boundary symbol aggregates whole word-onset frequency —
+        # the corpus's top merge is word-initial at every fixture SF.
+        assert any(r["is_word_initial"] == 1 for r in rows)
+
+        # Python replay of the 5 greedy rounds over the vocab.
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        vocab: Counter[str] = Counter()
+        for d in docs:
+            vocab.update(
+                t
+                for t in re.split(r"[^a-z0-9]+", d.text.lower().strip())
+                if t
+            )
+        seqs = {
+            tok: "|_ " + "".join(f"|{c} " for c in tok) for tok in vocab
+        }
+        for rnd in range(1, 6):
+            pc: Counter[str] = Counter()
+            for tok, seq in seqs.items():
+                sy = re.findall(r"\|([^ ]+) ", seq)
+                f = vocab[tok]
+                for a, b in zip(sy, sy[1:]):
+                    pc[f"|{a} |{b} "] += f
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merged = best.replace("|", "").replace(" ", "")
+            assert rows[rnd - 1]["merged"] == merged
+            assert rows[rnd - 1]["n"] == pc[best]
+            for tok in seqs:
+                seqs[tok] = seqs[tok].replace(best, f"|{merged} ")
