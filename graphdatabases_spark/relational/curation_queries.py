@@ -2427,50 +2427,33 @@ _WATERFILL_CTES = f"""t AS (
     )"""
 
 
-def _waterfill_quotas(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-stratum water-filling quotas as a DataFrame (the exact
-    DataFrame mirror of ``_WATERFILL_CTES``): columns (source, lang,
-    n_docs, stratum_toks, idx, k, quota_toks).
+def _waterfill_over(s: DataFrame, mass: str, quota_name: str) -> DataFrame:
+    """Water-fill a 60% budget (exact integer floor of total ``mass``)
+    across the strata of ``s``: returns every column of ``s`` plus
+    (idx, k, ``quota_name``).  ``s`` must carry (source, lang) for
+    deterministic tie-breaking and a BIGINT ``mass`` column.
 
-    Scale shape: the only per-document work is one filtered scan + one
-    keyed agg; the water-filling window and both 1-row scalar joins
-    run on the STRATA relation, bounded by |sources| x |langs|
-    regardless of corpus size.
+    Scale shape: everything here runs on the STRATA relation, bounded
+    by |sources| x |langs| regardless of corpus size — the window and
+    both 1-row scalar joins never see per-document rows.
     """
-    b = (
-        T.portable_hash64(
-            F.concat(F.lit("splt"), F.col("doc_id").cast("string"))
-        )
-        % 10
-    )
-    t = (
-        table(spark, sf, "documents")
-        .filter(b < 8)
-        .select(
-            "source", "lang", F.size(T.tokens(F.col("text"))).alias("n_toks")
-        )
-    )
-    s = t.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_toks").cast("long").alias("stratum_toks"),
-    )
     tot = s.agg(
-        F.expr("(sum(stratum_toks) * 3) div 5").alias("budget"),
+        F.expr(f"(sum({mass}) * 3) div 5").alias("budget"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    ww = Window.orderBy("stratum_toks", "source", "lang")
+    ww = Window.orderBy(mass, "source", "lang")
     r = (
         s.crossJoin(F.broadcast(tot))
         .withColumn("idx", F.row_number().over(ww).cast("long"))
         .withColumn(
             "pre",
-            F.sum("stratum_toks")
+            F.sum(mass)
             .over(ww.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("long"),
         )
     )
     fits = F.col("pre") + (F.col("n") - F.col("idx")) * F.col(
-        "stratum_toks"
+        mass
     ) <= F.col("budget")
     kk = r.agg(
         F.coalesce(F.max(F.when(fits, F.col("idx"))), F.lit(0).cast("long"))
@@ -2495,21 +2478,39 @@ def _waterfill_quotas(spark: SparkSession, sf: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("long")),
         )
     )
-    quota = F.when(F.col("idx") <= F.col("k"), F.col("stratum_toks")).otherwise(
+    quota = F.when(F.col("idx") <= F.col("k"), F.col(mass)).otherwise(
         F.col("cap")
         + F.when(F.col("idx") - F.col("k") <= F.col("rem"), F.lit(1)).otherwise(
             F.lit(0)
         )
     )
     return q.select(
-        "source",
-        "lang",
-        "n_docs",
-        "stratum_toks",
-        "idx",
-        "k",
-        quota.cast("long").alias("quota_toks"),
+        *s.columns, "idx", "k", quota.cast("long").alias(quota_name)
     )
+
+
+def _waterfill_quotas(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum water-filling quotas as a DataFrame (the exact
+    DataFrame mirror of ``_WATERFILL_CTES``): columns (source, lang,
+    n_docs, stratum_toks, idx, k, quota_toks)."""
+    b = (
+        T.portable_hash64(
+            F.concat(F.lit("splt"), F.col("doc_id").cast("string"))
+        )
+        % 10
+    )
+    t = (
+        table(spark, sf, "documents")
+        .filter(b < 8)
+        .select(
+            "source", "lang", F.size(T.tokens(F.col("text"))).alias("n_toks")
+        )
+    )
+    s = t.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("stratum_toks"),
+    )
+    return _waterfill_over(s, "stratum_toks", "quota_toks")
 
 
 @register(
@@ -2663,6 +2664,175 @@ def docs_rebalance_select(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+
+_QBP_DOC_SQL = """
+      SELECT source, lang, n_toks,
+        n_toks * (
+          (CASE WHEN n_toks BETWEEN 10 AND 1000 THEN 4000 ELSE 2000 END)
+          + (3000 - (3000 * n_punct) // greatest(n_ch, 1))
+          + ((3000 * n_uniq) // greatest(n_toks, 1))
+        ) AS qmass
+      FROM (
+        SELECT source, lang,
+          len(tk) AS n_toks,
+          len(list_distinct(tk)) AS n_uniq,
+          length(lower(text)) AS n_ch,
+          length(lower(text))
+            - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+            AS n_punct
+        FROM (
+          SELECT source, lang, text, {toks} AS tk FROM documents
+          WHERE ('0x' || substr(md5('splt' || doc_id), 1, 12))::BIGINT % 10 < 8
+        )
+      )
+""".format(toks=_TOKS)
+
+
+@register(
+    "docs_rebalance_quality",
+    oracle=f"""
+    WITH t AS ({_QBP_DOC_SQL}),
+    s AS (
+      SELECT source, lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS stratum_toks,
+        CAST(sum(qmass) AS BIGINT) AS stratum_qmass
+      FROM t GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT (sum(stratum_qmass) * 3) // 5 AS budget,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s
+    ),
+    r AS (
+      SELECT s.*, tot.budget, tot.n,
+        row_number() OVER (ORDER BY stratum_qmass, source, lang) AS idx,
+        sum(stratum_qmass) OVER (ORDER BY stratum_qmass, source, lang
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      FROM s, tot
+    ),
+    kk AS (
+      SELECT
+        coalesce(max(CASE WHEN pre + (n - idx) * stratum_qmass <= budget
+                          THEN idx END), 0) AS k,
+        coalesce(max(CASE WHEN pre + (n - idx) * stratum_qmass <= budget
+                          THEN pre END), 0) AS pk
+      FROM r
+    ),
+    wq AS (
+      SELECT r.*, kk.k,
+        CAST(CASE WHEN idx <= kk.k THEN stratum_qmass
+             ELSE (CASE WHEN r.n > kk.k
+                        THEN (r.budget - kk.pk) // (r.n - kk.k)
+                        ELSE 0 END)
+                  + (CASE WHEN idx - kk.k <=
+                          (CASE WHEN r.n > kk.k
+                                THEN (r.budget - kk.pk) % (r.n - kk.k)
+                                ELSE 0 END)
+                          THEN 1 ELSE 0 END)
+             END AS BIGINT) AS quota_qmass
+      FROM r, kk
+    )
+    SELECT source, lang, n_docs, stratum_toks, stratum_qmass,
+      CAST(stratum_qmass // greatest(stratum_toks, 1) AS BIGINT) AS avg_q_bp,
+      quota_qmass,
+      CAST(CASE WHEN idx <= k THEN 0 ELSE 1 END AS BIGINT) AS capped,
+      round(CAST(quota_qmass AS DOUBLE)
+            / greatest(stratum_qmass, 1), 6) AS fill_frac
+    FROM wq ORDER BY source, lang
+    """,
+    doc="QUALITY-MASS-weighted quota rebalancing — the "
+    "docs_split_rebalance variant where the water level is set over "
+    "per-stratum QUALITY mass instead of raw token counts, so a "
+    "stratum full of boilerplate-heavy low-quality documents draws a "
+    "smaller share of the training budget than its token count alone "
+    "would buy. Each train-split document scores an INTEGER quality "
+    "weight in basis points (0..10000): a length-band term (4000 in "
+    "the 10..1000-token band, else 2000), a cleanliness term (3000 "
+    "minus the punctuation-character share, integer floor), and a "
+    "vocabulary-diversity term (3000 x distinct/total tokens, integer "
+    "floor) — the integer rubric of text_quality_score's float "
+    "heuristic, chosen so per-doc mass = n_toks x q_bp and every "
+    "stratum sum is an EXACT BIGINT (order- and partitioning-"
+    "invariant, no float accumulation). The budget is 60%% of total "
+    "train quality mass (integer floor) and the closed-form "
+    "water-filling (shared _waterfill_over kernel) distributes it "
+    "with the remainder rule, so sum(quota_qmass) == budget exactly "
+    "whenever anything is capped. avg_q_bp exposes each stratum's "
+    "realized mean quality. Scale shape: one filtered scan + one "
+    "keyed agg do all per-document work; the window and 1-row scalar "
+    "joins run on the strata relation, bounded by |sources| x |langs|.",
+)
+def docs_rebalance_quality(spark: SparkSession, sf: str) -> DataFrame:
+    b = (
+        T.portable_hash64(
+            F.concat(F.lit("splt"), F.col("doc_id").cast("string"))
+        )
+        % 10
+    )
+    low = F.lower(F.col("text"))
+    toks = T.tokens(F.col("text"))
+    t = (
+        table(spark, sf, "documents")
+        .filter(b < 8)
+        .select(
+            "source",
+            "lang",
+            F.size(toks).alias("n_toks"),
+            F.size(F.array_distinct(toks)).alias("n_uniq"),
+            F.length(low).alias("n_ch"),
+            (
+                F.length(low)
+                - F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))
+            ).alias("n_punct"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_toks",
+            (
+                F.col("n_toks").cast("long")
+                * (
+                    F.when(
+                        F.col("n_toks").between(10, 1000), F.lit(4000)
+                    ).otherwise(F.lit(2000))
+                    + (
+                        F.lit(3000)
+                        - F.expr("(3000 * n_punct) div greatest(n_ch, 1)")
+                    )
+                    + F.expr("(3000 * n_uniq) div greatest(n_toks, 1)")
+                ).cast("long")
+            ).alias("qmass"),
+        )
+    )
+    s = t.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("stratum_toks"),
+        F.sum("qmass").cast("long").alias("stratum_qmass"),
+    )
+    q = _waterfill_over(s, "stratum_qmass", "quota_qmass")
+    return q.select(
+        "source",
+        "lang",
+        "n_docs",
+        "stratum_toks",
+        "stratum_qmass",
+        F.expr("stratum_qmass div greatest(stratum_toks, 1)")
+        .cast("long")
+        .alias("avg_q_bp"),
+        "quota_qmass",
+        F.when(F.col("idx") <= F.col("k"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("capped"),
+        F.round(
+            F.col("quota_qmass").cast("double")
+            / F.greatest(F.col("stratum_qmass"), F.lit(1)),
+            6,
+        ).alias("fill_frac"),
+    ).orderBy("source", "lang")
 
 
 @register(

@@ -259,6 +259,7 @@ class TestUniversalGates:
         # |sources| x |langs| regardless of corpus size
         "docs_split_rebalance",
         "docs_rebalance_select",
+        "docs_rebalance_quality",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
@@ -296,6 +297,7 @@ class TestUniversalGates:
         "docs_stream_dedup_bounded",  # 1-row re-admission count scalar
         "docs_split_rebalance",       # 1-row budget + 1-row cut scalars
         "docs_rebalance_select",      # same water-filling scalar pair
+        "docs_rebalance_quality",     # same scalars over quality mass
         "docs_bigram_lm_score",       # 1-row corpus-total scalar
         "join_bloom_prefilter",       # 1-row build/bits-count scalar
         "graph_anf_hyperball",        # 1-row final-round ANF scalar

@@ -333,3 +333,70 @@ class TestShardRebalance:
         assert hrw / tot < 0.25
         assert mod / tot > 0.75
         assert hrw < mod
+
+
+class TestRebalanceQuality:
+    """docs_rebalance_quality: water-filling invariants over quality
+    mass, plus a per-document Python replay of the integer rubric."""
+
+    def _frame(self, spark, sf_dir):
+        return queries()["docs_rebalance_quality"](spark, sf_dir).collect()
+
+    def test_budget_exhausted_exactly(self, spark, sf_dir):
+        rows = self._frame(spark, sf_dir)
+        total = sum(r.stratum_qmass for r in rows)
+        budget = (total * 3) // 5
+        alloc = sum(r.quota_qmass for r in rows)
+        if any(r.capped for r in rows):
+            assert alloc == budget
+        else:
+            assert alloc == total <= budget
+
+    def test_water_level_is_flat(self, spark, sf_dir):
+        rows = self._frame(spark, sf_dir)
+        capped = [r.quota_qmass for r in rows if r.capped]
+        if not capped:
+            return
+        lo, hi = min(capped), max(capped)
+        assert hi - lo <= 1
+        for r in rows:
+            assert 0 <= r.quota_qmass <= r.stratum_qmass
+            if not r.capped:
+                assert r.stratum_qmass <= hi
+
+    def test_qmass_replays_integer_rubric(self, spark, sf_dir):
+        """Per-stratum quality mass == sum over train docs of
+        n_toks * (band + cleanliness + diversity), all integer."""
+        import hashlib
+        import re
+        from collections import defaultdict
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        want_mass: dict[tuple, int] = defaultdict(int)
+        want_toks: dict[tuple, int] = defaultdict(int)
+        for d in docs:
+            h = int(
+                hashlib.md5(f"splt{d.doc_id}".encode()).hexdigest()[:12], 16
+            )
+            if h % 10 >= 8:
+                continue
+            toks = [
+                t
+                for t in re.split(r"[^a-z0-9]+", d.text.lower().strip())
+                if t
+            ]
+            low = d.text.lower()
+            n_punct = len(low) - len(re.sub(r"[^a-z0-9 ]", "", low))
+            band = 4000 if 10 <= len(toks) <= 1000 else 2000
+            clean = 3000 - (3000 * n_punct) // max(len(low), 1)
+            div = (3000 * len(set(toks))) // max(len(toks), 1)
+            key = (d.source, d.lang)
+            want_mass[key] += len(toks) * (band + clean + div)
+            want_toks[key] += len(toks)
+        rows = self._frame(spark, sf_dir)
+        assert {(r.source, r.lang) for r in rows} == set(want_mass)
+        for r in rows:
+            key = (r.source, r.lang)
+            assert r.stratum_qmass == want_mass[key], key
+            assert r.stratum_toks == want_toks[key], key
+            assert r.avg_q_bp == want_mass[key] // max(want_toks[key], 1)
