@@ -320,6 +320,128 @@ def dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_MH_RECALL_CONFIGS = [(2, 8), (4, 4), (8, 2)]  # (bands, rows_per_band)
+
+
+def _mh_recall_config_sql(bands: int, rows: int) -> str:
+    """One banding config's (candidates vs truth) count row: band id is
+    i // rows over the shared 16-hash signature table."""
+    return f"""
+    SELECT {bands} AS bands, {rows} AS rows_per_band,
+      CAST(coalesce(sum(in_t), 0) AS BIGINT) AS n_truth,
+      CAST(coalesce(sum(in_c), 0) AS BIGINT) AS n_candidates,
+      CAST(coalesce(sum(in_c * in_t), 0) AS BIGINT) AS n_hit,
+      round(coalesce(sum(in_c * in_t), 0)
+            / greatest(coalesce(sum(in_t), 0), 1), 6) AS recall,
+      round(coalesce(sum(in_c * in_t), 0)
+            / greatest(coalesce(sum(in_c), 0), 1), 6) AS precision
+    FROM (
+      SELECT coalesce(c.in_c, 0) AS in_c, coalesce(t.in_t, 0) AS in_t
+      FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS in_c
+        FROM (
+          SELECT doc_id, i // {rows} AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+          FROM hashed GROUP BY doc_id, i // {rows}
+        ) a JOIN (
+          SELECT doc_id, i // {rows} AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+          FROM hashed GROUP BY doc_id, i // {rows}
+        ) b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      ) c FULL OUTER JOIN truth t
+        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )"""
+
+
+@register(
+    "dedup_minhash_recall",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({TOKS})) AS tok
+      FROM documents WHERE doc_id < 150
+    ),
+    hashed AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             min((CAST(2*i+1 AS BIGINT) * {H.format(v='tok')} + (12345*i + 7)) % 2147483647) AS mh
+      FROM toks, generate_series(0, 15) s(i)
+      GROUP BY doc_id, i
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS in_t
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING round(count(*) / (
+          (SELECT sz FROM sizes WHERE doc_id = a.doc_id)
+          + (SELECT sz FROM sizes WHERE doc_id = b.doc_id) - count(*)), 6)
+        >= 0.5
+    )
+    SELECT * FROM (
+      {" UNION ALL ".join(_mh_recall_config_sql(b, r) for b, r in _MH_RECALL_CONFIGS)}
+    ) ORDER BY bands
+    """,
+    doc="MinHash-LSH banding RECALL CURVE — the dedup counterpart of "
+    "similarity_ivf_recall / similarity_lsh_recall: against exact "
+    "token-set Jaccard >= 0.5 ground truth (inverted-index join on "
+    "the bounded doc_id < 150 fixture, the calibration-sample shape a "
+    "100-TB pipeline uses to pick its banding), each 16-hash banding "
+    "arrangement (2x8, 4x4, 8x2) is scored for realized recall and "
+    "precision via ONE keyed full-outer join of its candidate pairs "
+    "with the truth pairs and a single count-sum aggregate — no "
+    "scalar crossJoins at all. More bands of fewer rows = a more "
+    "permissive S-curve: recall must be nondecreasing in the band "
+    "count (pinned in pytest alongside n_hit <= min(n_candidates, "
+    "n_truth)). Complements srp_band_plan, which SOLVES the S-curve "
+    "operating point analytically; this entry MEASURES the realized "
+    "operating points of the actual signature family. Scale shape: "
+    "signatures are the map-side-combinable wide min-agg (16 longs "
+    "per doc through the shuffle); candidates join only within "
+    "(band, signature) buckets; truth is fixture-bounded by "
+    "construction.",
+)
+def dedup_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    truth = (
+        D.jaccard_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b", F.lit(1).alias("in_t"))
+    )
+    rows = []
+    for bands, rpb in _MH_RECALL_CONFIGS:
+        cand = D.lsh_candidate_pairs(docs, band_size=rpb).select(
+            "doc_a", "doc_b", F.lit(1).alias("in_c")
+        )
+        tagged = cand.join(
+            truth.withColumnsRenamed({"doc_a": "ta", "doc_b": "tb"}),
+            (F.col("doc_a") == F.col("ta")) & (F.col("doc_b") == F.col("tb")),
+            "full_outer",
+        ).select(
+            F.coalesce(F.col("in_c"), F.lit(0)).alias("in_c"),
+            F.coalesce(F.col("in_t"), F.lit(0)).alias("in_t"),
+        )
+        n_hit = F.coalesce(F.sum(F.col("in_c") * F.col("in_t")), F.lit(0))
+        n_c = F.coalesce(F.sum("in_c"), F.lit(0))
+        n_t = F.coalesce(F.sum("in_t"), F.lit(0))
+        rows.append(
+            tagged.agg(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rpb).cast("int").alias("rows_per_band"),
+                n_t.cast("long").alias("n_truth"),
+                n_c.cast("long").alias("n_candidates"),
+                n_hit.cast("long").alias("n_hit"),
+                F.round(
+                    n_hit.cast("double") / F.greatest(n_t, F.lit(1)), 6
+                ).alias("recall"),
+                F.round(
+                    n_hit.cast("double") / F.greatest(n_c, F.lit(1)), 6
+                ).alias("precision"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("bands")
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity
 # ---------------------------------------------------------------------------

@@ -488,3 +488,33 @@ class TestIvfIncrementalAppend:
             for r in ivf_query_disk(spark, path, q, k=3, nprobe=2).collect()
         )
         assert got == want and len(got) > 0
+
+
+class TestMinhashRecallCurve:
+    """dedup_minhash_recall: banding S-curve shape (values are
+    separately hash-matched against the DuckDB oracle)."""
+
+    def test_recall_monotone_in_band_count(self, spark, sf_dir):
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = {
+            r["bands"]: r
+            for r in REGISTRY["dedup_minhash_recall"].fn(spark, sf_dir).collect()
+        }
+        assert sorted(rows) == [2, 4, 8]
+        truth = {r["n_truth"] for r in rows.values()}
+        assert len(truth) == 1 and truth.pop() > 0
+        for r in rows.values():
+            assert r["bands"] * r["rows_per_band"] == 16
+            assert 0 <= r["n_hit"] <= min(r["n_candidates"], r["n_truth"])
+            assert 0.0 <= r["recall"] <= 1.0
+            assert 0.0 <= r["precision"] <= 1.0
+        # More bands of fewer rows = strictly more permissive: every
+        # (2x8) candidate band match implies a (4x4) match on each
+        # half, and so on — candidates and recall are nondecreasing.
+        assert rows[2]["n_candidates"] <= rows[4]["n_candidates"] <= rows[8]["n_candidates"]
+        assert rows[2]["recall"] <= rows[4]["recall"] <= rows[8]["recall"]
+        # The permissive end must actually catch near-everything at
+        # Jaccard >= 0.5 (16-hash, 2-row bands sit far up the S-curve).
+        assert rows[8]["recall"] >= 0.9
