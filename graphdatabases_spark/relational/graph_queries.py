@@ -1004,6 +1004,17 @@ def _anf_round_sql(r: int) -> str:
     )"""
 
 
+def _anf_est_sql() -> str:
+    """The per-node HLL ball estimate over (raw, np) columns — shared
+    by the per-round summaries and the harmonic-centrality CTEs."""
+    m = _ANF_M
+    return (
+        f"round(CASE WHEN raw <= {2.5 * m} AND np < {m} "
+        f"THEN {m}.0 * round(ln({m}.0 / ({m} - np)), 9) "
+        f"ELSE raw END, 6)"
+    )
+
+
 def _anf_summary_sql(r: int) -> str:
     m = _ANF_M
     return f"""e{r} AS (
@@ -1021,9 +1032,7 @@ def _anf_summary_sql(r: int) -> str:
       SELECT CAST({r} AS BIGINT) AS r,
         CAST(count(*) AS BIGINT) AS n_nodes,
         CAST(sum(np) AS BIGINT) AS n_regs,
-        sum(CAST(round(CASE WHEN raw <= {2.5 * m} AND np < {m}
-             THEN {m}.0 * round(ln({m}.0 / ({m} - np)), 9)
-             ELSE raw END, 6) AS DECIMAL(28,6))) AS anf_dec
+        sum(CAST({_anf_est_sql()} AS DECIMAL(28,6))) AS anf_dec
       FROM v{r}
     )"""
 
@@ -1052,11 +1061,11 @@ _ANF_CHAIN_SQL = f"""{_ANF_EDGES_SQL},
     {",".join(_anf_summary_sql(r) for r in range(_ANF_ROUNDS + 1))}"""
 
 
-def _anf_summaries(spark: SparkSession, sf: str) -> list:
-    """Per-round HyperBall summaries ``[s0 .. s{_ANF_ROUNDS}]`` — each a
-    1-row DataFrame (r, n_nodes, n_regs, anf_dec) over the half-sampled
-    entity graph.  Shared by graph_anf_hyperball (the full curve) and
-    graph_effective_diameter (the interpolated 90% cut)."""
+def _anf_per_node(spark: SparkSession, sf: str) -> list:
+    """Per-round per-node HyperBall ball estimates ``[p0 .. p{ROUNDS}]``
+    — each (node, np, est DECIMAL(28,6)) over the half-sampled entity
+    graph.  Shared by the ANF curve / effective-diameter summaries and
+    graph_harmonic_centrality (which needs the per-node curve)."""
     from graphdatabases_spark.functions import text as T
 
     m = _ANF_M
@@ -1100,7 +1109,7 @@ def _anf_summaries(spark: SparkSession, sf: str) -> list:
         .alias("m"),
     )
 
-    def summarize(regs_df, r):
+    def per_node(regs_df):
         per = regs_df.groupBy("node").agg(
             F.count(F.lit(1)).cast("long").alias("np"),
             F.sum(F.pow(F.lit(2.0), 50 - F.col("m")).cast("long"))
@@ -1123,16 +1132,11 @@ def _anf_summaries(spark: SparkSession, sf: str) -> list:
             * F.round(F.log(F.lit(float(m)) / (F.lit(m) - F.col("np"))), 9),
         ).otherwise(raw)
         return per.select(
-            F.round(est, 6).cast("decimal(28,6)").alias("est"), "np"
-        ).agg(
-            F.lit(r).cast("long").alias("r"),
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.sum("np").cast("long").alias("n_regs"),
-            F.sum("est").alias("anf_dec"),
+            "node", "np", F.round(est, 6).cast("decimal(28,6)").alias("est")
         )
 
-    summaries = [summarize(regs, 0)]
-    for r in range(1, _ANF_ROUNDS + 1):
+    frames = [per_node(regs)]
+    for _ in range(1, _ANF_ROUNDS + 1):
         prop = edges.join(
             regs.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "j", "m")
@@ -1142,8 +1146,24 @@ def _anf_summaries(spark: SparkSession, sf: str) -> list:
             .agg(F.max("m").cast("int").alias("m"))
             .localCheckpoint(eager=True)
         )
-        summaries.append(summarize(regs, r))
-    return summaries
+        frames.append(per_node(regs))
+    return frames
+
+
+def _anf_summaries(spark: SparkSession, sf: str) -> list:
+    """Per-round HyperBall summaries ``[s0 .. s{_ANF_ROUNDS}]`` — each a
+    1-row DataFrame (r, n_nodes, n_regs, anf_dec) over the half-sampled
+    entity graph.  Shared by graph_anf_hyperball (the full curve) and
+    graph_effective_diameter (the interpolated 90% cut)."""
+    return [
+        p.agg(
+            F.lit(r).cast("long").alias("r"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("np").cast("long").alias("n_regs"),
+            F.sum("est").alias("anf_dec"),
+        )
+        for r, p in enumerate(_anf_per_node(spark, sf))
+    ]
 
 
 @register(
@@ -1296,4 +1316,97 @@ def graph_effective_diameter(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("tgt"), 3).alias("target_anf"),
         cut.cast("long").alias("d_eff_round"),
         F.round(interp, 6).alias("d_eff_interp"),
+    )
+
+
+_HC_K = 10  # harmonic-centrality top-k
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=f"""
+    WITH {_ANF_CHAIN_SQL},
+    {",".join(
+        f"p{r} AS (SELECT node, CAST(CAST({_anf_est_sql()} AS DECIMAL(28,6))"
+        f" * 1000000 AS BIGINT) AS m{r} FROM v{r})"
+        for r in range(_ANF_ROUNDS + 1)
+    )},
+    j AS (
+      SELECT p0.node, {", ".join(f"m{r}" for r in range(_ANF_ROUNDS + 1))},
+        {" + ".join(
+          f"{6 // r} * greatest(m{r} - m{r - 1}, 0)"
+          for r in range(1, _ANF_ROUNDS + 1)
+        )} AS h6
+      FROM p0 {" ".join(f"JOIN p{r} USING (node)" for r in range(1, _ANF_ROUNDS + 1))}
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+      CAST(m{_ANF_ROUNDS} AS DOUBLE) / 1000000.0 AS ball_final,
+      CAST(h6 AS DOUBLE) / 6000000.0 AS harmonic
+    FROM j
+    ORDER BY h6 DESC, node
+    LIMIT {_HC_K}
+    """,
+    doc=f"Approximate HARMONIC CENTRALITY top-{_HC_K} — the application "
+    "HyperBall was built for (Boldi & Vigna, 'In-core computation of "
+    "geometric centralities with HyperBall'): each node's per-round "
+    "ball estimates b_r(v) from the shared _anf_per_node chain give "
+    "the shell counts b_r - b_(r-1) (~ nodes at distance exactly r), "
+    f"and H(v) = sum over r=1..{_ANF_ROUNDS} of shell_r / r — the "
+    "harmonic sum over reachable distances, truncated at the sketch "
+    "horizon. Shells are clamped at 0 (the TRUE per-node ANF is "
+    "monotone; HLL branch-switching noise can dip slightly, and the "
+    "clamp keeps H deterministic and nonnegative). ARITHMETIC "
+    "DISCIPLINE: per-node estimates enter as the proven "
+    "DECIMAL(28,6) path and convert to exact BIGINT micro-units; the "
+    "harmonic sum is the exact integer 6*shell1 + 3*shell2 + "
+    "2*shell3 (= 6e6 x H) and BOTH output doubles are one division "
+    "of that integer by a constant — no round() on a continuous "
+    "value anywhere, so there is no cross-engine half-way-boundary "
+    "hazard (the first cut of this entry hit exactly that: a 1-ulp "
+    "round(x, 6) disagreement at sf0.1), and the top-k cut orders by "
+    "the INTEGER h6 with node-id tie-break. Scale shape: the "
+    "register chain is the ANF entry's (one dst-keyed equi-join + "
+    "one (node, register) hash-agg per round, localCheckpoint'd); "
+    "the per-node curve assembles via ONE node-keyed hash-agg over "
+    "the unioned rounds (no self-join pile-up), then the global "
+    "top-k is TakeOrdered — per-partition heaps, k rows to the "
+    "driver.",
+)
+def graph_harmonic_centrality(spark: SparkSession, sf: str) -> DataFrame:
+    frames = _anf_per_node(spark, sf)
+    tagged = [
+        p.select(
+            "node",
+            F.lit(r).alias("r"),
+            (F.col("est") * 1000000).cast("long").alias("m"),
+        )
+        for r, p in enumerate(frames)
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    pivot = out.groupBy("node").agg(
+        *[
+            F.max(F.when(F.col("r") == r, F.col("m"))).alias(f"m{r}")
+            for r in range(_ANF_ROUNDS + 1)
+        ]
+    )
+    h6 = None
+    for r in range(1, _ANF_ROUNDS + 1):
+        term = F.lit(6 // r) * F.greatest(
+            F.col(f"m{r}") - F.col(f"m{r - 1}"), F.lit(0).cast("long")
+        )
+        h6 = term if h6 is None else h6 + term
+    return (
+        pivot.select(
+            F.col("node").cast("long").alias("node"),
+            (F.col(f"m{_ANF_ROUNDS}").cast("double") / F.lit(1000000.0)).alias(
+                "ball_final"
+            ),
+            (h6.cast("double") / F.lit(6000000.0)).alias("harmonic"),
+            h6.alias("_h6"),
+        )
+        .orderBy(F.col("_h6").desc(), "node")
+        .limit(_HC_K)
+        .drop("_h6")
     )
