@@ -654,3 +654,116 @@ def events_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table(sink).orderBy("user_id", "sess_start")
+
+
+@register(
+    "events_stream_attrib_outer",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+             - INTERVAL 10 MINUTE AS w
+    ),
+    m AS (
+      SELECT c.user_id, c.event_id AS click_id, p.value
+      FROM c JOIN p
+        ON p.user_id = c.user_id
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ),
+    u AS (
+      SELECT c.user_id, c.event_id
+      FROM c, wm
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.event_id)
+        AND c.ts + INTERVAL 30 MINUTE < wm.w
+    ),
+    allrows AS (
+      SELECT user_id, 1 AS matched, CAST(value AS DECIMAL(18,4)) AS v FROM m
+      UNION ALL
+      SELECT user_id, 0, NULL FROM u
+    )
+    SELECT user_id,
+      CAST(sum(matched) AS BIGINT) AS n_matched,
+      CAST(sum(1 - matched) AS BIGINT) AS n_unconverted,
+      CAST(round(coalesce(sum(CASE WHEN matched = 1 THEN v END), 0), 2)
+           AS DOUBLE) AS matched_value
+    FROM allrows GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Runs the REAL Structured Streaming engine: STREAM-STREAM LEFT "
+    "OUTER join — the attribution join that ALSO reports unconverted "
+    "clicks, the semantics production funnels need. Matched "
+    "(click, purchase) pairs emit immediately, exactly like the inner "
+    "entry; an UNMATCHED click emits once with null purchase columns "
+    "only when the engine can PROVE no match can still arrive — its "
+    "state is evicted when the GLOBAL watermark (min over both "
+    "inputs' max-seen event time, minus the 10-minute delay) passes "
+    "click_ts + the 30-minute gap. Clicks newer than that boundary "
+    "stay buffered and emit NOTHING before the query ends — the "
+    "oracle encodes the measured rule exactly (unmatched AND "
+    "ts + 30min < least(max_click_ts, max_purchase_ts) - 10min), so "
+    "this entry pins the state-eviction contract the 100-TB "
+    "unbounded-stream claim depends on, the outer-join sibling of "
+    "docs_stream_dedup_bounded's eviction pin. Each click emits at "
+    "most once (matched XOR null — pinned per-click in "
+    "tests/test_streaming.py). The per-user rollup counts matched / "
+    "unconverted emissions and DECIMAL-sums matched value.",
+)
+def events_stream_attrib_outer(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.streaming.windows import (
+        attribution_join,
+        read_events_stream,
+    )
+
+    staged, tag = _stage_events_micro(spark, sf)
+    clicks = read_events_stream(spark, staged).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, staged).filter(
+        F.col("event_type") == "purchase"
+    )
+    pairs = attribution_join(
+        clicks, purchases, max_gap="30 minutes", how="left_outer"
+    )
+    sink = f"stream_attrib_outer_{tag}"
+    (
+        pairs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    matched = F.col("purchase_id").isNotNull()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(matched, 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.sum(F.when(matched, 0).otherwise(1))
+            .cast("long")
+            .alias("n_unconverted"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            matched,
+                            F.col("purchase_value").cast("decimal(18,4)"),
+                        )
+                    ),
+                    F.lit(0).cast("decimal(18,4)"),
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("matched_value"),
+        )
+        .orderBy("user_id")
+    )

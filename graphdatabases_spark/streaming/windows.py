@@ -161,8 +161,9 @@ def attribution_join(
     purchases: DataFrame,
     max_gap: str = "30 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """STREAM-STREAM inner join: purchases attributed to any preceding
+    """STREAM-STREAM join: purchases attributed to any preceding
     click by the same user within ``max_gap`` — the online attribution
     operator (the batch as-of/range join's streaming sibling).
 
@@ -175,6 +176,15 @@ def attribution_join(
     the watermark would drop; the catalog replay runs availableNow
     with all files in ONE batch, so the batch oracle equality is
     exact).
+
+    ``how='left_outer'`` additionally emits each UNCONVERTED click
+    once, with null purchase columns — but only when the engine can
+    PROVE no match can still arrive: the click's state is evicted and
+    null-emitted when the global watermark (min over both inputs of
+    max-seen event time, minus the watermark delay) passes
+    ``click_ts + max_gap``. Clicks newer than that stay buffered and
+    emit nothing (measured; pinned in tests/test_streaming.py and in
+    the catalog oracle of events_stream_attrib_outer).
     """
     c = clicks.withWatermark("ts", watermark).alias("c")
     p = purchases.withWatermark("ts", watermark).alias("p")
@@ -185,10 +195,11 @@ def attribution_join(
             "p.ts >= c.ts AND "
             f"p.ts <= c.ts + interval {max_gap}"
         ),
-        "inner",
+        how,
     ).select(
         F.col("c.user_id").alias("user_id"),
         F.col("c.event_id").alias("click_id"),
+        F.col("c.ts").alias("click_ts"),
         F.col("p.event_id").alias("purchase_id"),
         F.col("p.ts").alias("purchase_ts"),
         F.col("p.value").alias("purchase_value"),

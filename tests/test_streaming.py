@@ -1074,3 +1074,57 @@ class TestBoundedSessionWindows:
         ).collect()
         batch_u1 = [r.n for r in batch if r.user_id == 1]
         assert batch_u1 == [3]
+
+
+class TestStreamStreamOuterJoin:
+    """Left-outer attribution join: the null-emission boundary pinned
+    per click on a controlled fixture (the catalog entry
+    events_stream_attrib_outer pins the same rule via its oracle)."""
+
+    def test_null_emission_respects_global_watermark(self, spark, tmp_path):
+        from graphdatabases_spark.streaming.windows import (
+            attribution_join,
+            read_events_stream,
+            run_stream_to_memory,
+        )
+
+        src = tmp_path / "outer_src"
+        src.mkdir()
+        # One file -> one batch. gap=30m, watermark=10m.
+        # max click ts = 11:50, max purchase ts = 12:30
+        #   -> global watermark = min(11:50, 12:30) - 10m = 11:40.
+        TestCheckpointRestart._write_events(spark, tmp_path, src, "f1.parquet", [
+            # A: matched inside the gap -> emits as a pair.
+            (1, "2024-01-01 10:00:00", 1, "click", 0.0, "{}"),
+            (101, "2024-01-01 10:10:00", 1, "purchase", 10.0, "{}"),
+            # B: unmatched, 10:05 + 30m = 10:35 < 11:40 -> null-emits.
+            (2, "2024-01-01 10:05:00", 2, "click", 0.0, "{}"),
+            # D: matched ABOVE the boundary (11:45 + 30m > 11:40):
+            # inner results emit immediately regardless of watermark.
+            (4, "2024-01-01 11:45:00", 4, "click", 0.0, "{}"),
+            (104, "2024-01-01 11:46:00", 4, "purchase", 40.0, "{}"),
+            # C: unmatched, 11:50 + 30m = 12:20 > 11:40 -> WITHHELD.
+            (3, "2024-01-01 11:50:00", 3, "click", 0.0, "{}"),
+            # Far-future purchase advances the purchase-side max ts so
+            # the global watermark is governed by the click side.
+            (199, "2024-01-01 12:30:00", 9, "purchase", 1.0, "{}"),
+        ])
+        ev = read_events_stream(spark, str(src))
+        joined = attribution_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+            max_gap="30 minutes",
+            watermark="10 minutes",
+            how="left_outer",
+        )
+        got = run_stream_to_memory(joined, "t_attrib_outer_pin", "append")
+        rows = got.collect()
+        by_click: dict[int, list] = {}
+        for r in rows:
+            by_click.setdefault(r["click_id"], []).append(r["purchase_id"])
+        # Each click emits at most once — matched XOR null.
+        assert all(len(v) == 1 for v in by_click.values()), by_click
+        assert by_click[1] == [101]     # matched pair
+        assert by_click[4] == [104]     # matched above the boundary
+        assert by_click[2] == [None]    # unmatched, boundary passed
+        assert 3 not in by_click        # unmatched, still buffered
