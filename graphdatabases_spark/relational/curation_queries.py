@@ -2667,6 +2667,240 @@ def docs_rebalance_select(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+_FUNNEL_STAGES = [
+    (1, "length"),
+    (2, "language"),
+    (3, "punctuation"),
+    (4, "diversity"),
+    (5, "pii"),
+    (6, "pass"),
+]
+
+# PII-augmented text (docs_pii_redaction's deterministic injection),
+# exposed as a column named ``text`` so the shared token fragment
+# applies unchanged.
+_FUNNEL_AUG_SQL = """
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || doc_id || '@example.com now'
+             ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+             THEN ' call 555-' || (1000 + doc_id % 9000) || ' today'
+             ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+             THEN ' from 10.' || (doc_id % 256) || '.'
+                  || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256)
+             ELSE '' END AS text
+      FROM documents
+"""
+
+
+def _funnel_stopword_sql() -> str:
+    from graphdatabases_spark.functions.text import LANG_STOPWORDS
+
+    words = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@register(
+    "docs_filter_funnel",
+    oracle=f"""
+    WITH aug AS ({_FUNNEL_AUG_SQL}),
+    d AS (
+      SELECT doc_id,
+        len(tk) AS n_toks,
+        len(list_distinct(tk)) AS n_uniq,
+        len(list_filter(list_distinct(tk),
+            x -> list_contains({_funnel_stopword_sql()}, x))) AS stop_hits,
+        length(lower(text)) AS n_ch,
+        length(lower(text))
+          - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+          AS n_punct,
+        len(regexp_extract_all(text, '{_EMAIL_RE}'))
+          + len(regexp_extract_all(text, '\\b555-[0-9]{{4}}\\b'))
+          + len(regexp_extract_all(text,
+                '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS pii
+      FROM (SELECT doc_id, text, {{toks}} AS tk FROM aug)
+    ),
+    staged AS (
+      SELECT n_toks,
+        CASE WHEN n_toks NOT BETWEEN 10 AND 1000 THEN 1
+             WHEN stop_hits = 0 THEN 2
+             WHEN (10000 * n_punct) // greatest(n_ch, 1) >= 2000 THEN 3
+             WHEN (10000 * n_uniq) // greatest(n_toks, 1) < 3000 THEN 4
+             WHEN pii > 0 THEN 5
+             ELSE 6 END AS stage
+      FROM d
+    ),
+    agg AS (
+      SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_toks
+      FROM staged GROUP BY stage
+    ),
+    spec AS (
+      SELECT * FROM (VALUES {", ".join(f"({s}, '{n}')" for s, n in _FUNNEL_STAGES)})
+        v(stage, stage_name)
+    ),
+    filled AS (
+      SELECT spec.stage, spec.stage_name,
+        coalesce(agg.n_docs, 0) AS n_docs,
+        coalesce(agg.n_toks, 0) AS n_toks
+      FROM spec LEFT JOIN agg USING (stage)
+    )
+    SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+      CAST(n_docs AS BIGINT) AS n_docs,
+      CAST(n_toks AS BIGINT) AS n_toks,
+      CAST(sum(n_docs) OVER () - sum(CASE WHEN stage <= 5 THEN n_docs ELSE 0 END)
+             OVER (ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS surviving_docs,
+      CAST((1000000 * n_docs) // greatest(sum(n_docs) OVER (), 1) AS BIGINT)
+        AS share_ppm
+    FROM filled ORDER BY stage
+    """.replace("{toks}", _TOKS),
+    doc="Curation FILTER-FUNNEL attribution: the ordered filter chain "
+    "(length band 10..1000 -> language-ID by stopword evidence -> "
+    "punctuation share < 20%% -> vocabulary diversity >= 30%% -> "
+    "PII-free) is applied first-failure-wins, so every document is "
+    "attributed to exactly ONE stage (or 'pass') — the per-stage "
+    "rejection table a pipeline publishes to explain where its corpus "
+    "went, which a chain of independent filter counts cannot do "
+    "(double-counting). PII uses docs_pii_redaction's deterministic "
+    "injection so stage 5 has real attrition. All thresholds are "
+    "INTEGER basis-point floors and the share column is exact integer "
+    "ppm — no rounded continuous value anywhere. surviving_docs is "
+    "the running survivor count (input minus rejections through this "
+    "stage; the 'pass' row equals its own n_docs by construction — "
+    "pinned in pytest with a per-document Python replay). Scale "
+    "shape: ONE scan computes every per-row predicate (regex + HOF "
+    "folds, no UDFs), one 6-group hash-agg; the window/cumsum run on "
+    "the 6-row stage relation (bounded by the stage list, allowlisted "
+    "like the quantile-spec frame).",
+)
+def docs_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.functions.text import LANG_STOPWORDS
+
+    doc_id = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                doc_id.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(
+            doc_id % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                (F.lit(1000) + doc_id % 9000).cast("string"),
+                F.lit(" today"),
+            ),
+        ).otherwise(""),
+        F.when(
+            doc_id % 13 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (doc_id % 256).cast("string"),
+                F.lit("."),
+                ((doc_id * 7) % 256).cast("string"),
+                F.lit("."),
+                ((doc_id * 13) % 256).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    stops = F.array(
+        *[
+            F.lit(w)
+            for w in sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+        ]
+    )
+    t = F.col("text")
+    low = F.lower(t)
+    toks = T.tokens(t)
+    d = (
+        table(spark, sf, "documents")
+        .select("doc_id", aug.alias("text"))
+        .select(
+            F.size(toks).alias("n_toks"),
+            F.size(F.array_distinct(toks)).alias("n_uniq"),
+            F.size(
+                F.filter(
+                    F.array_distinct(toks),
+                    lambda x: F.array_contains(stops, x),
+                )
+            ).alias("stop_hits"),
+            F.length(low).alias("n_ch"),
+            (
+                F.length(low)
+                - F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))
+            ).alias("n_punct"),
+            (
+                F.regexp_count(t, F.lit(_EMAIL_RE))
+                + F.regexp_count(t, F.lit(_PHONE_RE))
+                + F.regexp_count(t, F.lit(_IP_RE))
+            ).alias("pii"),
+        )
+    )
+    stage = (
+        F.when(~F.col("n_toks").between(10, 1000), F.lit(1))
+        .when(F.col("stop_hits") == 0, F.lit(2))
+        .when(
+            F.expr("(10000 * n_punct) div greatest(n_ch, 1)") >= 2000,
+            F.lit(3),
+        )
+        .when(
+            F.expr("(10000 * n_uniq) div greatest(n_toks, 1)") < 3000,
+            F.lit(4),
+        )
+        .when(F.col("pii") > 0, F.lit(5))
+        .otherwise(F.lit(6))
+    )
+    agg = (
+        d.select(stage.alias("stage"), "n_toks")
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_toks"),
+        )
+    )
+    spec = spark.createDataFrame(
+        _FUNNEL_STAGES, "stage int, stage_name string"
+    )
+    filled = (
+        spec.join(agg, "stage", "left")
+        .select(
+            "stage",
+            "stage_name",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("n_docs").over(w_all)
+    rejected_cum = F.sum(
+        F.when(F.col("stage") <= 5, F.col("n_docs")).otherwise(F.lit(0))
+    ).over(w_cum)
+    return filled.select(
+        F.col("stage").cast("long").alias("stage"),
+        "stage_name",
+        "n_docs",
+        "n_toks",
+        (total - rejected_cum).cast("long").alias("surviving_docs"),
+        F.expr(
+            f"CAST((1000000 * n_docs) div greatest(sum(n_docs) OVER (), 1)"
+            f" AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("stage")
+
+
 _QBP_DOC_SQL = """
       SELECT source, lang, n_toks,
         n_toks * (

@@ -260,6 +260,8 @@ class TestUniversalGates:
         "docs_split_rebalance",
         "docs_rebalance_select",
         "docs_rebalance_quality",
+        # cumsum/total windows run on the literal 6-row stage relation
+        "docs_filter_funnel",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every

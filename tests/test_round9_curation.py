@@ -400,3 +400,73 @@ class TestRebalanceQuality:
             assert r.stratum_qmass == want_mass[key], key
             assert r.stratum_toks == want_toks[key], key
             assert r.avg_q_bp == want_mass[key] // max(want_toks[key], 1)
+
+
+class TestFilterFunnel:
+    """docs_filter_funnel: per-document first-failure attribution
+    replayed in Python; funnel accounting closes exactly."""
+
+    def test_funnel_replays_and_closes(self, spark, sf_dir):
+        import re
+
+        from graphdatabases_spark.functions.text import LANG_STOPWORDS
+
+        stops = {w for ws in LANG_STOPWORDS.values() for w in ws}
+        email = re.compile(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}")
+        phone = re.compile(r"\b555-[0-9]{4}\b")
+        ip = re.compile(r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b")
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        want_docs = {s: 0 for s in range(1, 7)}
+        want_toks = {s: 0 for s in range(1, 7)}
+        for d in docs:
+            t = d.text
+            if d.doc_id % 7 == 0:
+                t += f" contact user{d.doc_id}@example.com now"
+            if d.doc_id % 11 == 0:
+                t += f" call 555-{1000 + d.doc_id % 9000} today"
+            if d.doc_id % 13 == 0:
+                t += (
+                    f" from 10.{d.doc_id % 256}.{(d.doc_id * 7) % 256}"
+                    f".{(d.doc_id * 13) % 256}"
+                )
+            toks = [
+                x for x in re.split(r"[^a-z0-9]+", t.lower().strip()) if x
+            ]
+            low = t.lower()
+            n_punct = len(low) - len(re.sub(r"[^a-z0-9 ]", "", low))
+            pii = len(email.findall(t)) + len(phone.findall(t)) + len(
+                ip.findall(t)
+            )
+            if not 10 <= len(toks) <= 1000:
+                s = 1
+            elif not (set(toks) & stops):
+                s = 2
+            elif (10000 * n_punct) // max(len(low), 1) >= 2000:
+                s = 3
+            elif (10000 * len(set(toks))) // max(len(toks), 1) < 3000:
+                s = 4
+            elif pii > 0:
+                s = 5
+            else:
+                s = 6
+            want_docs[s] += 1
+            want_toks[s] += len(toks)
+
+        rows = {
+            r["stage"]: r
+            for r in queries()["docs_filter_funnel"](spark, sf_dir).collect()
+        }
+        assert sorted(rows) == [1, 2, 3, 4, 5, 6]
+        total = len(docs)
+        surv = total
+        for s in range(1, 7):
+            r = rows[s]
+            assert r["n_docs"] == want_docs[s], s
+            assert r["n_toks"] == want_toks[s], s
+            assert r["share_ppm"] == (1000000 * want_docs[s]) // total
+            if s <= 5:
+                surv -= want_docs[s]
+            assert r["surviving_docs"] == surv, s
+        # The funnel closes: the pass row IS the final survivor count.
+        assert rows[6]["n_docs"] == rows[6]["surviving_docs"] == surv
