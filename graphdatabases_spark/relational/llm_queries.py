@@ -1335,6 +1335,109 @@ def dedup_hll_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_JS_ROWS = 4
+_JS_W = 256
+
+
+@register(
+    "join_selfjoin_size_cms",
+    oracle=f"""
+    WITH keyc AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS f
+      FROM lineitem GROUP BY l_partkey
+    ),
+    exact AS (SELECT CAST(sum(f * f) AS BIGINT) AS exact_pairs FROM keyc),
+    sk AS (
+      SELECT r, bucket, CAST(sum(sf) AS BIGINT) AS c
+      FROM (
+        {" UNION ALL ".join(
+          f"SELECT {r} AS r,"
+          f" (('0x' || substr(md5('jsb{r}:' || k), 1, 12))::BIGINT % {_JS_W})"
+          f" AS bucket,"
+          f" f * (1 - 2 * (('0x' || substr(md5('jss{r}:' || k), 1, 12))::BIGINT % 2))"
+          f" AS sf FROM keyc"
+          for r in range(_JS_ROWS)
+        )}
+      ) GROUP BY r, bucket
+    ),
+    est AS (
+      SELECT r, CAST(sum(c * c) AS BIGINT) AS row_estimate
+      FROM sk GROUP BY r
+    )
+    SELECT CAST(r AS BIGINT) AS r, row_estimate, exact_pairs,
+      CAST((1000000 * row_estimate) // exact_pairs - 1000000 AS BIGINT)
+        AS err_ppm
+    FROM est, exact ORDER BY r
+    """,
+    doc="SELF-JOIN SIZE ESTIMATION from AMS/Count-Sketch sign sketches "
+    "(Alon-Matias-Szegedy F2; Charikar-Chen-Farach-Colton buckets) — "
+    "the query-planning primitive a 100-TB optimizer wants: the "
+    "self-join size of lineitem on l_partkey (= sum of squared key "
+    "frequencies, the F2 moment — exactly the pre-predicate row count "
+    "of graph_copurchase_pairs' expansion) is estimated WITHOUT "
+    "running the join: each key's frequency enters one of "
+    f"w={_JS_W} buckets per row with a hash-drawn +-1 SIGN, and "
+    "sum(c^2) over a row's signed bucket counts is an UNBIASED F2 "
+    "estimate with relative std ~ sqrt(2/w) ~ 9%, INDEPENDENT of "
+    "stream length (a plain unsigned-CMS inner product overestimates "
+    "by F1^2/w — measured 8.7x at sf0.01 in the first cut of this "
+    "entry, which is why the signed sketch is the published "
+    "algorithm). The sketch is one combinable keyed SUM into a fixed "
+    f"{_JS_ROWS} x {_JS_W} integer matrix; err_ppm is an exact "
+    "positive-operand integer floor minus 1e6 (DuckDB // floors but "
+    "Spark div truncates — they only agree on nonnegative operands, "
+    "so the subtraction keeps the division nonnegative). Per-row "
+    "median accuracy is pinned in pytest.",
+)
+def join_selfjoin_size_cms(spark: SparkSession, sf: str) -> DataFrame:
+    keyc = (
+        table(spark, sf, "lineitem")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    exact = keyc.agg(
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("exact_pairs")
+    )
+    rows = []
+    for r in range(_JS_ROWS):
+        ks = F.col("k").cast("string")
+        b = T.portable_hash64(F.concat(F.lit(f"jsb{r}:"), ks)) % _JS_W
+        sign = F.lit(1) - F.lit(2) * (
+            T.portable_hash64(F.concat(F.lit(f"jss{r}:"), ks)) % 2
+        )
+        rows.append(
+            keyc.select(
+                F.lit(r).alias("r"),
+                b.alias("bucket"),
+                (F.col("f") * sign).cast("long").alias("sf"),
+            )
+        )
+    allrows = rows[0]
+    for x in rows[1:]:
+        allrows = allrows.unionByName(x)
+    sk = allrows.groupBy("r", "bucket").agg(
+        F.sum("sf").cast("long").alias("c")
+    )
+    est = sk.groupBy("r").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("row_estimate")
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "row_estimate",
+            "exact_pairs",
+            (
+                F.expr(
+                    "CAST((1000000 * row_estimate) div exact_pairs AS BIGINT)"
+                )
+                - F.lit(1000000)
+            ).alias("err_ppm"),
+        )
+        .orderBy("r")
+    )
+
+
 _CMS_MERGE_ROWS = 4
 
 

@@ -518,3 +518,38 @@ class TestMinhashRecallCurve:
         # The permissive end must actually catch near-everything at
         # Jaccard >= 0.5 (16-hash, 2-row bands sit far up the S-curve).
         assert rows[8]["recall"] >= 0.9
+
+
+class TestSelfJoinSizeSketch:
+    """join_selfjoin_size_cms: the AMS sign sketch must be an accurate
+    unbiased F2 estimate (values are oracle-hash-matched separately)."""
+
+    def test_rows_estimate_f2_accurately(self, spark, sf_dir):
+        import statistics
+
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = REGISTRY["join_selfjoin_size_cms"].fn(spark, sf_dir).collect()
+        assert [r["r"] for r in rows] == [0, 1, 2, 3]
+        exact = {r["exact_pairs"] for r in rows}
+        assert len(exact) == 1
+        exact = exact.pop()
+        # Replay exact F2 in Python.
+        from collections import Counter
+
+        f = Counter(
+            r.l_partkey
+            for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_partkey")
+            .collect()
+        )
+        assert exact == sum(v * v for v in f.values())
+        # w=256 -> rel std ~ sqrt(2/256) ~ 8.8%; allow 5 sigma per row
+        # and 3 sigma on the median of the 4 independent rows.
+        for r in rows:
+            assert r["row_estimate"] > 0
+            assert abs(r["row_estimate"] - exact) / exact < 0.45, r
+            assert r["err_ppm"] == (1000000 * r["row_estimate"]) // exact - 1000000
+        med = statistics.median(r["row_estimate"] for r in rows)
+        assert abs(med - exact) / exact < 0.27
