@@ -1975,3 +1975,198 @@ def similarity_quantized_recall(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bits")
     )
+
+
+_TRUNC_DIMS = (16, 32, 64)
+
+
+def _tcos_sql(d: int) -> str:
+    # Truncated-dimension cosine: per-vector truncated norms are
+    # precomputed once per vector (tz CTE), not per pair.
+    return (
+        f"round(list_inner_product(q.t{d}, c.t{d}) / "
+        f"greatest(q.tn{d} * c.tn{d}, 1e-30), 6)"
+    )
+
+
+@register(
+    "similarity_truncation_recall",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    tz AS (
+      SELECT vec_id, e,
+        {", ".join(f"e[1:{d}] AS t{d}" for d in _TRUNC_DIMS)},
+        {", ".join(
+          f"sqrt(list_inner_product(e[1:{d}], e[1:{d}])) AS tn{d}"
+          for d in _TRUNC_DIMS
+        )}
+      FROM v
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        round(list_inner_product(q.e, c.e)
+              / (sqrt(list_inner_product(q.e, q.e))
+                 * sqrt(list_inner_product(c.e, c.e))), 6) AS fp_cos,
+        {", ".join(f"{_tcos_sql(d)} AS tc{d}" for d in _TRUNC_DIMS)}
+      FROM tz q JOIN tz c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_RECALL_NQ}
+    ),
+    br AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY fp_cos DESC, neighbor_id
+      ) AS brank
+      FROM scored
+    ),
+    stacked AS (
+      {" UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, brank, {d} AS dims, "
+        f"tc{d} AS tcos FROM br"
+        for d in _TRUNC_DIMS
+      )}
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY dims, query_id ORDER BY tcos DESC, neighbor_id
+      ) AS trank
+      FROM stacked
+    )
+    SELECT CAST(dims AS BIGINT) AS dims,
+      CAST({_RECALL_NQ} AS BIGINT) AS n_queries,
+      CAST(sum(CASE WHEN trank <= {_RECALL_K} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_results,
+      CAST(sum(CASE WHEN trank <= {_RECALL_K} AND brank <= {_RECALL_K}
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      round(CAST(sum(CASE WHEN trank <= {_RECALL_K}
+                     AND brank <= {_RECALL_K} THEN 1 ELSE 0 END)
+                 AS DOUBLE) / {_RECALL_NQ * _RECALL_K}, 6) AS recall_at_k,
+      round(dims / {EMBEDDING_DIM}.0, 6) AS bytes_ratio
+    FROM rk GROUP BY dims ORDER BY dims
+    """,
+    doc=f"DIMENSION-TRUNCATION recall curve (the Matryoshka/MRL "
+    "serving pattern): recall@"
+    f"{_RECALL_K} of cosine retrieval over only the FIRST "
+    f"{{', '.join(str(d) for d in _TRUNC_DIMS)}} of "
+    f"{EMBEDDING_DIM} embedding dimensions vs the exact full-width "
+    f"top-{_RECALL_K}, over the same {_RECALL_NQ}-query batch as the "
+    "IVF/SRP/quantization curves — the fourth axis of the ANN "
+    "operating surface (prefix truncation trades recall for "
+    "bytes/vector linearly, and MRL-style indexes retrieve on a "
+    "prefix then re-rank full-width; the full-width row is the "
+    "identity anchor, recall exactly 1 — pinned). Truncated "
+    "per-vector norms are precomputed once per vector; ONE scan "
+    "scores the full-width and every truncated cosine per pair; "
+    "per-(dims, query) ranking is a partitioned window. The brute "
+    "pass is the bounded-batch calibration anchor, exactly like its "
+    "three siblings.",
+)
+def similarity_truncation_recall(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    v = S.with_norm(table(spark, sf, "embeddings"))
+    tz = v.select(
+        "vec_id",
+        "_vec",
+        "_norm",
+        *[F.slice(F.col("_vec"), 1, d).alias(f"t{d}") for d in _TRUNC_DIMS],
+    )
+    tz = tz.select(
+        "*",
+        *[
+            F.sqrt(S._dot(F.col(f"t{d}"), F.col(f"t{d}"))).alias(f"tn{d}")
+            for d in _TRUNC_DIMS
+        ],
+    )
+
+    def side(prefix):
+        return tz.select(
+            F.col("vec_id").alias(f"{prefix}_id"),
+            F.col("_vec").alias(f"{prefix}v"),
+            F.col("_norm").alias(f"{prefix}n"),
+            *[F.col(f"t{d}").alias(f"{prefix}t{d}") for d in _TRUNC_DIMS],
+            *[F.col(f"tn{d}").alias(f"{prefix}tn{d}") for d in _TRUNC_DIMS],
+        )
+
+    q = side("q").filter(F.col("q_id") < _RECALL_NQ)
+    c = side("c")
+
+    def tcos(d):
+        dot = S._dot(F.col(f"qt{d}"), F.col(f"ct{d}"))
+        return F.round(
+            dot
+            / F.greatest(F.col(f"qtn{d}") * F.col(f"ctn{d}"), F.lit(1e-30)),
+            6,
+        )
+
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round(
+                S._dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("fp_cos"),
+            *[tcos(d).alias(f"tc{d}") for d in _TRUNC_DIMS],
+        )
+    )
+    br = scored.withColumn(
+        "brank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("fp_cos").desc(), "neighbor_id"
+            )
+        ),
+    )
+    stacked = br.select(
+        "query_id",
+        "neighbor_id",
+        "brank",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("dims"),
+                        F.col(f"tc{d}").alias("tcos"),
+                    )
+                    for d in _TRUNC_DIMS
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "brank",
+        F.col("s.dims").alias("dims"),
+        F.col("s.tcos").alias("tcos"),
+    )
+    rk = stacked.withColumn(
+        "trank",
+        F.row_number().over(
+            Window.partitionBy("dims", "query_id").orderBy(
+                F.col("tcos").desc(), "neighbor_id"
+            )
+        ),
+    )
+    in_k = F.col("trank") <= _RECALL_K
+    hit = in_k & (F.col("brank") <= _RECALL_K)
+    return (
+        rk.groupBy("dims")
+        .agg(
+            F.lit(_RECALL_NQ).cast("long").alias("n_queries"),
+            F.sum(F.when(in_k, 1).otherwise(0)).cast("long").alias("n_results"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.when(hit, 1).otherwise(0)).cast("double")
+                / F.lit(_RECALL_NQ * _RECALL_K),
+                6,
+            ).alias("recall_at_k"),
+            F.round(F.col("dims") / F.lit(float(EMBEDDING_DIM)), 6).alias(
+                "bytes_ratio"
+            ),
+        )
+        .orderBy("dims")
+    )

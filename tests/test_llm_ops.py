@@ -553,3 +553,30 @@ class TestSelfJoinSizeSketch:
             assert r["err_ppm"] == (1000000 * r["row_estimate"]) // exact - 1000000
         med = statistics.median(r["row_estimate"] for r in rows)
         assert abs(med - exact) / exact < 0.27
+
+
+class TestTruncationRecallCurve:
+    """similarity_truncation_recall: curve shape (values are separately
+    hash-matched against the DuckDB oracle)."""
+
+    def test_identity_anchor_and_monotonicity(self, spark, sf_dir):
+        from graphdatabases_spark.functions.similarity import EMBEDDING_DIM
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = {
+            r["dims"]: r
+            for r in REGISTRY["similarity_truncation_recall"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        assert sorted(rows) == [16, 32, 64]
+        for d, r in rows.items():
+            assert r["n_queries"] == 20
+            assert r["n_results"] == 100
+            assert 0 <= r["n_hits"] <= 100
+            assert abs(r["bytes_ratio"] - d / EMBEDDING_DIM) < 1e-9
+        # Full width IS the exact ranking: the anchor must be perfect.
+        assert rows[EMBEDDING_DIM]["recall_at_k"] == 1.0
+        # More prefix dimensions never hurt on this isotropic fixture.
+        assert rows[16]["recall_at_k"] <= rows[32]["recall_at_k"] <= 1.0

@@ -282,6 +282,7 @@ class TestUniversalGates:
         "similarity_ivf_recall",      # same k=8 frames + bounded query batch
         "similarity_lsh_recall",      # bounded query batch brute anchor
         "similarity_quantized_recall", # same bounded 20-query brute anchor
+        "similarity_truncation_recall", # same bounded 20-query brute anchor
         "orders_rfm_segments",        # 1-row quantile-boundary scalars
         "copurchase_lift",            # 1-row total-orders scalar
         "embedding_norm_outliers",    # 1-row decimal-moment scalars
