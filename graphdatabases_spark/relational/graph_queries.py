@@ -1410,3 +1410,165 @@ def graph_harmonic_centrality(spark: SparkSession, sf: str) -> DataFrame:
         .limit(_HC_K)
         .drop("_h6")
     )
+
+
+_TRUSS_KS = (3, 4)
+_TRUSS_ROUNDS = 2
+
+
+def _truss_round_sql(k: int, r: int) -> str:
+    """One unrolled truss-peeling round: recompute per-edge triangle
+    support within the surviving subgraph, keep support >= k-2."""
+    prev = f"e{k}_{r - 1}"
+    # MATERIALIZED is load-bearing: each round references its
+    # predecessor three times (edge relation + both adjacency sides);
+    # inlined, the unrolled chain re-expands the base self-join
+    # exponentially (measured: the sf1 oracle spun >10 min before the
+    # hint, 3 s with it).
+    return f"""adj{k}_{r} AS MATERIALIZED (
+      SELECT pa AS u, pb AS v FROM {prev}
+      UNION ALL SELECT pb, pa FROM {prev}
+    ),
+    e{k}_{r} AS MATERIALIZED (
+      SELECT e.pa, e.pb FROM {prev} e
+      JOIN adj{k}_{r} x ON x.u = e.pa
+      JOIN adj{k}_{r} y ON y.u = e.pb AND y.v = x.v
+      GROUP BY e.pa, e.pb
+      HAVING count(*) >= {k - 2}
+    )"""
+
+
+def _truss_summary_sql(k: int, r: int) -> str:
+    h = "(('0x' || substr(md5('tr' || pa || ':' || pb), 1, 12))::BIGINT)"
+    return f"""
+    SELECT {k} AS k, {r} AS round,
+      (SELECT count(*) FROM e{k}_{max(r - 1, 0)}) AS edges_before,
+      (SELECT count(*) FROM e{k}_{max(r - 1, 0)})
+        - (SELECT count(*) FROM e{k}_{r}) AS edges_dropped,
+      (SELECT count(*) FROM e{k}_{r}) AS edges_after,
+      (SELECT coalesce(sum({h}), 0) FROM e{k}_{r}) AS fp_sum"""
+
+
+@register(
+    "graph_ktruss_copurchase",
+    oracle=f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 2 = 0
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    {",".join(f"e{k}_0 AS (SELECT * FROM e0)" for k in _TRUSS_KS)},
+    {",".join(
+      _truss_round_sql(k, r)
+      for k in _TRUSS_KS
+      for r in range(1, _TRUSS_ROUNDS + 1)
+    )}
+    SELECT CAST(k AS BIGINT) AS k, CAST(round AS BIGINT) AS round,
+      CAST(edges_before AS BIGINT) AS edges_before,
+      CAST(edges_dropped AS BIGINT) AS edges_dropped,
+      CAST(edges_after AS BIGINT) AS edges_after,
+      CAST(fp_sum AS BIGINT) AS fp_sum
+    FROM ({" UNION ALL ".join(
+      _truss_summary_sql(k, r)
+      for k in _TRUSS_KS
+      for r in range(1, _TRUSS_ROUNDS + 1)
+    )})
+    ORDER BY k, round
+    """,
+    doc=f"k-TRUSS peeling on the co-purchase projection (parts sharing "
+    ">= 2 half-sampled orders, the graph_copurchase_pairs graph): "
+    f"{_TRUSS_ROUNDS} unrolled peeling rounds for k in "
+    f"{{{', '.join(str(k) for k in _TRUSS_KS)}}} — each round "
+    "recomputes per-edge TRIANGLE SUPPORT inside the surviving "
+    "subgraph (adjacency self-join: common neighbors of the edge's "
+    "endpoints, the triangle-count join shape) and keeps edges with "
+    "support >= k-2. The per-round rows carry edge counts plus an "
+    "ORDER-INVARIANT integer fingerprint of the surviving edge set "
+    "(sum of portable 48-bit edge hashes), so the peeling TRAJECTORY "
+    "is value-hash-pinned, not just the final size. Two theorems "
+    "pinned in pytest: the 3-truss is stable after ONE round "
+    "(triangles are self-supporting, so 'edges in >= 1 triangle' is "
+    "already the fixpoint), while the 4-truss CASCADES (dropping a "
+    "support-1 edge kills its neighbors' support). Scale shape: "
+    "peeling is join+agg per round on a shrinking edge relation — "
+    "never all-pairs; the copurchase base is one self-join on the "
+    "order key, HAVING-bounded.",
+)
+def graph_ktruss_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.functions import text as T
+
+    l = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = l.alias("a"), l.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    fp = T.portable_hash64(
+        F.concat(
+            F.lit("tr"),
+            F.col("pa").cast("string"),
+            F.lit(":"),
+            F.col("pb").cast("string"),
+        )
+    )
+
+    def summary(k, r, before_df, after_df):
+        nb = before_df.agg(F.count(F.lit(1)).alias("eb"))
+        na = after_df.agg(
+            F.count(F.lit(1)).alias("ea"),
+            F.coalesce(F.sum(fp), F.lit(0)).cast("long").alias("fp_sum"),
+        )
+        return nb.crossJoin(F.broadcast(na)).select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(r).cast("long").alias("round"),
+            F.col("eb").cast("long").alias("edges_before"),
+            (F.col("eb") - F.col("ea")).cast("long").alias("edges_dropped"),
+            F.col("ea").cast("long").alias("edges_after"),
+            "fp_sum",
+        )
+
+    out = None
+    for k in _TRUSS_KS:
+        cur = e0
+        for r in range(1, _TRUSS_ROUNDS + 1):
+            adj = cur.select(
+                F.col("pa").alias("u"), F.col("pb").alias("v")
+            ).unionByName(
+                cur.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+            )
+            x = adj.select(F.col("u").alias("xa"), F.col("v").alias("w"))
+            y = adj.select(F.col("u").alias("yb"), F.col("v").alias("w2"))
+            nxt = (
+                cur.join(x, F.col("xa") == F.col("pa"))
+                .join(
+                    y,
+                    (F.col("yb") == F.col("pb"))
+                    & (F.col("w2") == F.col("w")),
+                )
+                .groupBy("pa", "pb")
+                .agg(F.count(F.lit(1)).alias("support"))
+                .filter(F.col("support") >= k - 2)
+                .select("pa", "pb")
+                .localCheckpoint(eager=True)
+            )
+            row = summary(k, r, cur, nxt)
+            out = row if out is None else out.unionByName(row)
+            cur = nxt
+    return out.orderBy("k", "round")

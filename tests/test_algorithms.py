@@ -720,3 +720,67 @@ class TestHarmonicCentrality:
         k = len(rows)
         exact_top = sorted(exact, key=lambda v: (-exact[v], v))[:k]
         assert len({r["node"] for r in rows} & set(exact_top)) >= k // 2
+
+
+class TestKTruss:
+    """graph_ktruss_copurchase: Python replay of the peeling rounds,
+    plus the structural theorems the entry's doc claims."""
+
+    def test_peeling_replay_and_theorems(self, spark, sf_dir):
+        from collections import Counter, defaultdict
+
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = {
+            (r["k"], r["round"]): r
+            for r in REGISTRY["graph_ktruss_copurchase"].fn(spark, sf_dir).collect()
+        }
+        assert sorted(rows) == [(3, 1), (3, 2), (4, 1), (4, 2)]
+
+        # Exact Python replay: base edges then two peels per k.
+        line = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+        # The base self-join counts line-item MULTIPLICITY (a part
+        # appearing twice in an order contributes 2x to each pair);
+        # the replay must too.
+        pair_cnt = Counter()
+        mult = defaultdict(Counter)
+        for l in line:
+            if l.l_orderkey % 2 == 0:
+                mult[l.l_orderkey][l.l_partkey] += 1
+        for cnts in mult.values():
+            ps = sorted(cnts)
+            for i, pa in enumerate(ps):
+                for pb in ps[i + 1:]:
+                    pair_cnt[(pa, pb)] += cnts[pa] * cnts[pb]
+        e0 = {p for p, c in pair_cnt.items() if c >= 2}
+
+        def peel(edges, k):
+            adj = defaultdict(set)
+            for a, b in edges:
+                adj[a].add(b)
+                adj[b].add(a)
+            return {
+                (a, b)
+                for a, b in edges
+                if len(adj[a] & adj[b]) >= k - 2
+            }
+
+        for k in (3, 4):
+            cur = e0
+            for r in (1, 2):
+                nxt = peel(cur, k)
+                got = rows[(k, r)]
+                assert got["edges_before"] == len(cur), (k, r)
+                assert got["edges_after"] == len(nxt), (k, r)
+                assert got["edges_dropped"] == len(cur) - len(nxt)
+                cur = nxt
+
+        # Theorem 1: the 3-truss ('in >= 1 triangle') is already the
+        # fixpoint after one round — triangles are self-supporting.
+        assert rows[(3, 2)]["edges_dropped"] == 0
+        assert rows[(3, 2)]["fp_sum"] == rows[(3, 1)]["fp_sum"]
+        # Theorem 2: per-round nesting — the stricter truss is always
+        # a subset of the looser one.
+        for r in (1, 2):
+            assert rows[(4, r)]["edges_after"] <= rows[(3, r)]["edges_after"]
