@@ -2304,3 +2304,160 @@ def orders_tdigest_merge(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "centroid")
     )
+
+
+_CUPED_SPLIT = "2024-01-16"
+
+
+@register(
+    "events_cuped_adjustment",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+        ('0x' || substr(md5('cuped' || user_id), 1, 12))::BIGINT % 2 AS arm,
+        CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                AND ts < TIMESTAMP '{_CUPED_SPLIT}'
+                          THEN CAST(value AS DECIMAL(18,4)) END), 0)
+             AS DECIMAL(18,4)) AS x,
+        CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                AND ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                          THEN CAST(value AS DECIMAL(18,4)) END), 0)
+             AS DECIMAL(18,4)) AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      FROM u
+    ),
+    th AS (
+      SELECT n, sx / n AS mx,
+        CASE WHEN sxx - sx * sx / n > 0
+             THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+             ELSE 0 END AS theta
+      FROM g
+    ),
+    a AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(x) AS DOUBLE) AS asx, CAST(sum(y) AS DOUBLE) AS asy,
+        CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS asxx,
+        CAST(sum(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS asyy,
+        CAST(sum(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS asxy
+      FROM u GROUP BY arm
+    )
+    SELECT CAST(arm AS BIGINT) AS arm, n_users,
+      asy / n_users AS mean_y,
+      asy / n_users - theta * (asx / n_users - mx) AS mean_y_adj,
+      asyy / n_users - (asy / n_users) * (asy / n_users) AS var_y,
+      (asyy / n_users - (asy / n_users) * (asy / n_users))
+        - 2 * theta * (asxy / n_users - (asx / n_users) * (asy / n_users))
+        + theta * theta
+          * (asxx / n_users - (asx / n_users) * (asx / n_users)) AS var_y_adj
+    FROM a, th ORDER BY arm
+    """,
+    doc="CUPED variance-reduced A/B readout (Deng et al., 'Improving "
+    "the sensitivity of online controlled experiments') — the "
+    "experiment-analysis operator a 100-TB events warehouse serves "
+    "constantly: users hash-assign to arms (salt 'cuped' — "
+    "independent of every other salted draw), X = pre-period per-user "
+    "purchase value, Y = metric-period value, theta = cov(X,Y)/var(X) "
+    "pooled, and the adjusted metric Y' = Y - theta (X - mean X). "
+    "ARITHMETIC DISCIPLINE: per-event values cast to DECIMAL(18,4) "
+    "BEFORE summing, per-user cross-moments as DECIMAL(38,8) — every "
+    "aggregation is exact and order-invariant; both arms' adjusted "
+    "mean and variance come from the CLOSED FORMS over those moments "
+    "(mean_y_adj = mean_y - theta (mean_x_arm - mean_x); var_y_adj = "
+    "var_y - 2 theta cov + theta^2 var_x), so no per-user float "
+    "vector is ever materialized or re-aggregated, and the output "
+    "doubles are identical scalar algebra in both engines — no "
+    "round() anywhere. The variance-reduction guarantee (pooled "
+    "var(Y') <= var(Y)) is pinned in pytest. Scale shape: one keyed "
+    "agg over events, one 2-group agg, two 1-row scalar broadcasts.",
+)
+def events_cuped_adjustment(spark: SparkSession, sf: str) -> DataFrame:
+    is_purchase = F.col("event_type") == "purchase"
+    pre = F.col("ts") < F.lit(_CUPED_SPLIT).cast("timestamp")
+    dec = F.col("value").cast("decimal(18,4)")
+    u = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(is_purchase & pre, dec)), F.lit(0)
+            )
+            .cast("decimal(18,4)")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(is_purchase & ~pre, dec)), F.lit(0)
+            )
+            .cast("decimal(18,4)")
+            .alias("y"),
+        )
+        .select(
+            (
+                T.portable_hash64(
+                    F.concat(F.lit("cuped"), F.col("user_id").cast("string"))
+                )
+                % 2
+            ).alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    th = g.select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        F.when(
+            F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n") > 0,
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("double").alias("asx"),
+        F.sum("y").cast("double").alias("asy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("asxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("asyy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("asxy"),
+    )
+    mxa = F.col("asx") / F.col("n_users")
+    mya = F.col("asy") / F.col("n_users")
+    var_y = F.col("asyy") / F.col("n_users") - mya * mya
+    cov_a = F.col("asxy") / F.col("n_users") - mxa * mya
+    var_xa = F.col("asxx") / F.col("n_users") - mxa * mxa
+    th_ = F.col("theta")
+    return (
+        a.crossJoin(F.broadcast(th))
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            "n_users",
+            mya.alias("mean_y"),
+            (mya - th_ * (mxa - F.col("mx"))).alias("mean_y_adj"),
+            var_y.alias("var_y"),
+            (var_y - 2 * th_ * cov_a + th_ * th_ * var_xa).alias(
+                "var_y_adj"
+            ),
+        )
+        .orderBy("arm")
+    )

@@ -141,3 +141,69 @@ class TestTdigestMerge:
         # state (all 4 collide at sf>=0.01; the sf0.001 fixture's 1.5k
         # orders spread thinner).
         assert max(r["max_bucket_shards"] for r in merged) >= 2
+
+
+class TestCupedAdjustment:
+    """events_cuped_adjustment: per-user Python replay; the CUPED
+    pooled-variance guarantee holds."""
+
+    def test_replay_and_pooled_variance_reduction(self, spark, sf_dir):
+        import hashlib
+        from collections import defaultdict
+        from datetime import datetime
+        from decimal import Decimal
+
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = {
+            r["arm"]: r
+            for r in REGISTRY["events_cuped_adjustment"].fn(spark, sf_dir).collect()
+        }
+        assert sorted(rows) == [0, 1]
+
+        split = datetime(2024, 1, 16)
+        X: dict[int, Decimal] = defaultdict(lambda: Decimal(0))
+        Y: dict[int, Decimal] = defaultdict(lambda: Decimal(0))
+        users = set()
+        for e in spark.read.parquet(f"{sf_dir}/events.parquet").collect():
+            users.add(e.user_id)
+            if e.event_type != "purchase":
+                continue
+            v = Decimal(str(round(e.value, 4)))
+            if e.ts < split:
+                X[e.user_id] += v
+            else:
+                Y[e.user_id] += v
+        xs = {u: float(X[u]) for u in users}
+        ys = {u: float(Y[u]) for u in users}
+        n = len(users)
+        mx = sum(xs.values()) / n
+        my = sum(ys.values()) / n
+        var_x = sum((v - mx) ** 2 for v in xs.values()) / n
+        cov = sum((xs[u] - mx) * (ys[u] - my) for u in users) / n
+        theta = cov / var_x if var_x > 0 else 0.0
+        adj = {u: ys[u] - theta * (xs[u] - mx) for u in users}
+
+        arm = {
+            u: int(hashlib.md5(f"cuped{u}".encode()).hexdigest()[:12], 16) % 2
+            for u in users
+        }
+        for a in (0, 1):
+            ua = [u for u in users if arm[u] == a]
+            r = rows[a]
+            assert r["n_users"] == len(ua)
+            m_y = sum(ys[u] for u in ua) / len(ua)
+            m_adj = sum(adj[u] for u in ua) / len(ua)
+            v_y = sum((ys[u] - m_y) ** 2 for u in ua) / len(ua)
+            v_adj = sum((adj[u] - m_adj) ** 2 for u in ua) / len(ua)
+            assert abs(r["mean_y"] - m_y) < 1e-6 * max(abs(m_y), 1)
+            assert abs(r["mean_y_adj"] - m_adj) < 1e-6 * max(abs(m_adj), 1)
+            assert abs(r["var_y"] - v_y) < 1e-6 * max(v_y, 1)
+            assert abs(r["var_y_adj"] - v_adj) < 1e-6 * max(v_adj, 1)
+
+        # The guarantee is POOLED (about the global mean), not per-arm.
+        pooled_y = sum((ys[u] - my) ** 2 for u in users) / n
+        madj = sum(adj.values()) / n
+        pooled_adj = sum((v - madj) ** 2 for v in adj.values()) / n
+        assert pooled_adj <= pooled_y + 1e-9
