@@ -2461,3 +2461,107 @@ def events_cuped_adjustment(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "events_next_match_veto",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, event_type,
+        min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+        ) AS next_purchase,
+        min(CASE WHEN event_type = 'error' THEN ts END) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+        ) AS next_error
+      FROM events
+    ),
+    c AS (
+      SELECT user_id,
+        CASE
+          WHEN next_purchase IS NULL
+            OR next_purchase > ts + INTERVAL 24 HOUR THEN 'expired'
+          WHEN next_error IS NOT NULL AND next_error < next_purchase
+            THEN 'vetoed'
+          ELSE 'clean' END AS outcome
+      FROM ev WHERE event_type = 'click'
+    )
+    SELECT user_id,
+      CAST(count(*) AS BIGINT) AS n_clicks,
+      CAST(sum(CASE WHEN outcome = 'clean' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clean,
+      CAST(sum(CASE WHEN outcome = 'vetoed' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_vetoed,
+      CAST(sum(CASE WHEN outcome = 'expired' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_expired
+    FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Sequence-pattern detection with a VETO event — the "
+    "MATCH_RECOGNIZE shape ('A then B within gap, unless C "
+    "intervenes') that funnels and fraud rules need, expressed as "
+    "pure per-user ordered WINDOW functions: for every click, the "
+    "next purchase and next error timestamps come from two "
+    "min-over-following windows on the (user, ts, event_id) order, "
+    "and the click classifies as clean (purchase within 24 h, no "
+    "earlier error), vetoed (an error lands strictly between click "
+    "and the matching purchase), or expired. First-match semantics "
+    "and the event_id tie-break make the classification a pure "
+    "function of the event set. Scale shape: NO self-join and no "
+    "per-event explode — one user-partitioned sort-window pass "
+    "computes both next-event columns for every click at once (the "
+    "ordered-window form of an as-of join), then one keyed agg. "
+    "Per-user integer counts only; nothing continuous.",
+)
+def events_next_match_veto(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ev = table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        )
+        .over(w)
+        .alias("next_purchase"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts")))
+        .over(w)
+        .alias("next_error"),
+    )
+    deadline = F.col("ts") + F.expr("INTERVAL 24 HOURS")
+    outcome = (
+        F.when(
+            F.col("next_purchase").isNull()
+            | (F.col("next_purchase") > deadline),
+            F.lit("expired"),
+        )
+        .when(
+            F.col("next_error").isNotNull()
+            & (F.col("next_error") < F.col("next_purchase")),
+            F.lit("vetoed"),
+        )
+        .otherwise(F.lit("clean"))
+    )
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", outcome.alias("outcome"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clicks"),
+            F.sum(F.when(F.col("outcome") == "clean", 1).otherwise(0))
+            .cast("long")
+            .alias("n_clean"),
+            F.sum(F.when(F.col("outcome") == "vetoed", 1).otherwise(0))
+            .cast("long")
+            .alias("n_vetoed"),
+            F.sum(F.when(F.col("outcome") == "expired", 1).otherwise(0))
+            .cast("long")
+            .alias("n_expired"),
+        )
+        .orderBy("user_id")
+    )

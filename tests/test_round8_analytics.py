@@ -207,3 +207,56 @@ class TestCupedAdjustment:
         madj = sum(adj.values()) / n
         pooled_adj = sum((v - madj) ** 2 for v in adj.values()) / n
         assert pooled_adj <= pooled_y + 1e-9
+
+
+class TestNextMatchVeto:
+    """events_next_match_veto: per-click Python replay of the
+    first-match-with-veto classification."""
+
+    def test_classification_replay(self, spark, sf_dir):
+        from collections import defaultdict
+        from datetime import timedelta
+
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = {
+            r["user_id"]: r
+            for r in REGISTRY["events_next_match_veto"].fn(spark, sf_dir).collect()
+        }
+        by_user = defaultdict(list)
+        for e in spark.read.parquet(f"{sf_dir}/events.parquet").collect():
+            by_user[e.user_id].append(e)
+        want = {}
+        for u, evs in by_user.items():
+            evs.sort(key=lambda e: (e.ts, e.event_id))
+            cnt = {"clean": 0, "vetoed": 0, "expired": 0}
+            for i, e in enumerate(evs):
+                if e.event_type != "click":
+                    continue
+                np_ = next(
+                    (x.ts for x in evs[i + 1:] if x.event_type == "purchase"),
+                    None,
+                )
+                ne = next(
+                    (x.ts for x in evs[i + 1:] if x.event_type == "error"),
+                    None,
+                )
+                if np_ is None or np_ > e.ts + timedelta(hours=24):
+                    cnt["expired"] += 1
+                elif ne is not None and ne < np_:
+                    cnt["vetoed"] += 1
+                else:
+                    cnt["clean"] += 1
+            want[u] = cnt
+        assert set(rows) == {u for u, c in want.items() if sum(c.values())}
+        total_veto = 0
+        for u, r in rows.items():
+            c = want[u]
+            assert r["n_clean"] == c["clean"], u
+            assert r["n_vetoed"] == c["vetoed"], u
+            assert r["n_expired"] == c["expired"], u
+            assert r["n_clicks"] == sum(c.values())
+            total_veto += r["n_vetoed"]
+        # The veto branch must actually fire on the fixture.
+        assert total_veto > 0
