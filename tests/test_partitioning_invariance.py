@@ -62,6 +62,11 @@ ENTRIES = [
     "docs_bm25_topk",            # decimal term sums + exact top-k cutoff
     "graph_ppr_grid",            # iterative float mass-passing (teleport)
     "orders_quantile_histogram",  # two-pass rank selection across buckets
+    # round-7 continuation-3 additions
+    "graph_anf_hyperball",       # DECIMAL(28,6)-summed per-node HLL estimates
+    "graph_harmonic_centrality",  # integer micro-unit shells + top-k ties
+    "events_cuped_adjustment",   # decimal moments -> closed-form doubles
+    "similarity_truncation_recall",  # float dots + per-dims top-k ties
 ]
 
 # Two adversarial layouts, exercised separately so a failure localizes
