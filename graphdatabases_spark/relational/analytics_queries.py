@@ -2565,3 +2565,87 @@ def events_next_match_veto(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_KANON_KS = (2, 5, 10)
+
+
+@register(
+    "customer_kanon_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    tot AS (
+      SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups
+      FROM g
+    )
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f"SELECT {k} AS k, tot.n_groups, tot.n_rows,"
+        f" CAST(coalesce(sum(CASE WHEN sz < {k} THEN 1 END), 0) AS BIGINT)"
+        f"   AS groups_below,"
+        f" CAST(coalesce(sum(CASE WHEN sz < {k} THEN sz END), 0) AS BIGINT)"
+        f"   AS rows_below,"
+        f" CAST((1000000 * coalesce(sum(CASE WHEN sz < {k} THEN sz END), 0))"
+        f"   // tot.n_rows AS BIGINT) AS rows_below_ppm"
+        f" FROM g, tot GROUP BY tot.n_groups, tot.n_rows"
+        for k in _KANON_KS
+      )}
+    ) ORDER BY k
+    """,
+    doc="k-ANONYMITY audit over quasi-identifiers — the data-"
+    "governance gate a 100-TB release pipeline runs before "
+    "publishing: customers group by the quasi-identifier pair "
+    "(nation, market segment), and for each k in "
+    f"{{{', '.join(str(k) for k in _KANON_KS)}}} the audit counts "
+    "equivalence classes smaller than k and the rows inside them — "
+    "the re-identifiable population a k-anonymous release would have "
+    "to suppress or generalize. All integer arithmetic (exact ppm "
+    "share, positive-operand floor). Scale shape: ONE keyed agg over "
+    "the table builds the class-size relation (bounded by the "
+    "quasi-identifier domain, not the row count); every k-threshold "
+    "row aggregates that bounded relation with a 1-row totals "
+    "broadcast.",
+)
+def customer_kanon_audit(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        table(spark, sf, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    tot = g.agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    rows = []
+    for k in _KANON_KS:
+        below = F.col("sz") < k
+        rows.append(
+            g.crossJoin(F.broadcast(tot))
+            .groupBy("n_groups", "n_rows")
+            .agg(
+                F.coalesce(F.sum(F.when(below, 1)), F.lit(0))
+                .cast("long")
+                .alias("groups_below"),
+                F.coalesce(F.sum(F.when(below, F.col("sz"))), F.lit(0))
+                .cast("long")
+                .alias("rows_below"),
+            )
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                "n_groups",
+                "n_rows",
+                "groups_below",
+                "rows_below",
+                F.expr(
+                    "CAST((1000000 * rows_below) div n_rows AS BIGINT)"
+                ).alias("rows_below_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("k")

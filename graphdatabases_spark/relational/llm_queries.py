@@ -2170,3 +2170,121 @@ def similarity_truncation_recall(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("dims")
     )
+
+
+@register(
+    "embedding_source_drift",
+    oracle="""
+    WITH j AS (
+      SELECT d.source, e.embedding::DOUBLE[] AS v
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    dims AS (
+      SELECT source, s.i - 1 AS dim, v[s.i] AS x
+      FROM j, generate_series(1, 64) s(i)
+    ),
+    per_src AS (
+      SELECT source, dim,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(x AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS s
+      FROM dims GROUP BY source, dim
+    ),
+    gl AS (
+      SELECT dim,
+        CAST(sum(n) AS BIGINT) AS gn,
+        CAST(sum(s) AS DECIMAL(28,12)) AS gs
+      FROM per_src GROUP BY dim
+    ),
+    cent AS (
+      SELECT p.source, p.dim, p.n,
+        CAST(p.s AS DOUBLE) / p.n AS c,
+        CAST(g.gs AS DOUBLE) / g.gn AS gc
+      FROM per_src p JOIN gl g USING (dim)
+    ),
+    terms AS (
+      SELECT source, n,
+        CAST((c - gc) * (c - gc) AS DECIMAL(28,12)) AS d2,
+        CAST(c * gc AS DECIMAL(28,12)) AS cg,
+        CAST(c * c AS DECIMAL(28,12)) AS cc,
+        CAST(gc * gc AS DECIMAL(28,12)) AS gg
+      FROM cent
+    )
+    SELECT source,
+      CAST(max(n) AS BIGINT) AS n_vecs,
+      sqrt(CAST(sum(d2) AS DOUBLE)) AS l2_drift,
+      CAST(sum(cg) AS DOUBLE)
+        / greatest(sqrt(CAST(sum(cc) AS DOUBLE))
+                   * sqrt(CAST(sum(gg) AS DOUBLE)), 1e-30) AS cos_global
+    FROM terms GROUP BY source ORDER BY source
+    """,
+    doc="Per-source EMBEDDING CENTROID DRIFT — the distribution-shift "
+    "audit a 100-TB multi-source corpus runs before mixing: each "
+    "source's centroid (per-dimension mean) is compared to the global "
+    "centroid by L2 distance and cosine, exposing sources whose "
+    "embedding mass sits away from the corpus (encoder drift, "
+    "domain skew, ingestion bugs). ARITHMETIC DISCIPLINE: "
+    "per-dimension sums accumulate as DECIMAL(28,12) (exact, "
+    "order-invariant — the only data-sized aggregation); centroids "
+    "are one division each; the 64 per-dimension comparison terms "
+    "cast to DECIMAL(28,12) before the final sum so the dim-order "
+    "of accumulation cannot move a digit; outputs are raw doubles "
+    "via identical scalar algebra — no round(). Scale shape: one "
+    "equi-join (vec id), one explode to (source, dim), two keyed "
+    "aggs bounded by |sources| x dims; the global centroid derives "
+    "from the per-source sums (no second corpus pass).",
+)
+def embedding_source_drift(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+    d = table(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    dims = (
+        e.join(d, "vec_id")
+        .select("source", F.posexplode(F.col("v")).alias("dim", "x"))
+    )
+    per_src = dims.groupBy("source", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,12)"))
+        .cast("decimal(28,12)")
+        .alias("s"),
+    )
+    glob = per_src.groupBy("dim").agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("s").cast("decimal(28,12)").alias("gs"),
+    )
+    cent = per_src.join(glob, "dim").select(
+        "source",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("c"),
+        (F.col("gs").cast("double") / F.col("gn")).alias("gc"),
+    )
+    diff = F.col("c") - F.col("gc")
+    terms = cent.select(
+        "source",
+        "n",
+        (diff * diff).cast("decimal(28,12)").alias("d2"),
+        (F.col("c") * F.col("gc")).cast("decimal(28,12)").alias("cg"),
+        (F.col("c") * F.col("c")).cast("decimal(28,12)").alias("cc"),
+        (F.col("gc") * F.col("gc")).cast("decimal(28,12)").alias("gg"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.sqrt(F.sum("d2").cast("double")).alias("l2_drift"),
+            (
+                F.sum("cg").cast("double")
+                / F.greatest(
+                    F.sqrt(F.sum("cc").cast("double"))
+                    * F.sqrt(F.sum("gg").cast("double")),
+                    F.lit(1e-30),
+                )
+            ).alias("cos_global"),
+        )
+        .orderBy("source")
+    )

@@ -580,3 +580,51 @@ class TestTruncationRecallCurve:
         assert rows[EMBEDDING_DIM]["recall_at_k"] == 1.0
         # More prefix dimensions never hurt on this isotropic fixture.
         assert rows[16]["recall_at_k"] <= rows[32]["recall_at_k"] <= 1.0
+
+
+class TestEmbeddingSourceDrift:
+    """embedding_source_drift: Python replay of the centroid algebra."""
+
+    def test_centroids_replay(self, spark, sf_dir):
+        import math
+        from collections import defaultdict
+
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = {
+            r["source"]: r
+            for r in REGISTRY["embedding_source_drift"].fn(spark, sf_dir).collect()
+        }
+        src_of = {
+            d.doc_id: d.source
+            for d in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source")
+            .collect()
+        }
+        sums = defaultdict(lambda: [0.0] * 64)
+        cnt = defaultdict(int)
+        gsum = [0.0] * 64
+        gn = 0
+        for e in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect():
+            s = src_of[e.vec_id]
+            cnt[s] += 1
+            gn += 1
+            for i, x in enumerate(e.embedding):
+                sums[s][i] += x
+                gsum[i] += x
+        gc = [v / gn for v in gsum]
+        assert set(rows) == set(cnt)
+        for s, r in rows.items():
+            c = [v / cnt[s] for v in sums[s]]
+            l2 = math.sqrt(sum((a - b) ** 2 for a, b in zip(c, gc)))
+            dot = sum(a * b for a, b in zip(c, gc))
+            cos = dot / max(
+                math.sqrt(sum(a * a for a in c))
+                * math.sqrt(sum(b * b for b in gc)),
+                1e-30,
+            )
+            assert r["n_vecs"] == cnt[s]
+            assert abs(r["l2_drift"] - l2) < 1e-6
+            assert abs(r["cos_global"] - cos) < 1e-6
+            assert -1.0 - 1e-9 <= r["cos_global"] <= 1.0 + 1e-9

@@ -306,6 +306,7 @@ class TestUniversalGates:
         "join_selfjoin_size_cms",     # 1-row exact-F2 scalar
         "events_cuped_adjustment",    # 1-row pooled theta/mean scalar
         "graph_ktruss_copurchase",    # 1-row x 1-row per-round summaries
+        "customer_kanon_audit",       # 1-row totals vs bounded class sizes
         "graph_anf_hyperball",        # 1-row final-round ANF scalar
         "graph_effective_diameter",   # 4 x 1-row ANF summaries folded
     }

@@ -260,3 +260,34 @@ class TestNextMatchVeto:
             total_veto += r["n_vetoed"]
         # The veto branch must actually fire on the fixture.
         assert total_veto > 0
+
+
+class TestKAnonAudit:
+    """customer_kanon_audit: replayed class sizes and monotone ks."""
+
+    def test_replay_and_monotonicity(self, spark, sf_dir):
+        from collections import Counter
+
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = {
+            r["k"]: r
+            for r in REGISTRY["customer_kanon_audit"].fn(spark, sf_dir).collect()
+        }
+        assert sorted(rows) == [2, 5, 10]
+        sizes = Counter(
+            (c.c_nationkey, c.c_mktsegment)
+            for c in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+        )
+        n_rows = sum(sizes.values())
+        for k, r in rows.items():
+            gb = sum(1 for v in sizes.values() if v < k)
+            rb = sum(v for v in sizes.values() if v < k)
+            assert r["n_groups"] == len(sizes)
+            assert r["n_rows"] == n_rows
+            assert r["groups_below"] == gb
+            assert r["rows_below"] == rb
+            assert r["rows_below_ppm"] == (1000000 * rb) // n_rows
+        # Raising k can only grow the below-k population.
+        assert rows[2]["rows_below"] <= rows[5]["rows_below"] <= rows[10]["rows_below"]
