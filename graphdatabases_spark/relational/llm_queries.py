@@ -2288,3 +2288,163 @@ def embedding_source_drift(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_RAKE_TOPN = 20
+
+
+def _rake_stop_sql() -> str:
+    from graphdatabases_spark.functions.text import LANG_STOPWORDS
+
+    words = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos,
+        unnest(tk) AS tok
+      FROM (SELECT doc_id, {TOKS} AS tk FROM documents)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+        list_contains({_rake_stop_sql()}, tok) AS is_stop
+      FROM toks
+    ),
+    marked AS (
+      SELECT doc_id, pos, tok, is_stop,
+        sum(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS island
+      FROM flagged
+    ),
+    isl AS (
+      SELECT doc_id, pos, tok, island FROM marked WHERE NOT is_stop
+    ),
+    phr AS (
+      SELECT doc_id, island,
+        array_to_string(list(tok ORDER BY pos), ' ') AS phrase,
+        CAST(count(*) AS BIGINT) AS n_words
+      FROM isl GROUP BY doc_id, island
+    ),
+    pw AS (
+      SELECT phrase, n_words, unnest(string_split(phrase, ' ')) AS w
+      FROM phr
+    ),
+    ws AS (
+      SELECT w,
+        CAST(count(*) AS BIGINT) AS freq,
+        CAST(sum(n_words) AS BIGINT) AS degree
+      FROM pw GROUP BY w
+    ),
+    ps AS (
+      SELECT phrase, max(n_words) AS n_words,
+        count(*) // max(n_words) AS freq,
+        CAST((sum((1000000 * ws.degree) // ws.freq) * max(n_words))
+          // count(*) AS BIGINT) AS score_ppm
+      FROM pw JOIN ws USING (w) GROUP BY phrase
+    )
+    SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+      CAST(freq AS BIGINT) AS freq, score_ppm
+    FROM ps
+    ORDER BY score_ppm DESC, phrase
+    LIMIT {_RAKE_TOPN}
+    """,
+    doc="RAKE keyword extraction (Rose et al., 'Automatic keyword "
+    "extraction from individual documents'): candidate phrases are "
+    "maximal stopword-free token runs — carved by GAPS-AND-ISLANDS "
+    "(the island id is the running stopword count over each "
+    "document's token positions, one partitioned window), each "
+    "word scores degree/freq over the corpus phrase multiset "
+    "(degree = summed length of phrases containing it, freq = its "
+    "phrase occurrences), and a phrase scores the sum of its words' "
+    "scores. ARITHMETIC: word scores are EXACT integer ppm floors "
+    "((1e6 x degree) // freq), phrase scores exact integer sums of "
+    "those — no float accumulation, so the top-"
+    f"{_RAKE_TOPN} cut (score desc, phrase asc) is deterministic in "
+    "both engines. A phrase occurring k times contributes k "
+    "identical word-rows; its per-occurrence score divides back out "
+    "(sum / n_words per occurrence... the phrase group sums across "
+    "occurrences and divides by one occurrence's length). Scale "
+    "shape: tokenize-explode -> one windowed island pass -> three "
+    "keyed aggs, all linear; the stopword list is a literal array. "
+    "(Fixture note: the synthetic corpus is stopword-sparse, so its "
+    "maximal runs are long — the mechanism, not the fixture prose, "
+    "is what the oracle pins.)",
+)
+def text_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from graphdatabases_spark.functions.text import LANG_STOPWORDS
+
+    stops = F.array(
+        *[
+            F.lit(w)
+            for w in sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+        ]
+    )
+    toks = (
+        table(spark, sf, "documents")
+        .select("doc_id", F.posexplode(T.tokens(F.col("text"))).alias("pos", "tok"))
+        .select(
+            "doc_id",
+            "pos",
+            "tok",
+            F.array_contains(stops, F.col("tok")).alias("is_stop"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = toks.withColumn(
+        "island", F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(w)
+    ).filter(~F.col("is_stop"))
+    phr = isl.groupBy("doc_id", "island").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+    pw = phr.select(
+        "phrase", "n_words", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    ws = pw.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("degree"),
+    )
+    ps = (
+        pw.join(ws, "w")
+        .groupBy("phrase")
+        .agg(
+            F.max("n_words").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr("(1000000 * degree) div freq"))
+            .cast("long")
+            .alias("raw_sum"),
+        )
+        .select(
+            "phrase",
+            "n_words",
+            # one row per (occurrence, word): occurrences = rows/words,
+            # and raw_sum = occurrences x phrase_score — both divisions
+            # are exact by construction.
+            F.expr("n_rows div n_words").alias("freq"),
+            F.expr("(raw_sum * n_words) div n_rows").alias("score_ppm"),
+        )
+    )
+    return (
+        ps.select("phrase", "n_words", "freq", "score_ppm")
+        .orderBy(F.col("score_ppm").desc(), "phrase")
+        .limit(_RAKE_TOPN)
+    )

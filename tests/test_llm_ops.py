@@ -628,3 +628,54 @@ class TestEmbeddingSourceDrift:
             assert abs(r["l2_drift"] - l2) < 1e-6
             assert abs(r["cos_global"] - cos) < 1e-6
             assert -1.0 - 1e-9 <= r["cos_global"] <= 1.0 + 1e-9
+
+
+class TestRakeKeywords:
+    """text_rake_keywords: Python replay of islands + degree/freq."""
+
+    def test_rake_replay(self, spark, sf_dir):
+        import re
+        from collections import Counter
+
+        from graphdatabases_spark.functions.text import LANG_STOPWORDS
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = REGISTRY["text_rake_keywords"].fn(spark, sf_dir).collect()
+        assert 1 <= len(rows) <= 20
+        keys = [(-r["score_ppm"], r["phrase"]) for r in rows]
+        assert keys == sorted(keys)
+
+        stops = {w for ws in LANG_STOPWORDS.values() for w in ws}
+        phrases: Counter[tuple] = Counter()
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+            toks = [
+                t
+                for t in re.split(r"[^a-z0-9]+", d.text.lower().strip())
+                if t
+            ]
+            run: list[str] = []
+            for t in toks + ["<stop>"]:
+                if t in stops or t == "<stop>":
+                    if run:
+                        phrases[tuple(run)] += 1
+                    run = []
+                else:
+                    run.append(t)
+        freq: Counter[str] = Counter()
+        degree: Counter[str] = Counter()
+        for p, c in phrases.items():
+            for w in p:
+                freq[w] += c
+                degree[w] += c * len(p)
+        scored = {
+            " ".join(p): (
+                len(p),
+                c,
+                sum((1000000 * degree[w]) // freq[w] for w in p),
+            )
+            for p, c in phrases.items()
+        }
+        want = sorted(scored.items(), key=lambda kv: (-kv[1][2], kv[0]))[:20]
+        got = [(r["phrase"], (r["n_words"], r["freq"], r["score_ppm"])) for r in rows]
+        assert got == want
