@@ -622,3 +622,29 @@ def vacuum_zordered(spark, root: str, *, keep: int = 2) -> list[str]:
             )
             removed.append(f"v{v}")
     return removed
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """DYNAMIC partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving every other partition's files untouched — the
+    idempotent-backfill primitive (re-running one day's pipeline must
+    never clobber the rest of the table). Spark's default ("static")
+    overwrite would truncate the whole table first; the dynamic mode is
+    scoped to this write and restored afterwards.
+
+    Byte-level no-touch of sibling partitions is pinned in
+    tests/test_sources.py::TestDynamicPartitionOverwrite.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -810,3 +810,64 @@ class TestVersionedZorderEvolution:
         # keep=0 clamps: the current version always survives.
         assert vacuum_zordered(spark, root, keep=0) == ["v2"]
         assert read_zordered_current(spark, root).count() == n
+
+
+class TestDynamicPartitionOverwrite:
+    """overwrite_partitions: the idempotent-backfill contract — only
+    the partitions present in the incoming frame are replaced, sibling
+    partitions stay BYTE-IDENTICAL on disk."""
+
+    def test_backfill_touches_only_its_partition(self, spark, tmp_path):
+        import glob
+        import hashlib
+        import os
+
+        from graphdatabases_spark.sources.writers import (
+            overwrite_partitions,
+            write_parquet,
+        )
+
+        path = str(tmp_path / "dyn_part")
+        base = spark.createDataFrame(
+            [(d, i, float(i)) for d in ("d1", "d2", "d3") for i in range(5)],
+            "day string, k int, v double",
+        )
+        write_parquet(base, path, partition_by=["day"])
+
+        def files_with_hashes(day):
+            out = {}
+            for f in glob.glob(f"{path}/day={day}/*.parquet"):
+                with open(f, "rb") as fh:
+                    out[os.path.basename(f)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+            return out
+
+        before_d1 = files_with_hashes("d1")
+        before_d3 = files_with_hashes("d3")
+        assert before_d1 and before_d3
+
+        # Backfill d2 only, with CHANGED values and a different row count.
+        fix = spark.createDataFrame(
+            [("d2", i, float(100 + i)) for i in range(3)],
+            "day string, k int, v double",
+        )
+        overwrite_partitions(fix, path, ["day"])
+
+        # Sibling partitions byte-identical; reader sees the new d2.
+        assert files_with_hashes("d1") == before_d1
+        assert files_with_hashes("d3") == before_d3
+        got = spark.read.parquet(path)
+        assert got.filter("day = 'd2'").count() == 3
+        assert got.filter("day = 'd2' and v >= 100").count() == 3
+        assert got.filter("day = 'd1'").count() == 5
+        # Re-running the same backfill is idempotent for the reader.
+        overwrite_partitions(fix, path, ["day"])
+        assert spark.read.parquet(path).count() == 13
+        # The scoped conf did not leak into the session.
+        assert (
+            spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "STATIC"
+            ).lower()
+            == "static"
+        )
