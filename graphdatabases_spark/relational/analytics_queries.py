@@ -2649,3 +2649,75 @@ def customer_kanon_audit(spark: SparkSession, sf: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("k")
+
+
+@register(
+    "orders_trimmed_mean",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS priority,
+        CAST(o_totalprice AS DECIMAL(18,4)) AS p,
+        row_number() OVER (
+          PARTITION BY o_orderpriority
+          ORDER BY o_totalprice, o_orderkey
+        ) AS rk,
+        count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT priority,
+      CAST(max(n) AS BIGINT) AS n_orders,
+      CAST(max(n) - 2 * (max(n) // 10) AS BIGINT) AS n_kept,
+      CAST(round(sum(p) / max(n), 4) AS DOUBLE) AS mean_raw,
+      CAST(round(
+        sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10 THEN p END)
+          / (max(n) - 2 * (max(n) // 10)), 4) AS DOUBLE) AS mean_trimmed
+    FROM r GROUP BY priority ORDER BY priority
+    """,
+    doc="10% TRIMMED MEAN per order priority — the robust-statistics "
+    "operator dashboards want when a handful of whale orders drag the "
+    "raw mean: per group, rows rank by (price, orderkey) — the "
+    "orderkey tie-break makes the trimmed SET a pure function of the "
+    "data — and exactly floor(n/10) rows drop from EACH tail (integer "
+    "counts, never a float quantile boundary). Prices enter as "
+    "DECIMAL(18,4), both sums are exact and order-invariant, and each "
+    "mean is one DECIMAL division rounded once at the decimal level "
+    "(round on DECIMAL is exact digit arithmetic, not float — no "
+    "half-way-boundary hazard) then cast to double. Scale shape: one "
+    "group-partitioned rank window + one keyed agg; no global sort.",
+)
+def orders_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    r = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("p"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    keep = (F.col("rk") > F.expr("n div 10")) & (
+        F.col("rk") <= F.col("n") - F.expr("n div 10")
+    )
+    return (
+        r.groupBy("priority")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            (F.max("n") - 2 * F.expr("max(n) div 10"))
+            .cast("long")
+            .alias("n_kept"),
+            F.round(
+                F.sum("p") / F.max("n"), 4
+            )
+            .cast("double")
+            .alias("mean_raw"),
+            F.round(
+                F.sum(F.when(keep, F.col("p")))
+                / (F.max("n") - 2 * F.expr("max(n) div 10")),
+                4,
+            )
+            .cast("double")
+            .alias("mean_trimmed"),
+        )
+        .orderBy("priority")
+    )

@@ -291,3 +291,42 @@ class TestKAnonAudit:
             assert r["rows_below_ppm"] == (1000000 * rb) // n_rows
         # Raising k can only grow the below-k population.
         assert rows[2]["rows_below"] <= rows[5]["rows_below"] <= rows[10]["rows_below"]
+
+
+class TestTrimmedMean:
+    """orders_trimmed_mean: Python replay of the exact rank trim."""
+
+    def test_trim_replay(self, spark, sf_dir):
+        from collections import defaultdict
+        from decimal import Decimal
+
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = {
+            r["priority"]: r
+            for r in REGISTRY["orders_trimmed_mean"].fn(spark, sf_dir).collect()
+        }
+        groups = defaultdict(list)
+        for o in spark.read.parquet(f"{sf_dir}/orders.parquet").collect():
+            groups[o.o_orderpriority].append(
+                (Decimal(str(round(o.o_totalprice, 4))), o.o_orderkey)
+            )
+        assert set(rows) == set(groups)
+        for pr, vals in groups.items():
+            vals.sort()
+            n = len(vals)
+            cut = n // 10
+            kept = vals[cut: n - cut]
+            r = rows[pr]
+            assert r["n_orders"] == n
+            assert r["n_kept"] == n - 2 * cut == len(kept)
+            raw = sum(v for v, _ in vals) / n
+            trm = sum(v for v, _ in kept) / len(kept)
+            assert abs(Decimal(str(r["mean_raw"])) - raw) <= Decimal("0.0001")
+            assert abs(Decimal(str(r["mean_trimmed"])) - trm) <= Decimal(
+                "0.0001"
+            )
+            # Trimming changes the mean only within the clipped tails'
+            # envelope: the trimmed mean sits inside [min, max].
+            assert vals[0][0] <= Decimal(str(r["mean_trimmed"])) <= vals[-1][0]
