@@ -2721,3 +2721,85 @@ def orders_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+_GAP_MINUTES = (5, 30, 120)
+
+
+@register(
+    "events_session_gap_curve",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+        date_diff('second',
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+          ts) AS gap_s
+      FROM events
+    ),
+    u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM g)
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f"SELECT {m} AS gap_minutes,"
+        f" CAST(count(DISTINCT user_id)"
+        f"   + sum(CASE WHEN gap_s > {m * 60} THEN 1 ELSE 0 END) AS BIGINT)"
+        f"   AS n_sessions,"
+        f" (SELECT n_users FROM u) AS n_users,"
+        f" CAST((1000000 * (count(DISTINCT user_id)"
+        f"   + sum(CASE WHEN gap_s > {m * 60} THEN 1 ELSE 0 END)))"
+        f"   // (SELECT n_users FROM u) AS BIGINT) AS sessions_per_user_ppm"
+        f" FROM g"
+        for m in _GAP_MINUTES
+      )}
+    ) ORDER BY gap_minutes
+    """,
+    doc="SESSIONIZATION OPERATING CURVE — how the session count moves "
+    "with the inactivity threshold (the knob every sessionizer has to "
+    f"pick): for each gap in {{{', '.join(str(m) for m in _GAP_MINUTES)}}} "
+    "minutes, a user's session count is 1 + (inter-event gaps "
+    "exceeding the threshold), so the whole curve needs ONE lag-window "
+    "pass over (user, ts, event_id) order and one conditional count "
+    "per threshold — no re-sessionization per knob value, no "
+    "session-id materialization at all (the gaps-and-islands identity "
+    "n_sessions = n_users + n_breaks). Integer counts and an exact "
+    "ppm sessions-per-user ratio; gaps in whole seconds (timestamp "
+    "difference is exact integer microseconds, so second truncation "
+    "is engine-invariant). Monotonicity (larger gap => fewer "
+    "sessions, floor n_users) is pinned in pytest. Scale shape: one "
+    "user-partitioned sort window + per-threshold combinable aggs.",
+)
+def events_session_gap_curve(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = table(spark, sf, "events").select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    )
+    rows = []
+    for m in _GAP_MINUTES:
+        rows.append(
+            g.agg(
+                F.lit(m).cast("long").alias("gap_minutes"),
+                (
+                    F.countDistinct("user_id")
+                    + F.sum(
+                        F.when(F.col("gap_s") > m * 60, 1).otherwise(0)
+                    )
+                )
+                .cast("long")
+                .alias("n_sessions"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+            ).select(
+                "gap_minutes",
+                "n_sessions",
+                "n_users",
+                F.expr(
+                    "CAST((1000000 * n_sessions) div n_users AS BIGINT)"
+                ).alias("sessions_per_user_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("gap_minutes")

@@ -330,3 +330,47 @@ class TestTrimmedMean:
             # Trimming changes the mean only within the clipped tails'
             # envelope: the trimmed mean sits inside [min, max].
             assert vals[0][0] <= Decimal(str(r["mean_trimmed"])) <= vals[-1][0]
+
+
+class TestSessionGapCurve:
+    """events_session_gap_curve: replay via per-user sorted gaps."""
+
+    def test_curve_replay_and_monotone(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = {
+            r["gap_minutes"]: r
+            for r in REGISTRY["events_session_gap_curve"].fn(spark, sf_dir).collect()
+        }
+        assert sorted(rows) == [5, 30, 120]
+        by_user = defaultdict(list)
+        for e in spark.read.parquet(f"{sf_dir}/events.parquet").collect():
+            by_user[e.user_id].append((e.ts, e.event_id))
+        import math
+
+        for m, r in rows.items():
+            n_sessions = 0
+            for evs in by_user.values():
+                evs.sort()
+                n_sessions += 1
+                for (a, _), (b, _) in zip(evs, evs[1:]):
+                    gap_s = math.floor(b.timestamp()) - math.floor(
+                        a.timestamp()
+                    )
+                    if gap_s > m * 60:
+                        n_sessions += 1
+            assert r["n_users"] == len(by_user)
+            assert r["n_sessions"] == n_sessions, m
+            assert r["sessions_per_user_ppm"] == (
+                1000000 * n_sessions
+            ) // len(by_user)
+        # Larger inactivity gap merges sessions — never splits them.
+        assert (
+            rows[5]["n_sessions"]
+            >= rows[30]["n_sessions"]
+            >= rows[120]["n_sessions"]
+            >= rows[5]["n_users"]
+        )
