@@ -2803,3 +2803,124 @@ def events_session_gap_curve(spark: SparkSession, sf: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("gap_minutes")
+
+
+@register(
+    "docs_val_novelty",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS} AS toks,
+        ('0x' || substr(md5('splt' || doc_id), 1, 12))::BIGINT % 10 AS b
+      FROM documents
+    ),
+    tr AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+        range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM t WHERE b < 8 AND len(toks) >= 3
+    ),
+    vg AS (
+      SELECT doc_id, source,
+        unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM t WHERE b = 8 AND len(toks) >= 3
+    ),
+    pd AS (
+      SELECT doc_id, source,
+        CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN tr.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_unseen
+      FROM vg LEFT JOIN tr ON tr.gram = vg.gram
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_grams) AS BIGINT) AS n_grams,
+      CAST(sum(n_unseen) AS BIGINT) AS n_unseen,
+      CAST((1000000 * sum(n_unseen)) // sum(n_grams) AS BIGINT)
+        AS novelty_ppm,
+      CAST(sum(CASE WHEN n_unseen = n_grams THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_fully_novel
+    FROM pd GROUP BY source ORDER BY source
+    """,
+    doc="Per-source VAL-split NOVELTY vs the train gram set — the "
+    "per-document memorization audit that complements "
+    "docs_split_contamination's 3-row split matrix: each val "
+    "document's distinct token 3-grams probe the train split's "
+    "distinct-gram relation (left join on gram), n_unseen/n_grams is "
+    "that document's novelty, and the per-source rollup reports exact "
+    "integer gram totals, an exact ppm novelty share, and how many "
+    "documents are fully novel (no 3-gram ever seen in train) — low "
+    "novelty for a source means its val docs are near-duplicates of "
+    "training text and will overstate model quality. Uses the same "
+    "salted-'splt' split as the manifest so it audits the DECLARED "
+    "splits. Scale: the train gram relation is one distinct hash-agg "
+    "(vocabulary-bounded); the probe is a gram-keyed equi-join; all "
+    "outputs integer.",
+)
+def docs_val_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    b = (
+        T.portable_hash64(
+            F.concat(F.lit("splt"), F.col("doc_id").cast("string"))
+        )
+        % 10
+    )
+    toks = T.tokens(F.col("text"))
+    base = (
+        table(spark, sf, "documents")
+        .select("doc_id", "source", toks.alias("toks"), b.alias("b"))
+        .filter(F.size("toks") >= 3)
+    )
+    tr = (
+        base.filter(F.col("b") < 8)
+        .select(
+            F.explode(
+                F.array_distinct(_ngram_array(F.col("toks"), 3))
+            ).alias("gram")
+        )
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    vg = base.filter(F.col("b") == 8).select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_ngram_array(F.col("toks"), 3))).alias(
+            "gram"
+        ),
+    )
+    pd_ = (
+        vg.join(tr, "gram", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unseen"),
+        )
+    )
+    return (
+        pd_.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_unseen").cast("long").alias("n_unseen"),
+            F.sum(
+                F.when(F.col("n_unseen") == F.col("n_grams"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("docs_fully_novel"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "n_unseen",
+            F.expr(
+                "CAST((1000000 * n_unseen) div n_grams AS BIGINT)"
+            ).alias("novelty_ppm"),
+            "docs_fully_novel",
+        )
+        .orderBy("source")
+    )

@@ -470,3 +470,54 @@ class TestFilterFunnel:
             assert r["surviving_docs"] == surv, s
         # The funnel closes: the pass row IS the final survivor count.
         assert rows[6]["n_docs"] == rows[6]["surviving_docs"] == surv
+
+
+class TestValNovelty:
+    """docs_val_novelty: Python replay of the unseen-gram probe."""
+
+    def test_novelty_replay(self, spark, sf_dir):
+        import hashlib
+        import re
+        from collections import defaultdict
+
+        rows = {
+            r["source"]: r
+            for r in queries()["docs_val_novelty"](spark, sf_dir).collect()
+        }
+        train_grams: set[str] = set()
+        val_docs = []
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+            toks = [
+                t
+                for t in re.split(r"[^a-z0-9]+", d.text.lower().strip())
+                if t
+            ]
+            if len(toks) < 3:
+                continue
+            grams = {
+                " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+            }
+            b = int(
+                hashlib.md5(f"splt{d.doc_id}".encode()).hexdigest()[:12], 16
+            ) % 10
+            if b < 8:
+                train_grams |= grams
+            elif b == 8:
+                val_docs.append((d.source, grams))
+        want = defaultdict(lambda: [0, 0, 0, 0])  # docs, grams, unseen, full
+        for src, grams in val_docs:
+            unseen = len(grams - train_grams)
+            w = want[src]
+            w[0] += 1
+            w[1] += len(grams)
+            w[2] += unseen
+            w[3] += int(unseen == len(grams))
+        assert set(rows) == set(want)
+        for src, r in rows.items():
+            d, g, u, fn = want[src]
+            assert r["n_docs"] == d
+            assert r["n_grams"] == g
+            assert r["n_unseen"] == u
+            assert r["novelty_ppm"] == (1000000 * u) // g
+            assert r["docs_fully_novel"] == fn
+            assert 0 <= r["novelty_ppm"] <= 1000000
