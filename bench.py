@@ -73,6 +73,11 @@ HEADLINE = [
     "docs_bigram_lm_score",
     "docs_rebalance_select",
     "similarity_quantized_recall",
+    # round-7 continuation 3: first-failure per-row-fold attribution,
+    # the one-pass window-curve shape, and a bounded QI-domain audit.
+    "docs_filter_funnel",
+    "events_session_gap_curve",
+    "customer_kanon_audit",
 ]
 
 

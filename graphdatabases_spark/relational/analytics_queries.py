@@ -2924,3 +2924,125 @@ def docs_val_novelty(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "events_conversion_latency_quantiles",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_type,
+        min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+        ) AS next_purchase
+      FROM events
+    ),
+    lat AS (
+      SELECT date_diff('second', ts, next_purchase) AS latency_s
+      FROM ev
+      WHERE event_type = 'click' AND next_purchase IS NOT NULL
+        AND next_purchase <= ts + INTERVAL 24 HOUR
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lat),
+    r AS (
+      SELECT latency_s,
+        row_number() OVER (ORDER BY latency_s) AS rn
+      FROM lat
+    ),
+    q(q_label, num, den) AS (
+      VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)
+    ),
+    t AS (
+      SELECT q.q_label, (q.num * n.n + q.den - 1) // q.den AS rank, n.n
+      FROM n CROSS JOIN q
+    )
+    SELECT t.q_label, t.n AS n_conversions,
+      CAST(t.rank AS BIGINT) AS rank,
+      CAST(r.latency_s AS BIGINT) AS latency_s
+    FROM t JOIN r ON r.rn = t.rank
+    ORDER BY q_label
+    """,
+    doc="EXACT click-to-purchase latency quantiles (p50/p90/p99, "
+    "type-1 lower quantile at rank ceil(q*n)) — the funnel-health "
+    "number product teams watch, derived from the SAME "
+    "next-purchase-within-24h window as events_next_match_veto (one "
+    "min-over-following pass, no self-join). The Spark side runs the "
+    "orders_quantile_histogram two-pass algorithm: pass 1 histograms "
+    "whole-second latencies into 4096-second buckets (combinable "
+    "agg; the bucket relation is VALUE-bounded — at a 24 h cap it is "
+    "at most 22 buckets no matter how many clicks), the cumulative "
+    "window over that bounded relation locates each quantile's "
+    "bucket, and pass 2 ranks ONLY the target buckets' rows. The "
+    "oracle brute-sorts globally — different algorithm, identical "
+    "exact answer. Ranks are pure integer arithmetic; latencies are "
+    "exact whole seconds; no floats anywhere.",
+)
+def events_conversion_latency_quantiles(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ev = table(spark, sf, "events").select(
+        "ts",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        )
+        .over(w)
+        .alias("next_purchase"),
+    )
+    lat = (
+        ev.filter(
+            (F.col("event_type") == "click")
+            & F.col("next_purchase").isNotNull()
+            & (
+                F.col("next_purchase")
+                <= F.col("ts") + F.expr("INTERVAL 24 HOURS")
+            )
+        )
+        .select(
+            (
+                F.unix_timestamp("next_purchase") - F.unix_timestamp("ts")
+            ).alias("latency_s")
+        )
+    )
+    b = lat.withColumn(
+        "bucket", F.expr("latency_s div 4096").cast("long")
+    )
+    hist = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy(F.lit(1)).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wc)).withColumn(
+        "prev", F.col("cum") - F.col("c")
+    )
+    n = hist.agg(F.sum("c").cast("long").alias("n"))
+    qdf = spark.createDataFrame(
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+        "q_label string, num long, den long",
+    )
+    t = n.crossJoin(F.broadcast(qdf)).select(
+        "q_label",
+        "n",
+        F.expr("(num * n + den - 1) div den").alias("rank"),
+    )
+    tb = t.join(F.broadcast(cum), how="cross").filter(
+        (F.col("prev") < F.col("rank")) & (F.col("rank") <= F.col("cum"))
+    )
+    cand = b.join(
+        F.broadcast(tb.select("bucket", "q_label", "n", "rank", "prev")),
+        ["bucket"],
+    )
+    wv = Window.partitionBy("q_label").orderBy("latency_s")
+    val = cand.withColumn("rn", F.row_number().over(wv)).filter(
+        F.col("rn") == F.col("rank") - F.col("prev")
+    )
+    return val.select(
+        "q_label",
+        F.col("n").cast("long").alias("n_conversions"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("latency_s").cast("long").alias("latency_s"),
+    ).orderBy("q_label")

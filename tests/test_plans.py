@@ -262,6 +262,8 @@ class TestUniversalGates:
         "docs_rebalance_quality",
         # cumsum/total windows run on the literal 6-row stage relation
         "docs_filter_funnel",
+        # cumulative window over the VALUE-bounded (<=22) bucket list
+        "events_conversion_latency_quantiles",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
@@ -307,6 +309,7 @@ class TestUniversalGates:
         "events_cuped_adjustment",    # 1-row pooled theta/mean scalar
         "graph_ktruss_copurchase",    # 1-row x 1-row per-round summaries
         "customer_kanon_audit",       # 1-row totals vs bounded class sizes
+        "events_conversion_latency_quantiles",  # quantile-spec x <=22-bucket relation
         "graph_anf_hyperball",        # 1-row final-round ANF scalar
         "graph_effective_diameter",   # 4 x 1-row ANF summaries folded
     }

@@ -374,3 +374,49 @@ class TestSessionGapCurve:
             >= rows[120]["n_sessions"]
             >= rows[5]["n_users"]
         )
+
+
+class TestConversionLatencyQuantiles:
+    """events_conversion_latency_quantiles: brute-sort replay — the
+    two-pass bucket selection must equal exact order statistics."""
+
+    def test_exact_order_statistics(self, spark, sf_dir):
+        import math
+        from collections import defaultdict
+
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = {
+            r["q_label"]: r
+            for r in REGISTRY["events_conversion_latency_quantiles"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        assert sorted(rows) == ["p50", "p90", "p99"]
+        by_user = defaultdict(list)
+        for e in spark.read.parquet(f"{sf_dir}/events.parquet").collect():
+            by_user[e.user_id].append(e)
+        lats = []
+        for evs in by_user.values():
+            evs.sort(key=lambda e: (e.ts, e.event_id))
+            for i, e in enumerate(evs):
+                if e.event_type != "click":
+                    continue
+                np_ = next(
+                    (x.ts for x in evs[i + 1:] if x.event_type == "purchase"),
+                    None,
+                )
+                if np_ is not None and (np_ - e.ts).total_seconds() <= 86400:
+                    lats.append(
+                        math.floor(np_.timestamp())
+                        - math.floor(e.ts.timestamp())
+                    )
+        lats.sort()
+        n = len(lats)
+        for label, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+            rank = (num * n + den - 1) // den
+            r = rows[label]
+            assert r["n_conversions"] == n
+            assert r["rank"] == rank
+            assert r["latency_s"] == lats[rank - 1], label
