@@ -767,3 +767,79 @@ def events_stream_attrib_outer(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_stream_tumbling_append",
+    oracle="""
+    WITH p AS (
+      SELECT ts, CAST(value AS DECIMAL(18,4)) AS v FROM events
+      WHERE event_type = 'purchase'
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM p),
+    agg AS (
+      SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start,
+        CAST(count(*) AS BIGINT) AS n_purchases,
+        CAST(round(sum(v), 2) AS DOUBLE) AS total_value
+      FROM p GROUP BY win_start
+    )
+    SELECT win_start, win_start + INTERVAL 6 HOUR AS win_end,
+      n_purchases, total_value
+    FROM agg, wm
+    WHERE win_start + INTERVAL 6 HOUR <= wm.w
+    ORDER BY win_start
+    """,
+    doc="Runs the REAL Structured Streaming engine: APPEND-mode "
+    "tumbling aggregation with WATERMARK FINALIZATION — the canonical "
+    "streaming-agg semantics (each window emits exactly once, only "
+    "after the engine can prove it complete). 6-hour purchase windows "
+    "with a 1-hour watermark replayed via availableNow; the engine "
+    "emits a window iff window_end <= final watermark (= max event "
+    "time - 1 h) — MEASURED at the exact tie: a watermark landing "
+    "precisely ON a window end still emits it (controlled probe "
+    "pinned in tests/test_streaming.py), so the oracle encodes <=, "
+    "not <. The still-open tail window is withheld — the same "
+    "lagging-finalization family as docs_stream_dedup_bounded and "
+    "events_stream_attrib_outer, completing the matrix: dedup "
+    "eviction, outer-join null emission, and now windowed-agg "
+    "finalization all pinned against the batch oracle. Value sums "
+    "are DECIMAL(18,4) (order-invariant), rounded once at the "
+    "decimal level. At 100 TB this entry's shape IS the streaming "
+    "warehouse rollup: bounded state (open windows only), "
+    "exactly-once emission per window.",
+)
+def events_stream_tumbling_append(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.streaming.windows import read_events_stream
+
+    staged, tag = _stage_events_micro(spark, sf)
+    s = (
+        read_events_stream(spark, staged)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    sink = f"stream_tumb_append_{tag}"
+    (
+        s.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.table(sink)
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_purchases",
+            "total_value",
+        )
+        .orderBy("win_start")
+    )

@@ -224,6 +224,8 @@ _EAGER_STREAMING = {
     "events_stream_sessions",
     "events_stream_enriched_nation",
     "events_stream_click_attribution",
+    "events_stream_attrib_outer",
+    "events_stream_tumbling_append",
 }
 
 

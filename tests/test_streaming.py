@@ -1128,3 +1128,39 @@ class TestStreamStreamOuterJoin:
         assert by_click[4] == [104]     # matched above the boundary
         assert by_click[2] == [None]    # unmatched, boundary passed
         assert 3 not in by_click        # unmatched, still buffered
+
+
+class TestAppendTumblingFinalization:
+    """Append-mode tumbling agg: the watermark-tie boundary, pinned on
+    a controlled fixture (the catalog entry encodes the same rule)."""
+
+    def test_window_emits_at_exact_watermark_tie(self, spark, tmp_path):
+        from graphdatabases_spark.streaming.windows import read_events_stream
+
+        src = tmp_path / "tumb_tie_src"
+        src.mkdir()
+        # Watermark = 07:00 - 1h = 06:00 == end of [00:00, 06:00):
+        # the tie must EMIT (rule: end <= watermark). The second
+        # purchase's own window [06:00, 12:00) is open and withheld.
+        TestCheckpointRestart._write_events(spark, tmp_path, src, "f1.parquet", [
+            (1, "2024-01-01 01:00:00", 1, "purchase", 5.0, "{}"),
+            (2, "2024-01-01 07:00:00", 1, "purchase", 7.0, "{}"),
+        ])
+        s = (
+            read_events_stream(spark, str(src))
+            .filter(F.col("event_type") == "purchase")
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "6 hours").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        (
+            s.writeStream.format("memory")
+            .queryName("t_tumb_tie")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        rows = spark.table("t_tumb_tie").collect()
+        got = {(str(r["w"].start), str(r["w"].end), r["n"]) for r in rows}
+        assert got == {("2024-01-01 00:00:00", "2024-01-01 06:00:00", 1)}
