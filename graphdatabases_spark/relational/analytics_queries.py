@@ -3046,3 +3046,140 @@ def events_conversion_latency_quantiles(
         F.col("rank").cast("long").alias("rank"),
         F.col("latency_s").cast("long").alias("latency_s"),
     ).orderBy("q_label")
+
+
+_PARETO_PCTS = (1, 10, 50)
+
+
+@register(
+    "orders_pareto_share",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_custkey,
+        CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total
+      FROM c
+    ),
+    r AS (
+      SELECT cents,
+        row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn
+      FROM c
+    ),
+    q(p_pct) AS (VALUES {", ".join(f"({p})" for p in _PARETO_PCTS)}),
+    t AS (
+      SELECT q.p_pct, n.n, n.total,
+        (q.p_pct * n.n + 99) // 100 AS k
+      FROM n CROSS JOIN q
+    )
+    SELECT CAST(t.p_pct AS BIGINT) AS p_pct,
+      t.n AS n_customers, CAST(t.k AS BIGINT) AS k_top,
+      CAST(sum(r.cents) AS BIGINT) AS top_cents,
+      t.total AS total_cents,
+      CAST((1000000 * sum(r.cents)) // t.total AS BIGINT) AS share_ppm
+    FROM t JOIN r ON r.rn <= t.k
+    GROUP BY t.p_pct, t.n, t.total, t.k
+    ORDER BY p_pct
+    """,
+    doc="REVENUE CONCENTRATION (Pareto share): the share of total "
+    "order revenue held by the top 1% / 10% / 50% of customers — the "
+    "whale-dependence number every revenue dashboard carries. The "
+    "Spark side never sorts globally: per-customer revenue (exact "
+    "BIGINT cents) buckets into 2^24-cent bins (VALUE-bounded "
+    "relation), a cumulative window over the DESCENDING bucket list "
+    "locates the bucket holding rank k = ceil(p%% x n), pass 2 ranks "
+    "only that bucket to find the k-th largest revenue thr, and the "
+    "exact top-k sum is sum(cents > thr) + (k - count(cents > thr)) "
+    "x thr — the tie-closure identity that makes the answer "
+    "independent of WHICH tied customers are counted, so it equals "
+    "the oracle's brute rank-k sum exactly. All integer arithmetic "
+    "(exact ppm share). Scale shape: one keyed agg to the customer "
+    "relation; the histogram/threshold machinery touches only the "
+    "bounded bucket list plus one target bucket per percentile.",
+)
+def orders_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    n = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+    )
+    b = c.withColumn(
+        "bucket", F.expr("cents div 16777216").cast("long")
+    )
+    hist = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy(F.lit(1)).orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "prev", F.col("cum") - F.col("cnt")
+    )
+    qdf = spark.createDataFrame(
+        [(p,) for p in _PARETO_PCTS], "p_pct long"
+    )
+    t = n.crossJoin(F.broadcast(qdf)).select(
+        "p_pct",
+        "n",
+        "total",
+        F.expr("(p_pct * n + 99) div 100").alias("k"),
+    )
+    tb = t.join(F.broadcast(cum), how="cross").filter(
+        (F.col("prev") < F.col("k")) & (F.col("k") <= F.col("cum"))
+    )
+    cand = b.join(
+        F.broadcast(tb.select("bucket", "p_pct", "k", "prev")), ["bucket"]
+    )
+    wv = Window.partitionBy("p_pct").orderBy(
+        F.col("cents").desc(), "o_custkey"
+    )
+    thr = (
+        cand.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == F.col("k") - F.col("prev"))
+        .select("p_pct", F.col("cents").alias("thr"))
+    )
+    above = (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("cents") > F.col("thr"))
+        .groupBy("p_pct")
+        .agg(
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("asum"),
+            F.count(F.lit(1)).cast("long").alias("acnt"),
+        )
+    )
+    return (
+        t.join(thr, "p_pct")
+        .join(above, "p_pct", "left")
+        .select(
+            F.col("p_pct").cast("long").alias("p_pct"),
+            F.col("n").alias("n_customers"),
+            F.col("k").cast("long").alias("k_top"),
+            (
+                F.coalesce(F.col("asum"), F.lit(0))
+                + (F.col("k") - F.coalesce(F.col("acnt"), F.lit(0)))
+                * F.col("thr")
+            )
+            .cast("long")
+            .alias("top_cents"),
+            F.col("total").alias("total_cents"),
+            # 1e6 x top_cents overflows BIGINT at large SFs (Spark ANSI
+            # throws where DuckDB silently widens to HUGEINT) — route
+            # the product through DECIMAL(38,0).
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * (coalesce(asum, 0) + (k - coalesce(acnt, 0)) * thr))"
+                " div total AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("p_pct")
+    )

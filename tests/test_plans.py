@@ -266,6 +266,8 @@ class TestUniversalGates:
         "docs_filter_funnel",
         # cumulative window over the VALUE-bounded (<=22) bucket list
         "events_conversion_latency_quantiles",
+        # descending cumulative window over the VALUE-bounded bucket list
+        "orders_pareto_share",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
@@ -312,6 +314,7 @@ class TestUniversalGates:
         "graph_ktruss_copurchase",    # 1-row x 1-row per-round summaries
         "customer_kanon_audit",       # 1-row totals vs bounded class sizes
         "events_conversion_latency_quantiles",  # quantile-spec x <=22-bucket relation
+        "orders_pareto_share",        # pct-spec x bounded bucket list + 1-row thr
         "graph_anf_hyperball",        # 1-row final-round ANF scalar
         "graph_effective_diameter",   # 4 x 1-row ANF summaries folded
     }

@@ -420,3 +420,40 @@ class TestConversionLatencyQuantiles:
             assert r["n_conversions"] == n
             assert r["rank"] == rank
             assert r["latency_s"] == lats[rank - 1], label
+
+
+class TestParetoShare:
+    """orders_pareto_share: brute top-k replay; tie-closure identity."""
+
+    def test_topk_share_replay(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from graphdatabases_spark.relational import REGISTRY, queries
+
+        queries()
+        rows = {
+            r["p_pct"]: r
+            for r in REGISTRY["orders_pareto_share"].fn(spark, sf_dir).collect()
+        }
+        assert sorted(rows) == [1, 10, 50]
+        rev = defaultdict(int)
+        for o in spark.read.parquet(f"{sf_dir}/orders.parquet").collect():
+            rev[o.o_custkey] += int(o.o_totalprice * 100 // 1)
+        vals = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+        n = len(vals)
+        total = sum(v for _, v in vals)
+        prev_share = 0
+        for p in (1, 10, 50):
+            k = (p * n + 99) // 100
+            top = sum(v for _, v in vals[:k])
+            r = rows[p]
+            assert r["n_customers"] == n
+            assert r["k_top"] == k
+            assert r["top_cents"] == top, p
+            assert r["total_cents"] == total
+            assert r["share_ppm"] == (1000000 * top) // total
+            # Concentration: share grows with p, and the top p% always
+            # holds at least p% of revenue (sorted-desc prefix).
+            assert r["share_ppm"] >= prev_share
+            assert r["share_ppm"] >= (1000000 * k) // n - 1
+            prev_share = r["share_ppm"]
