@@ -767,3 +767,206 @@ def ivf_append(
     )
     add.write.partitionBy("cid").mode("append").parquet(f"{path}/corpus")
     return touched
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) scoring
+# ---------------------------------------------------------------------------
+
+def _pq_subvectors(
+    df: DataFrame, m: int, dim: int, id_alias: str, extra: list[str] | None = None
+) -> DataFrame:
+    """Fan each vector to ``m`` (j, subvector) rows via literal slices —
+    the subspace decomposition every PQ stage shares.  ``df`` must carry
+    ``_vec`` (from ``with_norm``/``_as_double``)."""
+    d = dim // m
+    sub = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("int").alias("j"),
+                    F.slice(F.col("_vec"), j * d + 1, d).alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+    ).alias("s")
+    cols = [F.col(c) for c in (extra or [])]
+    return df.select(F.col("_id").alias(id_alias), *cols, sub).select(
+        id_alias, *(extra or []), F.col("s.j").alias("j"), F.col("s.sv").alias("sv")
+    )
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-codeword assignment per (vector, subspace): argmin
+    ||sv - ce||² expressed as argmax 2·⟨sv,ce⟩ − ⟨ce,ce⟩ (the ||sv||²
+    term is constant per row), rounded at 6 so the ranking is
+    engine-portable, ties to the smallest cid."""
+    from pyspark.sql.window import Window
+
+    score = F.round(
+        F.lit(2) * _dot(F.col("sv"), F.col("ce"))
+        - _dot(F.col("ce"), F.col("ce")),
+        6,
+    )
+    w = Window.partitionBy("j", id_col).orderBy(score.desc(), F.col("cid"))
+    return (
+        sub.join(F.broadcast(cents.select("j", "cid", "ce")), "j")
+        .withColumn("rr", F.row_number().over(w))
+        .filter(F.col("rr") == 1)
+        .drop("rr", "ce")
+    )
+
+
+def pq_train_encode(
+    corpus: DataFrame,
+    m: int = 4,
+    num_codes: int = 8,
+    dim: int = EMBEDDING_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train ``m`` per-subspace codebooks and encode the corpus —
+    product quantization (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search"), the memory-per-vector axis FAISS calls
+    IndexPQ: each vector becomes ``m`` small codes (log2(num_codes)
+    bits each) instead of ``dim`` floats.
+
+    Training is the repo's deterministic k-means recipe per subspace
+    (same as ``ivf_train``): seeds = the ``num_codes`` lowest-id
+    vectors' subvectors, ONE Lloyd round with exact DECIMAL(28,15)
+    centroid means (order-invariant on any partitioning, so the
+    codebooks are engine-replayable in SQL).
+
+    Scale shape: the corpus fans ×m (a bounded constant) through two
+    broadcast codebook joins (seeds, then refined cents — k·m rows
+    each) and one (j, cid, pos) hash agg for the means; nothing is
+    ever all-pairs and the encoded corpus is m BIGINT-keyed rows per
+    vector, the layout a 100-TB ADC scan wants.
+
+    Returns (cents, codes): cents(j, cid, ce ARRAY<DOUBLE>, cn2 =
+    round(⟨ce,ce⟩, 6)); codes(<id_col>, j, cid).
+    """
+    v = (
+        with_norm(corpus, vec_col)
+        .filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), "_vec")
+    )
+    sub = _pq_subvectors(v, m, dim, "_id")
+    from pyspark.sql.window import Window
+
+    seed_ids = (
+        v.orderBy("_id")
+        .limit(num_codes)
+        .select(
+            "_id",
+            F.row_number().over(Window.orderBy("_id")).cast("int").alias("rn"),
+        )
+    )
+    seeds = (
+        sub.join(F.broadcast(seed_ids), "_id")
+        .select("j", (F.col("rn") - 1).cast("int").alias("cid"), F.col("sv").alias("ce"))
+    )
+    a0 = _pq_assign(sub, seeds, "_id")
+    mean = (
+        a0.select("j", "cid", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("j", "cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mval")
+        )
+        .groupBy("j", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s.getField("mval"),
+            ).alias("ce")
+        )
+    )
+    cents = mean.withColumn(
+        "cn2", F.round(_dot(F.col("ce"), F.col("ce")), 6)
+    )
+    codes = _pq_assign(sub, cents, "_id").select(
+        F.col("_id").alias(id_col), "j", "cid"
+    )
+    return cents, codes
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    cents: DataFrame,
+    codes: DataFrame,
+    m: int,
+    k: int = 5,
+    dim: int = EMBEDDING_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k against a PQ-encoded corpus: the query
+    stays full-precision, each candidate is scored from its codes via a
+    per-query lookup table — ADC.  The approximate cosine is
+    ⟨q, recon(x)⟩ / (‖q‖·‖recon(x)‖) with ⟨q, recon(x)⟩ = Σⱼ ⟨qⱼ,
+    ce[j, code(x,j)]⟩ and ‖recon(x)‖² = Σⱼ ⟨ce,ce⟩ — both read off the
+    codebooks, never the original vectors.
+
+    The LUT (queries × m × num_codes rows — bounded) broadcasts; the
+    only corpus-side work is a broadcast join on (j, cid) over the
+    m-rows-per-vector code table plus one (query, neighbor) hash agg —
+    the classic reason PQ serves 100-TB corpora: the scan touches
+    m-byte codes, not dim-float vectors.  Per-subspace terms are
+    rounded to 6 and summed as DECIMAL(18,6) (order-invariant), so the
+    score hash-matches any execution order and the SQL replay.
+
+    Returns (query_id, neighbor_id, adc, rank), rank 1..k, self
+    excluded.
+    """
+    from pyspark.sql.window import Window
+
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("_id"), "_vec", F.col("_norm").alias("qn")
+    )
+    qsub = _pq_subvectors(q, m, dim, "query_id", extra=["qn"])
+    lut = qsub.join(F.broadcast(cents), "j").select(
+        "query_id",
+        "j",
+        "cid",
+        "qn",
+        F.round(_dot(F.col("sv"), F.col("ce")), 6)
+        .cast("decimal(18,6)")
+        .alias("term"),
+        F.col("cn2").cast("decimal(18,6)").alias("cn2d"),
+    )
+    pair = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["j", "cid"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum("term").alias("st"),
+            F.sum("cn2d").alias("sc"),
+            F.max("qn").alias("qn"),
+        )
+        .withColumn(
+            "adc",
+            F.round(
+                F.col("st").cast("double")
+                / (
+                    F.col("qn")
+                    * F.sqrt(
+                        F.greatest(F.col("sc").cast("double"), F.lit(1e-30))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    return (
+        pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

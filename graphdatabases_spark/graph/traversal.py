@@ -107,6 +107,20 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+# Probe results cached by (semanticHash, col): the executedPlan() call
+# below forces full physical planning on the JVM — a driver round-trip
+# measured at ~15-40 ms per invocation — and the iterative kernels call
+# the probe once per PUBLIC invocation on the same logical edge relation
+# (the reference's workload shape is many calls against one loaded
+# graph).  semanticHash needs only analysis (cheap) and is stable for
+# the same logical plan within a session.  The probe is a performance
+# hint only (skip-a-shuffle), so a stale entry after a mid-session
+# bucketing-conf flip costs at most one redundant shuffle, never a
+# wrong answer.
+_HASHPART_CACHE: dict[tuple[int, str], bool] = {}
+_HASHPART_CACHE_MAX = 64
+
+
 def hash_partitioned_on(df: DataFrame, col: str) -> bool:
     """True when ``df``'s physical plan already reports hash
     partitioning on exactly (``col``) — a scan of a table bucketed by
@@ -115,7 +129,22 @@ def hash_partitioned_on(df: DataFrame, col: str) -> bool:
     ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``) or
     an upstream ``repartition(col)``.  The iterative kernels use this
     to SKIP their one-time edge-side shuffle: each round's join then
-    exchanges only the frontier/dist side."""
+    exchanges only the frontier/dist side.
+
+    The match is anchored to the FULL single-column form
+    ``hashpartitioning(col#<exprId><type?>, <numPartitions>)`` — a
+    multi-column partitioning (e.g. ``hashpartitioning(src#1L, dst#2L,
+    200)``) means rows are NOT clustered by ``col`` alone and must
+    return False, or the kernels would skip a shuffle the join actually
+    needs every round."""
+    import re
+
+    try:
+        key: tuple[int, str] | None = (df.semanticHash(), col)
+    except Exception:
+        key = None
+    if key is not None and key in _HASHPART_CACHE:
+        return _HASHPART_CACHE[key]
     try:
         p = (
             df._jdf.queryExecution()
@@ -123,9 +152,19 @@ def hash_partitioned_on(df: DataFrame, col: str) -> bool:
             .outputPartitioning()
             .toString()
         )
+        out = (
+            re.fullmatch(
+                rf"hashpartitioning\({re.escape(col)}#\d+[A-Za-z]*(, \d+)?\)", p
+            )
+            is not None
+        )
     except Exception:  # non-classic backend: conservatively re-shuffle
-        return False
-    return p.startswith(f"hashpartitioning({col}#")
+        out = False
+    if key is not None:
+        if len(_HASHPART_CACHE) >= _HASHPART_CACHE_MAX:
+            _HASHPART_CACHE.clear()
+        _HASHPART_CACHE[key] = out
+    return out
 
 
 def _pick_strategy(edges: DataFrame, strategy: str, local_threshold: int) -> str:

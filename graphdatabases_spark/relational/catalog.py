@@ -97,16 +97,26 @@ def stage_derived(
     ONE staging dir per (table, kind, source path) — regenerating the
     source never accumulates orphaned copies in the temp dir; a ``_SIG``
     marker stores a CONTENT signature of the source — per-file
-    (name, size, mtime) — and a mismatch triggers an overwrite re-stage,
-    so a regenerated source parquet at the same location never silently
+    (name, size, mtime) — and a mismatch triggers a re-stage, so a
+    regenerated source parquet at the same location never silently
     serves stale derived data.  ``writer(out_path)`` performs the
     actual materialization (plain copy, z-order cluster, …).  Returns
     (staged_path, tag); the tag (keyed on path + signature) also
     namespaces any caller-side sinks.
+
+    Concurrency: the check-and-stage runs under an exclusive file lock
+    (flock on a sibling ``.lock``), and the materialization writes into
+    a UNIQUE temp dir — ``_SIG`` included — that is renamed into place
+    as the last step.  Two sessions staging the same (table, kind)
+    concurrently (parallel pytest workers) serialize instead of one
+    reading a dir the other's in-place overwrite just deleted, and a
+    crash mid-stage leaves the published dir untouched.
     """
     import hashlib
     import os
+    import shutil
     import tempfile
+    import uuid
 
     src = os.path.join(sf_dir, f"{name}.parquet")
     sig_parts = [src]
@@ -123,14 +133,40 @@ def stage_derived(
         tempfile.gettempdir(), f"sg_{name}_{kind}_{path_tag}"
     )
     marker = os.path.join(staged, "_SIG")
-    current = None
-    if os.path.exists(marker):
+
+    def _is_fresh() -> bool:
+        if not os.path.exists(marker):
+            return False
         with open(marker) as fh:
             current = fh.read().strip()
-    if current != sig or not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        writer(staged)
-        with open(marker, "w") as fh:
-            fh.write(sig)
+        return current == sig and os.path.exists(
+            os.path.join(staged, "_SUCCESS")
+        )
+
+    if not _is_fresh():
+        try:
+            import fcntl
+        except ImportError:  # non-POSIX: best-effort unlocked path
+            fcntl = None
+        with open(staged + ".lock", "w") as lk:
+            if fcntl is not None:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                if not _is_fresh():  # re-check under the lock
+                    tmp = f"{staged}.tmp_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+                    try:
+                        writer(tmp)
+                        with open(os.path.join(tmp, "_SIG"), "w") as fh:
+                            fh.write(sig)
+                        if os.path.exists(staged):
+                            shutil.rmtree(staged)
+                        os.rename(tmp, staged)
+                    finally:
+                        if os.path.exists(tmp):
+                            shutil.rmtree(tmp, ignore_errors=True)
+            finally:
+                if fcntl is not None:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
     return staged, f"{path_tag}_{sig}"
 
 
@@ -335,6 +371,57 @@ _VERIFIED_ROUND: dict[str, int] = {
     "text_char_trigrams_by_lang": 6,
     "udaf_priority_geomean": 6,
     "udtf_bigram_counts": 6,
+    # r7 cohort
+    "customer_kanon_audit": 7,
+    "dedup_hll_cardinality": 7,
+    "dedup_hll_merge": 7,
+    "dedup_minhash_recall": 7,
+    "docs_bm25_topk": 7,
+    "docs_bpe_apply": 7,
+    "docs_bpe_fertility": 7,
+    "docs_bpe_subword": 7,
+    "docs_filter_funnel": 7,
+    "docs_intradoc_dedup": 7,
+    "docs_rebalance_quality": 7,
+    "docs_rebalance_select": 7,
+    "docs_split_contamination": 7,
+    "docs_split_manifest": 7,
+    "docs_split_rebalance": 7,
+    "docs_stream_dedup_bounded": 7,
+    "docs_substring_spans": 7,
+    "docs_substring_strip": 7,
+    "docs_val_novelty": 7,
+    "embedding_source_drift": 7,
+    "events_conversion_latency_quantiles": 7,
+    "events_cuped_adjustment": 7,
+    "events_next_match_veto": 7,
+    "events_session_gap_curve": 7,
+    "events_stream_attrib_outer": 7,
+    "events_stream_sessions": 7,
+    "events_stream_tumbling_append": 7,
+    "graph_anf_hyperball": 7,
+    "graph_effective_diameter": 7,
+    "graph_harmonic_centrality": 7,
+    "graph_ktruss_copurchase": 7,
+    "graph_ppr_grid": 7,
+    "graph_ppr_seed_topk": 7,
+    "graph_ppr_seeds_entity": 7,
+    "join_bloom_prefilter": 7,
+    "join_selfjoin_size_cms": 7,
+    "lineitem_zorder_incremental_scan": 7,
+    "lineitem_zorder_scan": 7,
+    "orders_pareto_share": 7,
+    "orders_quantile_histogram": 7,
+    "orders_tdigest_merge": 7,
+    "orders_tdigest_sketch": 7,
+    "orders_trimmed_mean": 7,
+    "similarity_ivf_recall": 7,
+    "similarity_lsh_recall": 7,
+    "similarity_quantized_recall": 7,
+    "similarity_truncation_recall": 7,
+    "text_cms_heavy_hitters": 7,
+    "text_cms_merge": 7,
+    "text_rake_keywords": 7,
 }
 
 

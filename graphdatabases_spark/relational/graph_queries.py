@@ -1572,3 +1572,205 @@ def graph_ktruss_copurchase(spark: SparkSession, sf: str) -> DataFrame:
             out = row if out is None else out.unionByName(row)
             cur = nxt
     return out.orderBy("k", "round")
+
+
+# ---------------------------------------------------------------------------
+# Sampled Brandes betweenness (round-8 directive)
+# ---------------------------------------------------------------------------
+
+_BC_SEEDS = (1, 3, 7, 11, 19)  # fixed customer-id source sample
+_BC_ROUNDS = 3  # BFS truncation horizon (same role as the ANF horizon)
+_BC_TOPK = 20
+
+
+def _bc_level_sql(r: int) -> str:
+    """Forward Brandes round r: sigma_r(v) = sum of sigma_{r-1} over
+    in-frontier neighbors, nodes seen at earlier levels excluded
+    (per-seed).  MATERIALIZED for the same reason as the k-truss
+    rounds: each level is referenced by the next level's anti-join AND
+    the backward pass."""
+    prior = " UNION ALL ".join(
+        f"SELECT seed, node FROM l{i}" for i in range(r)
+    )
+    return f"""l{r} AS MATERIALIZED (
+      SELECT p.seed, e.dst AS node, sum(p.sigma) AS sigma
+      FROM l{r - 1} p JOIN u_edges e ON e.src = p.node
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ({prior}) v
+        WHERE v.seed = p.seed AND v.node = e.dst
+      )
+      GROUP BY p.seed, e.dst
+    )"""
+
+
+def _bc_delta_sql(r: int) -> str:
+    """Backward Brandes round r (from level {r+1}'s deltas): the pair
+    dependency in exact integer micro-units —
+    dppm_r(u) = sum over successors w of
+    (sigma_u * (1e6 + dppm_{r+1}(w))) // sigma_w, floor division on
+    nonnegative BIGINTs (engine-identical; no double round() anywhere
+    — the harmonic-centrality lesson)."""
+    return f"""d{r} AS MATERIALIZED (
+      SELECT u.seed, u.node, u.sigma,
+             coalesce(sum((u.sigma * (1000000 + w.dppm)) // w.sigma),
+                      0) AS dppm
+      FROM l{r} u
+      LEFT JOIN u_edges e ON e.src = u.node
+      LEFT JOIN (
+        SELECT l.seed, l.node, l.sigma, d.dppm
+        FROM l{r + 1} l JOIN d{r + 1} d ON d.seed = l.seed AND d.node = l.node
+      ) w ON w.seed = u.seed AND w.node = e.dst
+      GROUP BY u.seed, u.node, u.sigma
+    )"""
+
+
+@register(
+    "graph_betweenness_sampled",
+    oracle=f"""
+    WITH {ENTITY_EDGES_SQL},
+    u_edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+      )
+    ),
+    l0 AS (
+      SELECT seed, CAST(seed AS BIGINT) AS node, CAST(1 AS BIGINT) AS sigma
+      FROM (VALUES {", ".join(f"({s})" for s in _BC_SEEDS)}) s(seed)
+    ),
+    {",".join(_bc_level_sql(r) for r in range(1, _BC_ROUNDS + 1))},
+    d{_BC_ROUNDS} AS (
+      SELECT seed, node, sigma, CAST(0 AS BIGINT) AS dppm
+      FROM l{_BC_ROUNDS}
+    ),
+    {",".join(_bc_delta_sql(r) for r in range(_BC_ROUNDS - 1, 0, -1))},
+    bc AS (
+      SELECT node, sum(dppm) AS bc_ppm,
+             count(*) AS n_seed_obs
+      FROM ({" UNION ALL ".join(
+        f"SELECT seed, node, dppm FROM d{r}"
+        for r in range(1, _BC_ROUNDS + 1)
+      )})
+      GROUP BY node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(bc_ppm AS BIGINT) AS bc_ppm,
+           CAST(bc_ppm AS DOUBLE) / 1000000.0 AS betweenness,
+           CAST(n_seed_obs AS BIGINT) AS n_seed_obs
+    FROM bc
+    ORDER BY bc_ppm DESC, node
+    LIMIT {_BC_TOPK}
+    """,
+    doc=f"APPROXIMATE BETWEENNESS CENTRALITY (sampled Brandes, "
+    f"truncated): Brandes' forward/backward pass from a fixed "
+    f"{len(_BC_SEEDS)}-customer source sample over the UNDIRECTED "
+    f"entity graph, BFS truncated at {_BC_ROUNDS} rounds (the same "
+    "bounded-horizon contract as the HyperBall/harmonic entries). "
+    "Forward: per-seed frontier joins accumulate shortest-path counts "
+    "sigma as exact BIGINTs (sigma_r(v) = sum of sigma over "
+    "in-frontier neighbors; earlier-level nodes anti-joined out). "
+    "Backward: the pair dependency accumulates in exact integer "
+    "MICRO-UNITS — dppm(u) = sum over successors w of floor(sigma_u *"
+    " (1e6 + dppm(w)) / sigma_w) — pure nonnegative BIGINT floor "
+    "division, so there is NO double round() on a continuous value "
+    "anywhere (the harmonic-centrality 1-ulp lesson) and the whole "
+    f"top-{_BC_TOPK} value-hash-matches; the output orders by the "
+    "exact integer bc_ppm with node tie-break and the double is one "
+    "final division. The estimator is Brandes-exact for pairs within "
+    "the horizon up to the deterministic floor (<= 1e-6 per term), "
+    "pinned against a pure-Python replay in tests/test_algorithms.py. "
+    "Scale shape: seed-BATCHED frontiers (one (seed,node)-keyed "
+    "exchange per round over all seeds at once, the PPR-batch "
+    "pattern), levels localCheckpoint'd so the unrolled backward "
+    "pass re-reads materialized levels instead of re-expanding the "
+    "BFS (the k-truss MATERIALIZED lesson), and sampling bounds work "
+    "at |seeds| * O(E) — the published Brandes estimator trade-off.",
+)
+def graph_betweenness_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    e = entity_edges(spark, sf, dedup=False)
+    ue = (
+        e.select("src", "dst")
+        .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    l0 = spark.createDataFrame(
+        [(s, s, 1) for s in _BC_SEEDS], "seed INT, node BIGINT, sigma BIGINT"
+    )
+    levels = [l0]
+    visited = l0.select("seed", "node")
+    for _ in range(_BC_ROUNDS):
+        nxt = (
+            levels[-1]
+            .join(ue, levels[-1].node == ue.src)
+            .select("seed", F.col("dst").alias("node"), "sigma")
+            .join(visited, ["seed", "node"], "left_anti")
+            .groupBy("seed", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("seed", "node")).localCheckpoint(
+            eager=True
+        )
+    deltas: dict[int, DataFrame] = {
+        _BC_ROUNDS: levels[_BC_ROUNDS].withColumn(
+            "dppm", F.lit(0).cast("long")
+        )
+    }
+    for r in range(_BC_ROUNDS - 1, 0, -1):
+        w = (
+            levels[r + 1]
+            .join(deltas[r + 1].select("seed", "node", "dppm"), ["seed", "node"])
+            .select(
+                F.col("seed").alias("w_seed"),
+                F.col("node").alias("w_node"),
+                F.col("sigma").alias("w_sigma"),
+                "dppm",
+            )
+        )
+        u = levels[r].select(
+            "seed", "node", F.col("sigma").alias("u_sigma")
+        )
+        deltas[r] = (
+            u.join(ue, u.node == ue.src, "left")
+            .join(
+                w,
+                (F.col("w_seed") == F.col("seed"))
+                & (F.col("w_node") == F.col("dst")),
+                "left",
+            )
+            .select(
+                "seed",
+                "node",
+                F.col("u_sigma"),
+                F.expr(
+                    "(u_sigma * (1000000 + dppm)) div w_sigma"
+                ).alias("term"),
+            )
+            .groupBy("seed", "node")
+            .agg(
+                F.coalesce(F.sum("term"), F.lit(0)).cast("long").alias("dppm")
+            )
+            .localCheckpoint(eager=True)
+        )
+    stacked = None
+    for r in range(1, _BC_ROUNDS + 1):
+        part = deltas[r].select("seed", "node", "dppm")
+        stacked = part if stacked is None else stacked.unionByName(part)
+    return (
+        stacked.groupBy("node")
+        .agg(
+            F.sum("dppm").cast("long").alias("bc_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_seed_obs"),
+        )
+        .select(
+            F.col("node").cast("long").alias("node"),
+            "bc_ppm",
+            (F.col("bc_ppm").cast("double") / F.lit(1000000.0)).alias(
+                "betweenness"
+            ),
+            "n_seed_obs",
+        )
+        .orderBy(F.col("bc_ppm").desc(), "node")
+        .limit(_BC_TOPK)
+    )

@@ -655,12 +655,11 @@ _IVF_CC = (
 
 # Shared IVF-build oracle prefix (train + assign), used verbatim by
 # similarity_ann_ivf AND similarity_ivf_recall so the two entries pin
-# the SAME index build.
-_IVF_BUILD_SQL = f"""v AS MATERIALIZED (
-      SELECT vec_id, embedding::DOUBLE[] AS e,
-             sqrt(list_inner_product(embedding::DOUBLE[],
-                                     embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+# the SAME index build; dedup_semantic_semdedup reuses the identical
+# build body over a dup-injected corpus via the generator.
+def _ivf_build_cte(v_sql: str) -> str:
+    return f"""v AS MATERIALIZED (
+      {v_sql}
     ),
     seeds AS MATERIALIZED (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
@@ -699,6 +698,171 @@ _IVF_BUILD_SQL = f"""v AS MATERIALIZED (
         FROM v x CROSS JOIN cents s
       ) WHERE rr = 1
     )"""
+
+
+_IVF_BUILD_SQL = _ivf_build_cte(
+    """SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+      FROM embeddings"""
+)
+
+# SemDeDup's corpus: every vector plus its deterministic ±1%-perturbed
+# twin (same injection as dedup_embedding_neardup — the fixture corpus
+# has no natural near-dups, max pairwise cos ~0.51).
+_SEMDEDUP_V_SQL = f"""SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
+      FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_PLANT_OFFSET},
+               list_transform(range(1, len(embedding::DOUBLE[]) + 1),
+                 i -> (embedding::DOUBLE[])[i]
+                      * (1.0 + 0.01 * (((i - 1) % 7) - 3) / 3.0))
+        FROM embeddings
+      )"""
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH {_ivf_build_cte(_SEMDEDUP_V_SQL)},
+    t AS (
+      SELECT doc_id,
+             len({TOKS}) AS n_tok,
+             len(list_distinct({TOKS})) AS n_uniq,
+             (length(lower(text)) - length(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g')))
+               / greatest(length(lower(text)), 1) AS punct
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             round((CASE WHEN n_tok BETWEEN 10 AND 1000
+                    THEN 1.0 ELSE 0.5 END) * 0.4
+                   + (1.0 - punct) * 0.3
+                   + (n_uniq / greatest(n_tok, 1)) * 0.3, 6) AS quality
+      FROM t
+    ),
+    qq AS (
+      SELECT c.neighbor_id AS vec_id, c.cid, c.e, c.nrm, q.quality
+      FROM c_idx c JOIN q ON q.doc_id = c.neighbor_id % {_PLANT_OFFSET}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS dropped_id, b.vec_id AS kept_id,
+             a.cid AS cid, b.quality AS qb,
+             round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
+      FROM qq a JOIN qq b
+        ON b.cid = a.cid AND b.vec_id <> a.vec_id
+      WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.99
+        AND (b.quality > a.quality
+             OR (b.quality = a.quality AND b.vec_id < a.vec_id))
+    ),
+    best AS (
+      SELECT dropped_id, kept_id, cid, cos,
+             row_number() OVER (
+               PARTITION BY dropped_id ORDER BY qb DESC, kept_id
+             ) AS rk
+      FROM pairs
+    )
+    SELECT dropped_id, kept_id, CAST(cid AS INT) AS cid, cos
+    FROM best WHERE rk = 1
+    ORDER BY dropped_id
+    """,
+    doc="SEMANTIC dedup (SemDeDup, Abbas et al. 2023): embeddings are "
+    "assigned to the deterministic IVF k-means cells (the exact "
+    "similarity_ann_ivf build — shared _ivf_build_cte body), then "
+    "near-dup pairs are generated ONLY within each cell (cos >= 0.99) "
+    "and each cluster of semantic duplicates keeps its best-quality "
+    "member — docs_dedup_canonical's selection rule (quality desc, "
+    "then lowest id) applied to embedding-space rather than "
+    "fingerprint clusters. A row per DROPPED vector names its keeper "
+    "(the best-ranked better neighbor). The fixture corpus has no "
+    "natural near-dups, so the query derives the dup-injected corpus "
+    "(deterministic ±1% twins, id + 1e6, cos ~0.99996 — same "
+    "injection as dedup_embedding_neardup) and must recover exactly "
+    "the planted twins: twins inherit their document's quality, so "
+    "the id tiebreak always keeps the ORIGINAL (recovery invariant "
+    "pinned in tests/test_llm_ops.py). Scale: pair generation is "
+    "cell-bounded (the whole point of SemDeDup — within-cell "
+    "O(sum k_i^2), never corpus-wide all-pairs), quality is a "
+    "broadcastable per-doc fold, selection is one window over the "
+    "bounded dropped set; the shuffle audit (SCALE.md) shows "
+    "exchange bytes linear in rows.",
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0) + F.lit(0.01) * ((i % 7) - 3) / F.lit(3.0)),
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).unionByName(planted)
+    _, cidx = S.ivf_build(corpus, num_clusters=8, lloyd_iters=1)
+    quality = table(spark, sf, "documents").select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+    qq = cidx.join(
+        F.broadcast(quality),
+        quality.doc_id == cidx.neighbor_id % _PLANT_OFFSET,
+    ).select(
+        F.col("neighbor_id").alias("vid"),
+        "cid",
+        F.col("c_vec2").alias("vec"),
+        F.col("c_norm2").alias("nrm"),
+        "quality",
+    )
+    a = qq.select(
+        F.col("vid").alias("dropped_id"),
+        F.col("cid"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+        F.col("quality").alias("qa"),
+    )
+    b = qq.select(
+        F.col("vid").alias("kept_id"),
+        F.col("cid").alias("cid_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("quality").alias("qb"),
+    )
+    cos = F.round(S._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    pairs = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b"))
+            & (F.col("kept_id") != F.col("dropped_id")),
+        )
+        .withColumn("cos", cos)
+        .filter(
+            (F.col("cos") >= 0.99)
+            & (
+                (F.col("qb") > F.col("qa"))
+                | (
+                    (F.col("qb") == F.col("qa"))
+                    & (F.col("kept_id") < F.col("dropped_id"))
+                )
+            )
+        )
+    )
+    w = Window.partitionBy("dropped_id").orderBy(
+        F.col("qb").desc(), F.col("kept_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("dropped_id", "kept_id", "cid", "cos")
+        .orderBy("dropped_id")
+    )
 
 
 @register(
@@ -2169,6 +2333,189 @@ def similarity_truncation_recall(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
         .orderBy("dims")
+    )
+
+
+_PQ_MS = (2, 4, 8)
+_PQ_CODES = 8
+
+
+def _pq_cte(m: int) -> str:
+    """Per-m PQ oracle CTEs: subspace fan-out, deterministic per-
+    subspace k-means (seeds = lowest-8 ids, one Lloyd round with
+    DECIMAL(28,15) means — byte-for-byte the ivf_train recipe), corpus
+    encoding, and ADC top-k. Mirrors similarity.pq_train_encode /
+    pq_adc_topk expression-for-expression."""
+    d = EMBEDDING_DIM // m
+    sub_union = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, list_slice(e, {j * d + 1}, {(j + 1) * d})"
+        f" AS sv FROM v"
+        for j in range(m)
+    )
+    score = (
+        "round(2 * list_inner_product(x.sv, s.ce) "
+        "- list_inner_product(s.ce, s.ce), 6)"
+    )
+    return f"""
+    sub{m} AS MATERIALIZED ({sub_union}),
+    seeds{m} AS MATERIALIZED (
+      SELECT x.j,
+             CAST(row_number() OVER (PARTITION BY x.j ORDER BY x.vec_id) - 1
+                  AS INT) AS cid,
+             x.sv AS ce
+      FROM sub{m} x JOIN s8 ON s8.vec_id = x.vec_id
+    ),
+    a0{m} AS MATERIALIZED (
+      SELECT vec_id, j, cid, sv FROM (
+        SELECT x.vec_id, x.j, s.cid, x.sv,
+               row_number() OVER (
+                 PARTITION BY x.j, x.vec_id
+                 ORDER BY {score} DESC, s.cid
+               ) AS rr
+        FROM sub{m} x JOIN seeds{m} s ON s.j = x.j
+      ) WHERE rr = 1
+    ),
+    mm{m} AS MATERIALIZED (
+      SELECT j, cid, i,
+             CAST(sum(CAST(sv[CAST(i AS INT)] AS DECIMAL(28,15))) AS DOUBLE)
+               / count(*) AS mval
+      FROM a0{m} CROSS JOIN range(1, {d + 1}) t(i)
+      GROUP BY j, cid, i
+    ),
+    cents{m} AS MATERIALIZED (
+      SELECT j, cid, ce, round(list_inner_product(ce, ce), 6) AS cn2 FROM (
+        SELECT j, cid, list(mval ORDER BY i) AS ce FROM mm{m} GROUP BY j, cid
+      )
+    ),
+    codes{m} AS MATERIALIZED (
+      SELECT vec_id, j, cid FROM (
+        SELECT x.vec_id, x.j, s.cid,
+               row_number() OVER (
+                 PARTITION BY x.j, x.vec_id
+                 ORDER BY {score} DESC, s.cid
+               ) AS rr
+        FROM sub{m} x JOIN cents{m} s ON s.j = x.j
+      ) WHERE rr = 1
+    ),
+    adc{m} AS (
+      SELECT {m} AS m, query_id, neighbor_id FROM (
+        SELECT p.query_id, p.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id ORDER BY p.adc DESC, p.neighbor_id
+               ) AS rank
+        FROM (
+          SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
+                 round(CAST(sum(CAST(round(list_inner_product(qs.sv, ct.ce),
+                                           6) AS DECIMAL(18,6))) AS DOUBLE)
+                       / (max(qn.nrm)
+                          * sqrt(greatest(
+                              CAST(sum(CAST(ct.cn2 AS DECIMAL(18,6)))
+                                   AS DOUBLE), 1e-30))), 6) AS adc
+          FROM sub{m} qs
+          JOIN v qn ON qn.vec_id = qs.vec_id
+          JOIN codes{m} co ON co.j = qs.j AND co.vec_id <> qs.vec_id
+          JOIN cents{m} ct ON ct.j = co.j AND ct.cid = co.cid
+          WHERE qs.vec_id < {_RECALL_NQ}
+          GROUP BY qs.vec_id, co.vec_id
+        ) p
+      ) WHERE rank <= {_RECALL_K}
+    )"""
+
+
+@register(
+    "similarity_pq_recall",
+    oracle=f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    s8 AS MATERIALIZED (
+      SELECT vec_id FROM v ORDER BY vec_id LIMIT {_PQ_CODES}
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_inner_product(q.e, c.e)
+                                / (q.nrm * c.nrm), 6) DESC, c.vec_id
+               ) AS rank
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_RECALL_NQ}
+      ) WHERE rank <= {_RECALL_K}
+    ),
+    {",".join(_pq_cte(m) for m in _PQ_MS)},
+    ann AS ({" UNION ALL ".join(f"SELECT * FROM adc{m}" for m in _PQ_MS)}
+    )
+    SELECT CAST(m AS BIGINT) AS m,
+           CAST({_RECALL_NQ} AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_results,
+           CAST(count(b.query_id) AS BIGINT) AS n_hits,
+           round(CAST(count(b.query_id) AS DOUBLE)
+                 / {_RECALL_NQ * _RECALL_K}, 6) AS recall_at_k,
+           round(m * {(_PQ_CODES - 1).bit_length()}.0
+                 / {EMBEDDING_DIM * 32}, 6) AS bytes_ratio
+    FROM ann a LEFT JOIN brute b
+      ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+    GROUP BY m ORDER BY m
+    """,
+    doc=f"PRODUCT-QUANTIZATION ADC operating curve — the fifth ANN "
+    "axis after nprobe (IVF), planes (SRP), int-bits (scalar "
+    f"quantization) and prefix dims (truncation): recall@{_RECALL_K} "
+    f"of asymmetric-distance retrieval with m ∈ "
+    f"{{{', '.join(str(mm) for mm in _PQ_MS)}}} per-subspace codebooks "
+    f"({_PQ_CODES} codewords each, trained by the repo's deterministic "
+    "k-means recipe — lowest-8-id seeds, one Lloyd round, exact "
+    "DECIMAL(28,15) means, identical to ivf_train) over the same "
+    f"{_RECALL_NQ}-query batch vs the exact brute-force top-"
+    f"{_RECALL_K}. ADC keeps the query full-precision and scores each "
+    "candidate from its codes through a per-query lookup table: "
+    "approx cos = Σⱼ⟨qⱼ,ce⟩ / (‖q‖·√Σⱼ‖ce‖²), per-subspace terms "
+    "rounded at 6 and summed as DECIMAL(18,6) so the score is order- "
+    "invariant and the whole curve value-hash-matches the SQL replay. "
+    "More subspaces → finer reconstruction → higher recall at "
+    "m·log₂(k) bits/vector (bytes_ratio); with 8 codewords the m=8 "
+    "corpus is 24 bits/vector vs 2048 fp32 bits. Scale: training is "
+    "two broadcast codebook joins + one (j,cid,pos) agg; serving "
+    "touches only the m-rows-per-vector code table through a "
+    "broadcast LUT join — the reason PQ serves 100-TB corpora. The "
+    "brute pass is the bounded-batch calibration anchor, like its "
+    "four siblings.",
+)
+def similarity_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < _RECALL_NQ)
+    brute = S.cosine_topk(q, emb, k=_RECALL_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    ann = None
+    for m in _PQ_MS:
+        cents, codes = S.pq_train_encode(emb, m=m, num_codes=_PQ_CODES)
+        part = S.pq_adc_topk(q, cents, codes, m=m, k=_RECALL_K).select(
+            F.lit(m).cast("long").alias("m"), "query_id", "neighbor_id"
+        )
+        ann = part if ann is None else ann.unionByName(part)
+    bits = (_PQ_CODES - 1).bit_length()
+    return (
+        ann.join(brute, ["query_id", "neighbor_id"], "left")
+        .groupBy("m")
+        .agg(
+            F.lit(_RECALL_NQ).cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_results"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                / F.lit(_RECALL_NQ * _RECALL_K),
+                6,
+            ).alias("recall_at_k"),
+            F.round(
+                F.col("m") * F.lit(float(bits)) / F.lit(EMBEDDING_DIM * 32),
+                6,
+            ).alias("bytes_ratio"),
+        )
+        .orderBy("m")
     )
 
 

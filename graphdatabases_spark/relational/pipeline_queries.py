@@ -725,3 +725,90 @@ def lineitem_zorder_incremental_scan(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+def _stage_events_date_partitioned(spark: SparkSession, sf: str) -> str:
+    """Hive-style date-partitioned events copy (partitionBy(event_date))
+    — the 100-TB fact layout whose directory structure carries the
+    partition column, so a selective dim join prunes whole directories
+    at runtime (dynamic partition pruning).  Staged once per source
+    signature."""
+    staged, _ = stage_derived(
+        sf,
+        "events",
+        "bydate",
+        lambda out: table(spark, sf, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .write.partitionBy("event_date")
+        .parquet(out),
+    )
+    return staged
+
+
+def _stage_dim_date(spark: SparkSession, sf: str) -> str:
+    """Tiny calendar dim derived from the observed event dates (one row
+    per date + day-of-month attribute), staged as its OWN parquet
+    relation: the DPP entry must filter a genuinely separate dim-side
+    scan — a dim computed in-flight from the fact would let Catalyst
+    collapse the pruning into static planning."""
+    staged, _ = stage_derived(
+        sf,
+        "events",
+        "dimdate",
+        lambda out: table(spark, sf, "events")
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .withColumn("dom", F.dayofmonth("event_date"))
+        .coalesce(1)
+        .write.parquet(out),
+    )
+    return staged
+
+
+@register(
+    "events_dpp_date_join",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE (day(CAST(ts AS DATE)) % 7) = 3
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Fact ⋈ dim with DYNAMIC PARTITION PRUNING: events staged "
+    "date-partitioned (Hive layout), calendar dim staged as its own "
+    "relation, dim filtered on an attribute (day-of-month mod 7) the "
+    "fact's planner cannot see statically — at runtime Spark builds "
+    "the dim's date set first and the fact scan reads ONLY the "
+    "matching partition directories (PartitionFilters carries a "
+    "dynamicpruning subquery; partitions-read metric pinned in "
+    "tests/test_plans.py::TestDppPlanShape). The oracle applies the "
+    "same predicate to the plain events table. At 100 TB this is the "
+    "read-side complement to the bucketing and Z-order pins: a "
+    "1000-partition fact joined to a 5-date dim costs 5 directories, "
+    "not a full scan. Sums are per-row DECIMAL(18,4) casts rounded "
+    "once; dates rendered as yyyy-MM-dd strings.",
+)
+def events_dpp_date_join(spark: SparkSession, sf: str) -> DataFrame:
+    fact = spark.read.parquet(_stage_events_date_partitioned(spark, sf))
+    dim = spark.read.parquet(_stage_dim_date(spark, sf)).filter(
+        F.col("dom") % 7 == 3
+    )
+    return (
+        fact.join(dim, "event_date")
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+            "n",
+            "total_value",
+        )
+        .orderBy("event_date")
+    )

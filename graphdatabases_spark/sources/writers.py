@@ -347,20 +347,47 @@ def compact_zordered_incremental(
         q = int(((v if v is not None else (mn or 0.0)) - (mn or 0.0)) * (top / rng))
         return min(max(q, 0), top)
 
-    affected, kept = [], []
-    for f in part_files:
-        local = f[len("file:"):] if f.startswith("file:") else f
-        md = pq.ParquetFile(local).metadata
+    def _footer_rect(f: str) -> tuple[list[int], list[int]] | None:
+        """Quantized (lo, hi) rect of one part file from its footer
+        row-group min/max stats; None = UNKNOWN (non-local scheme or a
+        clustering column without min/max stats), which the selection
+        below treats as affected — conservative: the file is rewritten,
+        never wrongly skipped.  Footers are read via pyarrow on local
+        paths; object-store schemes (s3://, hdfs://) have no local path
+        for pyarrow's default filesystem, so they fall through to the
+        conservative rewrite rather than crashing the sweep."""
+        if f.startswith("file:"):
+            local = f[len("file:"):]
+        elif "://" not in f:
+            local = f
+        else:
+            return None
+        try:
+            md = pq.ParquetFile(local).metadata
+        except Exception:
+            return None
         names = [md.schema.column(ci).name for ci in range(md.num_columns)]
-        rect_lo, rect_hi = [], []
+        rect_lo: list[int] = []
+        rect_hi: list[int] = []
         for c in cols:
             ci = names.index(c)
             st = [
                 md.row_group(rg).column(ci).statistics
                 for rg in range(md.num_row_groups)
             ]
+            if not st or any(s is None or not s.has_min_max for s in st):
+                return None
             rect_lo.append(quantize(min(s.min for s in st), len(rect_lo)))
             rect_hi.append(quantize(max(s.max for s in st), len(rect_hi)))
+        return rect_lo, rect_hi
+
+    affected, kept = [], []
+    for f in part_files:
+        rect = _footer_rect(f)
+        if rect is None:
+            affected.append(f)
+            continue
+        rect_lo, rect_hi = rect
         hit = any(
             all(
                 rect_lo[i] <= r["hi"][i] and r["lo"][i] <= rect_hi[i]
@@ -608,10 +635,16 @@ def vacuum_zordered(spark, root: str, *, keep: int = 2) -> list[str]:
     current = _read_sidecar_text(spark, _pointer_path(root)).strip()
     cur_n = int(current[1:])
     keep = max(1, keep)
+    # Strict v<digits> match: a sibling directory that merely starts
+    # with "v" ("versions/", "v_old", a crashed evolve's "v3.bak") must
+    # be SKIPPED, not int()-parsed — one stray name would otherwise
+    # abort the whole retention sweep with ValueError.
+    import re as _re
+
     versions = sorted(
         int(st.getPath().getName()[1:])
         for st in fs.listStatus(rootp)
-        if st.isDirectory() and st.getPath().getName().startswith("v")
+        if st.isDirectory() and _re.fullmatch(r"v\d+", st.getPath().getName())
     )
     cutoff = cur_n - keep + 1
     removed = []

@@ -784,3 +784,74 @@ class TestKTruss:
         # a subset of the looser one.
         for r in (1, 2):
             assert rows[(4, r)]["edges_after"] <= rows[(3, r)]["edges_after"]
+
+
+class TestBetweennessSampled:
+    """graph_betweenness_sampled: exact pure-Python replay of the
+    truncated sampled-Brandes estimator — BFS sigma counts, integer
+    micro-unit dependency accumulation with floor division, the full
+    top-k — so the DataFrame program is pinned against an independent
+    third implementation (the DuckDB oracle being the second)."""
+
+    def test_python_replay_matches(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from graphdatabases_spark.relational.graph_queries import (
+            _BC_ROUNDS,
+            _BC_SEEDS,
+            _BC_TOPK,
+            entity_edges,
+            graph_betweenness_sampled,
+        )
+
+        got = [
+            (r["node"], r["bc_ppm"], r["n_seed_obs"])
+            for r in graph_betweenness_sampled(spark, sf_dir).collect()
+        ]
+
+        pairs = {
+            (r["src"], r["dst"])
+            for r in entity_edges(spark, sf_dir, dedup=True).collect()
+        }
+        adj: dict[int, list[int]] = defaultdict(list)
+        for s, d in pairs:
+            adj[s].append(d)
+            adj[d].append(s)
+        # Dedup the undirected neighbor lists (a<->b appearing in both
+        # directions of the distinct directed multiset).
+        adj = {u: sorted(set(vs)) for u, vs in adj.items()}
+
+        bc: dict[int, int] = defaultdict(int)
+        n_obs: dict[int, int] = defaultdict(int)
+        for seed in _BC_SEEDS:
+            levels = [{seed: 1}]
+            seen = {seed}
+            for _ in range(_BC_ROUNDS):
+                nxt: dict[int, int] = defaultdict(int)
+                for u, sig in levels[-1].items():
+                    for v in adj.get(u, ()):
+                        if v not in seen:
+                            nxt[v] += sig
+                levels.append(dict(nxt))
+                seen |= set(nxt)
+            deltas = {_BC_ROUNDS: {v: 0 for v in levels[_BC_ROUNDS]}}
+            for r in range(_BC_ROUNDS - 1, 0, -1):
+                d_r = {}
+                for u, sig in levels[r].items():
+                    acc = 0
+                    for w in adj.get(u, ()):
+                        if w in levels[r + 1]:
+                            acc += (
+                                sig * (1_000_000 + deltas[r + 1][w])
+                            ) // levels[r + 1][w]
+                    d_r[u] = acc
+                deltas[r] = d_r
+            for r in range(1, _BC_ROUNDS + 1):
+                for v, val in deltas[r].items():
+                    bc[v] += val
+                    n_obs[v] += 1
+
+        want = sorted(
+            ((v, bc[v], n_obs[v]) for v in bc), key=lambda t: (-t[1], t[0])
+        )[:_BC_TOPK]
+        assert got == want

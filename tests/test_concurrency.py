@@ -82,3 +82,65 @@ def test_concurrent_queries_match_sequential(spark):
         f"concurrent execution diverged for {mismatched} — a shared "
         "driver-side cache is not thread-safe"
     )
+
+
+def test_stage_derived_concurrent_stagers_serialize(tmp_path):
+    """ADVICE r7: stage_derived's check-then-write raced — two sessions
+    staging the same (table, kind) could interleave, one reading the
+    shared dir mid-overwrite.  Now the stage runs under a file lock and
+    publishes via write-to-unique-tmp + rename, so N simultaneous
+    first-touch stagers produce exactly ONE materialization each time
+    the signature changes, and every reader sees a complete dir."""
+    import os
+    import threading
+
+    from graphdatabases_spark.relational.catalog import stage_derived
+
+    src_dir = tmp_path / "sfX"
+    src_dir.mkdir()
+    # stage_derived signatures the SOURCE parquet path's stat() — a
+    # plain file is enough (content is irrelevant to the staging logic).
+    (src_dir / "documents.parquet").write_text("v1")
+
+    writes = []
+    write_lock = threading.Lock()
+
+    def writer(out_path: str) -> None:
+        os.makedirs(out_path)
+        with open(os.path.join(out_path, "part-0"), "w") as fh:
+            fh.write("payload")
+        with open(os.path.join(out_path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+        with write_lock:
+            writes.append(out_path)
+
+    results: list[tuple[str, str]] = []
+    errors: list[BaseException] = []
+
+    def stage() -> None:
+        try:
+            results.append(
+                stage_derived(str(src_dir), "documents", "ctest", writer)
+            )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=stage) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors[:3]
+    # One materialization, all callers converge on the same published
+    # path+tag, and the published dir is complete (_SUCCESS + _SIG).
+    assert len(writes) == 1
+    assert len(set(results)) == 1
+    staged, _tag = results[0]
+    assert os.path.exists(os.path.join(staged, "_SUCCESS"))
+    assert os.path.exists(os.path.join(staged, "_SIG"))
+
+    # Source regeneration (new mtime/size) re-stages exactly once more.
+    (src_dir / "documents.parquet").write_text("v2-regenerated")
+    staged2, tag2 = stage_derived(str(src_dir), "documents", "ctest", writer)
+    assert len(writes) == 2
+    assert staged2 == staged and tag2 != results[0][1]

