@@ -181,7 +181,10 @@ def _load_all() -> None:
         udf_queries,
         pipeline_queries,
         analytics_queries,
+        analytics_stats_queries,
         curation_queries,
+        curation_removal_queries,
+        curation_selection_queries,
     )
 
 

@@ -1699,9 +1699,11 @@ def graph_betweenness_sampled(spark: SparkSession, sf: str) -> DataFrame:
     levels = [l0]
     visited = l0.select("seed", "node")
     for _ in range(_BC_ROUNDS):
+        # The frontier is the SMALL side — broadcast it so the edge
+        # relation never exchanges (same one-sided contract as the
+        # traversal kernels' _EdgeSides).
         nxt = (
-            levels[-1]
-            .join(ue, levels[-1].node == ue.src)
+            ue.join(F.broadcast(levels[-1]), ue.src == levels[-1].node)
             .select("seed", F.col("dst").alias("node"), "sigma")
             .join(visited, ["seed", "node"], "left_anti")
             .groupBy("seed", "node")
@@ -1718,6 +1720,13 @@ def graph_betweenness_sampled(spark: SparkSession, sf: str) -> DataFrame:
         )
     }
     for r in range(_BC_ROUNDS - 1, 0, -1):
+        # Backward round: edges into level r+1 found by probing the
+        # edge relation with BROADCAST level frames (both inner joins,
+        # zero edge-side shuffle — a left join from the level side
+        # would force the full edge relation through an exchange per
+        # round: measured 1.5 GB at sf1, 59x on 10x rows, before this
+        # shape); level-r nodes with no successors rejoin as dppm=0
+        # via the small left join at the end.
         w = (
             levels[r + 1]
             .join(deltas[r + 1].select("seed", "node", "dppm"), ["seed", "node"])
@@ -1729,27 +1738,34 @@ def graph_betweenness_sampled(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
         u = levels[r].select(
-            "seed", "node", F.col("sigma").alias("u_sigma")
+            F.col("seed").alias("u_seed"),
+            F.col("node").alias("u_node"),
+            F.col("sigma").alias("u_sigma"),
         )
-        deltas[r] = (
-            u.join(ue, u.node == ue.src, "left")
+        terms = (
+            ue.join(F.broadcast(w), ue.dst == F.col("w_node"))
             .join(
-                w,
-                (F.col("w_seed") == F.col("seed"))
-                & (F.col("w_node") == F.col("dst")),
-                "left",
+                F.broadcast(u),
+                (F.col("u_seed") == F.col("w_seed"))
+                & (F.col("u_node") == F.col("src")),
             )
             .select(
-                "seed",
-                "node",
-                F.col("u_sigma"),
+                F.col("u_seed").alias("seed"),
+                F.col("u_node").alias("node"),
                 F.expr(
                     "(u_sigma * (1000000 + dppm)) div w_sigma"
                 ).alias("term"),
             )
             .groupBy("seed", "node")
-            .agg(
-                F.coalesce(F.sum("term"), F.lit(0)).cast("long").alias("dppm")
+            .agg(F.sum("term").cast("long").alias("dppm_in"))
+        )
+        deltas[r] = (
+            levels[r]
+            .join(F.broadcast(terms), ["seed", "node"], "left")
+            .select(
+                "seed",
+                "node",
+                F.coalesce(F.col("dppm_in"), F.lit(0)).cast("long").alias("dppm"),
             )
             .localCheckpoint(eager=True)
         )

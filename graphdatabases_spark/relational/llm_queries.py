@@ -783,11 +783,15 @@ _SEMDEDUP_V_SQL = f"""SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
     "the planted twins: twins inherit their document's quality, so "
     "the id tiebreak always keeps the ORIGINAL (recovery invariant "
     "pinned in tests/test_llm_ops.py). Scale: pair generation is "
-    "cell-bounded (the whole point of SemDeDup — within-cell "
-    "O(sum k_i^2), never corpus-wide all-pairs), quality is a "
-    "broadcastable per-doc fold, selection is one window over the "
-    "bounded dropped set; the shuffle audit (SCALE.md) shows "
-    "exchange bytes linear in rows.",
+    "cell-bounded (within-cell O(sum k_i^2), never corpus-wide "
+    "all-pairs) — which makes the CLUSTER COUNT the scaling knob: it "
+    "must grow with the corpus (cells ~ N / target_cell_size, the "
+    "SemDeDup paper's regime) to keep per-cell quadratic work flat; "
+    "the fixture pins 8 cells for oracle replay, and the sf1 audit "
+    "(SCALE.md) shows exactly the predicted fixed-k behavior — "
+    "shuffle linear (10.0x on 10x rows) while within-cell pair CPU "
+    "grows ~k_i^2. Quality is a broadcastable per-doc fold; "
+    "selection is one window over the bounded dropped set.",
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window

@@ -268,6 +268,10 @@ class TestUniversalGates:
         "events_conversion_latency_quantiles",
         # descending cumulative window over the VALUE-bounded bucket list
         "orders_pareto_share",
+        # same 8-row seed numbering as ann_ivf (per-subspace codebooks /
+        # shared IVF cell build over the dup-injected corpus)
+        "similarity_pq_recall",
+        "dedup_semantic_semdedup",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
@@ -317,6 +321,9 @@ class TestUniversalGates:
         "orders_pareto_share",        # pct-spec x bounded bucket list + 1-row thr
         "graph_anf_hyperball",        # 1-row final-round ANF scalar
         "graph_effective_diameter",   # 4 x 1-row ANF summaries folded
+        "similarity_pq_recall",       # same bounded 20-query brute anchor
+        "dedup_semantic_semdedup",    # k=8 centroid frames (shared IVF build)
+        "lineitem_kmv_setops",        # 1-row sketch-summary scalars (x4)
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):
