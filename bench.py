@@ -78,6 +78,20 @@ HEADLINE = [
     "docs_filter_funnel",
     "events_session_gap_curve",
     "customer_kanon_audit",
+    # round 8: the DPP-pruned fact join, the second columnar format,
+    # integer PPS sampling, the IVM partial-merge identity, the
+    # l-diversity governance gate, per-apex wedge LCC, and the KMV
+    # set-operation sketch. (The round-8 recall curves — PQ, IVFPQ,
+    # SemDeDup — are sweep-proven but excluded here: their bounded
+    # brute-force calibration anchors dominate wall time at sf0.1 and
+    # the ANN serving cost is already benched by the ann_*_100q trio.)
+    "events_dpp_date_join",
+    "docs_orc_scan",
+    "docs_pps_sample",
+    "orders_incremental_agg",
+    "customer_ldiversity_audit",
+    "graph_clustering_coeff",
+    "lineitem_kmv_setops",
 ]
 
 

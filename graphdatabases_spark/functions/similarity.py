@@ -903,6 +903,7 @@ def pq_adc_topk(
     dim: int = EMBEDDING_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k against a PQ-encoded corpus: the query
     stays full-precision, each candidate is scored from its codes via a
@@ -918,6 +919,12 @@ def pq_adc_topk(
     m-byte codes, not dim-float vectors.  Per-subspace terms are
     rounded to 6 and summed as DECIMAL(18,6) (order-invariant), so the
     score hash-matches any execution order and the SQL replay.
+
+    ``candidates`` (optional, columns (query_id, neighbor_id))
+    restricts scoring to the given pairs BEFORE the per-pair
+    aggregation — the IVF-PQ composition: the coarse quantizer's
+    probed cells supply the candidate set, and ADC touches only those
+    codes, never the whole corpus.
 
     Returns (query_id, neighbor_id, adc, rank), rank 1..k, self
     excluded.
@@ -938,11 +945,19 @@ def pq_adc_topk(
         .alias("term"),
         F.col("cn2").cast("decimal(18,6)").alias("cn2d"),
     )
-    pair = (
+    pre = (
         codes.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(lut), ["j", "cid"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
+    )
+    if candidates is not None:
+        pre = pre.join(
+            candidates.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "semi",
+        )
+    pair = (
+        pre.groupBy("query_id", "neighbor_id")
         .agg(
             F.sum("term").alias("st"),
             F.sum("cn2d").alias("sc"),

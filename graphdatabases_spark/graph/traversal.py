@@ -356,6 +356,28 @@ def _materialized(edges: DataFrame, decision: str):
         yield edges
 
 
+def _all_integral(rows: list, schema: StructType) -> bool:
+    """True when every value is an int (or an array of ints) matching an
+    integral(-array) schema field — the only shapes the SQL-literal
+    fast path below can render exactly."""
+    for f in schema.fields:
+        if isinstance(f.dataType, ArrayType):
+            if not isinstance(f.dataType.elementType, (IntegerType, LongType)):
+                return False
+        elif not isinstance(f.dataType, (IntegerType, LongType)):
+            return False
+    import numbers
+
+    for row in rows:
+        for f, v in zip(schema.fields, row):
+            if isinstance(f.dataType, ArrayType):
+                if not all(isinstance(x, numbers.Integral) for x in v):
+                    return False
+            elif not isinstance(v, numbers.Integral):
+                return False
+    return True
+
+
 def _local_result_df(spark: SparkSession, rows: list, schema: StructType) -> DataFrame:
     """Build a DataFrame from a small driver-side result in ONE slice —
     ``createDataFrame`` on a bare list fans a 1-row result across
@@ -367,6 +389,29 @@ def _local_result_df(spark: SparkSession, rows: list, schema: StructType) -> Dat
 
         pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
         return spark.createDataFrame(pdf, schema)
+    if rows and len(rows) <= 4 and _all_integral(rows, schema):
+        # TINY array-typed results (the 1-row SSP path): render as ONE
+        # SQL literal — a single py4j round-trip. The Arrow batch path
+        # below costs ~20 ms per call in JVM round-trips (profiled
+        # round 8: >half of a cached ssp() invocation); the literal is
+        # ~2 ms. Integral-only by construction (node ids/dists).
+        selects = []
+        for row in rows:
+            cols = []
+            for i, f in enumerate(schema.fields):
+                if isinstance(f.dataType, ArrayType):
+                    inner = ",".join(str(int(v)) for v in row[i])
+                    cols.append(
+                        f"CAST(array({inner}) AS {f.dataType.simpleString()})"
+                        f" AS {f.name}"
+                    )
+                else:
+                    cols.append(
+                        f"CAST({int(row[i])} AS {f.dataType.simpleString()})"
+                        f" AS {f.name}"
+                    )
+            selects.append("SELECT " + ", ".join(cols))
+        return spark.sql(" UNION ALL ".join(selects))
     if rows:
         # Array-typed results (SSP paths): hand Spark ONE Arrow batch.
         # The row-list path re-verifies every element against the schema

@@ -1564,3 +1564,239 @@ def lineitem_kmv_setops(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("err_ppm"),
     ).orderBy("measure")
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (k-anonymity's companion gate)
+# ---------------------------------------------------------------------------
+
+_LDIV_LS = (2, 3, 5)
+
+
+@register(
+    "customer_ldiversity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS sz,
+             CAST(count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS INT))
+                  AS BIGINT) AS div
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    tot AS (
+      SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups
+      FROM g
+    )
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f"SELECT {l} AS l, tot.n_groups, tot.n_rows,"
+        f" CAST(coalesce(sum(CASE WHEN div < {l} THEN 1 END), 0) AS BIGINT)"
+        f"   AS groups_below,"
+        f" CAST(coalesce(sum(CASE WHEN div < {l} THEN sz END), 0) AS BIGINT)"
+        f"   AS rows_below,"
+        f" CAST((1000000 * coalesce(sum(CASE WHEN div < {l} THEN sz END), 0))"
+        f"   // tot.n_rows AS BIGINT) AS rows_below_ppm"
+        f" FROM g, tot GROUP BY tot.n_groups, tot.n_rows"
+        for l in _LDIV_LS
+      )}
+    ) ORDER BY l
+    """,
+    doc="l-DIVERSITY audit — customer_kanon_audit's companion: "
+    "k-anonymity bounds CLASS SIZE but a class can still leak when "
+    "every member shares the sensitive value (the homogeneity "
+    "attack); this audit measures, per quasi-identifier class "
+    "(nation, market segment), the number of DISTINCT sensitive "
+    "values (account-balance band, floor(acctbal/2000)) and counts "
+    f"classes below each l in {{{', '.join(str(l) for l in _LDIV_LS)}}} "
+    "plus the rows inside them (exact integer ppm share). Scale "
+    "shape: ONE keyed agg with a distinct-count over the table "
+    "builds the (size, diversity) relation — bounded by the QI "
+    "domain; every l-threshold row aggregates that bounded relation "
+    "with a 1-row totals broadcast (the kanon pattern).",
+)
+def customer_ldiversity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    band = F.floor(F.col("c_acctbal") / 2000.0).cast("int")
+    g = (
+        table(spark, sf, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sz"),
+            F.countDistinct(band).cast("long").alias("div"),
+        )
+    )
+    tot = g.agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    rows = []
+    for l in _LDIV_LS:
+        below = F.col("div") < l
+        rows.append(
+            g.crossJoin(F.broadcast(tot))
+            .groupBy("n_groups", "n_rows")
+            .agg(
+                F.coalesce(F.sum(F.when(below, 1)), F.lit(0))
+                .cast("long")
+                .alias("groups_below"),
+                F.coalesce(F.sum(F.when(below, F.col("sz"))), F.lit(0))
+                .cast("long")
+                .alias("rows_below"),
+            )
+            .select(
+                F.lit(l).cast("long").alias("l"),
+                "n_groups",
+                "n_rows",
+                "groups_below",
+                "rows_below",
+                F.expr(
+                    "CAST((1000000 * rows_below) div n_rows AS BIGINT)"
+                ).alias("rows_below_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("l")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (partial-merge identity)
+# ---------------------------------------------------------------------------
+
+_IVM_CUT = "1998-01-01"
+
+
+@register(
+    "orders_incremental_agg",
+    oracle=f"""
+    WITH base AS (SELECT * FROM orders WHERE o_orderdate < DATE '{_IVM_CUT}'),
+    delta AS (SELECT * FROM orders WHERE o_orderdate >= DATE '{_IVM_CUT}'),
+    pb AS (
+      SELECT o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev,
+             max(CAST(o_totalprice AS DECIMAL(18,4))) AS mx
+      FROM base GROUP BY 1
+    ),
+    pd AS (
+      SELECT o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev,
+             max(CAST(o_totalprice AS DECIMAL(18,4))) AS mx
+      FROM delta GROUP BY 1
+    ),
+    merged AS (
+      SELECT priority,
+             CAST(sum(n) AS BIGINT) AS n_incr,
+             CAST(round(sum(rev), 2) AS DOUBLE) AS rev_incr,
+             CAST(max(mx) AS DOUBLE) AS max_incr
+      FROM (SELECT * FROM pb UNION ALL SELECT * FROM pd)
+      GROUP BY priority
+    ),
+    cd AS (
+      SELECT priority, CAST(count(*) AS BIGINT) AS n_cust_incr
+      FROM (
+        SELECT DISTINCT o_orderpriority AS priority, o_custkey FROM base
+        UNION
+        SELECT DISTINCT o_orderpriority, o_custkey FROM delta
+      ) GROUP BY priority
+    ),
+    full_r AS (
+      SELECT o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n_full,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS rev_full,
+             CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS max_full,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust_full
+      FROM orders GROUP BY 1
+    )
+    SELECT m.priority, m.n_incr, m.rev_incr, m.max_incr, cd.n_cust_incr,
+           (m.n_incr = f.n_full AND m.rev_incr = f.rev_full
+            AND m.max_incr = f.max_full
+            AND cd.n_cust_incr = f.n_cust_full) AS matches_full
+    FROM merged m JOIN cd USING (priority) JOIN full_r f
+      ON f.priority = m.priority
+    ORDER BY m.priority
+    """,
+    doc="INCREMENTAL VIEW MAINTENANCE identity, value-pinned: a "
+    "per-priority revenue aggregate maintained from PARTIAL states — "
+    "base partition (orders before the cut) + late-arriving delta "
+    "batch — merged as count-sum / decimal-sum-sum / max-max, with "
+    "the distinct-customer count maintained through its correct "
+    "merge form (union of per-split DISTINCT key sets, then count — "
+    "distinct counts do NOT merge from scalars, the classic IVM "
+    "trap). The matches_full column proves the merged state equals "
+    "the full recompute for every group — TRUE rows are part of the "
+    "hash, so a broken merge rule fails the gate. At 100 TB this is "
+    "the daily-pipeline contract: yesterday's partials + today's "
+    "delta, never a full rescan; decimal sums make the merge "
+    "order-invariant on any partitioning. Scale shape: two "
+    "partition-pruned aggs + one |groups|-bounded merge agg + one "
+    "distinct-pair union agg.",
+)
+def orders_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    cut = F.lit(_IVM_CUT).cast("date")
+    money = "decimal(18,4)"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast(money)).alias("rev"),
+            F.max(F.col("o_totalprice").cast(money)).alias("mx"),
+        )
+
+    base = o.filter(F.col("o_orderdate") < cut)
+    delta = o.filter(F.col("o_orderdate") >= cut)
+    merged = (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("priority")
+        .agg(
+            F.sum("n").cast("long").alias("n_incr"),
+            F.round(F.sum("rev"), 2).cast("double").alias("rev_incr"),
+            F.max("mx").cast("double").alias("max_incr"),
+        )
+    )
+    cd = (
+        base.select(F.col("o_orderpriority").alias("priority"), "o_custkey")
+        .distinct()
+        .unionByName(
+            delta.select(
+                F.col("o_orderpriority").alias("priority"), "o_custkey"
+            ).distinct()
+        )
+        .distinct()
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cust_incr"))
+    )
+    full_r = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_full"),
+        F.round(F.sum(F.col("o_totalprice").cast(money)), 2)
+        .cast("double")
+        .alias("rev_full"),
+        F.max(F.col("o_totalprice").cast(money))
+        .cast("double")
+        .alias("max_full"),
+        F.countDistinct("o_custkey").cast("long").alias("n_cust_full"),
+    )
+    return (
+        merged.join(cd, "priority")
+        .join(full_r, "priority")
+        .select(
+            "priority",
+            "n_incr",
+            "rev_incr",
+            "max_incr",
+            "n_cust_incr",
+            (
+                (F.col("n_incr") == F.col("n_full"))
+                & (F.col("rev_incr") == F.col("rev_full"))
+                & (F.col("max_incr") == F.col("max_full"))
+                & (F.col("n_cust_incr") == F.col("n_cust_full"))
+            ).alias("matches_full"),
+        )
+        .orderBy("priority")
+    )

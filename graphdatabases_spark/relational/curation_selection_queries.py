@@ -1086,3 +1086,87 @@ def docs_shard_rebalance(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PPS_PER_SOURCE = 8
+
+
+@register(
+    "docs_pps_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, w,
+             CAST(sum(w) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS tot
+      FROM t
+    ),
+    s AS (
+      SELECT source, doc_id, w, cum, tot,
+             greatest(tot // {_PPS_PER_SOURCE}, 1) AS step
+      FROM c
+    )
+    SELECT source, doc_id, w AS n_tokens,
+           CAST(cum // step - (cum - w) // step AS BIGINT) AS n_hits,
+           CAST((cum - w) // step + 1 AS BIGINT) AS first_tick
+    FROM s
+    WHERE cum // step > (cum - w) // step
+    ORDER BY source, doc_id
+    """,
+    doc=f"PPS SYSTEMATIC SAMPLING (probability proportional to size): "
+    "the survey-sampling / data-selection operator that draws "
+    f"~{_PPS_PER_SOURCE} docs per source with inclusion probability "
+    "∝ token count — per-source token cumsum, tick interval = "
+    "total_tokens // n, a doc is drawn iff its cumulative span "
+    "crosses a tick (n_hits counts multi-tick whales, the "
+    "with-replacement convention; first_tick names the draw). Pure "
+    "integer arithmetic end-to-end (cumsum, floor-divided ticks), so "
+    "the realized sample is a deterministic pure function of the "
+    "corpus — same selection on any engine, any partitioning — "
+    "unlike rand()-based PPS. Complements docs_hash_sample (uniform "
+    "Bernoulli) and docs_stratified_sample (per-stratum uniform): "
+    "this is the size-biased axis selection pipelines use for "
+    "token-budget-faithful subsamples. Scale shape: one per-source "
+    "window cumsum (partitioned — never a global sort) + a per-row "
+    "tick test; output bounded by ~n per source.",
+)
+def docs_pps_sample(spark: SparkSession, sf: str) -> DataFrame:
+    t = table(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("w"),
+    )
+    w_cum = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy("source")
+    c = t.select(
+        "source",
+        "doc_id",
+        "w",
+        F.sum("w").over(w_cum).cast("long").alias("cum"),
+        F.sum("w").over(w_tot).cast("long").alias("tot"),
+    ).withColumn(
+        "step", F.greatest(F.expr(f"tot div {_PPS_PER_SOURCE}"), F.lit(1))
+    )
+    return (
+        c.filter(F.expr("cum div step > (cum - w) div step"))
+        .select(
+            "source",
+            F.col("doc_id"),
+            F.col("w").alias("n_tokens"),
+            F.expr("CAST(cum div step - (cum - w) div step AS BIGINT)").alias(
+                "n_hits"
+            ),
+            F.expr("CAST((cum - w) div step + 1 AS BIGINT)").alias(
+                "first_tick"
+            ),
+        )
+        .orderBy("source", "doc_id")
+    )

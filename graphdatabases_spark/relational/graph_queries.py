@@ -1790,3 +1790,107 @@ def graph_betweenness_sampled(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("bc_ppm").desc(), "node")
         .limit(_BC_TOPK)
     )
+
+
+_LCC_TOPK = 20
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle=f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 2 = 0
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    adj AS MATERIALIZED (
+      SELECT pa AS u, pb AS v FROM e0
+      UNION ALL SELECT pb, pa FROM e0
+    ),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM adj GROUP BY u),
+    tri AS (
+      SELECT x.u AS node, CAST(count(*) AS BIGINT) AS t
+      FROM adj x
+      JOIN adj y ON y.u = x.u AND y.v > x.v
+      JOIN e0 e ON e.pa = x.v AND e.pb = y.v
+      GROUP BY x.u
+    )
+    SELECT node, deg, coalesce(t, 0) AS triangles,
+           CAST(CASE WHEN deg >= 2
+                THEN (2 * coalesce(t, 0) * 1000000) // (deg * (deg - 1))
+                ELSE 0 END AS BIGINT) AS lcc_ppm
+    FROM deg LEFT JOIN tri USING (node)
+    ORDER BY lcc_ppm DESC, node
+    LIMIT {_LCC_TOPK}
+    """,
+    doc=f"LOCAL CLUSTERING COEFFICIENT top-{_LCC_TOPK} on the "
+    "co-purchase projection (the k-truss/triangle-count graph): "
+    "lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) the triangles "
+    "through v, counted by the wedge self-join (neighbor pairs of v "
+    "probed against the edge set — the graph_triangle_count join "
+    "shape, keyed per apex instead of globally). The coefficient is "
+    "an exact integer in MICRO-UNITS via nonnegative BIGINT floor "
+    "division — no double round() anywhere (the harmonic lesson) — "
+    "so the top-k orders by the exact lcc_ppm with node tie-break "
+    "and value-hash-matches. Completes the per-node structure "
+    "metrics beside degree/k-core/k-truss/betweenness/harmonic. "
+    "Scale shape: wedges are per-node O(deg²) — the standard LCC "
+    "cost, bounded by the copurchase HAVING filter; one adjacency "
+    "hash exchange feeds both the wedge join and the degree agg; "
+    "the probe against e0 is an equi-join, never all-pairs.",
+)
+def graph_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
+    l = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = l.alias("a"), l.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("pa", "pb")
+    )
+    adj = e0.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        e0.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    x = adj.select(F.col("u"), F.col("v").alias("xv"))
+    y = adj.select(F.col("u").alias("yu"), F.col("v").alias("yv"))
+    tri = (
+        x.join(y, (F.col("yu") == F.col("u")) & (F.col("yv") > F.col("xv")))
+        .join(
+            e0,
+            (F.col("pa") == F.col("xv")) & (F.col("pb") == F.col("yv")),
+        )
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                "CAST(CASE WHEN deg >= 2 "
+                "THEN (2 * coalesce(t, 0) * 1000000) div (deg * (deg - 1)) "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("lcc_ppm"),
+        )
+        .orderBy(F.col("lcc_ppm").desc(), "node")
+        .limit(_LCC_TOPK)
+    )

@@ -2345,11 +2345,17 @@ _PQ_CODES = 8
 
 
 def _pq_cte(m: int) -> str:
-    """Per-m PQ oracle CTEs: subspace fan-out, deterministic per-
-    subspace k-means (seeds = lowest-8 ids, one Lloyd round with
-    DECIMAL(28,15) means — byte-for-byte the ivf_train recipe), corpus
-    encoding, and ADC top-k. Mirrors similarity.pq_train_encode /
-    pq_adc_topk expression-for-expression."""
+    """Per-m PQ oracle CTEs: codebook build + encode
+    (``_pq_build_cte``) followed by the all-pairs ADC top-k."""
+    return f"{_pq_build_cte(m)},\n    {_pq_adc_cte(m)}"
+
+
+def _pq_build_cte(m: int) -> str:
+    """Subspace fan-out, deterministic per-subspace k-means (seeds =
+    lowest-8 ids, one Lloyd round with DECIMAL(28,15) means —
+    byte-for-byte the ivf_train recipe), and corpus encoding.
+    Mirrors similarity.pq_train_encode expression-for-expression;
+    shared by similarity_pq_recall and similarity_ivfpq_recall."""
     d = EMBEDDING_DIM // m
     sub_union = " UNION ALL ".join(
         f"SELECT vec_id, {j} AS j, list_slice(e, {j * d + 1}, {(j + 1) * d})"
@@ -2400,8 +2406,13 @@ def _pq_cte(m: int) -> str:
                ) AS rr
         FROM sub{m} x JOIN cents{m} s ON s.j = x.j
       ) WHERE rr = 1
-    ),
-    adc{m} AS (
+    )"""
+
+
+def _pq_adc_cte(m: int) -> str:
+    """All-pairs ADC top-k over the ``_pq_build_cte`` codebooks —
+    mirrors similarity.pq_adc_topk (no candidate restriction)."""
+    return f"""adc{m} AS (
       SELECT {m} AS m, query_id, neighbor_id FROM (
         SELECT p.query_id, p.neighbor_id,
                row_number() OVER (
@@ -2520,6 +2531,157 @@ def similarity_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("bytes_ratio"),
         )
         .orderBy("m")
+    )
+
+
+_IVFPQ_M = 4
+
+
+def _ivfpq_cand_sql(np: int) -> str:
+    return f"""cand{np} AS (
+      SELECT q.query_id, c.neighbor_id
+      FROM q_probe q JOIN c_idx c
+        ON c.cid = q.cid AND c.neighbor_id <> q.query_id
+      WHERE q.rr <= {np}
+    )"""
+
+
+def _ivfpq_rank_sql(np: int) -> str:
+    m = _IVFPQ_M
+    return f"""ivfpq{np} AS (
+      SELECT {np} AS nprobe, query_id, neighbor_id FROM (
+        SELECT p.query_id, p.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id ORDER BY p.adc DESC, p.neighbor_id
+               ) AS rank
+        FROM (
+          SELECT qs.vec_id AS query_id, co.vec_id AS neighbor_id,
+                 round(CAST(sum(CAST(round(list_inner_product(qs.sv, ct.ce),
+                                           6) AS DECIMAL(18,6))) AS DOUBLE)
+                       / (max(qn.nrm)
+                          * sqrt(greatest(
+                              CAST(sum(CAST(ct.cn2 AS DECIMAL(18,6)))
+                                   AS DOUBLE), 1e-30))), 6) AS adc
+          FROM sub{m} qs
+          JOIN v qn ON qn.vec_id = qs.vec_id
+          JOIN codes{m} co ON co.j = qs.j AND co.vec_id <> qs.vec_id
+          JOIN cents{m} ct ON ct.j = co.j AND ct.cid = co.cid
+          JOIN cand{np} cd ON cd.query_id = qs.vec_id
+                          AND cd.neighbor_id = co.vec_id
+          WHERE qs.vec_id < {_RECALL_NQ}
+          GROUP BY qs.vec_id, co.vec_id
+        ) p
+      ) WHERE rank <= {_RECALL_K}
+    )"""
+
+
+@register(
+    "similarity_ivfpq_recall",
+    oracle=f"""
+    WITH {_IVF_BUILD_SQL},
+    s8 AS MATERIALIZED (
+      SELECT vec_id FROM v ORDER BY vec_id LIMIT {_PQ_CODES}
+    ),
+    {_pq_build_cte(_IVFPQ_M)},
+    q_probe AS (
+      SELECT vec_id AS query_id, cid, rr FROM (
+        SELECT x.vec_id, s.cid,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY {_IVF_CC.format(x="x", s="s")} DESC, s.cid
+               ) AS rr
+        FROM v x CROSS JOIN cents s
+        WHERE x.vec_id < {_RECALL_NQ}
+      ) WHERE rr <= {max(_RECALL_PROBES)}
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_inner_product(q.e, c.e)
+                                / (q.nrm * c.nrm), 6) DESC, c.vec_id
+               ) AS rank
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_RECALL_NQ}
+      ) WHERE rank <= {_RECALL_K}
+    ),
+    {",".join(_ivfpq_cand_sql(np) for np in _RECALL_PROBES)},
+    {",".join(_ivfpq_rank_sql(np) for np in _RECALL_PROBES)},
+    ann AS ({" UNION ALL ".join(f"SELECT * FROM ivfpq{np}" for np in _RECALL_PROBES)}
+    )
+    SELECT CAST(nprobe AS BIGINT) AS nprobe,
+           CAST({_RECALL_NQ} AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_results,
+           CAST(count(b.query_id) AS BIGINT) AS n_hits,
+           round(CAST(count(b.query_id) AS DOUBLE)
+                 / {_RECALL_NQ * _RECALL_K}, 6) AS recall_at_k
+    FROM ann a LEFT JOIN brute b
+      ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+    GROUP BY nprobe ORDER BY nprobe
+    """,
+    doc=f"IVF-PQ COMPOSED retrieval (the FAISS IndexIVFPQ "
+    "architecture, the two prior pieces chained): the coarse IVF "
+    "quantizer (shared _IVF_BUILD_SQL build — byte-identical to "
+    "similarity_ann_ivf's) picks each query's nprobe ∈ "
+    f"{{{', '.join(str(p) for p in _RECALL_PROBES)}}} cells, and ONLY "
+    f"those cells' candidates are scored — by m={_IVFPQ_M} "
+    "product-quantization ADC (shared _pq_build_cte codebooks — "
+    "byte-identical to similarity_pq_recall's), never the exact "
+    "vectors. Reading this curve against similarity_ivf_recall "
+    "(same cells, exact scoring) isolates the ADC recall cost at "
+    "each operating point; against similarity_pq_recall (ADC over "
+    "the whole corpus) it isolates the probe-miss cost. Candidate "
+    "restriction happens BEFORE the per-pair aggregation (semi-join "
+    "on the probed pairs), so compute ∝ probed candidates — the "
+    "100-TB serving shape: coarse cells cut the corpus, m-byte codes "
+    "cut the bytes, and the exact vectors are never touched at "
+    "query time. Recall is the exact-integer hit count divided "
+    "once, like its five sibling curves.",
+)
+def similarity_ivfpq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < _RECALL_NQ)
+    brute = S.cosine_topk(q, emb, k=_RECALL_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    cents_ivf, c_idx = S.ivf_build(emb, num_clusters=8, lloyd_iters=1)
+    pq_cents, pq_codes = S.pq_train_encode(emb, m=_IVFPQ_M, num_codes=_PQ_CODES)
+    qn = S.with_norm(q).select(
+        F.col("vec_id").alias("query_id"), "_vec", "_norm"
+    )
+    ann = None
+    for np_ in _RECALL_PROBES:
+        probe = S._nearest_centroids(
+            qn, cents_ivf, nprobe=np_, id_name="query_id"
+        ).select("cid", "query_id")
+        cand = (
+            c_idx.join(F.broadcast(probe), "cid")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+        )
+        part = S.pq_adc_topk(
+            q, pq_cents, pq_codes, m=_IVFPQ_M, k=_RECALL_K, candidates=cand
+        ).select(
+            F.lit(np_).cast("long").alias("nprobe"),
+            "query_id",
+            "neighbor_id",
+        )
+        ann = part if ann is None else ann.unionByName(part)
+    return (
+        ann.join(brute, ["query_id", "neighbor_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.lit(_RECALL_NQ).cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_results"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                / F.lit(_RECALL_NQ * _RECALL_K),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
     )
 
 

@@ -812,3 +812,57 @@ def events_dpp_date_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+def _stage_documents_orc(spark: SparkSession, sf: str) -> str:
+    """ORC copy of documents (doc_id-sorted, 4 files) — the second
+    columnar source format beside parquet: same predicate-pushdown /
+    column-pruning / stripe-statistics contract through Spark's native
+    ORC reader. Staged once per source signature."""
+    staged, _ = stage_derived(
+        sf,
+        "documents",
+        "orc",
+        lambda out: table(spark, sf, "documents")
+        .repartitionByRange(4, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.orc(out),
+    )
+    return staged
+
+
+@register(
+    "docs_orc_scan",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    WHERE n_chars >= 200 AND lang = 'en'
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="ORC source coverage: documents staged as doc_id-sorted ORC "
+    "(Spark's second native columnar format) and scanned back with a "
+    "selective conjunction — values must equal the same predicate "
+    "over the original parquet (the oracle), proving the format "
+    "round-trips losslessly; the pushdown contract (PushedFilters "
+    "reaching the OrcScan, ReadSchema pruned to the 4 referenced "
+    "columns) is pinned in tests/test_plans.py. At 100 TB this is "
+    "the interop story: a lakehouse rarely owns one format, and the "
+    "scan-side optimizations (predicate pushdown to stripe "
+    "statistics, column pruning) must survive the format swap.",
+)
+def docs_orc_scan(spark: SparkSession, sf: str) -> DataFrame:
+    d = spark.read.orc(_stage_documents_orc(spark, sf))
+    return (
+        d.filter((F.col("n_chars") >= 200) & (F.col("lang") == "en"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("source")
+    )

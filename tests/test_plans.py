@@ -272,6 +272,7 @@ class TestUniversalGates:
         # shared IVF cell build over the dup-injected corpus)
         "similarity_pq_recall",
         "dedup_semantic_semdedup",
+        "similarity_ivfpq_recall",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
@@ -317,6 +318,7 @@ class TestUniversalGates:
         "events_cuped_adjustment",    # 1-row pooled theta/mean scalar
         "graph_ktruss_copurchase",    # 1-row x 1-row per-round summaries
         "customer_kanon_audit",       # 1-row totals vs bounded class sizes
+        "customer_ldiversity_audit",  # same 1-row totals broadcast pattern
         "events_conversion_latency_quantiles",  # quantile-spec x <=22-bucket relation
         "orders_pareto_share",        # pct-spec x bounded bucket list + 1-row thr
         "graph_anf_hyperball",        # 1-row final-round ANF scalar
@@ -324,6 +326,7 @@ class TestUniversalGates:
         "similarity_pq_recall",       # same bounded 20-query brute anchor
         "dedup_semantic_semdedup",    # k=8 centroid frames (shared IVF build)
         "lineitem_kmv_setops",        # 1-row sketch-summary scalars (x4)
+        "similarity_ivfpq_recall",    # k=8 cells + bounded brute anchor
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):
@@ -854,3 +857,28 @@ class TestDppPlanShape:
         df = qs["events_dpp_date_join"](spark, sf_dir)
         plan = physical_plan(df)
         assert "dynamicpruning" in plan.lower(), plan
+
+
+class TestOrcScanEfficiency:
+    """docs_orc_scan: the format-swap must keep the scan-side contract —
+    predicates pushed to the ORC reader (stripe-statistics skipping),
+    schema pruned to the referenced columns."""
+
+    def test_orc_pushdown_and_pruning(self, spark, sf_dir):
+        from graphdatabases_spark.relational.pipeline_queries import (
+            _stage_documents_orc,
+        )
+        import pyspark.sql.functions as F
+
+        d = spark.read.orc(_stage_documents_orc(spark, sf_dir))
+        df = (
+            d.filter((F.col("n_chars") >= 200) & (F.col("lang") == "en"))
+            .groupBy("source")
+            .count()
+        )
+        plan = physical_plan(df)
+        assert "PushedFilters: [" in plan, plan
+        pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        assert "n_chars" in pushed and "lang" in pushed, pushed
+        schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+        assert "text" not in schema, schema  # widest column pruned away
