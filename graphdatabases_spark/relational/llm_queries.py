@@ -2961,3 +2961,180 @@ def text_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("score_ppm").desc(), "phrase")
         .limit(_RAKE_TOPN)
     )
+
+
+@register(
+    "dedup_prefix_jaccard",
+    oracle=f"""
+    WITH td AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct({TOKS})) AS tok FROM documents
+      WHERE doc_id < 500
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+           FROM td GROUP BY doc_id),
+    dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc
+            FROM td GROUP BY tok),
+    pos AS MATERIALIZED (
+      SELECT td.doc_id, td.tok, s.sz,
+             row_number() OVER (
+               PARTITION BY td.doc_id ORDER BY d.dfc, td.tok
+             ) AS pos
+      FROM td JOIN dfc d ON d.tok = td.tok JOIN sz s ON s.doc_id = td.doc_id
+    ),
+    pref AS MATERIALIZED (
+      SELECT doc_id, tok, sz FROM pos
+      WHERE pos <= sz - (4 * sz + 4) // 5 + 1
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sz AS sza, b.sz AS szb
+      FROM pref a JOIN pref b
+        ON b.tok = a.tok AND b.doc_id > a.doc_id
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, c.sza, c.szb,
+             CAST(count(*) AS BIGINT) AS o
+      FROM cand c
+      JOIN td x ON x.doc_id = c.doc_a
+      JOIN td y ON y.doc_id = c.doc_b AND y.tok = x.tok
+      GROUP BY c.doc_a, c.doc_b, c.sza, c.szb
+    ),
+    hits AS (
+      SELECT doc_a, doc_b,
+             CAST((1000000 * o) // (sza + szb - o) AS BIGINT) AS jacc_ppm
+      FROM common
+      WHERE 9 * o >= 4 * (sza + szb)
+    ),
+    sym AS (
+      SELECT doc_a AS doc_id, doc_b AS partner, jacc_ppm FROM hits
+      UNION ALL
+      SELECT doc_b, doc_a, jacc_ppm FROM hits
+    ),
+    ranked AS (
+      SELECT doc_id, partner, jacc_ppm,
+             count(*) OVER (PARTITION BY doc_id) AS n_partners,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY jacc_ppm DESC, partner
+             ) AS rk
+      FROM sym
+    )
+    SELECT doc_id, CAST(n_partners AS BIGINT) AS n_partners,
+           partner AS best_partner, jacc_ppm AS best_jacc_ppm
+    FROM ranked WHERE rk = 1
+    ORDER BY doc_id
+    """,
+    doc="EXACT set-similarity self-join with the PREFIX FILTER "
+    "(AllPairs/PPJoin, Bayardo et al. / Xiao et al.): distinct "
+    "per-doc tokens order by GLOBAL document frequency (rarest "
+    "first, token tie-break); for Jaccard >= 0.8 any qualifying "
+    "pair must share a token in each side's first "
+    "|x| - ceil(0.8·|x|) + 1 tokens (overlap o >= t·|x| on both "
+    "sides, pigeonhole under the shared order), so candidates are "
+    "generated ONLY by prefix-token collisions — the rare tokens — "
+    "and verified with an exact overlap count; the threshold test "
+    "is the integer identity 9·o >= 4·(|x|+|y|) (J >= 4/5), no "
+    "floats until the reported jacc_ppm; output is the bounded "
+    "per-doc summary (partner count + best partner) — the syndicated "
+    "clusters in the fixture would otherwise emit O(cluster²) pair "
+    "rows. This is the DETERMINISTIC, "
+    "recall-1.0 complement to the MinHash-banding candidates "
+    "(dedup_lsh_candidates trades recall for cost; the prefix "
+    "filter is exact with cost bounded by rare-token collision "
+    "counts — the published AllPairs result). Scale shape: one "
+    "(doc, token) distinct, one token-df agg, one per-doc window "
+    "for prefix ranks (doc-partitioned), a prefix-token equi-join "
+    "(never all-pairs), and a candidate-restricted verification "
+    "join. BOUNDED INPUT, documented: prefix filtering's cost "
+    "guarantee assumes a heavy-tailed vocabulary where prefix "
+    "tokens are genuinely rare; the fixture's word-salad corpus has "
+    "a small uniform vocabulary, so the filter degenerates toward "
+    "all-pairs there (measured: 604 s unbounded at sf0.1) — the "
+    "entry therefore pins the algorithm on a fixed 500-doc "
+    "calibration slice (the dedup_jaccard_pairs convention), and "
+    "the unbounded-n production path remains the banded MinHash "
+    "candidates (dedup_lsh_candidates) whose cost does not depend "
+    "on vocabulary shape.",
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    td = (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", F.explode(T.distinct_tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    sz = td.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    dfc = td.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("dfc"))
+    w = Window.partitionBy("doc_id").orderBy("dfc", "tok")
+    pos = (
+        td.join(dfc, "tok")
+        .join(sz, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+    )
+    pref = pos.filter(
+        F.col("pos") <= F.col("sz") - F.expr("(4 * sz + 4) div 5") + 1
+    ).select("doc_id", "tok", "sz")
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("sz").alias("sza")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("sz").alias("szb"),
+    )
+    cand = (
+        a.join(b, (F.col("tok_b") == F.col("tok")) & (F.col("doc_b") > F.col("doc_a")))
+        .select("doc_a", "doc_b", "sza", "szb")
+        .distinct()
+    )
+    x = td.select(F.col("doc_id").alias("doc_a"), "tok")
+    y = td.select(
+        F.col("doc_id").alias("doc_y"), F.col("tok").alias("tok_y")
+    )
+    common = (
+        cand.join(x, "doc_a")
+        .join(
+            y,
+            (F.col("doc_y") == F.col("doc_b"))
+            & (F.col("tok_y") == F.col("tok")),
+        )
+        .groupBy("doc_a", "doc_b", "sza", "szb")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    hits = common.filter(
+        9 * F.col("o") >= 4 * (F.col("sza") + F.col("szb"))
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST((1000000 * o) div (sza + szb - o) AS BIGINT)").alias(
+            "jacc_ppm"
+        ),
+    )
+    sym = hits.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("partner"),
+        "jacc_ppm",
+    ).unionByName(
+        hits.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("partner"),
+            "jacc_ppm",
+        )
+    )
+    wn = Window.partitionBy("doc_id")
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("jacc_ppm").desc(), "partner"
+    )
+    return (
+        sym.withColumn("n_partners", F.count(F.lit(1)).over(wn).cast("long"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "n_partners",
+            F.col("partner").alias("best_partner"),
+            F.col("jacc_ppm").alias("best_jacc_ppm"),
+        )
+        .orderBy("doc_id")
+    )
