@@ -490,8 +490,11 @@ def _ssp_numpy(
         cand_v, cand_rank = cand_v[keep], cand_rank[keep]
         if len(cand_v) == 0:
             break
-        # First occurrence per v under (v, rank) sort = min-rank pred.
-        order = np.lexsort((cand_rank, cand_v))
+        # cand_rank is nondecreasing by construction (candidates are
+        # emitted frontier-slot by frontier-slot), so ONE stable sort
+        # on v alone puts the min-rank predecessor first per v — no
+        # two-key lexsort needed.
+        order = np.argsort(cand_v, kind="stable")
         vs_sorted = cand_v[order]
         first = np.ones(len(vs_sorted), dtype=bool)
         first[1:] = vs_sorted[1:] != vs_sorted[:-1]
@@ -499,8 +502,10 @@ def _ssp_numpy(
         new_rank = cand_rank[order][first]
         pred[new_v] = frontier[new_rank]
         visited[new_v] = True
-        # Next frontier in path-lex order: by (pred rank, node id).
-        frontier = new_v[np.lexsort((new_v, new_rank))]
+        # Next frontier in path-lex order: by (pred rank, node id) —
+        # both nonnegative and < n, so one argsort of the combined
+        # int64 key replaces the second lexsort.
+        frontier = new_v[np.argsort(new_rank * np.int64(n) + new_v)]
         if visited[dpos]:
             path = [int(idx.universe[dpos])]
             p = dpos
