@@ -391,19 +391,32 @@ def _local_result_df(spark: SparkSession, rows: list, schema: StructType) -> Dat
         return spark.createDataFrame(pdf, schema)
     if rows and len(rows) <= 4 and _all_integral(rows, schema):
         # TINY array-typed results (the 1-row SSP path): render as ONE
-        # SQL literal — a single py4j round-trip. The Arrow batch path
-        # below costs ~20 ms per call in JVM round-trips (profiled
-        # round 8: >half of a cached ssp() invocation); the literal is
-        # ~2 ms. Integral-only by construction (node ids/dists).
+        # SQL statement — a single py4j round-trip. The Arrow batch
+        # path below costs ~20 ms per call in JVM round-trips
+        # (profiled round 8: >half of a cached ssp() invocation).
+        # Arrays render as transform(split('1,2,…')) rather than an
+        # array(…) literal: one string literal is ~5 expression nodes
+        # where a 260-element array literal is 260+, and the analyzer
+        # walks every node (measured 6-9 ms vs 8-13 ms per build).
+        # Integral-only by construction (node ids/dists).
         selects = []
         for row in rows:
             cols = []
             for i, f in enumerate(schema.fields):
                 if isinstance(f.dataType, ArrayType):
+                    elem = f.dataType.elementType.simpleString()
+                    if len(row[i]) == 0:
+                        # split('') yields [''] → [NULL]; render empty
+                        # arrays directly.
+                        cols.append(
+                            f"CAST(array() AS {f.dataType.simpleString()})"
+                            f" AS {f.name}"
+                        )
+                        continue
                     inner = ",".join(str(int(v)) for v in row[i])
                     cols.append(
-                        f"CAST(array({inner}) AS {f.dataType.simpleString()})"
-                        f" AS {f.name}"
+                        f"transform(split('{inner}', ','),"
+                        f" x -> CAST(x AS {elem})) AS {f.name}"
                     )
                 else:
                     cols.append(
