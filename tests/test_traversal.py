@@ -137,3 +137,64 @@ def test_bfs_distances(spark):
     g = chain_graph(spark, 6)
     rows = {r["id"]: r["dist"] for r in bfs_distances(g, 0, strategy="local").collect()}
     assert rows == {i: i for i in range(6)}
+
+
+class TestLocalResultConstruction:
+    """_local_result_df's three construction paths (SQL literal for
+    tiny integral rows, Arrow batch, plain list) must be value-
+    interchangeable — the round-8 literal fast path is an optimization,
+    never a semantics change."""
+
+    def test_literal_path_matches_arrow_path(self, spark):
+        from graphdatabases_spark.graph.traversal import (
+            PATH_SCHEMA,
+            _local_result_df,
+        )
+
+        rows = [(7, [1, 2, 3]), (0, [9]), (259, list(range(260)))]
+        # <= 4 integral rows → the SQL-literal path
+        lit = sorted(
+            (r["dist"], r["path"])
+            for r in _local_result_df(spark, rows, PATH_SCHEMA).collect()
+        )
+        # > 4 rows → the Arrow path; same leading rows
+        rows_big = rows + [(1, [4]), (2, [5])]
+        arrow = sorted(
+            (r["dist"], r["path"])
+            for r in _local_result_df(spark, rows_big, PATH_SCHEMA).collect()
+        )
+        assert lit == [t for t in arrow if t[0] in (0, 7, 259)]
+        df = _local_result_df(spark, rows, PATH_SCHEMA)
+        assert df.schema == PATH_SCHEMA or [
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        ] == [(f.name, f.dataType.simpleString()) for f in PATH_SCHEMA.fields]
+
+    def test_literal_path_handles_empty_arrays(self, spark):
+        from graphdatabases_spark.graph.traversal import (
+            PATH_SCHEMA,
+            _local_result_df,
+        )
+
+        rows = [(0, [])]  # split('') would yield [NULL]; must be []
+        got = _local_result_df(spark, rows, PATH_SCHEMA).collect()
+        assert got[0]["dist"] == 0 and got[0]["path"] == []
+
+    def test_non_integral_rows_fall_back(self, spark):
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from graphdatabases_spark.graph.traversal import _local_result_df
+
+        schema = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("xs", ArrayType(DoubleType()), False),
+            ]
+        )
+        got = _local_result_df(spark, [(1, [0.5, 1.5])], schema).collect()
+        assert got[0]["id"] == 1 and got[0]["xs"] == [0.5, 1.5]
