@@ -1800,3 +1800,126 @@ def orders_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Contamination operating curve over n-gram size
+# ---------------------------------------------------------------------------
+
+_CONTAM_NS = (2, 3, 5, 8)
+
+
+def _contam_n_cte(n: int) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n)).replace(
+        "toks[i+0]", "toks[i]"
+    )
+    return f"""g{n} AS (
+      SELECT split,
+        unnest(list_distinct(list_transform(range(1, len(toks) - {n - 2}),
+          i -> {gram}))) AS gram
+      FROM t WHERE len(toks) >= {n}
+    ),
+    sg{n} AS MATERIALIZED (SELECT DISTINCT split, gram FROM g{n}),
+    row{n} AS (
+      SELECT {n} AS n,
+        (SELECT CAST(count(*) AS BIGINT) FROM sg{n}
+          WHERE split = 'train') AS n_grams_train,
+        (SELECT CAST(count(*) AS BIGINT) FROM sg{n}
+          WHERE split = 'val') AS n_grams_val,
+        (SELECT CAST(count(*) AS BIGINT)
+         FROM sg{n} a JOIN sg{n} b ON b.gram = a.gram
+         WHERE a.split = 'train' AND b.split = 'val') AS n_shared
+    )"""
+
+
+@register(
+    "docs_contamination_n_curve",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT CASE
+               WHEN ('0x' || substr(md5('splt' || doc_id), 1, 12))::BIGINT
+                    % 10 < 8 THEN 'train'
+               WHEN ('0x' || substr(md5('splt' || doc_id), 1, 12))::BIGINT
+                    % 10 = 8 THEN 'val'
+               ELSE 'test' END AS split,
+             {{toks}} AS toks
+      FROM documents
+    ),
+    {",".join(_contam_n_cte(n) for n in _CONTAM_NS)}
+    SELECT CAST(n AS BIGINT) AS n, n_grams_train, n_grams_val, n_shared,
+           CAST((1000000 * n_shared)
+                // least(n_grams_train, n_grams_val) AS BIGINT)
+             AS containment_ppm
+    FROM ({" UNION ALL ".join(f"SELECT * FROM row{n}" for n in _CONTAM_NS)})
+    ORDER BY n
+    """.replace("{toks}", _TOKS),
+    doc=f"CONTAMINATION OPERATING CURVE over n-gram size — the knob "
+    "published decontamination pipelines actually tune (GPT-3 used "
+    "13-grams; short n over-flags, long n under-flags): train↔val "
+    "shared distinct n-grams and the containment ratio (exact "
+    f"integer ppm) at n ∈ {{{', '.join(str(n) for n in _CONTAM_NS)}}} "
+    "on the same salted split assignment as docs_split_manifest / "
+    "docs_split_contamination (whose single-n row this curve "
+    "brackets). The curve is the calibration artifact: pick the "
+    "smallest n whose false-positive floor (containment at random "
+    "overlap) is acceptable. Scale shape: per-n distinct-gram "
+    "relations are hash-aggs with vocabulary-bounded growth; each "
+    "shared count is one gram-keyed equi-join; output is "
+    f"{len(_CONTAM_NS)} rows. Like its siblings, counts are exact "
+    "BIGINTs and the ratio is one floor division.",
+)
+def docs_contamination_n_curve(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.relational.analytics_queries import _ngram_array
+
+    b = (
+        T.portable_hash64(
+            F.concat(F.lit("splt"), F.col("doc_id").cast("string"))
+        )
+        % 10
+    )
+    split = (
+        F.when(b < 8, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    d = table(spark, sf, "documents").select(
+        split.alias("split"), T.tokens(F.col("text")).alias("toks")
+    )
+    out = None
+    for n in _CONTAM_NS:
+        sg = (
+            d.filter(F.size("toks") >= n)
+            .select(
+                "split",
+                F.explode(
+                    F.array_distinct(_ngram_array(F.col("toks"), n))
+                ).alias("gram"),
+            )
+            .distinct()
+        )
+        tr = sg.filter(F.col("split") == "train").select("gram")
+        va = sg.filter(F.col("split") == "val").select(
+            F.col("gram").alias("gram_v")
+        )
+        row = (
+            tr.agg(F.count(F.lit(1)).cast("long").alias("n_grams_train"))
+            .crossJoin(
+                va.agg(F.count(F.lit(1)).cast("long").alias("n_grams_val"))
+            )
+            .crossJoin(
+                tr.join(va, F.col("gram_v") == F.col("gram"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            )
+            .select(
+                F.lit(n).cast("long").alias("n"),
+                "n_grams_train",
+                "n_grams_val",
+                "n_shared",
+                F.expr(
+                    "CAST((1000000 * n_shared)"
+                    " div least(n_grams_train, n_grams_val) AS BIGINT)"
+                ).alias("containment_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n")

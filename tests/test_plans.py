@@ -326,6 +326,7 @@ class TestUniversalGates:
         "similarity_pq_recall",       # same bounded 20-query brute anchor
         "dedup_semantic_semdedup",    # k=8 centroid frames (shared IVF build)
         "lineitem_kmv_setops",        # 1-row sketch-summary scalars (x4)
+        "docs_contamination_n_curve", # 1-row per-n count scalars (x3 each)
         "similarity_ivfpq_recall",    # k=8 cells + bounded brute anchor
     }
 
