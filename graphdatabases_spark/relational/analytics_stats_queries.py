@@ -1923,3 +1923,113 @@ def docs_contamination_n_curve(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("n")
+
+
+# ---------------------------------------------------------------------------
+# Hourly-series autocorrelation (lag-k, exact integer sums)
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 24)
+
+
+def _acf_row_sql(k: int) -> str:
+    return f"""SELECT {k} AS lag_h,
+      (SELECT CAST(count(*) AS BIGINT) FROM h a
+        JOIN h b ON b.hr = a.hr + {k}) AS n_pairs,
+      (SELECT CAST(sum(a.c) AS BIGINT) FROM h a
+        JOIN h b ON b.hr = a.hr + {k}) AS sx,
+      (SELECT CAST(sum(b.c) AS BIGINT) FROM h a
+        JOIN h b ON b.hr = a.hr + {k}) AS sy,
+      (SELECT CAST(sum(a.c * b.c) AS BIGINT) FROM h a
+        JOIN h b ON b.hr = a.hr + {k}) AS sxy,
+      (SELECT CAST(sum(a.c * a.c) AS BIGINT) FROM h a
+        JOIN h b ON b.hr = a.hr + {k}) AS sxx,
+      (SELECT CAST(sum(b.c * b.c) AS BIGINT) FROM h a
+        JOIN h b ON b.hr = a.hr + {k}) AS syy"""
+
+
+@register(
+    "events_hourly_autocorr",
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+      SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    rows_out AS ({" UNION ALL ".join(_acf_row_sql(k) for k in _ACF_LAGS)})
+    SELECT lag_h, n_pairs,
+           round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / greatest(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)),
+                            1e-30), 6) AS acf
+    FROM rows_out ORDER BY lag_h
+    """,
+    doc=f"AUTOCORRELATION of the hourly event-count series at lags "
+    f"{{{', '.join(str(k) for k in _ACF_LAGS)}}} hours — the "
+    "seasonality probe behind anomaly baselines (lag-24 reads daily "
+    "periodicity; lag-1 short-range burstiness): hours bucket to "
+    "epoch-hour integers, the lag pairing is an equi-join on hr+k "
+    "(observed hours only — missing hours pair nothing, the "
+    "Pearson-on-paired-points convention), and the correlation uses "
+    "the computational formula over EXACT BIGINT sums of the integer "
+    "counts (n·Σxy − Σx·Σy over the geometric mean of the same-form "
+    "variances) — the only floating point is one division + two "
+    "sqrts at the end, rounded once, so the value hash-matches "
+    "cross-engine with no summation-order hazard. Scale shape: one "
+    "hour-keyed count agg (bounded by the time horizon, not the row "
+    "count), then per-lag self-equi-joins + 1-row scalar folds over "
+    "that bounded relation.",
+)
+def events_hourly_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    h = (
+        table(spark, sf, "events")
+        .select(
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("long")
+            .alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    out = None
+    for k in _ACF_LAGS:
+        a = h.select(F.col("hr"), F.col("c").alias("x"))
+        b = h.select(
+            (F.col("hr") - k).alias("hr_b"), F.col("c").alias("y")
+        )
+        pairs = a.join(b, F.col("hr_b") == F.col("hr"))
+        row = pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        ).select(
+            F.lit(k).cast("long").alias("lag_h"),
+            "n_pairs",
+            F.round(
+                (
+                    F.col("n_pairs") * F.col("sxy")
+                    - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / F.greatest(
+                    F.sqrt(
+                        (
+                            F.col("n_pairs") * F.col("sxx")
+                            - F.col("sx") * F.col("sx")
+                        ).cast("double")
+                    )
+                    * F.sqrt(
+                        (
+                            F.col("n_pairs") * F.col("syy")
+                            - F.col("sy") * F.col("sy")
+                        ).cast("double")
+                    ),
+                    F.lit(1e-30),
+                ),
+                6,
+            ).alias("acf"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lag_h")
