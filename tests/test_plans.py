@@ -328,6 +328,7 @@ class TestUniversalGates:
         "lineitem_kmv_setops",        # 1-row sketch-summary scalars (x4)
         "docs_contamination_n_curve", # 1-row per-n count scalars (x3 each)
         "similarity_ivfpq_recall",    # k=8 cells + bounded brute anchor
+        "dedup_prefix_zipf",          # 1-row bound-summary scalars (x2)
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):
