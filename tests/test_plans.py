@@ -273,6 +273,9 @@ class TestUniversalGates:
         "similarity_pq_recall",
         "dedup_semantic_semdedup",
         "similarity_ivfpq_recall",
+        # same 8-row seed numbering as ann_ivf (shared IVF build) +
+        # the 25-row BM25 rank window of docs_bm25_topk
+        "retrieval_ndcg_mrr",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
@@ -329,6 +332,8 @@ class TestUniversalGates:
         "docs_contamination_n_curve", # 1-row per-n count scalars (x3 each)
         "similarity_ivfpq_recall",    # k=8 cells + bounded brute anchor
         "dedup_prefix_zipf",          # 1-row bound-summary scalars (x2)
+        "retrieval_ndcg_mrr",         # k=8 cells + bounded query batch + 1-row stats
+        "graph_modularity",           # 1-row m/totals/intra scalars (x3)
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):
