@@ -1170,3 +1170,244 @@ def docs_pps_sample(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling weights
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024  # hashed feature buckets
+_DSIR_SCALE = 24  # fixed-point ratio scale: r = (p_t/p_c) * 2^24
+_DSIR_CLIP = 48  # temperature clip: |per-feature log ratio| <= 6 bits (48/8)
+# Round-to-NEAREST eighth-bit log2 thresholds: rm in [2^20, 2^21) gets
+# k extra eighths iff rm >= floor(2^((2k-1)/16) * 2^20) — half-quantum
+# offsets, so the quantizer rounds instead of floors (a floor quantizer
+# biases every near-1 ratio a half-quantum negative, which at ~90
+# features/doc buried the target-domain signal under a −62 milli
+# offset; measured during round 9).
+_DSIR_EIGHTH_THRESHOLDS = [
+    __import__("math").floor(2 ** ((2 * k - 1) / 16) * 2 ** 20)
+    for k in range(1, 9)
+]
+
+
+def _dsir_eighths_sql(rm: str) -> str:
+    """Σ_k [rm >= c_k] — the fractional eighth-bits of log2(rm/2^20)."""
+    return " + ".join(
+        f"CASE WHEN {rm} >= {c} THEN 1 ELSE 0 END"
+        for c in _DSIR_EIGHTH_THRESHOLDS
+    )
+
+
+@register(
+    "docs_dsir_weights",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks,
+        lang,
+        ('0x' || substr(md5('splt' || doc_id), 1, 12))::BIGINT % 10 AS b
+      FROM documents
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id, lang, b,
+        ('0x' || substr(md5('dsir:' || g), 1, 12))::BIGINT % {_DSIR_B}
+          AS bkt
+      FROM (
+        SELECT doc_id, lang, b, unnest(toks) AS g FROM d
+        UNION ALL
+        SELECT doc_id, lang, b,
+          unnest(list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i+1]))
+        FROM d
+      )
+    ),
+    tmod AS (SELECT bkt, CAST(count(*) AS BIGINT) AS tc FROM feats
+             WHERE b < 8 AND lang = 'en' GROUP BY bkt),
+    cmod AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cc FROM feats
+             WHERE b < 8 GROUP BY bkt),
+    tots AS (
+      SELECT CAST((SELECT coalesce(sum(tc), 0) FROM tmod) AS BIGINT) AS tt,
+             CAST((SELECT coalesce(sum(cc), 0) FROM cmod) AS BIGINT) AS ct
+    ),
+    lr0 AS (
+      SELECT g.range AS bkt,
+        CAST((CAST(coalesce(t.tc, 0) + 1 AS DECIMAL(38,0))
+              * (ct + {_DSIR_B}) * {2 ** _DSIR_SCALE})
+             // ((coalesce(c.cc, 0) + 1) * (tt + {_DSIR_B}))
+          AS BIGINT) AS r
+      FROM range(0, {_DSIR_B}) g
+      LEFT JOIN tmod t ON t.bkt = g.range
+      LEFT JOIN cmod c ON c.bkt = g.range
+      CROSS JOIN tots
+    ),
+    lr1 AS (
+      SELECT bkt, length(bin(r)) - 1 AS e,
+        CASE WHEN length(bin(r)) - 1 >= 20
+             THEN r // (1::BIGINT << (length(bin(r)) - 1 - 20))
+             ELSE r * (1::BIGINT << (20 - (length(bin(r)) - 1)))
+        END AS rm
+      FROM lr0
+    ),
+    lr AS (
+      SELECT bkt,
+        greatest(-{_DSIR_CLIP}, least({_DSIR_CLIP},
+          8 * (e - {_DSIR_SCALE}) + ({_dsir_eighths_sql("rm")}))) AS lr
+      FROM lr1
+    ),
+    per AS (
+      SELECT f.doc_id, min(f.b) AS b,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(l.lr) AS BIGINT) AS w_ebits
+      FROM feats f JOIN lr l ON l.bkt = f.bkt
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id,
+      CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+           ELSE 'test' END AS split,
+      n_feats, w_ebits,
+      CAST((125 * (w_ebits + {_DSIR_CLIP} * n_feats)) // n_feats
+           AS BIGINT) - 6000 AS w_milli,
+      (b < 8 AND CAST((125 * (w_ebits + {_DSIR_CLIP} * n_feats))
+                      // n_feats AS BIGINT) - 6000 > 0) AS selected
+    FROM per WHERE n_feats > 0 ORDER BY doc_id
+    """,
+    doc="DSIR-style importance resampling weights (Xie et al. 2023, "
+    "Data Selection via Importance Resampling): hashed n-gram "
+    f"features (unigrams + adjacent bigrams, portable-md5 into "
+    f"{_DSIR_B} buckets), a TARGET bag-of-buckets model fit on "
+    "train-split English docs vs a CORPUS model fit on the whole "
+    "train split (Laplace +1 both), and a per-document importance "
+    "weight = Σ per-feature log2(p_target/p_corpus). The log ratio "
+    "is computed ENTIRELY in integers at EIGHTH-BIT resolution: the "
+    f"2^{_DSIR_SCALE}-scaled cross-model ratio (DECIMAL(38,0) "
+    "product) is normalized to a 21-bit mantissa by its bit length "
+    "(the docs_unigram_surprise bin() trick) and the fractional "
+    "eighths come from 8 precomputed ROUND-TO-NEAREST thresholds "
+    "2^((2k−1)/16)·2^20 — a floor quantizer's half-quantum bias "
+    "(−62 milli-bits/feature, measured) buried the domain signal; "
+    "rounding centers non-informative buckets at exactly 0. Each "
+    f"feature's ratio is TEMPERATURE-CLIPPED to ±6 bits "
+    "(DSIR's heavy-tail control), and the per-doc normalized w_milli "
+    "floor-division is shifted nonnegative so DuckDB floor and Spark "
+    "truncate agree on negative weights. LEAKAGE-SAFE by "
+    "construction: both models see only the salt-'splt' train split; "
+    "val/test docs are scored but never fit. selected = train docs "
+    "with positive mean log ratio — the deterministic stand-in for "
+    "DSIR's Gumbel top-k; at sf0.01 it keeps 75/174 English train "
+    "docs vs 1–4 per other language (90% target precision). Scale: "
+    "two bucket-bounded (1024-row) model aggs, a broadcast ratio "
+    "table re-joined per feature occurrence, one keyed per-doc agg — "
+    "no shuffle grows beyond the feature explode.",
+)
+def docs_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").select(
+        "doc_id",
+        T.tokens(F.col("text")).alias("toks"),
+        "lang",
+        (
+            T.portable_hash64(
+                F.concat(F.lit("splt"), F.col("doc_id").cast("string"))
+            )
+            % 10
+        ).alias("b"),
+    )
+
+    def bigrams(toks):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        )
+
+    grams = d.select(
+        "doc_id", "lang", "b", F.explode("toks").alias("g")
+    ).unionByName(
+        d.filter(F.size("toks") >= 2).select(
+            "doc_id", "lang", "b", F.explode(bigrams(F.col("toks"))).alias("g")
+        )
+    )
+    feats = grams.select(
+        "doc_id",
+        "lang",
+        "b",
+        (
+            T.portable_hash64(F.concat(F.lit("dsir:"), F.col("g")))
+            % _DSIR_B
+        ).alias("bkt"),
+    )
+    train = feats.filter(F.col("b") < 8)
+    tmod = (
+        train.filter(F.col("lang") == "en")
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    )
+    cmod = train.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("cc")
+    )
+    tots = tmod.agg(
+        F.coalesce(F.sum("tc"), F.lit(0)).cast("long").alias("tt")
+    ).crossJoin(
+        cmod.agg(F.coalesce(F.sum("cc"), F.lit(0)).cast("long").alias("ct"))
+    )
+    r_expr = F.expr(
+        f"CAST((CAST(coalesce(tc, 0) + 1 AS DECIMAL(38,0))"
+        f" * (ct + {_DSIR_B}) * {2 ** _DSIR_SCALE})"
+        f" div ((coalesce(cc, 0) + 1) * (tt + {_DSIR_B})) AS BIGINT)"
+    )
+    rm_expr = F.expr(
+        "CASE WHEN length(bin(r)) - 1 >= 20"
+        " THEN r div shiftleft(CAST(1 AS BIGINT),"
+        "                      CAST(length(bin(r)) - 1 - 20 AS INT))"
+        " ELSE r * shiftleft(CAST(1 AS BIGINT),"
+        "                    CAST(20 - (length(bin(r)) - 1) AS INT)) END"
+    )
+    eighths = " + ".join(
+        f"CASE WHEN rm >= {c} THEN 1 ELSE 0 END"
+        for c in _DSIR_EIGHTH_THRESHOLDS
+    )
+    lr = (
+        spark.range(_DSIR_B)
+        .select(F.col("id").alias("bkt"))
+        .join(tmod, "bkt", "left")
+        .join(cmod, "bkt", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("bkt", r_expr.alias("r"))
+        .select("bkt", "r", (F.length(F.bin("r")) - 1).alias("e"))
+        .select("bkt", "e", rm_expr.alias("rm"))
+        .select(
+            "bkt",
+            F.greatest(
+                F.lit(-_DSIR_CLIP),
+                F.least(
+                    F.lit(_DSIR_CLIP),
+                    8 * (F.col("e") - _DSIR_SCALE) + F.expr(eighths),
+                ),
+            ).alias("lr"),
+        )
+    )
+    per = (
+        feats.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.min("b").alias("b"),
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr").cast("long").alias("w_ebits"),
+        )
+        .filter(F.col("n_feats") > 0)
+    )
+    w_milli = F.expr(
+        f"CAST((125 * (w_ebits + {_DSIR_CLIP} * n_feats)) div n_feats"
+        f" AS BIGINT) - 6000"
+    )
+    return per.select(
+        "doc_id",
+        F.when(F.col("b") < 8, "train")
+        .when(F.col("b") == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_feats",
+        "w_ebits",
+        w_milli.alias("w_milli"),
+        ((F.col("b") < 8) & (w_milli > 0)).alias("selected"),
+    ).orderBy("doc_id")

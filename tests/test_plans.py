@@ -334,6 +334,7 @@ class TestUniversalGates:
         "dedup_prefix_zipf",          # 1-row bound-summary scalars (x2)
         "retrieval_ndcg_mrr",         # k=8 cells + bounded query batch + 1-row stats
         "graph_modularity",           # 1-row m/totals/intra scalars (x3)
+        "docs_dsir_weights",          # 1-row model-total scalars (tt, ct)
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):
