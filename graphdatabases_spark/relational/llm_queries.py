@@ -14,9 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graphdatabases_spark.functions import dedup as D
-from graphdatabases_spark.functions import similarity as S
-from graphdatabases_spark.functions.similarity import EMBEDDING_DIM
 from graphdatabases_spark.functions import text as T
 from graphdatabases_spark.functions.multimodal import attach_binary_payload
 from graphdatabases_spark.relational.catalog import register, table
@@ -596,3 +593,255 @@ def text_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
         .limit(_RAKE_TOPN)
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup via perceptual hash (dHash/aHash) over a BMP corpus
+# ---------------------------------------------------------------------------
+
+_PH_W, _PH_H = 9, 8  # 9x8 luma -> 8x8 horizontal gradients = 64 dHash bits
+_PH_TWIN_EVERY = 10
+_PH_OFFSET = 10_000_000
+_PH_HAM_MAX = 6  # near-dup gate on the dHash Hamming distance
+# The 54-byte BMP file+info header for a 9x8 24-bpp bottom-up image,
+# re-derived from the format spec (BITMAPFILEHEADER + BITMAPINFOHEADER;
+# row stride (9*3+3)&~3 = 28, raster 224, total 278) — independent of
+# functions/bmp_codec.py so the oracle's byte contract checks the REAL
+# encoder's output rather than restating it.
+import struct as _struct  # noqa: E402
+
+_PH_HEADER_HEX = (
+    b"BM"
+    + _struct.pack("<IHHI", 54 + 28 * _PH_H, 0, 0, 54)
+    + _struct.pack(
+        "<IiiHHIIiiII",
+        40, _PH_W, _PH_H, 1, 24, 0, 28 * _PH_H, 2835, 2835, 0, 0,
+    )
+).hex()
+
+# Per-doc luma bytes: 72 md5 bytes from 5 chained seeds (same stream in
+# both engines). v(i) for 0-based luma index i:
+_PH_V = (
+    "(('0x' || substr(md5('img:' || base_id || ':' || ({i} // 16)),"
+    " 2 * ({i} % 16) + 1, 2))::INT)"
+)
+_PH_LUMA = (
+    "list_transform(range(0, 72), i -> CASE WHEN twin AND i < 2"
+    f" THEN least(255, {_PH_V.format(i='i')} + 3)"
+    f" ELSE {_PH_V.format(i='i')} END)"
+)
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, doc_id AS base_id, false AS twin FROM documents
+      UNION ALL
+      SELECT doc_id + {_PH_OFFSET}, doc_id, true FROM documents
+      WHERE doc_id % {_PH_TWIN_EVERY} = 0
+    ),
+    lum AS MATERIALIZED (
+      SELECT doc_id, {_PH_LUMA} AS L FROM corpus
+    ),
+    hashed AS MATERIALIZED (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(0, 32), b ->
+          CASE WHEN L[(b // 8) * 9 + (b % 8) + 1]
+                 < L[(b // 8) * 9 + (b % 8) + 2]
+               THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS dh_lo,
+        CAST(list_sum(list_transform(range(32, 64), b ->
+          CASE WHEN L[(b // 8) * 9 + (b % 8) + 1]
+                 < L[(b // 8) * 9 + (b % 8) + 2]
+               THEN (1::BIGINT << (b - 32)) ELSE 0 END)) AS BIGINT) AS dh_hi,
+        CAST(list_sum(list_transform(range(0, 32), b ->
+          CASE WHEN L[(b // 8) * 9 + (b % 8) + 1] >= mean
+               THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS ah_lo,
+        CAST(list_sum(list_transform(range(32, 64), b ->
+          CASE WHEN L[(b // 8) * 9 + (b % 8) + 1] >= mean
+               THEN (1::BIGINT << (b - 32)) ELSE 0 END)) AS BIGINT) AS ah_hi,
+        sha256('{_PH_HEADER_HEX}' ||
+          array_to_string(list_transform(range(0, 8), r ->
+            array_to_string(list_transform(range(0, 9), c ->
+              repeat(lpad(lower(to_hex(L[(7 - r) * 9 + c + 1])), 2, '0'),
+                     3)), '') || '00'), '')) AS sha_hex
+      FROM (
+        SELECT doc_id, L,
+          list_sum(list_transform(range(0, 64),
+            b -> L[(b // 8) * 9 + (b % 8) + 1])) // 64 AS mean
+        FROM lum
+      )
+    ),
+    bands AS (
+      SELECT doc_id, b,
+        CASE b WHEN 0 THEN dh_lo % 65536 WHEN 1 THEN dh_lo // 65536
+               WHEN 2 THEN dh_hi % 65536 ELSE dh_hi // 65536 END AS val
+      FROM hashed, range(0, 4) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON b.b = a.b AND b.val = a.val AND b.doc_id > a.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+      CAST(bit_count(xor(x.dh_lo, y.dh_lo))
+           + bit_count(xor(x.dh_hi, y.dh_hi)) AS BIGINT) AS ham_d,
+      CAST(bit_count(xor(x.ah_lo, y.ah_lo))
+           + bit_count(xor(x.ah_hi, y.ah_hi)) AS BIGINT) AS ham_a,
+      x.sha_hex AS sha_a, y.sha_hex AS sha_b
+    FROM cand c
+    JOIN hashed x ON x.doc_id = c.doc_a
+    JOIN hashed y ON y.doc_id = c.doc_b
+    WHERE bit_count(xor(x.dh_lo, y.dh_lo))
+          + bit_count(xor(x.dh_hi, y.dh_hi)) <= {_PH_HAM_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Image NEAR-DUP via perceptual hashing over a real BMP corpus "
+    "— the dedup axis the multimodal family lacked (codecs + "
+    "featurize existed; no similarity). Each doc synthesizes a 9×8 "
+    "grayscale image from 5 chained md5 blocks (every 10th doc gets "
+    "a planted twin with two +3-luma pixel bumps), and the SPARK "
+    "side runs the REAL pipeline in one Arrow-batched mapInPandas: "
+    "bmp_encode (24-bpp BGR, bottom-up, 4-byte row stride) → "
+    "bmp_decode (functions/bmp_codec.py) → dHash (64 horizontal "
+    "gradient bits) + aHash (mean-threshold bits), hashes carried as "
+    "two BIGINT halves (no sign-bit hazard at bit 63). Candidates "
+    "come from 4×16-bit dHash Hamming BANDS (the SRP banding "
+    "construction applied to bit-space): ≤2 flipped bits can break "
+    "at most 2 bands, so every planted twin (Hamming ≤ 2) is "
+    "GUARANTEED a shared band — recall 1.0 by pigeonhole, never "
+    "all-pairs. Verification is exact bit_count(xor) ≤ 6 on the "
+    "candidate set only. BYTE CONTRACT: each pair row carries "
+    "sha256 of the hex rendering of the ACTUAL encoder payload, and "
+    "the oracle reassembles the BMP byte-for-byte from the format "
+    "spec (header constant re-derived from BITMAPINFOHEADER struct "
+    "layout, bottom-up BGR raster + row padding in SQL) — a wrong "
+    "stride, row order, or padding byte in the codec fails the hash. "
+    "Scale: hashing is per-row Arrow work; the band join is the "
+    "bounded-collision bucket join (16-bit bands ⇒ E[pairs/band] = "
+    "n²/2¹⁶ ≪ n²); verification touches candidates only.",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    base = table(spark, sf, "documents").select("doc_id")
+    corpus = base.select(
+        "doc_id",
+        F.col("doc_id").alias("base_id"),
+        F.lit(False).alias("twin"),
+    ).unionByName(
+        base.filter(F.col("doc_id") % _PH_TWIN_EVERY == 0).select(
+            (F.col("doc_id") + _PH_OFFSET).alias("doc_id"),
+            F.col("doc_id").alias("base_id"),
+            F.lit(True).alias("twin"),
+        )
+    )
+
+    def hash_images(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from graphdatabases_spark.functions.bmp_codec import (
+            bmp_decode,
+            bmp_encode,
+        )
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "dh_lo": [], "dh_hi": [],
+                "ah_lo": [], "ah_hi": [], "sha_hex": [],
+            }
+            for doc_id, base_id, twin in zip(
+                pdf["doc_id"], pdf["base_id"], pdf["twin"]
+            ):
+                raw = b"".join(
+                    hashlib.md5(f"img:{base_id}:{k}".encode()).digest()
+                    for k in range(5)
+                )[: _PH_W * _PH_H]
+                luma = (
+                    np.frombuffer(raw, np.uint8)
+                    .reshape(_PH_H, _PH_W)
+                    .copy()
+                )
+                if twin:
+                    flat = luma.reshape(-1)
+                    flat[0] = min(255, int(flat[0]) + 3)
+                    flat[1] = min(255, int(flat[1]) + 3)
+                payload = bmp_encode(luma)
+                dec, _ = bmp_decode(payload)  # the REAL round-trip
+                dbits = (dec[:, :-1] < dec[:, 1:]).reshape(-1)
+                mean = int(dec[:, : _PH_W - 1].astype(int).sum()) // 64
+                abits = (dec[:, : _PH_W - 1].astype(int) >= mean).reshape(-1)
+                lo = sum(1 << b for b in range(32) if dbits[b])
+                hi = sum(1 << (b - 32) for b in range(32, 64) if dbits[b])
+                alo = sum(1 << b for b in range(32) if abits[b])
+                ahi = sum(1 << (b - 32) for b in range(32, 64) if abits[b])
+                out["doc_id"].append(int(doc_id))
+                out["dh_lo"].append(lo)
+                out["dh_hi"].append(hi)
+                out["ah_lo"].append(alo)
+                out["ah_hi"].append(ahi)
+                out["sha_hex"].append(
+                    hashlib.sha256(payload.hex().encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    hashed = corpus.mapInPandas(
+        hash_images,
+        "doc_id long, dh_lo long, dh_hi long, ah_lo long, ah_hi long,"
+        " sha_hex string",
+    )
+    hashed = hashed.localCheckpoint(eager=False)
+    bands = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("b"), (F.col("dh_lo") % 65536).alias("val")),
+                F.struct(F.lit(1).alias("b"), F.expr("dh_lo div 65536").alias("val")),
+                F.struct(F.lit(2).alias("b"), (F.col("dh_hi") % 65536).alias("val")),
+                F.struct(F.lit(3).alias("b"), F.expr("dh_hi div 65536").alias("val")),
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.b", "bv.val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("b.b") == F.col("a.b"))
+            & (F.col("b.val") == F.col("a.val"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    x = hashed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("dh_lo").alias("xlo"), F.col("dh_hi").alias("xhi"),
+        F.col("ah_lo").alias("axlo"), F.col("ah_hi").alias("axhi"),
+        F.col("sha_hex").alias("sha_a"),
+    )
+    y = hashed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("dh_lo").alias("ylo"), F.col("dh_hi").alias("yhi"),
+        F.col("ah_lo").alias("aylo"), F.col("ah_hi").alias("ayhi"),
+        F.col("sha_hex").alias("sha_b"),
+    )
+    ham_d = F.expr("bit_count(xlo ^ ylo) + bit_count(xhi ^ yhi)")
+    ham_a = F.expr("bit_count(axlo ^ aylo) + bit_count(axhi ^ ayhi)")
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(ham_d <= _PH_HAM_MAX)
+        .select(
+            "doc_a",
+            "doc_b",
+            ham_d.cast("long").alias("ham_d"),
+            ham_a.cast("long").alias("ham_a"),
+            "sha_a",
+            "sha_b",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
