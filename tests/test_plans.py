@@ -890,3 +890,88 @@ class TestOrcScanEfficiency:
         assert "n_chars" in pushed and "lang" in pushed, pushed
         schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
         assert "text" not in schema, schema  # widest column pruned away
+
+
+class TestAqeSkewJoinRewrite:
+    """AQE's own skew-join split — the runtime counterpart to the manual
+    mitigation join_salted_skew proves semantically. Spark marks the
+    rewritten join `SortMergeJoin(skew=true)` with an `AQEShuffleRead
+    ... skewed` input (Spark 4 plan strings — there is no `isSkew=true`
+    token in this version's tree output).
+
+    The skewed fixture needs a DOMINANT key, not merely a low-cardinality
+    one: OptimizeSkewedJoin's median is over NON-EMPTY reduce partitions,
+    so the 3-value join_salted_skew shape (three equally-huge partitions)
+    is never 'skewed' by AQE's definition — every partition IS the
+    median. Found while building this pin; recorded in SCALE.md."""
+
+    _CONF = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+    }
+
+    def _skewed_join(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        # 90% of lineitem rows collapse onto key 0; the rest spread over
+        # ~1000 keys — one reduce partition far above the non-empty
+        # median, the shape AQE's detector is defined on.
+        l = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            # Spread the single-file fixture over many MAP tasks first:
+            # AQE splits a skewed reduce partition along MAPPER
+            # boundaries, so a one-mapper shuffle can never be split no
+            # matter how skewed it is (found while building this pin).
+            .repartition(16)
+            # x10 amplification keeps the dominant partition above the
+            # lowered skew threshold even at the sf0.001 test fixture
+            # (a constant-key partition compresses extremely well).
+            .select(
+                F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+                .otherwise(F.col("l_orderkey") % 1000)
+                .alias("k"),
+                "l_quantity",
+                F.explode(F.sequence(F.lit(1), F.lit(10))).alias("rep"),
+            )
+            .select("k", (F.col("l_quantity") + F.col("rep")).alias("l_quantity"))
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        return l.join(dim, "k")
+
+    def _run(self, spark, sf_dir, skew_enabled):
+        conf = dict(self._CONF)
+        conf["spark.sql.adaptive.skewJoin.enabled"] = str(skew_enabled).lower()
+        prev = {k: spark.conf.get(k, None) for k in conf}
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        try:
+            j = self._skewed_join(spark, sf_dir)
+            n = len(j.collect())
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            return n, plan
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def test_aqe_reports_skew_split_partitions(self, spark, sf_dir):
+        n_skew, plan_skew = self._run(spark, sf_dir, True)
+        assert "SortMergeJoin(skew=true)" in plan_skew, plan_skew
+        assert "skewed" in plan_skew, plan_skew  # AQEShuffleRead ... skewed
+
+    def test_unsplit_join_has_no_skew_markers_and_same_rows(
+        self, spark, sf_dir
+    ):
+        n_skew, _ = self._run(spark, sf_dir, True)
+        n_plain, plan_plain = self._run(spark, sf_dir, False)
+        assert "skew=true" not in plan_plain
+        assert "skewed" not in plan_plain
+        # The rewrite is plan-only: row multiplicity must not change.
+        assert n_skew == n_plain > 0
