@@ -847,6 +847,12 @@ def pq_train_encode(
     Returns (cents, codes): cents(j, cid, ce ARRAY<DOUBLE>, cn2 =
     round(⟨ce,ce⟩, 6)); codes(<id_col>, j, cid).
     """
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} is not divisible by m={m}: _pq_subvectors would"
+            " silently drop the trailing dim % m dimensions from"
+            " training, encoding, and ADC scoring"
+        )
     v = (
         with_norm(corpus, vec_col)
         .filter(F.col(id_col).isNotNull())
@@ -929,6 +935,11 @@ def pq_adc_topk(
     Returns (query_id, neighbor_id, adc, rank), rank 1..k, self
     excluded.
     """
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} is not divisible by m={m}: the ADC lookup table"
+            " would silently ignore the trailing dim % m dimensions"
+        )
     from pyspark.sql.window import Window
 
     q = with_norm(queries, vec_col).select(

@@ -389,11 +389,16 @@ def _local_result_df(spark: SparkSession, rows: list, schema: StructType) -> Dat
 
         pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
         return spark.createDataFrame(pdf, schema)
-    if rows and len(rows) <= 4 and _all_integral(rows, schema):
-        # TINY array-typed results (the 1-row SSP path): render as ONE
+    if rows and len(rows) == 1 and _all_integral(rows, schema):
+        # The 1-ROW array-typed result (the SSP path): render as ONE
         # SQL statement — a single py4j round-trip. The Arrow batch
         # path below costs ~20 ms per call in JVM round-trips
         # (profiled round 8: >half of a cached ssp() invocation).
+        # Restricted to exactly one row (ADVICE r8): a multi-row UNION
+        # ALL of literal SELECTs has no contractual row order and its
+        # derived nullability can differ from the declared schema —
+        # with one row, ordering is moot and the single SELECT's
+        # schema names/types are pinned by the CASTs below.
         # Arrays render as transform(split('1,2,…')) rather than an
         # array(…) literal: one string literal is ~5 expression nodes
         # where a 260-element array literal is 260+, and the analyzer

@@ -1436,6 +1436,10 @@ _KMV_EST = f"CASE WHEN {{s}}.n_h < {_KMV_K} THEN {{s}}.n_h " \
       (SELECT CAST(count(*) AS BIGINT)
        FROM ae JOIN be USING (l_partkey, l_suppkey)) AS ex_i),
     rows_out AS (
+      -- intersect-branch overflow bound: nb * ((k-1)*2^48 // hk)
+      -- passes 2^63 only when hk <= 1; hk is the k-th smallest of
+      -- k distinct 48-bit hashes, so hk >= k - 1 = 255 whenever the
+      -- estimator branch runs (n_h = k) — structurally unreachable.
       SELECT 'a_early' AS measure,
              {_KMV_EST.format(s="sa")} AS est, ex.ex_a AS exact
       FROM sa, ex
@@ -1444,11 +1448,7 @@ _KMV_EST = f"CASE WHEN {{s}}.n_h < {_KMV_K} THEN {{s}}.n_h " \
       UNION ALL
       SELECT 'union', {_KMV_EST.format(s="su")}, ex.ex_u FROM su, ex
       UNION ALL
-      SELECT 'intersect',
-             CASE WHEN su.n_h < {_KMV_K} THEN nboth.nb
-                  ELSE (nboth.nb * (({_KMV_K - 1} * {_KMV_DOMAIN}) // su.hk))
-                       // {_KMV_K} END,
-             ex.ex_i
+NOMATCH-SENTINEL
       FROM su, nboth, ex
     )
     SELECT measure, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact,
@@ -1545,6 +1545,13 @@ def lineitem_kmv_setops(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("nb"))
     )
     su = summary(u_h).crossJoin(nboth)
+    # Overflow bound (ADVICE r8): nb * ((k-1)*2^48 // hk) could pass
+    # 2^63 only when hk <= 1, i.e. a union estimate near (k-1)*2^48 ~
+    # 2^55.99 DISTINCT ELEMENTS — 2^48 hash values can't even be that
+    # many distinct minima, so hk is structurally bounded away from the
+    # overflow regime (hk is the k-th smallest of k distinct
+    # 48-bit values => hk >= k - 1 = 255 whenever the estimator
+    # branch runs). Same bound pins the SQL mirror.
     est_i = F.expr(
         f"CASE WHEN n_h < {_KMV_K} THEN nb "
         f"ELSE (nb * (({_KMV_K - 1} * {_KMV_DOMAIN}) div hk)) div {_KMV_K} END"

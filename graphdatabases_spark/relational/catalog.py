@@ -94,13 +94,12 @@ def stage_derived(
     re-timestamped, …), re-materialized only when the SOURCE content
     changes.
 
-    ONE staging dir per (table, kind, source path) — regenerating the
-    source never accumulates orphaned copies in the temp dir; a ``_SIG``
-    marker stores a CONTENT signature of the source — per-file
-    (name, size, mtime) — and a mismatch triggers a re-stage, so a
-    regenerated source parquet at the same location never silently
-    serves stale derived data.  ``writer(out_path)`` performs the
-    actual materialization (plain copy, z-order cluster, …).  Returns
+    ONE staging dir per (table, kind, source path, SIGNATURE) — the
+    path is content-addressed on a per-file (name, size, mtime)
+    signature of the source, so a regenerated source parquet at the
+    same location publishes a NEW directory instead of silently serving
+    stale derived data.  ``writer(out_path)`` performs the actual
+    materialization (plain copy, z-order cluster, …).  Returns
     (staged_path, tag); the tag (keyed on path + signature) also
     namespaces any caller-side sinks.
 
@@ -108,9 +107,12 @@ def stage_derived(
     (flock on a sibling ``.lock``), and the materialization writes into
     a UNIQUE temp dir — ``_SIG`` included — that is renamed into place
     as the last step.  Two sessions staging the same (table, kind)
-    concurrently (parallel pytest workers) serialize instead of one
-    reading a dir the other's in-place overwrite just deleted, and a
-    crash mid-stage leaves the published dir untouched.
+    concurrently (parallel pytest workers) serialize, and a crash
+    mid-stage leaves published dirs untouched.  A published signature
+    dir is NEVER deleted in place (ADVICE r8: readers that resolved the
+    previous signature's path keep scanning it while the new one
+    publishes beside it); superseded signatures are garbage-collected
+    lazily under the lock after a 10-minute grace period.
     """
     import hashlib
     import os
@@ -129,9 +131,18 @@ def stage_derived(
         sig_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
     sig = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:12]
     path_tag = hashlib.md5(src.encode()).hexdigest()[:12]
-    staged = os.path.join(
+    # CONTENT-ADDRESSED publication (ADVICE r8): every source signature
+    # gets its OWN directory, which once published is never deleted in
+    # place — a reader that resolved the previous signature's path can
+    # keep scanning it while a re-stage publishes the new one beside
+    # it. Old signatures are garbage-collected lazily, under the lock,
+    # and only after an age grace period (an in-flight Spark scan holds
+    # a recently-returned path; one staged per (table, kind, source)
+    # signature bounds the temp-dir footprint to current + draining).
+    prefix = os.path.join(
         tempfile.gettempdir(), f"sg_{name}_{kind}_{path_tag}"
     )
+    staged = f"{prefix}__{sig}"
     marker = os.path.join(staged, "_SIG")
 
     def _is_fresh() -> bool:
@@ -143,12 +154,14 @@ def stage_derived(
             os.path.join(staged, "_SUCCESS")
         )
 
+    _GC_GRACE_SECONDS = 600
+
     if not _is_fresh():
         try:
             import fcntl
         except ImportError:  # non-POSIX: best-effort unlocked path
             fcntl = None
-        with open(staged + ".lock", "w") as lk:
+        with open(prefix + ".lock", "w") as lk:
             if fcntl is not None:
                 fcntl.flock(lk, fcntl.LOCK_EX)
             try:
@@ -158,12 +171,29 @@ def stage_derived(
                         writer(tmp)
                         with open(os.path.join(tmp, "_SIG"), "w") as fh:
                             fh.write(sig)
-                        if os.path.exists(staged):
-                            shutil.rmtree(staged)
-                        os.rename(tmp, staged)
+                        if not os.path.exists(staged):
+                            os.rename(tmp, staged)
                     finally:
                         if os.path.exists(tmp):
                             shutil.rmtree(tmp, ignore_errors=True)
+                # Lazy GC: other signatures of the same (table, kind,
+                # source), old enough that no reader can still hold
+                # them from a recent resolve.
+                import glob as _glob
+                import time as _time
+
+                for old_dir in _glob.glob(f"{prefix}__*"):
+                    if old_dir == staged or old_dir.startswith(f"{staged}.tmp"):
+                        continue
+                    try:
+                        if (
+                            os.path.isdir(old_dir)
+                            and _time.time() - os.path.getmtime(old_dir)
+                            > _GC_GRACE_SECONDS
+                        ):
+                            shutil.rmtree(old_dir, ignore_errors=True)
+                    except OSError:
+                        pass
             finally:
                 if fcntl is not None:
                     fcntl.flock(lk, fcntl.LOCK_UN)

@@ -139,8 +139,14 @@ def test_stage_derived_concurrent_stagers_serialize(tmp_path):
     assert os.path.exists(os.path.join(staged, "_SUCCESS"))
     assert os.path.exists(os.path.join(staged, "_SIG"))
 
-    # Source regeneration (new mtime/size) re-stages exactly once more.
+    # Source regeneration (new mtime/size) re-stages exactly once more —
+    # into a NEW content-addressed directory (ADVICE r8: a published
+    # signature dir is never deleted in place, so a reader holding the
+    # old path is not rmtree'd mid-scan; old sigs are GC'd lazily after
+    # an age grace period).
     (src_dir / "documents.parquet").write_text("v2-regenerated")
     staged2, tag2 = stage_derived(str(src_dir), "documents", "ctest", writer)
     assert len(writes) == 2
-    assert staged2 == staged and tag2 != results[0][1]
+    assert staged2 != staged and tag2 != results[0][1]
+    # The superseded publication is still readable (grace period).
+    assert os.path.exists(os.path.join(staged, "_SUCCESS"))

@@ -151,20 +151,22 @@ class TestLocalResultConstruction:
             _local_result_df,
         )
 
-        rows = [(7, [1, 2, 3]), (0, [9]), (259, list(range(260)))]
-        # <= 4 integral rows → the SQL-literal path
-        lit = sorted(
+        # Exactly ONE integral row → the SQL-literal path (ADVICE r8
+        # narrowed it from <=4: a multi-row UNION ALL of literal
+        # SELECTs has no contractual row order).
+        one = [(259, list(range(260)))]
+        lit = [
             (r["dist"], r["path"])
-            for r in _local_result_df(spark, rows, PATH_SCHEMA).collect()
-        )
-        # > 4 rows → the Arrow path; same leading rows
-        rows_big = rows + [(1, [4]), (2, [5])]
+            for r in _local_result_df(spark, one, PATH_SCHEMA).collect()
+        ]
+        # Multi-row integral input → the Arrow path; same values.
+        rows_big = [(7, [1, 2, 3]), (0, [9])] + one
         arrow = sorted(
             (r["dist"], r["path"])
             for r in _local_result_df(spark, rows_big, PATH_SCHEMA).collect()
         )
-        assert lit == [t for t in arrow if t[0] in (0, 7, 259)]
-        df = _local_result_df(spark, rows, PATH_SCHEMA)
+        assert lit == [t for t in arrow if t[0] == 259]
+        df = _local_result_df(spark, one, PATH_SCHEMA)
         assert df.schema == PATH_SCHEMA or [
             (f.name, f.dataType.simpleString()) for f in df.schema.fields
         ] == [(f.name, f.dataType.simpleString()) for f in PATH_SCHEMA.fields]
