@@ -206,6 +206,7 @@ def _load_all() -> None:
         core_queries,
         tpch_queries,
         graph_queries,
+        graph_centrality_queries,
         llm_queries,
         similarity_queries,
         dedup_queries,
@@ -215,6 +216,7 @@ def _load_all() -> None:
         pipeline_queries,
         analytics_queries,
         analytics_stats_queries,
+        analytics_extended_queries,
         curation_queries,
         curation_removal_queries,
         curation_selection_queries,

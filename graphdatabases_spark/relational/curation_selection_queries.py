@@ -1411,3 +1411,119 @@ def docs_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
         w_milli.alias("w_milli"),
         ((F.col("b") < 8) & (w_milli > 0)).alias("selected"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-split context windows)
+# ---------------------------------------------------------------------------
+
+_PACK_CTX = 2048  # context window (tokens)
+_PACK_SHARDS = 16  # independent packing streams
+
+
+@register(
+    "docs_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+        CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+        ('0x' || substr(md5('pck' || doc_id), 1, 12))::BIGINT
+          % {_PACK_SHARDS} AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tok,
+        sum(n_tok) OVER (
+          PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum
+      FROM d WHERE n_tok > 0
+    ),
+    marked AS (
+      SELECT shard, n_tok, cum,
+        CASE WHEN (cum - n_tok) // {_PACK_CTX}
+             <> (cum - 1) // {_PACK_CTX} THEN 1 ELSE 0 END AS straddles
+      FROM c
+    )
+    SELECT shard,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      CAST((sum(n_tok) + {_PACK_CTX - 1}) // {_PACK_CTX} AS BIGINT)
+        AS n_bins,
+      CAST(sum(straddles) AS BIGINT) AS n_straddlers,
+      CAST((sum(n_tok) + {_PACK_CTX - 1}) // {_PACK_CTX} * {_PACK_CTX}
+           - sum(n_tok) AS BIGINT) AS tail_pad,
+      CAST((1000000 * sum(n_tok))
+           // ((sum(n_tok) + {_PACK_CTX - 1}) // {_PACK_CTX}
+               * {_PACK_CTX}) AS BIGINT) AS util_ppm
+    FROM marked GROUP BY shard ORDER BY shard
+    """,
+    doc="SEQUENCE PACKING for LLM training batches — the concat-and-"
+    "split strategy every GPT-style pipeline runs before batching: "
+    f"docs are concatenated in a deterministic order ({_PACK_SHARDS} "
+    "independent hash shards, doc_id order within a shard — exactly "
+    "how per-worker packing streams run in production) and split at "
+    f"{_PACK_CTX}-token context boundaries. Per shard the entry "
+    "reports the packing telemetry a training job monitors: bins "
+    "produced, documents straddling a context boundary (the "
+    "cross-document-attention contamination count the no-split "
+    "variants trade padding against), tail padding, and utilization "
+    "in exact ppm (concat packing wastes only the final partial bin "
+    "— util ≈ 1 — while the straddler count is the quality cost that "
+    "motivates best-fit packing research). A doc straddles iff its "
+    "first and last token indices (cum−n, cum−1) land in different "
+    "bins — pure integer floor division, engine-exact. Scale: one "
+    "per-shard running-sum window (shard count is the parallelism "
+    "knob — packing streams never cross shards, so no global window "
+    "and no skew beyond shard hash balance) + one bounded per-shard "
+    "agg.",
+)
+def docs_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            T.token_count(F.col("text")).cast("long").alias("n_tok"),
+            (
+                T.portable_hash64(
+                    F.concat(F.lit("pck"), F.col("doc_id").cast("string"))
+                )
+                % _PACK_SHARDS
+            ).alias("shard"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    straddles = F.when(
+        F.expr(f"(cum - n_tok) div {_PACK_CTX}")
+        != F.expr(f"(cum - 1) div {_PACK_CTX}"),
+        1,
+    ).otherwise(0)
+    return (
+        c.withColumn("straddles", straddles)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.expr(
+                f"CAST((sum(n_tok) + {_PACK_CTX - 1}) div {_PACK_CTX}"
+                " AS BIGINT)"
+            ).alias("n_bins"),
+            F.sum("straddles").cast("long").alias("n_straddlers"),
+            F.expr(
+                f"CAST((sum(n_tok) + {_PACK_CTX - 1}) div {_PACK_CTX}"
+                f" * {_PACK_CTX} - sum(n_tok) AS BIGINT)"
+            ).alias("tail_pad"),
+            F.expr(
+                f"CAST((1000000 * sum(n_tok))"
+                f" div ((sum(n_tok) + {_PACK_CTX - 1}) div {_PACK_CTX}"
+                f" * {_PACK_CTX}) AS BIGINT)"
+            ).alias("util_ppm"),
+        )
+        .orderBy("shard")
+    )

@@ -1,0 +1,1116 @@
+"""Graph structure/centrality catalog queries: approximate
+neighborhood function (HyperBall/ANF), effective diameter, harmonic
+centrality, k-truss, sampled Brandes betweenness, local clustering
+coefficient, and LPA-partition modularity.  Split out of
+graph_queries.py (round 9, pure move; registry unchanged) — the
+traversal/PPR/component entries and the shared entity/grid edge
+fixtures stay there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdatabases_spark.relational.catalog import register, table
+from graphdatabases_spark.relational.graph_queries import (
+    ENTITY_EDGES_SQL,
+    ORDER_BASE,
+    PART_BASE,
+    SUPP_BASE,
+    _LPA_ROUND,
+    entity_edges,
+)
+
+# ---------------------------------------------------------------------------
+# Approximate neighborhood function (HyperBall / ANF)
+# ---------------------------------------------------------------------------
+
+_ANF_ROUNDS = 3
+_ANF_M = 32  # registers per sketch (alpha_32 = 0.697)
+_ANF_H = "(('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 12))::BIGINT)"
+_P50 = 1125899906842624  # 2^50, the exact-BIGINT harmonic scale
+
+# Half-sampled entity graph for this entry (even order keys): ANF costs
+# one |E|-linear join per round in BOTH engines, and the full sf1 graph
+# puts the DuckDB oracle at ~5 min — the fixture discipline of
+# dedup_jaccard_pairs (bounded doc_id) applied to the edge multiset.
+_ANF_EDGES_SQL = f"""
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT o_custkey AS src, {ORDER_BASE} + o_orderkey AS dst
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT {ORDER_BASE} + l_orderkey, {PART_BASE} + l_partkey
+        FROM lineitem WHERE l_orderkey % 2 = 0
+        UNION ALL
+        SELECT {PART_BASE} + l_partkey, {SUPP_BASE} + l_suppkey
+        FROM lineitem WHERE l_orderkey % 2 = 0
+      )
+    )
+"""
+
+
+def _anf_round_sql(r: int) -> str:
+    return f"""r{r} AS (
+      SELECT node, j, max(m) AS m FROM (
+        SELECT node, j, m FROM r{r - 1}
+        UNION ALL
+        SELECT e.src AS node, x.j, x.m
+        FROM edges e JOIN r{r - 1} x ON x.node = e.dst
+      ) GROUP BY node, j
+    )"""
+
+
+def _anf_est_sql() -> str:
+    """The per-node HLL ball estimate over (raw, np) columns — shared
+    by the per-round summaries and the harmonic-centrality CTEs."""
+    m = _ANF_M
+    return (
+        f"round(CASE WHEN raw <= {2.5 * m} AND np < {m} "
+        f"THEN {m}.0 * round(ln({m}.0 / ({m} - np)), 9) "
+        f"ELSE raw END, 6)"
+    )
+
+
+def _anf_summary_sql(r: int) -> str:
+    m = _ANF_M
+    return f"""e{r} AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS np,
+        CAST(sum(CAST(pow(2.0, 50 - m) AS BIGINT)) AS BIGINT) AS sp
+      FROM r{r} GROUP BY node
+    ),
+    v{r} AS (
+      SELECT node, np,
+        0.697 * {m * m}.0 * ({_P50}.0 /
+          CAST(sp + ({m} - np) * {_P50} AS DOUBLE)) AS raw
+      FROM e{r}
+    ),
+    s{r} AS (
+      SELECT CAST({r} AS BIGINT) AS r,
+        CAST(count(*) AS BIGINT) AS n_nodes,
+        CAST(sum(np) AS BIGINT) AS n_regs,
+        sum(CAST({_anf_est_sql()} AS DECIMAL(28,6))) AS anf_dec
+      FROM v{r}
+    )"""
+
+
+# The full sketch chain (edges -> nodes -> register init -> merge
+# rounds -> per-round summaries s0..s{_ANF_ROUNDS}), shared by the
+# ANF curve entry and the effective-diameter entry below.
+_ANF_CHAIN_SQL = f"""{_ANF_EDGES_SQL},
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges
+      )
+    ),
+    h AS (
+      SELECT node, {_ANF_H.format(v="node")} % {_ANF_M} AS j,
+             {_ANF_H.format(v="node")} // {_ANF_M} AS w
+      FROM nodes
+    ),
+    r0 AS (
+      SELECT node, j,
+        CASE WHEN w = 0 THEN 44 ELSE 44 - length(bin(w)) END AS m
+      FROM h
+    ),
+    {",".join(_anf_round_sql(r) for r in range(1, _ANF_ROUNDS + 1))},
+    {",".join(_anf_summary_sql(r) for r in range(_ANF_ROUNDS + 1))}"""
+
+
+def _anf_per_node(spark: SparkSession, sf: str) -> list:
+    """Per-round per-node HyperBall ball estimates ``[p0 .. p{ROUNDS}]``
+    — each (node, np, est DECIMAL(28,6)) over the half-sampled entity
+    graph.  Shared by the ANF curve / effective-diameter summaries and
+    graph_harmonic_centrality (which needs the per-node curve)."""
+    from graphdatabases_spark.functions import text as T
+
+    m = _ANF_M
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(ORDER_BASE) + F.col("o_orderkey")).alias("dst"),
+        )
+    )
+    l = table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 2 == 0)
+    both = l.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.lit(ORDER_BASE) + F.col("l_orderkey")).alias("src"),
+                    (F.lit(PART_BASE) + F.col("l_partkey")).alias("dst"),
+                ),
+                F.struct(
+                    (F.lit(PART_BASE) + F.col("l_partkey")).alias("src"),
+                    (F.lit(SUPP_BASE) + F.col("l_suppkey")).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = o.union(both).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hh = T.portable_hash64(F.col("node").cast("string"))
+    w = F.shiftright(hh, 5)
+    regs = nodes.select(
+        "node",
+        (hh % m).alias("j"),
+        F.when(w == 0, F.lit(44))
+        .otherwise(F.lit(44) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("m"),
+    )
+
+    def per_node(regs_df):
+        per = regs_df.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("np"),
+            F.sum(F.pow(F.lit(2.0), 50 - F.col("m")).cast("long"))
+            .cast("long")
+            .alias("sp"),
+        )
+        raw = (
+            F.lit(0.697)
+            * F.lit(float(m * m))
+            * (
+                F.lit(float(_P50))
+                / (
+                    F.col("sp") + (F.lit(m) - F.col("np")) * F.lit(_P50)
+                ).cast("double")
+            )
+        )
+        est = F.when(
+            (raw <= 2.5 * m) & (F.col("np") < m),
+            F.lit(float(m))
+            * F.round(F.log(F.lit(float(m)) / (F.lit(m) - F.col("np"))), 9),
+        ).otherwise(raw)
+        return per.select(
+            "node", "np", F.round(est, 6).cast("decimal(28,6)").alias("est")
+        )
+
+    frames = [per_node(regs)]
+    for _ in range(1, _ANF_ROUNDS + 1):
+        prop = edges.join(
+            regs.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "j", "m")
+        regs = (
+            regs.unionByName(prop)
+            .groupBy("node", "j")
+            .agg(F.max("m").cast("int").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        frames.append(per_node(regs))
+    return frames
+
+
+def _anf_summaries(spark: SparkSession, sf: str) -> list:
+    """Per-round HyperBall summaries ``[s0 .. s{_ANF_ROUNDS}]`` — each a
+    1-row DataFrame (r, n_nodes, n_regs, anf_dec) over the half-sampled
+    entity graph.  Shared by graph_anf_hyperball (the full curve) and
+    graph_effective_diameter (the interpolated 90% cut)."""
+    return [
+        p.agg(
+            F.lit(r).cast("long").alias("r"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("np").cast("long").alias("n_regs"),
+            F.sum("est").alias("anf_dec"),
+        )
+        for r, p in enumerate(_anf_per_node(spark, sf))
+    ]
+
+
+@register(
+    "graph_anf_hyperball",
+    oracle=f"""
+    WITH {_ANF_CHAIN_SQL}
+    SELECT r, n_nodes, n_regs,
+      round(CAST(anf_dec AS DOUBLE), 3) AS anf_estimate,
+      round(CAST(anf_dec AS DOUBLE) / n_nodes, 6) AS avg_ball,
+      round(CAST(anf_dec AS DOUBLE) / CAST(fin_dec AS DOUBLE), 6)
+        AS frac_of_final,
+      CAST(CASE WHEN round(CAST(anf_dec AS DOUBLE)
+                           / CAST(fin_dec AS DOUBLE), 6) >= 0.9
+           THEN 1 ELSE 0 END AS BIGINT) AS reached_90
+    FROM ({" UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(_ANF_ROUNDS + 1))})
+    CROSS JOIN (SELECT anf_dec AS fin_dec FROM s{_ANF_ROUNDS})
+    ORDER BY r
+    """,
+    doc="Approximate neighborhood function via HyperBall (Boldi et "
+    "al.; Palmer et al.'s ANF with HLL counters): every node of the "
+    "half-sampled entity graph (even order keys — fixture-cost "
+    "bounding, the mechanism is unchanged) carries a portable "
+    "32-register HLL sketch of its OUT-ball, and round r merges each "
+    "node's sketch with its successors' round-(r-1) sketches — a "
+    "register-wise MAX, which is why the whole algorithm is three "
+    "unrolled join+combinable-agg rounds rather than |V| BFS "
+    "traversals (the reason ANF is THE way to measure reachability "
+    "growth / effective diameter at 100 TB: state is <= 32 small "
+    "ints per node, every round is one dst-keyed equi-join plus one "
+    "(node, register) hash-agg, both linear in |E|; rounds are "
+    "eagerly localCheckpoint'd so the lineage stays bounded exactly "
+    "like the BFS kernel). Per round the entry reports the summed "
+    "per-node ball estimates (dedup_hll_cardinality's exact-BIGINT "
+    "harmonic denominator and pre-rounded linear-counting branch, "
+    "alpha_32 = 0.697; per-node estimates round to 6 dp and sum as "
+    "DECIMAL(28,6) — order-invariant) and the occupied-register "
+    "count as an integer fingerprint of the sketch state, plus the "
+    "cumulative-growth fraction of the final-round ANF (frac_of_final; "
+    "reached_90 marks the classic 90%%-effective-diameter cut — the "
+    "first flagged round IS the effective diameter estimate, the "
+    "curve HyperBall exists to measure). Realized "
+    "accuracy vs the exact per-round ANF is pinned in pytest at "
+    "sf0.001 (tests/test_algorithms.py).",
+)
+def graph_anf_hyperball(spark: SparkSession, sf: str) -> DataFrame:
+    summaries = _anf_summaries(spark, sf)
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    fin = summaries[_ANF_ROUNDS].select(F.col("anf_dec").alias("fin_dec"))
+    frac = F.round(
+        F.col("anf_dec").cast("double") / F.col("fin_dec").cast("double"), 6
+    )
+    return (
+        out.crossJoin(F.broadcast(fin))
+        .select(
+            "r",
+            "n_nodes",
+            "n_regs",
+            F.round(F.col("anf_dec").cast("double"), 3).alias("anf_estimate"),
+            F.round(
+                F.col("anf_dec").cast("double") / F.col("n_nodes"), 6
+            ).alias("avg_ball"),
+            frac.alias("frac_of_final"),
+            F.when(frac >= 0.9, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("reached_90"),
+        )
+        .orderBy("r")
+    )
+
+
+@register(
+    "graph_effective_diameter",
+    oracle=f"""
+    WITH {_ANF_CHAIN_SQL},
+    a AS (
+      SELECT {", ".join(
+        f"(SELECT CAST(anf_dec AS DOUBLE) FROM s{r}) AS a{r}"
+        for r in range(_ANF_ROUNDS + 1)
+      )},
+        (SELECT n_nodes FROM s0) AS n_nodes
+    ),
+    t AS (SELECT a.*, 0.9 * a{_ANF_ROUNDS} AS tgt FROM a)
+    SELECT n_nodes,
+      round(a{_ANF_ROUNDS}, 3) AS anf_final,
+      round(tgt, 3) AS target_anf,
+      CAST(CASE {" ".join(
+        f"WHEN a{r} >= tgt THEN {r}" for r in range(_ANF_ROUNDS)
+      )} ELSE {_ANF_ROUNDS} END AS BIGINT) AS d_eff_round,
+      round(CASE WHEN a0 >= tgt THEN 0.0 {" ".join(
+        f"WHEN a{r} >= tgt THEN {r - 1} + (tgt - a{r - 1}) / (a{r} - a{r - 1})"
+        for r in range(1, _ANF_ROUNDS + 1)
+      )} END, 6) AS d_eff_interp
+    FROM t
+    """,
+    doc="Effective diameter by linear interpolation over the HyperBall "
+    "ANF curve (the single number graph_anf_hyperball's curve exists "
+    "to produce; Palmer et al.'s eff-diameter definition as used by "
+    "SNAP/WebGraph): the target is 90%% of the final-round ANF, the "
+    "cut round r is the first whose ball sum reaches it, and the "
+    "fractional estimate interpolates between rounds r-1 and r — "
+    "d_eff = (r-1) + (target - anf[r-1]) / (anf[r] - anf[r-1]). "
+    "Every selected branch's denominator is strictly positive by "
+    "construction (anf[r] >= target > anf[r-1]). The curve is "
+    f"{_ANF_ROUNDS + 1} one-row summaries, so the interpolation is "
+    "pure 1-row scalar algebra on top of the shared _anf_summaries "
+    "chain — identical doubles in both engines, rounded once at 6 dp. "
+    "Scale shape is the ANF entry's: per round one dst-keyed "
+    "equi-join + one (node, register) hash-agg, state <= 32 small "
+    "ints per node, rounds localCheckpoint'd.",
+)
+def graph_effective_diameter(spark: SparkSession, sf: str) -> DataFrame:
+    summaries = _anf_summaries(spark, sf)
+    row = summaries[0].select(
+        "n_nodes", F.col("anf_dec").cast("double").alias("a0")
+    )
+    for r in range(1, _ANF_ROUNDS + 1):
+        row = row.crossJoin(
+            F.broadcast(
+                summaries[r].select(
+                    F.col("anf_dec").cast("double").alias(f"a{r}")
+                )
+            )
+        )
+    row = row.withColumn("tgt", F.lit(0.9) * F.col(f"a{_ANF_ROUNDS}"))
+
+    cut = F.lit(_ANF_ROUNDS)
+    interp = (
+        F.lit(_ANF_ROUNDS - 1)
+        + (F.col("tgt") - F.col(f"a{_ANF_ROUNDS - 1}"))
+        / (F.col(f"a{_ANF_ROUNDS}") - F.col(f"a{_ANF_ROUNDS - 1}"))
+    )
+    for r in range(_ANF_ROUNDS - 1, -1, -1):
+        hit = F.col(f"a{r}") >= F.col("tgt")
+        cut = F.when(hit, F.lit(r)).otherwise(cut)
+        interp = F.when(
+            hit,
+            F.lit(0.0)
+            if r == 0
+            else F.lit(r - 1)
+            + (F.col("tgt") - F.col(f"a{r - 1}"))
+            / (F.col(f"a{r}") - F.col(f"a{r - 1}")),
+        ).otherwise(interp)
+
+    return row.select(
+        "n_nodes",
+        F.round(F.col(f"a{_ANF_ROUNDS}"), 3).alias("anf_final"),
+        F.round(F.col("tgt"), 3).alias("target_anf"),
+        cut.cast("long").alias("d_eff_round"),
+        F.round(interp, 6).alias("d_eff_interp"),
+    )
+
+
+_HC_K = 10  # harmonic-centrality top-k
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=f"""
+    WITH {_ANF_CHAIN_SQL},
+    {",".join(
+        f"p{r} AS (SELECT node, CAST(CAST({_anf_est_sql()} AS DECIMAL(28,6))"
+        f" * 1000000 AS BIGINT) AS m{r} FROM v{r})"
+        for r in range(_ANF_ROUNDS + 1)
+    )},
+    j AS (
+      SELECT p0.node, {", ".join(f"m{r}" for r in range(_ANF_ROUNDS + 1))},
+        {" + ".join(
+          f"{6 // r} * greatest(m{r} - m{r - 1}, 0)"
+          for r in range(1, _ANF_ROUNDS + 1)
+        )} AS h6
+      FROM p0 {" ".join(f"JOIN p{r} USING (node)" for r in range(1, _ANF_ROUNDS + 1))}
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+      CAST(m{_ANF_ROUNDS} AS DOUBLE) / 1000000.0 AS ball_final,
+      CAST(h6 AS DOUBLE) / 6000000.0 AS harmonic
+    FROM j
+    ORDER BY h6 DESC, node
+    LIMIT {_HC_K}
+    """,
+    doc=f"Approximate HARMONIC CENTRALITY top-{_HC_K} — the application "
+    "HyperBall was built for (Boldi & Vigna, 'In-core computation of "
+    "geometric centralities with HyperBall'): each node's per-round "
+    "ball estimates b_r(v) from the shared _anf_per_node chain give "
+    "the shell counts b_r - b_(r-1) (~ nodes at distance exactly r), "
+    f"and H(v) = sum over r=1..{_ANF_ROUNDS} of shell_r / r — the "
+    "harmonic sum over reachable distances, truncated at the sketch "
+    "horizon. Shells are clamped at 0 (the TRUE per-node ANF is "
+    "monotone; HLL branch-switching noise can dip slightly, and the "
+    "clamp keeps H deterministic and nonnegative). ARITHMETIC "
+    "DISCIPLINE: per-node estimates enter as the proven "
+    "DECIMAL(28,6) path and convert to exact BIGINT micro-units; the "
+    "harmonic sum is the exact integer 6*shell1 + 3*shell2 + "
+    "2*shell3 (= 6e6 x H) and BOTH output doubles are one division "
+    "of that integer by a constant — no round() on a continuous "
+    "value anywhere, so there is no cross-engine half-way-boundary "
+    "hazard (the first cut of this entry hit exactly that: a 1-ulp "
+    "round(x, 6) disagreement at sf0.1), and the top-k cut orders by "
+    "the INTEGER h6 with node-id tie-break. Scale shape: the "
+    "register chain is the ANF entry's (one dst-keyed equi-join + "
+    "one (node, register) hash-agg per round, localCheckpoint'd); "
+    "the per-node curve assembles via ONE node-keyed hash-agg over "
+    "the unioned rounds (no self-join pile-up), then the global "
+    "top-k is TakeOrdered — per-partition heaps, k rows to the "
+    "driver.",
+)
+def graph_harmonic_centrality(spark: SparkSession, sf: str) -> DataFrame:
+    frames = _anf_per_node(spark, sf)
+    tagged = [
+        p.select(
+            "node",
+            F.lit(r).alias("r"),
+            (F.col("est") * 1000000).cast("long").alias("m"),
+        )
+        for r, p in enumerate(frames)
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    pivot = out.groupBy("node").agg(
+        *[
+            F.max(F.when(F.col("r") == r, F.col("m"))).alias(f"m{r}")
+            for r in range(_ANF_ROUNDS + 1)
+        ]
+    )
+    h6 = None
+    for r in range(1, _ANF_ROUNDS + 1):
+        term = F.lit(6 // r) * F.greatest(
+            F.col(f"m{r}") - F.col(f"m{r - 1}"), F.lit(0).cast("long")
+        )
+        h6 = term if h6 is None else h6 + term
+    return (
+        pivot.select(
+            F.col("node").cast("long").alias("node"),
+            (F.col(f"m{_ANF_ROUNDS}").cast("double") / F.lit(1000000.0)).alias(
+                "ball_final"
+            ),
+            (h6.cast("double") / F.lit(6000000.0)).alias("harmonic"),
+            h6.alias("_h6"),
+        )
+        .orderBy(F.col("_h6").desc(), "node")
+        .limit(_HC_K)
+        .drop("_h6")
+    )
+
+
+_TRUSS_KS = (3, 4)
+_TRUSS_ROUNDS = 2
+
+
+def _truss_round_sql(k: int, r: int) -> str:
+    """One unrolled truss-peeling round: recompute per-edge triangle
+    support within the surviving subgraph, keep support >= k-2."""
+    prev = f"e{k}_{r - 1}"
+    # MATERIALIZED is load-bearing: each round references its
+    # predecessor three times (edge relation + both adjacency sides);
+    # inlined, the unrolled chain re-expands the base self-join
+    # exponentially (measured: the sf1 oracle spun >10 min before the
+    # hint, 3 s with it).
+    return f"""adj{k}_{r} AS MATERIALIZED (
+      SELECT pa AS u, pb AS v FROM {prev}
+      UNION ALL SELECT pb, pa FROM {prev}
+    ),
+    e{k}_{r} AS MATERIALIZED (
+      SELECT e.pa, e.pb FROM {prev} e
+      JOIN adj{k}_{r} x ON x.u = e.pa
+      JOIN adj{k}_{r} y ON y.u = e.pb AND y.v = x.v
+      GROUP BY e.pa, e.pb
+      HAVING count(*) >= {k - 2}
+    )"""
+
+
+def _truss_summary_sql(k: int, r: int) -> str:
+    h = "(('0x' || substr(md5('tr' || pa || ':' || pb), 1, 12))::BIGINT)"
+    return f"""
+    SELECT {k} AS k, {r} AS round,
+      (SELECT count(*) FROM e{k}_{max(r - 1, 0)}) AS edges_before,
+      (SELECT count(*) FROM e{k}_{max(r - 1, 0)})
+        - (SELECT count(*) FROM e{k}_{r}) AS edges_dropped,
+      (SELECT count(*) FROM e{k}_{r}) AS edges_after,
+      (SELECT coalesce(sum({h}), 0) FROM e{k}_{r}) AS fp_sum"""
+
+
+@register(
+    "graph_ktruss_copurchase",
+    oracle=f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 2 = 0
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    {",".join(f"e{k}_0 AS (SELECT * FROM e0)" for k in _TRUSS_KS)},
+    {",".join(
+      _truss_round_sql(k, r)
+      for k in _TRUSS_KS
+      for r in range(1, _TRUSS_ROUNDS + 1)
+    )}
+    SELECT CAST(k AS BIGINT) AS k, CAST(round AS BIGINT) AS round,
+      CAST(edges_before AS BIGINT) AS edges_before,
+      CAST(edges_dropped AS BIGINT) AS edges_dropped,
+      CAST(edges_after AS BIGINT) AS edges_after,
+      CAST(fp_sum AS BIGINT) AS fp_sum
+    FROM ({" UNION ALL ".join(
+      _truss_summary_sql(k, r)
+      for k in _TRUSS_KS
+      for r in range(1, _TRUSS_ROUNDS + 1)
+    )})
+    ORDER BY k, round
+    """,
+    doc=f"k-TRUSS peeling on the co-purchase projection (parts sharing "
+    ">= 2 half-sampled orders, the graph_copurchase_pairs graph): "
+    f"{_TRUSS_ROUNDS} unrolled peeling rounds for k in "
+    f"{{{', '.join(str(k) for k in _TRUSS_KS)}}} — each round "
+    "recomputes per-edge TRIANGLE SUPPORT inside the surviving "
+    "subgraph (adjacency self-join: common neighbors of the edge's "
+    "endpoints, the triangle-count join shape) and keeps edges with "
+    "support >= k-2. The per-round rows carry edge counts plus an "
+    "ORDER-INVARIANT integer fingerprint of the surviving edge set "
+    "(sum of portable 48-bit edge hashes), so the peeling TRAJECTORY "
+    "is value-hash-pinned, not just the final size. Two theorems "
+    "pinned in pytest: the 3-truss is stable after ONE round "
+    "(triangles are self-supporting, so 'edges in >= 1 triangle' is "
+    "already the fixpoint), while the 4-truss CASCADES (dropping a "
+    "support-1 edge kills its neighbors' support). Scale shape: "
+    "peeling is join+agg per round on a shrinking edge relation — "
+    "never all-pairs; the copurchase base is one self-join on the "
+    "order key, HAVING-bounded.",
+)
+def graph_ktruss_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.functions import text as T
+
+    l = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = l.alias("a"), l.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    fp = T.portable_hash64(
+        F.concat(
+            F.lit("tr"),
+            F.col("pa").cast("string"),
+            F.lit(":"),
+            F.col("pb").cast("string"),
+        )
+    )
+
+    def summary(k, r, before_df, after_df):
+        nb = before_df.agg(F.count(F.lit(1)).alias("eb"))
+        na = after_df.agg(
+            F.count(F.lit(1)).alias("ea"),
+            F.coalesce(F.sum(fp), F.lit(0)).cast("long").alias("fp_sum"),
+        )
+        return nb.crossJoin(F.broadcast(na)).select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(r).cast("long").alias("round"),
+            F.col("eb").cast("long").alias("edges_before"),
+            (F.col("eb") - F.col("ea")).cast("long").alias("edges_dropped"),
+            F.col("ea").cast("long").alias("edges_after"),
+            "fp_sum",
+        )
+
+    out = None
+    for k in _TRUSS_KS:
+        cur = e0
+        for r in range(1, _TRUSS_ROUNDS + 1):
+            adj = cur.select(
+                F.col("pa").alias("u"), F.col("pb").alias("v")
+            ).unionByName(
+                cur.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+            )
+            x = adj.select(F.col("u").alias("xa"), F.col("v").alias("w"))
+            y = adj.select(F.col("u").alias("yb"), F.col("v").alias("w2"))
+            nxt = (
+                cur.join(x, F.col("xa") == F.col("pa"))
+                .join(
+                    y,
+                    (F.col("yb") == F.col("pb"))
+                    & (F.col("w2") == F.col("w")),
+                )
+                .groupBy("pa", "pb")
+                .agg(F.count(F.lit(1)).alias("support"))
+                .filter(F.col("support") >= k - 2)
+                .select("pa", "pb")
+                .localCheckpoint(eager=True)
+            )
+            row = summary(k, r, cur, nxt)
+            out = row if out is None else out.unionByName(row)
+            cur = nxt
+    return out.orderBy("k", "round")
+
+
+# ---------------------------------------------------------------------------
+# Sampled Brandes betweenness (round-8 directive)
+# ---------------------------------------------------------------------------
+
+_BC_SEEDS = (1, 3, 7, 11, 19)  # fixed customer-id source sample
+_BC_ROUNDS = 3  # BFS truncation horizon (same role as the ANF horizon)
+_BC_TOPK = 20
+
+
+def _bc_level_sql(r: int) -> str:
+    """Forward Brandes round r: sigma_r(v) = sum of sigma_{r-1} over
+    in-frontier neighbors, nodes seen at earlier levels excluded
+    (per-seed).  MATERIALIZED for the same reason as the k-truss
+    rounds: each level is referenced by the next level's anti-join AND
+    the backward pass."""
+    prior = " UNION ALL ".join(
+        f"SELECT seed, node FROM l{i}" for i in range(r)
+    )
+    return f"""l{r} AS MATERIALIZED (
+      SELECT p.seed, e.dst AS node, sum(p.sigma) AS sigma
+      FROM l{r - 1} p JOIN u_edges e ON e.src = p.node
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ({prior}) v
+        WHERE v.seed = p.seed AND v.node = e.dst
+      )
+      GROUP BY p.seed, e.dst
+    )"""
+
+
+def _bc_delta_sql(r: int) -> str:
+    """Backward Brandes round r (from level {r+1}'s deltas): the pair
+    dependency in exact integer micro-units —
+    dppm_r(u) = sum over successors w of
+    (sigma_u * (1e6 + dppm_{r+1}(w))) // sigma_w, floor division on
+    nonnegative BIGINTs (engine-identical; no double round() anywhere
+    — the harmonic-centrality lesson)."""
+    return f"""d{r} AS MATERIALIZED (
+      SELECT u.seed, u.node, u.sigma,
+             coalesce(sum((u.sigma * (1000000 + w.dppm)) // w.sigma),
+                      0) AS dppm
+      FROM l{r} u
+      LEFT JOIN u_edges e ON e.src = u.node
+      LEFT JOIN (
+        SELECT l.seed, l.node, l.sigma, d.dppm
+        FROM l{r + 1} l JOIN d{r + 1} d ON d.seed = l.seed AND d.node = l.node
+      ) w ON w.seed = u.seed AND w.node = e.dst
+      GROUP BY u.seed, u.node, u.sigma
+    )"""
+
+
+@register(
+    "graph_betweenness_sampled",
+    oracle=f"""
+    WITH {ENTITY_EDGES_SQL},
+    u_edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+      )
+    ),
+    l0 AS (
+      SELECT seed, CAST(seed AS BIGINT) AS node, CAST(1 AS BIGINT) AS sigma
+      FROM (VALUES {", ".join(f"({s})" for s in _BC_SEEDS)}) s(seed)
+    ),
+    {",".join(_bc_level_sql(r) for r in range(1, _BC_ROUNDS + 1))},
+    d{_BC_ROUNDS} AS (
+      SELECT seed, node, sigma, CAST(0 AS BIGINT) AS dppm
+      FROM l{_BC_ROUNDS}
+    ),
+    {",".join(_bc_delta_sql(r) for r in range(_BC_ROUNDS - 1, 0, -1))},
+    bc AS (
+      SELECT node, sum(dppm) AS bc_ppm,
+             count(*) AS n_seed_obs
+      FROM ({" UNION ALL ".join(
+        f"SELECT seed, node, dppm FROM d{r}"
+        for r in range(1, _BC_ROUNDS + 1)
+      )})
+      GROUP BY node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(bc_ppm AS BIGINT) AS bc_ppm,
+           CAST(bc_ppm AS DOUBLE) / 1000000.0 AS betweenness,
+           CAST(n_seed_obs AS BIGINT) AS n_seed_obs
+    FROM bc
+    ORDER BY bc_ppm DESC, node
+    LIMIT {_BC_TOPK}
+    """,
+    doc=f"APPROXIMATE BETWEENNESS CENTRALITY (sampled Brandes, "
+    f"truncated): Brandes' forward/backward pass from a fixed "
+    f"{len(_BC_SEEDS)}-customer source sample over the UNDIRECTED "
+    f"entity graph, BFS truncated at {_BC_ROUNDS} rounds (the same "
+    "bounded-horizon contract as the HyperBall/harmonic entries). "
+    "Forward: per-seed frontier joins accumulate shortest-path counts "
+    "sigma as exact BIGINTs (sigma_r(v) = sum of sigma over "
+    "in-frontier neighbors; earlier-level nodes anti-joined out). "
+    "Backward: the pair dependency accumulates in exact integer "
+    "MICRO-UNITS — dppm(u) = sum over successors w of floor(sigma_u *"
+    " (1e6 + dppm(w)) / sigma_w) — pure nonnegative BIGINT floor "
+    "division, so there is NO double round() on a continuous value "
+    "anywhere (the harmonic-centrality 1-ulp lesson) and the whole "
+    f"top-{_BC_TOPK} value-hash-matches; the output orders by the "
+    "exact integer bc_ppm with node tie-break and the double is one "
+    "final division. The estimator is Brandes-exact for pairs within "
+    "the horizon up to the deterministic floor (<= 1e-6 per term), "
+    "pinned against a pure-Python replay in tests/test_algorithms.py. "
+    "Scale shape: seed-BATCHED frontiers (one (seed,node)-keyed "
+    "exchange per round over all seeds at once, the PPR-batch "
+    "pattern), levels localCheckpoint'd so the unrolled backward "
+    "pass re-reads materialized levels instead of re-expanding the "
+    "BFS (the k-truss MATERIALIZED lesson), and sampling bounds work "
+    "at |seeds| * O(E) — the published Brandes estimator trade-off.",
+)
+def graph_betweenness_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    e = entity_edges(spark, sf, dedup=False)
+    ue = (
+        e.select("src", "dst")
+        .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    l0 = spark.createDataFrame(
+        [(s, s, 1) for s in _BC_SEEDS], "seed INT, node BIGINT, sigma BIGINT"
+    )
+    levels = [l0]
+    visited = l0.select("seed", "node")
+    for _ in range(_BC_ROUNDS):
+        # The frontier is the SMALL side — broadcast it so the edge
+        # relation never exchanges (same one-sided contract as the
+        # traversal kernels' _EdgeSides).
+        nxt = (
+            ue.join(F.broadcast(levels[-1]), ue.src == levels[-1].node)
+            .select("seed", F.col("dst").alias("node"), "sigma")
+            .join(visited, ["seed", "node"], "left_anti")
+            .groupBy("seed", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("seed", "node")).localCheckpoint(
+            eager=True
+        )
+    deltas: dict[int, DataFrame] = {
+        _BC_ROUNDS: levels[_BC_ROUNDS].withColumn(
+            "dppm", F.lit(0).cast("long")
+        )
+    }
+    for r in range(_BC_ROUNDS - 1, 0, -1):
+        # Backward round: edges into level r+1 found by probing the
+        # edge relation with BROADCAST level frames (both inner joins,
+        # zero edge-side shuffle — a left join from the level side
+        # would force the full edge relation through an exchange per
+        # round: measured 1.5 GB at sf1, 59x on 10x rows, before this
+        # shape); level-r nodes with no successors rejoin as dppm=0
+        # via the small left join at the end.
+        w = (
+            levels[r + 1]
+            .join(deltas[r + 1].select("seed", "node", "dppm"), ["seed", "node"])
+            .select(
+                F.col("seed").alias("w_seed"),
+                F.col("node").alias("w_node"),
+                F.col("sigma").alias("w_sigma"),
+                "dppm",
+            )
+        )
+        u = levels[r].select(
+            F.col("seed").alias("u_seed"),
+            F.col("node").alias("u_node"),
+            F.col("sigma").alias("u_sigma"),
+        )
+        terms = (
+            ue.join(F.broadcast(w), ue.dst == F.col("w_node"))
+            .join(
+                F.broadcast(u),
+                (F.col("u_seed") == F.col("w_seed"))
+                & (F.col("u_node") == F.col("src")),
+            )
+            .select(
+                F.col("u_seed").alias("seed"),
+                F.col("u_node").alias("node"),
+                F.expr(
+                    "(u_sigma * (1000000 + dppm)) div w_sigma"
+                ).alias("term"),
+            )
+            .groupBy("seed", "node")
+            .agg(F.sum("term").cast("long").alias("dppm_in"))
+        )
+        deltas[r] = (
+            levels[r]
+            .join(F.broadcast(terms), ["seed", "node"], "left")
+            .select(
+                "seed",
+                "node",
+                F.coalesce(F.col("dppm_in"), F.lit(0)).cast("long").alias("dppm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    stacked = None
+    for r in range(1, _BC_ROUNDS + 1):
+        part = deltas[r].select("seed", "node", "dppm")
+        stacked = part if stacked is None else stacked.unionByName(part)
+    return (
+        stacked.groupBy("node")
+        .agg(
+            F.sum("dppm").cast("long").alias("bc_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_seed_obs"),
+        )
+        .select(
+            F.col("node").cast("long").alias("node"),
+            "bc_ppm",
+            (F.col("bc_ppm").cast("double") / F.lit(1000000.0)).alias(
+                "betweenness"
+            ),
+            "n_seed_obs",
+        )
+        .orderBy(F.col("bc_ppm").desc(), "node")
+        .limit(_BC_TOPK)
+    )
+
+
+_LCC_TOPK = 20
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle=f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 2 = 0
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    adj AS MATERIALIZED (
+      SELECT pa AS u, pb AS v FROM e0
+      UNION ALL SELECT pb, pa FROM e0
+    ),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM adj GROUP BY u),
+    tri AS (
+      SELECT x.u AS node, CAST(count(*) AS BIGINT) AS t
+      FROM adj x
+      JOIN adj y ON y.u = x.u AND y.v > x.v
+      JOIN e0 e ON e.pa = x.v AND e.pb = y.v
+      GROUP BY x.u
+    )
+    SELECT node, deg, coalesce(t, 0) AS triangles,
+           CAST(CASE WHEN deg >= 2
+                THEN (2 * coalesce(t, 0) * 1000000) // (deg * (deg - 1))
+                ELSE 0 END AS BIGINT) AS lcc_ppm
+    FROM deg LEFT JOIN tri USING (node)
+    ORDER BY lcc_ppm DESC, node
+    LIMIT {_LCC_TOPK}
+    """,
+    doc=f"LOCAL CLUSTERING COEFFICIENT top-{_LCC_TOPK} on the "
+    "co-purchase projection (the k-truss/triangle-count graph): "
+    "lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) the triangles "
+    "through v, counted by the wedge self-join (neighbor pairs of v "
+    "probed against the edge set — the graph_triangle_count join "
+    "shape, keyed per apex instead of globally). The coefficient is "
+    "an exact integer in MICRO-UNITS via nonnegative BIGINT floor "
+    "division — no double round() anywhere (the harmonic lesson) — "
+    "so the top-k orders by the exact lcc_ppm with node tie-break "
+    "and value-hash-matches. Completes the per-node structure "
+    "metrics beside degree/k-core/k-truss/betweenness/harmonic. "
+    "Scale shape: wedges are per-node O(deg²) — the standard LCC "
+    "cost, bounded by the copurchase HAVING filter; one adjacency "
+    "hash exchange feeds both the wedge join and the degree agg; "
+    "the probe against e0 is an equi-join, never all-pairs.",
+)
+def graph_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
+    l = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = l.alias("a"), l.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("pa", "pb")
+    )
+    adj = e0.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        e0.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    x = adj.select(F.col("u"), F.col("v").alias("xv"))
+    y = adj.select(F.col("u").alias("yu"), F.col("v").alias("yv"))
+    tri = (
+        x.join(y, (F.col("yu") == F.col("u")) & (F.col("yv") > F.col("xv")))
+        .join(
+            e0,
+            (F.col("pa") == F.col("xv")) & (F.col("pb") == F.col("yv")),
+        )
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                "CAST(CASE WHEN deg >= 2 "
+                "THEN (2 * coalesce(t, 0) * 1000000) div (deg * (deg - 1)) "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("lcc_ppm"),
+        )
+        .orderBy(F.col("lcc_ppm").desc(), "node")
+        .limit(_LCC_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Community quality: exact modularity of the LPA partition
+# ---------------------------------------------------------------------------
+
+_MOD_EDGES_SQL = """
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 4 = 0
+      GROUP BY src, dst
+    ),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+    ),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)
+"""
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+    WITH {_MOD_EDGES_SQL},
+    {_LPA_ROUND.format(k=1, prev=0)},
+    {_LPA_ROUND.format(k=2, prev=1)},
+    {_LPA_ROUND.format(k=3, prev=2)},
+    deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT src AS id FROM sym) GROUP BY id
+    ),
+    comm AS (
+      SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d.deg) AS BIGINT) AS d_c
+      FROM l3 l JOIN deg d ON d.id = l.id
+      GROUP BY l.label
+    ),
+    intra AS (
+      SELECT CAST(count(*) AS BIGINT) AS intra_edges
+      FROM e0 e JOIN l3 a ON a.id = e.src JOIN l3 b ON b.id = e.dst
+      WHERE a.label = b.label
+    ),
+    tot AS (
+      SELECT CAST((SELECT count(*) FROM e0) AS BIGINT) AS m,
+             CAST((SELECT count(*) FROM l0) AS BIGINT) AS n_nodes,
+             CAST((SELECT count(*) FROM comm) AS BIGINT) AS n_communities,
+             CAST((SELECT max(n_nodes) FROM comm) AS BIGINT) AS top_comm_nodes,
+             CAST((SELECT sum(d_c * d_c) FROM comm) AS BIGINT) AS sum_d2,
+             (SELECT intra_edges FROM intra) AS intra_edges
+    )
+    SELECT n_nodes, m AS n_edges, n_communities, top_comm_nodes, intra_edges,
+           CAST((1000000::HUGEINT
+                 * (4::HUGEINT * m * m + 4::HUGEINT * m * intra_edges
+                    - sum_d2))
+                // (4::HUGEINT * m * m) AS BIGINT) - 1000000 AS q_ppm
+    FROM tot
+    """,
+    doc="Exact Newman modularity Q of the 3-round LPA partition over "
+    "the quarter-orders co-purchase graph (part pairs sharing an "
+    "order with l_orderkey % 4 = 0 — unlike the >=2-support k-truss "
+    "slice this grows with the corpus, ~150k edges at sf0.1): the "
+    "community-QUALITY metric the LPA/CC entries emit partitions "
+    "without. Q = "
+    "Σ_c [e_c/m − (d_c/2m)²] computed EXACTLY in integers: one keyed "
+    "agg per community for (n_nodes, d_c), one label-equality join "
+    "for intra edges, then the single-row identity q_ppm = "
+    "(10⁶·(4m² + 4m·Σe_c − Σd_c²)) // 4m² − 10⁶ — the +4m² shift "
+    "keeps the dividend NONNEGATIVE so floor (DuckDB //) and "
+    "truncate (Spark div) agree, and the product routes through "
+    "HUGEINT/DECIMAL(38,0) because 10⁶·4m² passes 2⁶³ at the derived "
+    "sf1 (the orders_pareto_share lesson). Oracle unrolls the same "
+    "synchronous max-count/min-label LPA rounds as "
+    "graph_label_propagation (shared _LPA_ROUND CTE template). Scale "
+    "shape: LPA is the iterative part (keyed agg per round over "
+    "sym-edges, the LPA entry's plan); the modularity overlay adds "
+    "one broadcastable (id,label) join onto edges + bounded "
+    "per-community aggs + 1-row totals — no new shuffle class.",
+)
+def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.graph.algorithms import label_propagation
+
+    l = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    e0 = (
+        l.alias("a")
+        .join(
+            l.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    # Eager local checkpoint: e0 feeds LPA plus three modularity
+    # branches (degrees, intra-join, edge count) — truncate the
+    # self-join lineage once instead of recomputing it per branch
+    # (the label_propagation-internal convention).
+    e0 = e0.localCheckpoint(eager=True)
+    labels = label_propagation(e0, num_iters=3)
+    sym = e0.select("src").unionAll(
+        e0.select(F.col("dst").alias("src"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    comm = (
+        labels.join(deg, "id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("d_c"),
+        )
+    )
+    la = labels.select(
+        F.col("id").alias("src"), F.col("label").alias("label_a")
+    )
+    lb = labels.select(
+        F.col("id").alias("dst"), F.col("label").alias("label_b")
+    )
+    intra = (
+        e0.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("label_a") == F.col("label_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    tot = comm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("n_nodes").alias("top_comm_nodes"),
+        F.sum(F.col("d_c") * F.col("d_c")).cast("long").alias("sum_d2"),
+    )
+    counts = e0.agg(F.count(F.lit(1)).cast("long").alias("m")).crossJoin(
+        labels.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    out = (
+        counts.crossJoin(tot)
+        .crossJoin(intra)
+        .select(
+            "n_nodes",
+            F.col("m").alias("n_edges"),
+            "n_communities",
+            "top_comm_nodes",
+            "intra_edges",
+            (
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                    " * (4 * CAST(m AS DECIMAL(38,0)) * m"
+                    "    + 4 * CAST(m AS DECIMAL(38,0)) * intra_edges"
+                    "    - sum_d2))"
+                    " div (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)"
+                )
+                - F.lit(1000000)
+            ).alias("q_ppm"),
+        )
+    )
+    return out

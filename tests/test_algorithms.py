@@ -796,12 +796,14 @@ class TestBetweennessSampled:
     def test_python_replay_matches(self, spark, sf_dir):
         from collections import defaultdict
 
-        from graphdatabases_spark.relational.graph_queries import (
+        from graphdatabases_spark.relational.graph_centrality_queries import (
             _BC_ROUNDS,
             _BC_SEEDS,
             _BC_TOPK,
-            entity_edges,
             graph_betweenness_sampled,
+        )
+        from graphdatabases_spark.relational.graph_queries import (
+            entity_edges,
         )
 
         got = [

@@ -121,7 +121,7 @@ class TestModularityReplay:
     def test_python_replay_matches(self, spark, sf_dir):
         from collections import Counter, defaultdict
 
-        from graphdatabases_spark.relational.graph_queries import (
+        from graphdatabases_spark.relational.graph_centrality_queries import (
             graph_modularity,
         )
 
