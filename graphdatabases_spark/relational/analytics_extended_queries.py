@@ -674,3 +674,142 @@ def events_hourly_autocorr(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("lag_h")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over the hourly series
+# ---------------------------------------------------------------------------
+
+_CUSUM_BASE_HOURS = 168  # reference = the first observed week
+_CUSUM_ALARM_HOURS = 24  # alarm when drift accumulates a day of excess
+
+
+@register(
+    "events_cusum_hourly",
+    oracle=f"""
+    WITH h0 AS MATERIALIZED (
+      SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    spl AS (
+      SELECT CAST(min(hr) + 3 * (max(hr) - min(hr) + 1) // 4 AS BIGINT)
+        AS split_hr
+      FROM h0
+    ),
+    h AS (
+      SELECT hr,
+        CASE WHEN hr >= split_hr THEN c + c // 3 ELSE c END AS c,
+        split_hr
+      FROM h0, spl
+    ),
+    base AS (
+      SELECT CAST((1000000 * sum(c)) // count(*) AS BIGINT) AS ref_u
+      FROM (SELECT c FROM h ORDER BY hr LIMIT {_CUSUM_BASE_HOURS})
+    ),
+    p AS (
+      SELECT hr, c, split_hr,
+        sum(1000000 * c - ref_u) OVER (
+          ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS pf,
+        ref_u
+      FROM h, base
+    ),
+    s AS (
+      SELECT hr, c, ref_u, split_hr,
+        pf - min(pf) OVER (
+          ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cpos,
+        max(pf) OVER (
+          ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) - pf AS cneg
+      FROM p
+    )
+    SELECT hr, c AS n_events, (hr >= split_hr) AS drifted,
+      CAST(cpos AS BIGINT) AS cusum_pos_u,
+      CAST(cneg AS BIGINT) AS cusum_neg_u,
+      (cpos > {_CUSUM_ALARM_HOURS} * ref_u) AS alarm_pos,
+      (cneg > {_CUSUM_ALARM_HOURS} * ref_u) AS alarm_neg
+    FROM s ORDER BY hr
+    """,
+    doc="CUSUM changepoint/drift detection over the hourly event-count "
+    "series — the classic sequential monitoring statistic, computed "
+    "in CLOSED FORM: the textbook recursion S_t = max(0, S_{t-1} + "
+    "(x_t − ref)) is exactly prefix_sum − running_min(prefix_sum) "
+    "(and the downward statistic is running_max − prefix_sum), so "
+    "the sequential-looking detector becomes two windows over the "
+    f"hour-bounded relation. Reference rate = the first "
+    f"{_CUSUM_BASE_HOURS} observed hours' mean in exact µ-units "
+    "(integer floor division); everything downstream is BIGINT "
+    "arithmetic — no floats anywhere, the whole 720-row statistic "
+    f"value-hashes. Alarms fire when {_CUSUM_ALARM_HOURS} hours of "
+    "cumulative excess (relative to the baseline rate) accumulate — "
+    "the day-of-drift rule a traffic monitor would page on. The "
+    "fixture's event rate is stationary (measured: zero alarms on "
+    "the raw series), so a DETERMINISTIC +33% rate step (c += c//3) "
+    "is planted at the 3/4-horizon hour — the fixture-injection "
+    "convention — and the detector's firing delay past the flagged "
+    "`drifted` boundary is part of the value-checked output. Scale "
+    "shape: one hour-keyed count agg (horizon-bounded, not "
+    "row-bounded), a 1-row baseline scalar broadcast, and ordered "
+    "windows over the bounded hourly relation (the "
+    "events_hourly_autocorr pattern).",
+)
+def events_cusum_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    h0 = (
+        table(spark, sf, "events")
+        .select(
+            F.expr(
+                "CAST(unix_micros(date_trunc('hour', ts)) div 3600000000"
+                " AS BIGINT)"
+            ).alias("hr")
+        )
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    spl = h0.agg(
+        F.expr(
+            "CAST(min(hr) + 3 * (max(hr) - min(hr) + 1) div 4 AS BIGINT)"
+        ).alias("split_hr")
+    )
+    h = h0.crossJoin(F.broadcast(spl)).select(
+        "hr",
+        F.when(
+            F.col("hr") >= F.col("split_hr"),
+            F.col("c") + F.expr("c div 3"),
+        )
+        .otherwise(F.col("c"))
+        .alias("c"),
+        "split_hr",
+    )
+    base = (
+        h.orderBy("hr")
+        .limit(_CUSUM_BASE_HOURS)
+        .agg(
+            F.expr(
+                "CAST((1000000 * sum(c)) div count(*) AS BIGINT)"
+            ).alias("ref_u")
+        )
+    )
+    w = Window.orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = h.crossJoin(F.broadcast(base)).withColumn(
+        "pf", F.sum(F.lit(1000000) * F.col("c") - F.col("ref_u")).over(w)
+    )
+    s = p.withColumn(
+        "cpos", F.col("pf") - F.min("pf").over(w)
+    ).withColumn("cneg", F.max("pf").over(w) - F.col("pf"))
+    return s.select(
+        "hr",
+        F.col("c").alias("n_events"),
+        (F.col("hr") >= F.col("split_hr")).alias("drifted"),
+        F.col("cpos").cast("long").alias("cusum_pos_u"),
+        F.col("cneg").cast("long").alias("cusum_neg_u"),
+        (F.col("cpos") > _CUSUM_ALARM_HOURS * F.col("ref_u")).alias(
+            "alarm_pos"
+        ),
+        (F.col("cneg") > _CUSUM_ALARM_HOURS * F.col("ref_u")).alias(
+            "alarm_neg"
+        ),
+    ).orderBy("hr")
