@@ -1457,10 +1457,12 @@ _NDCG_BM25_SQL = """
     )"""
 
 
-@register(
-    "retrieval_ndcg_mrr",
-    oracle=f"""
-    WITH {{build}},
+# Shared retrieval-run CTE block — the exact-cosine truth plus the
+# IVF / SRP-LSH / per-query-BM25 runs over it, ending in the unioned
+# `runs` relation.  Used verbatim by retrieval_ndcg_mrr AND
+# retrieval_rrf_fusion so both entries pin the SAME retrieval runs.
+_RETR_RUNS_SQL = (
+    f"""{{build}},
     {_NDCG_TRUTH_SQL},
     b8 AS (SELECT vec_id, e, {{bucket8}} AS bucket FROM v),
     lsh_run AS (
@@ -1511,61 +1513,22 @@ _NDCG_BM25_SQL = """
       UNION ALL SELECT * FROM ivf_run
       UNION ALL SELECT * FROM lsh_run
       UNION ALL SELECT * FROM bm25_run
-    ),
-    scored AS (
-      SELECT r.system, r.query_id, r.pos,
-             CAST(coalesce(t.gain, 0) AS BIGINT) AS gain
-      FROM runs r LEFT JOIN truth t
-        ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
-    ),
-    perq AS (
-      SELECT system, query_id,
-        CAST(sum(gain * ({_NDCG_W}[pos])) AS BIGINT) AS dcg_u,
-        CAST(coalesce(
-          1000000 // min(CASE WHEN gain > 0 THEN pos END), 0
-        ) AS BIGINT) AS rr_u,
-        CAST(count(*) AS BIGINT) AS n_results,
-        CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits
-      FROM scored GROUP BY system, query_id
     )
-    SELECT system,
-           CAST({_RECALL_NQ} AS BIGINT) AS n_queries,
-           CAST(sum(n_results) AS BIGINT) AS n_results,
-           CAST(sum(hits) AS BIGINT) AS n_hits,
-           CAST((1000000 * sum(dcg_u))
-                // ({_RECALL_NQ} * {_NDCG_IDCG}) AS BIGINT) AS ndcg_ppm,
-           CAST(sum(rr_u) // {_RECALL_NQ} AS BIGINT) AS mrr_ppm
-    FROM perq GROUP BY system ORDER BY system
-    """.format(
-        build=_IVF_BUILD_SQL,
-        cc=_IVF_CC.format(x="x", s="s"),
-        bucket8=_lsh_bucket_sql(8),
-        toks=TOKS,
-    ),
-    doc=f"Ranking-QUALITY metrics for every retrieval path in the repo "
-    f"— nDCG@{_NDCG_K} and MRR as exact integer ppm over a "
-    f"{_RECALL_NQ}-query batch, the axis the recall curves "
-    "(similarity_ivf_recall/lsh/pq) don't measure: recall counts set "
-    "overlap; nDCG grades ORDER. Truth = exact cosine top-10 with "
-    "linear graded gains (rank r → gain 11−r); position discounts are "
-    "the PRE-ROUNDED integers round(10⁶/log2(pos+1)) baked module-"
-    "side into both engines (the BM25-idf discipline — no runtime "
-    "transcendental, so the whole curve value-hashes), DCG/IDCG fold "
-    "in micro-units, and MRR is 10⁶ // first-relevant-position. Runs "
-    "scored: the exact anchor itself (pins the metric ceiling at "
-    "exactly 1e6), IVF at nprobe 1/2/4 (shared _IVF_BUILD_SQL index — "
-    "same build the recall entries pin), SRP-LSH at 8 planes, and a "
-    "per-query LEXICAL BM25 run (query = each query-doc's token set; "
-    "k1=1.2, b=0.75, the docs_bm25_topk engine-exactness recipe) "
-    "scored against the EMBEDDING truth — the fixture's embeddings "
-    "are independent of its text, so the bm25_lex row lands at the "
-    "cross-modal agreement floor and documents exactly that; the ANN "
-    "rows show ordering quality tracking nprobe. Scale: truth/ANN "
-    "sides are the bounded-query-batch patterns of the recall "
-    "entries; BM25 adds vocab-bounded aggs and a (query-term × "
-    "posting) equi-join — no all-pairs anywhere.",
+    """
+).format(
+    build=_IVF_BUILD_SQL,
+    cc=_IVF_CC.format(x="x", s="s"),
+    bucket8=_lsh_bucket_sql(8),
+    toks=TOKS,
 )
-def retrieval_ndcg_mrr(spark: SparkSession, sf: str) -> DataFrame:
+
+
+def _retrieval_runs(spark: SparkSession, sf: str):
+    """(truth, runs) for the shared retrieval evaluation harness: the
+    exact-cosine top-10 anchor with graded gains, and the unioned
+    (system, query_id, neighbor_id, pos) runs — exact, IVF nprobe
+    1/2/4, SRP-LSH p8, per-query lexical BM25 (the _RETR_RUNS_SQL
+    mirror).  Used by retrieval_ndcg_mrr and retrieval_rrf_fusion."""
     from graphdatabases_spark.functions import text as T
 
     emb = table(spark, sf, "embeddings")
@@ -1696,8 +1659,63 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf: str) -> DataFrame:
             "pos",
         )
     )
-    runs = runs.unionByName(bm25_run)
+    return truth, runs.unionByName(bm25_run)
 
+
+@register(
+    "retrieval_ndcg_mrr",
+    oracle=f"""
+    WITH {_RETR_RUNS_SQL},
+    scored AS (
+      SELECT r.system, r.query_id, r.pos,
+             CAST(coalesce(t.gain, 0) AS BIGINT) AS gain
+      FROM runs r LEFT JOIN truth t
+        ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+    ),
+    perq AS (
+      SELECT system, query_id,
+        CAST(sum(gain * ({_NDCG_W}[pos])) AS BIGINT) AS dcg_u,
+        CAST(coalesce(
+          1000000 // min(CASE WHEN gain > 0 THEN pos END), 0
+        ) AS BIGINT) AS rr_u,
+        CAST(count(*) AS BIGINT) AS n_results,
+        CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      FROM scored GROUP BY system, query_id
+    )
+    SELECT system,
+           CAST({_RECALL_NQ} AS BIGINT) AS n_queries,
+           CAST(sum(n_results) AS BIGINT) AS n_results,
+           CAST(sum(hits) AS BIGINT) AS n_hits,
+           CAST((1000000 * sum(dcg_u))
+                // ({_RECALL_NQ} * {_NDCG_IDCG}) AS BIGINT) AS ndcg_ppm,
+           CAST(sum(rr_u) // {_RECALL_NQ} AS BIGINT) AS mrr_ppm
+    FROM perq GROUP BY system ORDER BY system
+    """,
+    doc=f"Ranking-QUALITY metrics for every retrieval path in the repo "
+    f"— nDCG@{_NDCG_K} and MRR as exact integer ppm over a "
+    f"{_RECALL_NQ}-query batch, the axis the recall curves "
+    "(similarity_ivf_recall/lsh/pq) don't measure: recall counts set "
+    "overlap; nDCG grades ORDER. Truth = exact cosine top-10 with "
+    "linear graded gains (rank r → gain 11−r); position discounts are "
+    "the PRE-ROUNDED integers round(10⁶/log2(pos+1)) baked module-"
+    "side into both engines (the BM25-idf discipline — no runtime "
+    "transcendental, so the whole curve value-hashes), DCG/IDCG fold "
+    "in micro-units, and MRR is 10⁶ // first-relevant-position. Runs "
+    "scored: the exact anchor itself (pins the metric ceiling at "
+    "exactly 1e6), IVF at nprobe 1/2/4 (shared _IVF_BUILD_SQL index — "
+    "same build the recall entries pin), SRP-LSH at 8 planes, and a "
+    "per-query LEXICAL BM25 run (query = each query-doc's token set; "
+    "k1=1.2, b=0.75, the docs_bm25_topk engine-exactness recipe) "
+    "scored against the EMBEDDING truth — the fixture's embeddings "
+    "are independent of its text, so the bm25_lex row lands at the "
+    "cross-modal agreement floor and documents exactly that; the ANN "
+    "rows show ordering quality tracking nprobe. Scale: truth/ANN "
+    "sides are the bounded-query-batch patterns of the recall "
+    "entries; BM25 adds vocab-bounded aggs and a (query-term × "
+    "posting) equi-join — no all-pairs anywhere.",
+)
+def retrieval_ndcg_mrr(spark: SparkSession, sf: str) -> DataFrame:
+    truth, runs = _retrieval_runs(spark, sf)
     w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
     scored = runs.join(
         truth.select("query_id", "neighbor_id", "gain"),
@@ -1738,4 +1756,87 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("mrr_ppm"),
         )
         .orderBy("system")
+    )
+
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_TOPK = 5
+_RRF_SYSTEMS = ("ivf_np4", "lsh_p8", "bm25_lex")
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+    WITH {_RETR_RUNS_SQL},
+    contrib AS (
+      SELECT query_id, neighbor_id, pos FROM runs
+      WHERE system IN ({", ".join(f"'{x}'" for x in _RRF_SYSTEMS)})
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+        CAST(sum(1000000 // ({_RRF_K} + pos)) AS BIGINT) AS rrf_u,
+        CAST(count(*) AS BIGINT) AS n_systems
+      FROM contrib GROUP BY query_id, neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, rrf_u, n_systems,
+        row_number() OVER (
+          PARTITION BY query_id ORDER BY rrf_u DESC, neighbor_id
+        ) AS pos
+      FROM fused
+    )
+    SELECT r.query_id, r.pos, r.neighbor_id, r.rrf_u, r.n_systems,
+      CAST(coalesce(t.gain, 0) AS BIGINT) AS gain
+    FROM ranked r LEFT JOIN truth t
+      ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+    WHERE r.pos <= {_RRF_TOPK}
+    ORDER BY r.query_id, r.pos
+    """,
+    doc="HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al. "
+    "2009) — the standard way production search fuses lexical and "
+    "vector rankings without score calibration: each of the IVF "
+    "(nprobe 4), SRP-LSH, and per-query BM25 runs contributes "
+    f"1/({_RRF_K}+rank) per retrieved doc — here the exact integer "
+    f"10⁶ // ({_RRF_K}+pos), so the fused score value-hashes — and "
+    f"the fused top-{_RRF_TOPK} per query is reported with how many "
+    "systems voted for each doc and its graded gain under the exact-"
+    "cosine anchor (0 = a fused result outside the true top-10). The "
+    "runs come from the SAME _RETR_RUNS_SQL block retrieval_ndcg_mrr "
+    "pins, so the two entries score identical retrieval output. "
+    "Scale: fusion is one keyed agg over the union of bounded "
+    "per-query result lists + a per-query top-k window — the runs "
+    "themselves are the bounded-query-batch patterns of the recall "
+    "entries.",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    truth, runs = _retrieval_runs(spark, sf)
+    contrib = runs.filter(F.col("system").isin(*_RRF_SYSTEMS))
+    fused = contrib.groupBy("query_id", "neighbor_id").agg(
+        F.sum(F.expr(f"1000000 div ({_RRF_K} + pos)"))
+        .cast("long")
+        .alias("rrf_u"),
+        F.count(F.lit(1)).cast("long").alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_u").desc(), "neighbor_id"
+    )
+    return (
+        fused.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= _RRF_TOPK)
+        .join(
+            truth.select("query_id", "neighbor_id", "gain"),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .select(
+            "query_id",
+            "pos",
+            "neighbor_id",
+            "rrf_u",
+            "n_systems",
+            F.coalesce("gain", F.lit(0)).cast("long").alias("gain"),
+        )
+        .orderBy("query_id", "pos")
     )

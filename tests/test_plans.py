@@ -276,6 +276,10 @@ class TestUniversalGates:
         # same 8-row seed numbering as ann_ivf (shared IVF build) +
         # the 25-row BM25 rank window of docs_bm25_topk
         "retrieval_ndcg_mrr",
+        "retrieval_rrf_fusion",  # same shared runs block
+        # ordered window over the HORIZON-bounded hourly relation
+        # (the events_hourly_autocorr pattern)
+        "events_cusum_hourly",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
@@ -335,6 +339,8 @@ class TestUniversalGates:
         "retrieval_ndcg_mrr",         # k=8 cells + bounded query batch + 1-row stats
         "graph_modularity",           # 1-row m/totals/intra scalars (x3)
         "docs_dsir_weights",          # 1-row model-total scalars (tt, ct)
+        "retrieval_rrf_fusion",       # same bounded runs as ndcg_mrr
+        "events_cusum_hourly",        # 1-row baseline/split scalars
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):
