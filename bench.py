@@ -92,6 +92,18 @@ HEADLINE = [
     "customer_ldiversity_audit",
     "graph_clustering_coeff",
     "lineitem_kmv_setops",
+    # round 9: the unbounded prefix-filter join on the staged Zipfian
+    # corpus (candidate-bounded by construction), LPA + exact
+    # modularity over the growing co-purchase graph, DSIR weighting
+    # (bucket-bounded model aggs), concat-packing telemetry, and the
+    # closed-form CUSUM windows. (retrieval_ndcg_mrr/rrf_fusion are
+    # sweep-proven but excluded: their bounded brute-force anchor
+    # dominates sf0.1 wall like the recall curves.)
+    "dedup_prefix_zipf",
+    "graph_modularity",
+    "docs_dsir_weights",
+    "docs_sequence_packing",
+    "events_cusum_hourly",
 ]
 
 
