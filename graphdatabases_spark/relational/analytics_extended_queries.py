@@ -82,7 +82,11 @@ _KMV_EST = f"CASE WHEN {{s}}.n_h < {_KMV_K} THEN {{s}}.n_h " \
       UNION ALL
       SELECT 'union', {_KMV_EST.format(s="su")}, ex.ex_u FROM su, ex
       UNION ALL
-NOMATCH-SENTINEL
+      SELECT 'intersect',
+             CASE WHEN su.n_h < {_KMV_K} THEN nboth.nb
+                  ELSE (nboth.nb * (({_KMV_K - 1} * {_KMV_DOMAIN}) // su.hk))
+                       // {_KMV_K} END,
+             ex.ex_i
       FROM su, nboth, ex
     )
     SELECT measure, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact,
