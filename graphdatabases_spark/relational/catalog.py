@@ -238,42 +238,6 @@ def _load_all() -> None:
 # covers the new round-7 entries (tier 0) followed by the oldest
 # remaining r3/r4-stale cohort.
 _VERIFIED_ROUND: dict[str, int] = {
-    # r4 cohort
-    "copurchase_lift": 4,
-    "dedup_keep_first_normalized": 4,
-    "docs_stratified_sample": 4,
-    "embedding_norm_outliers": 4,
-    "events_stream_click_attribution": 4,
-    "events_user_features": 4,
-    "graph_kcore_entity": 4,
-    "grouped_map_zscore": 4,
-    "join_salted_skew": 4,
-    "kmeans_assign_init": 4,
-    "kmeans_embeddings": 4,
-    "orders_repeat_intervals": 4,
-    "orders_rfm_segments": 4,
-    "q10_returned_items": 4,
-    "q14_promo_revenue": 4,
-    "q18_large_volume": 4,
-    "q19_disjunctive": 4,
-    "q1_pricing_summary": 4,
-    "q3_shipping_priority": 4,
-    "q4_order_priority": 4,
-    "q5_local_supplier": 4,
-    "q6_forecast_revenue": 4,
-    "q7_volume_shipping": 4,
-    "scalar_case_when": 4,
-    "scalar_date_funcs": 4,
-    "scalar_math_funcs": 4,
-    "scalar_string_funcs": 4,
-    "setop_except": 4,
-    "setop_intersect": 4,
-    "setop_union": 4,
-    "similarity_ann_ivf": 4,
-    "similarity_ann_lsh": 4,
-    "text_bigram_novelty": 4,
-    "topk_global": 4,
-    "window_ntile": 4,
     # r5 cohort
     "dedup_embedding_neardup": 5,
     "dedup_exact_summary": 5,
@@ -299,20 +263,14 @@ _VERIFIED_ROUND: dict[str, int] = {
     "graph_pagerank": 5,
     "graph_ssp_grid": 5,
     "graph_triangle_count": 5,
-    "join_asof_events": 5,
-    "join_range_events": 5,
     "multimodal_metadata": 5,
     "q11_important_parts": 5,
-    "q12_priority_by_month": 5,
     "q13_customer_distribution": 5,
     "q15_top_supplier": 5,
     "q16_supplier_part_counts": 5,
     "q17_small_qty_revenue": 5,
     "q20_part_promotion": 5,
     "q21_waiting_suppliers": 5,
-    "q22_missed_customers": 5,
-    "q2_min_cost_supplier": 5,
-    "q8_market_share": 5,
     "q9_product_profit": 5,
     "similarity_cosine_topk": 5,
     "similarity_threshold_pairs": 5,
@@ -476,6 +434,57 @@ _VERIFIED_ROUND: dict[str, int] = {
     "window_rank": 8,
     "window_running_sum": 8,
     "window_topk_per_group": 8,
+    # r9 cohort
+    "copurchase_lift": 9,
+    "dedup_keep_first_normalized": 9,
+    "dedup_prefix_zipf": 9,
+    "docs_dsir_weights": 9,
+    "docs_sequence_packing": 9,
+    "docs_stratified_sample": 9,
+    "embedding_norm_outliers": 9,
+    "events_cusum_hourly": 9,
+    "events_stream_click_attribution": 9,
+    "events_user_features": 9,
+    "graph_kcore_entity": 9,
+    "graph_modularity": 9,
+    "grouped_map_zscore": 9,
+    "join_asof_events": 9,
+    "join_range_events": 9,
+    "join_salted_skew": 9,
+    "kmeans_assign_init": 9,
+    "kmeans_embeddings": 9,
+    "multimodal_phash_neardup": 9,
+    "orders_mad_outliers": 9,
+    "orders_repeat_intervals": 9,
+    "orders_rfm_segments": 9,
+    "q10_returned_items": 9,
+    "q12_priority_by_month": 9,
+    "q14_promo_revenue": 9,
+    "q18_large_volume": 9,
+    "q19_disjunctive": 9,
+    "q1_pricing_summary": 9,
+    "q22_missed_customers": 9,
+    "q2_min_cost_supplier": 9,
+    "q3_shipping_priority": 9,
+    "q4_order_priority": 9,
+    "q5_local_supplier": 9,
+    "q6_forecast_revenue": 9,
+    "q7_volume_shipping": 9,
+    "q8_market_share": 9,
+    "retrieval_ndcg_mrr": 9,
+    "retrieval_rrf_fusion": 9,
+    "scalar_case_when": 9,
+    "scalar_date_funcs": 9,
+    "scalar_math_funcs": 9,
+    "scalar_string_funcs": 9,
+    "setop_except": 9,
+    "setop_intersect": 9,
+    "setop_union": 9,
+    "similarity_ann_ivf": 9,
+    "similarity_ann_lsh": 9,
+    "text_bigram_novelty": 9,
+    "topk_global": 9,
+    "window_ntile": 9,
 }
 
 
