@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from graphdatabases_spark.functions import text as T
+from graphdatabases_spark.operators.quantile import quantile_cont_vden
 from graphdatabases_spark.relational.catalog import register, table
 
 
@@ -970,32 +971,66 @@ def scalar_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "orders_rfm_segments",
     oracle="""
-    WITH rfm AS (
+    WITH rfm AS MATERIALIZED (
       SELECT o_custkey,
-             date_diff('day', DATE '1970-01-01',
-                       max(CAST(o_orderdate AS DATE))) AS r_days,
-             count(*) AS frequency,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-               AS monetary
+             CAST(date_diff('day', DATE '1970-01-01',
+                            max(CAST(o_orderdate AS DATE))) AS BIGINT)
+               AS r_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+                  AS BIGINT) AS m_units
       FROM orders GROUP BY o_custkey
     ),
-    bounds AS (
-      SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS rq,
-             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
-             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
-      FROM rfm
+    v AS (
+      SELECT 'r' AS axis, r_days AS v FROM rfm
+      UNION ALL SELECT 'f', frequency FROM rfm
+      UNION ALL SELECT 'm', m_units FROM rfm
+    ),
+    n AS (SELECT axis, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    rk AS MATERIALIZED (
+      SELECT axis, v,
+             row_number() OVER (PARTITION BY axis ORDER BY v) AS rn
+      FROM v
+    ),
+    q(q_label, num) AS (VALUES ('q1', 1), ('q2', 2), ('q3', 3)),
+    t AS (
+      SELECT n.axis, q.q_label,
+             ((n.n - 1) * q.num) // 4 + 1 AS lo,
+             ((n.n - 1) * q.num) % 4 AS rem
+      FROM n CROSS JOIN q
+    ),
+    bq AS (
+      SELECT t.axis, t.q_label,
+             4 * rlo.v + t.rem * (coalesce(rhi.v, rlo.v) - rlo.v) AS vden
+      FROM t
+      JOIN rk rlo ON rlo.axis = t.axis AND rlo.rn = t.lo
+      LEFT JOIN rk rhi ON rhi.axis = t.axis AND rhi.rn = t.lo + 1
+                      AND t.rem > 0
+    ),
+    b AS (
+      SELECT
+        max(CASE WHEN axis='r' AND q_label='q1' THEN vden END) AS rq1,
+        max(CASE WHEN axis='r' AND q_label='q2' THEN vden END) AS rq2,
+        max(CASE WHEN axis='r' AND q_label='q3' THEN vden END) AS rq3,
+        max(CASE WHEN axis='f' AND q_label='q1' THEN vden END) AS fq1,
+        max(CASE WHEN axis='f' AND q_label='q2' THEN vden END) AS fq2,
+        max(CASE WHEN axis='f' AND q_label='q3' THEN vden END) AS fq3,
+        max(CASE WHEN axis='m' AND q_label='q1' THEN vden END) AS mq1,
+        max(CASE WHEN axis='m' AND q_label='q2' THEN vden END) AS mq2,
+        max(CASE WHEN axis='m' AND q_label='q3' THEN vden END) AS mq3
+      FROM bq
     ),
     scored AS (
-      SELECT CAST(1 + CAST(r_days > rq[1] AS INT)
-                    + CAST(r_days > rq[2] AS INT)
-                    + CAST(r_days > rq[3] AS INT) AS INT) AS r,
-             CAST(1 + CAST(frequency > fq[1] AS INT)
-                    + CAST(frequency > fq[2] AS INT)
-                    + CAST(frequency > fq[3] AS INT) AS INT) AS f,
-             CAST(1 + CAST(monetary > mq[1] AS INT)
-                    + CAST(monetary > mq[2] AS INT)
-                    + CAST(monetary > mq[3] AS INT) AS INT) AS m
-      FROM rfm, bounds
+      SELECT CAST(1 + CAST(4 * r_days > b.rq1 AS INT)
+                    + CAST(4 * r_days > b.rq2 AS INT)
+                    + CAST(4 * r_days > b.rq3 AS INT) AS INT) AS r,
+             CAST(1 + CAST(4 * frequency > b.fq1 AS INT)
+                    + CAST(4 * frequency > b.fq2 AS INT)
+                    + CAST(4 * frequency > b.fq3 AS INT) AS INT) AS f,
+             CAST(1 + CAST(4 * m_units > b.mq1 AS INT)
+                    + CAST(4 * m_units > b.mq2 AS INT)
+                    + CAST(4 * m_units > b.mq3 AS INT) AS INT) AS m
+      FROM rfm, b
     )
     SELECT r, f, m,
            count(*) AS n_customers
@@ -1005,45 +1040,88 @@ def scalar_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="RFM (recency/frequency/monetary) quartile segmentation — the "
     "entity-featurization shape for user-level training data: one agg "
-    "per customer, then quartile BOUNDARIES from one exact-percentile "
-    "aggregate (3 doubles per axis, broadcastable) and CASE-style "
-    "assignment against them. No global window/sort anywhere — the "
-    "boundary agg is a map-side-combinable reduction and assignment is "
-    "a pure projection, so the plan holds at billions of customers "
-    "(unlike the ntile form, which moves every row to one task). "
+    "per customer, quartile BOUNDARIES per axis, CASE-style assignment "
+    "against them (9 scalars, broadcastable). The boundaries come from "
+    "the shared two-pass histogram-refinement kernel "
+    "(operators/quantile.py) over the three axes MELTED into one keyed "
+    "pass — exact F.percentile's value->count buffer on the continuous "
+    "monetary axis grows with the number of customers and was the "
+    "round-9 verdict's scale hazard; the kernel's state is bounded by "
+    "value_range/bucket_width per axis instead (per-axis widths: days "
+    "64, frequency 1, micro-money 2^22). Still no global row sort: the "
+    "histogram is one combinable agg, its cumulative window runs over "
+    "the bounded bucket list, and only the 9 target buckets' rows ever "
+    "sort — so the plan genuinely holds at billions of customers. "
+    "Determinism: monetary is carried as exact DECIMAL-derived 1e-4 "
+    "units (BIGINT), boundaries as the exact rational vden/4, and "
+    "assignment compares 4*value > vden — zero floats end-to-end. "
     "Boundary semantics: value > quantile_cont(q) for q in "
     "{.25,.5,.75}; equal values always land in the same quartile.",
 )
 def orders_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
-    qs = [0.25, 0.5, 0.75]
     rfm = (
         table(spark, sf, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.unix_date(F.max(F.to_date("o_orderdate"))).alias("r_days"),
-            F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("monetary"),
+            F.unix_date(F.max(F.to_date("o_orderdate")))
+            .cast("long")
+            .alias("r_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * 10000)
+            .cast("long")
+            .alias("m_units"),
         )
     )
-    bounds = rfm.agg(
-        F.percentile("r_days", qs).alias("rq"),
-        F.percentile("frequency", qs).alias("fq"),
-        F.percentile("monetary", qs).alias("mq"),
+    melt = rfm.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("axis"),
+                    F.col("r_days").alias("v"),
+                    F.lit(64).cast("long").alias("w"),
+                ),
+                F.struct(
+                    F.lit("f").alias("axis"),
+                    F.col("frequency").alias("v"),
+                    F.lit(1).cast("long").alias("w"),
+                ),
+                F.struct(
+                    F.lit("m").alias("axis"),
+                    F.col("m_units").alias("v"),
+                    F.lit(2**22).cast("long").alias("w"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.axis", "s.v", "s.w")
+    bq = quantile_cont_vden(
+        spark,
+        melt,
+        ["axis"],
+        [("q1", 1, 4), ("q2", 2, 4), ("q3", 3, 4)],
+        bucket_width="w",
     )
+    cells = [
+        F.max(
+            F.when(
+                (F.col("axis") == a) & (F.col("q_label") == q),
+                F.col("vden"),
+            )
+        ).alias(f"{a}q{q[-1]}")
+        for a in ("r", "f", "m")
+        for q in ("q1", "q2", "q3")
+    ]
+    b = bq.agg(*cells)
 
-    def score(col: str, b: str):
-        v = F.col(col)
+    def score(col: str, pre: str):
         expr = F.lit(1)
-        for i in range(3):
-            expr = expr + (v > F.col(b)[i]).cast("int")
+        for i in (1, 2, 3):
+            expr = expr + (4 * F.col(col) > F.col(f"{pre}q{i}")).cast("int")
         return expr.cast("int")
 
-    scored = rfm.join(F.broadcast(bounds)).select(
-        score("r_days", "rq").alias("r"),
-        score("frequency", "fq").alias("f"),
-        score("monetary", "mq").alias("m"),
+    scored = rfm.join(F.broadcast(b)).select(
+        score("r_days", "r").alias("r"),
+        score("frequency", "f").alias("f"),
+        score("m_units", "m").alias("m"),
     )
     return (
         scored.groupBy("r", "f", "m")

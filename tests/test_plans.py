@@ -301,7 +301,11 @@ class TestUniversalGates:
         "similarity_lsh_recall",      # bounded query batch brute anchor
         "similarity_quantized_recall", # same bounded 20-query brute anchor
         "similarity_truncation_recall", # same bounded 20-query brute anchor
-        "orders_rfm_segments",        # 1-row quantile-boundary scalars
+        "orders_rfm_segments",        # 1-row boundary scalars + 3-row
+                                      # quantile-spec frame (quantile.py)
+        "agg_percentile",             # 2-row quantile-spec literal frame
+        "orders_mad_outliers",        # 1-row quantile-spec frame (x2) +
+                                      # 5-row med/mad/moment broadcasts
         "copurchase_lift",            # 1-row total-orders scalar
         "embedding_norm_outliers",    # 1-row decimal-moment scalars
         "docs_mixture_weights",       # 1-row sqrt-sum normalizer scalar

@@ -1,0 +1,130 @@
+"""Unit tests for the shared two-pass exact-quantile kernel.
+
+operators/quantile.py is the scale-safe replacement for exact
+``F.percentile`` (round-9 verdict's only ``weak`` class) — these tests
+pin its semantics against a brute-force Python reference: type-7
+``quantile_cont`` rationals on groups covering odd/even n, n == 1,
+heavy ties, values spanning many buckets, and a per-row bucket-width
+column.  The catalog entries routed through it (``agg_percentile``,
+``orders_mad_outliers``, ``orders_rfm_segments``) are value-hash-pinned
+by their DuckDB oracles; this file covers the kernel's contract
+directly so a future edit can't silently shift a rank.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from graphdatabases_spark.operators.quantile import (
+    exact_values_at_ranks,
+    quantile_cont_vden,
+)
+
+
+def _brute_vden(sorted_vals, num, den):
+    """Type-7 quantile_cont * den, as an exact int."""
+    n = len(sorted_vals)
+    t = (n - 1) * num
+    lo = t // den  # 0-based
+    rem = t % den
+    v_lo = sorted_vals[lo]
+    v_hi = sorted_vals[lo + 1] if rem > 0 else v_lo
+    return den * v_lo + rem * (v_hi - v_lo)
+
+
+def _groups():
+    rng = random.Random(104729)
+    groups = {
+        "odd": [rng.randrange(0, 3_000_000) for _ in range(101)],
+        "even": [rng.randrange(0, 3_000_000) for _ in range(100)],
+        "single": [42],
+        "pair": [7, 1_999_999],
+        "ties": [500_000] * 40 + [500_001] * 3 + [0, 2_999_999],
+        "dense": [rng.randrange(0, 50) for _ in range(97)],
+    }
+    return groups
+
+
+def test_exact_values_at_ranks_matches_sorted_index(spark):
+    groups = _groups()
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    vals = spark.createDataFrame(rows, "g string, v long")
+    rng = random.Random(7919)
+    wanted = []
+    for g, vs in groups.items():
+        n = len(vs)
+        picks = {1, n, max(1, n // 2)}
+        picks |= {rng.randrange(1, n + 1) for _ in range(3)}
+        wanted += [(g, r) for r in picks]
+    ranks = spark.createDataFrame(wanted, "g string, rank long")
+    got = {
+        (r["g"], r["rank"]): r["v"]
+        for r in exact_values_at_ranks(
+            vals, ["g"], ranks, bucket_width=65536
+        ).collect()
+    }
+    assert len(got) == len(wanted)
+    for g, r in wanted:
+        assert got[(g, r)] == sorted(groups[g])[r - 1], (g, r)
+
+
+def test_quantile_cont_vden_matches_brute_rational(spark):
+    groups = _groups()
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    vals = spark.createDataFrame(rows, "g string, v long")
+    qs = [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    out = quantile_cont_vden(spark, vals, ["g"], qs, bucket_width=65536)
+    got = {(r["g"], r["q_label"]): r for r in out.collect()}
+    assert len(got) == len(groups) * len(qs)
+    for g, vs in groups.items():
+        sv = sorted(vs)
+        for lab, num, den in qs:
+            row = got[(g, lab)]
+            assert row["n"] == len(vs)
+            assert row["vden"] == _brute_vden(sv, num, den), (g, lab)
+            # v_lo <= quantile <= v_hi bracketing invariant
+            assert row["den"] * row["v_lo"] <= row["vden"] <= (
+                row["den"] * row["v_hi"]
+            )
+
+
+def test_per_row_bucket_width_column(spark):
+    """Melted multi-axis form: width carried as a column ('w') gives
+    identical answers to per-axis int widths — and keeps a micro-scaled
+    axis's bucket list bounded while a small-domain axis still
+    resolves."""
+    rng = random.Random(86028157)
+    axes = {
+        "days": ([rng.randrange(8000, 12000) for _ in range(301)], 64),
+        "money": (
+            [rng.randrange(0, 10**11) for _ in range(301)],
+            2**22,
+        ),
+    }
+    rows = [(a, v, w) for a, (vs, w) in axes.items() for v in vs]
+    vals = spark.createDataFrame(rows, "axis string, v long, w long")
+    qs = [("q1", 1, 4), ("q3", 3, 4)]
+    melted = {
+        (r["axis"], r["q_label"]): r["vden"]
+        for r in quantile_cont_vden(
+            spark, vals, ["axis"], qs, bucket_width="w"
+        ).collect()
+    }
+    for a, (vs, w) in axes.items():
+        solo = {
+            r["q_label"]: r["vden"]
+            for r in quantile_cont_vden(
+                spark,
+                vals.filter(F.col("axis") == a).select("axis", "v"),
+                ["axis"],
+                qs,
+                bucket_width=w,
+            ).collect()
+        }
+        sv = sorted(vs)
+        for lab, num, den in qs:
+            assert melted[(a, lab)] == solo[lab] == _brute_vden(
+                sv, num, den
+            ), (a, lab)
