@@ -722,12 +722,12 @@ _CUSUM_ALARM_HOURS = 24  # alarm when drift accumulates a day of excess
     ),
     s AS (
       SELECT hr, c, ref_u, split_hr,
-        pf - min(pf) OVER (
+        pf - least(0, min(pf) OVER (
           ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS cpos,
-        max(pf) OVER (
+        )) AS cpos,
+        greatest(0, max(pf) OVER (
           ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) - pf AS cneg
+        )) - pf AS cneg
       FROM p
     )
     SELECT hr, c AS n_events, (hr >= split_hr) AS drifted,
@@ -740,8 +740,12 @@ _CUSUM_ALARM_HOURS = 24  # alarm when drift accumulates a day of excess
     doc="CUSUM changepoint/drift detection over the hourly event-count "
     "series — the classic sequential monitoring statistic, computed "
     "in CLOSED FORM: the textbook recursion S_t = max(0, S_{t-1} + "
-    "(x_t − ref)) is exactly prefix_sum − running_min(prefix_sum) "
-    "(and the downward statistic is running_max − prefix_sum), so "
+    "(x_t − ref)) is exactly prefix_sum − min(0, "
+    "running_min(prefix_sum)) — the min(0, ·) is the virtual empty "
+    "prefix P_0 = 0, without which the statistic is understated by "
+    "min(pf) whenever every early prefix sum is positive (round-9 "
+    "ADVICE; the downward statistic is symmetrically max(0, "
+    "running_max) − prefix_sum) — so "
     "the sequential-looking detector becomes two windows over the "
     f"hour-bounded relation. Reference rate = the first "
     f"{_CUSUM_BASE_HOURS} observed hours' mean in exact µ-units "
@@ -803,8 +807,10 @@ def events_cusum_hourly(spark: SparkSession, sf: str) -> DataFrame:
         "pf", F.sum(F.lit(1000000) * F.col("c") - F.col("ref_u")).over(w)
     )
     s = p.withColumn(
-        "cpos", F.col("pf") - F.min("pf").over(w)
-    ).withColumn("cneg", F.max("pf").over(w) - F.col("pf"))
+        "cpos", F.col("pf") - F.least(F.lit(0), F.min("pf").over(w))
+    ).withColumn(
+        "cneg", F.greatest(F.lit(0), F.max("pf").over(w)) - F.col("pf")
+    )
     return s.select(
         "hr",
         F.col("c").alias("n_events"),

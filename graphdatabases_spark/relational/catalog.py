@@ -197,6 +197,17 @@ def stage_derived(
             finally:
                 if fcntl is not None:
                     fcntl.flock(lk, fcntl.LOCK_UN)
+    # Touch on EVERY successful resolve (os.rename preserves the tmp
+    # dir's materialization mtime and a fresh-path hit never rewrote
+    # it, so the GC grace period used to measure time-since-publication
+    # — a reader that resolved >grace before a re-stage could still
+    # have its files rmtree'd mid-scan).  With the utime the grace
+    # period measures time since last USE, which is what the lazy GC's
+    # "no reader can still hold it" argument actually needs.
+    try:
+        os.utime(staged, None)
+    except OSError:
+        pass
     return staged, f"{path_tag}_{sig}"
 
 

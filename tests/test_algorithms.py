@@ -115,6 +115,53 @@ class TestLabelPropagation:
         assert set(labels[i] for i in range(3)) <= {0, 1, 2}
         assert set(labels[i] for i in range(3, 6)) <= {3, 4, 5}
 
+    @pytest.mark.parametrize("iters", [1, 2, 3])
+    def test_rebuild_freeze_precondition_with_isolated_vertices(
+        self, spark, iters
+    ):
+        """Guard for the round-9 single-reference-lineage rebuild
+        (graph/algorithms.py label_propagation): the per-round
+        ``coalesce(new_label, id)`` is exact ONLY under the invariant
+        that ``best`` covers exactly the non-isolated vertex set —
+        every vertex with an incident edge appears in every round's
+        neighbor agg, and isolated vertices never leave their initial
+        label.  A future change that filters ``counts``/``best``
+        (dropping low-count labels, degree thresholds) would silently
+        RESET labels to the initial id instead of freezing the previous
+        round's value.  This pins, per round count and per strategy:
+        totality (output covers the full vertex relation, isolated
+        vertices included), the isolated-freeze (label == own id), and
+        local/distributed equality on a graph that HAS truly isolated
+        vertices — the local path computes the same recurrence
+        independently, so any filtered-best regression diverges here.
+        (Round-9 ADVICE item.)"""
+        from graphdatabases_spark.graph.model import PropertyGraph
+
+        # Triangle 0-1-2, chain 3-4, isolated vertices 5 and 6.
+        ids = spark.range(7).select("id")
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (3, 4)], "src long, dst long"
+        )
+        empty_l = F.array().cast("array<string>").alias("labels")
+        empty_p = F.create_map().cast("map<string,string>").alias("props")
+        g = PropertyGraph(
+            ids.select("id", empty_l, empty_p),
+            edges.select("src", "dst", empty_l, empty_p),
+        )
+        out = {}
+        for strat in ("local", "distributed"):
+            rows = label_propagation(
+                g, num_iters=iters, strategy=strat
+            ).collect()
+            labels = {r["id"]: r["label"] for r in rows}
+            assert set(labels) == set(range(7)), strat  # totality
+            assert labels[5] == 5 and labels[6] == 6, strat  # freeze
+            # Non-isolated labels stay inside their own component.
+            assert set(labels[i] for i in (0, 1, 2)) <= {0, 1, 2}, strat
+            assert set(labels[i] for i in (3, 4)) <= {3, 4}, strat
+            out[strat] = sorted(labels.items())
+        assert out["local"] == out["distributed"]
+
 
 class TestLocalDistributedEquivalence:
     """The adaptive local fast path must return exactly what the
