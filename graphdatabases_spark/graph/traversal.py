@@ -92,6 +92,12 @@ def _spark_of(df: DataFrame) -> SparkSession:
     return df.sparkSession
 
 
+def _shuffle_partitions(spark: SparkSession) -> int:
+    """Session shuffle-partition count — the coalesce cap for the
+    iterative loops' accumulated-union checkpoints."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 # Catalyst-statistics short-circuit for the auto policy: optimizedPlan
 # stats are free (no job), derived from file sizes through the operator
 # tree. Below 64 MB the edge set certainly fits on the driver; above
@@ -654,8 +660,18 @@ def _bfs_distributed(
                 break
             visited = visited.union(nxt)
             if d % checkpoint_every == 0:
-                # Collapse the growing union tree so plan size stays O(1).
-                visited = visited.localCheckpoint(eager=True)
+                # Collapse the growing union tree so plan size stays
+                # O(1) — AND coalesce first: each union appends nxt's
+                # partitions, so without the coalesce the checkpointed
+                # partition count grows ~linearly with depth and the
+                # per-round anti-join's visited scan pays that many
+                # task launches every round. Measured on the 500-grid
+                # at 300 hops: 2.4 s/round average (715 s total) with
+                # the growth vs a flat ~0.45 s/round once capped
+                # (round-10 deep-BFS audit, SCALE.md).
+                visited = visited.coalesce(
+                    _shuffle_partitions(spark)
+                ).localCheckpoint(eager=True)
             frontier = nxt
         return visited
     finally:
@@ -896,7 +912,11 @@ def _ssp_distributed(
                 break
             visited = visited.union(nxt.select("id"))
             if d % checkpoint_every == 0:
-                visited = visited.localCheckpoint(eager=True)
+                # coalesce caps the checkpointed partition count (see
+                # _bfs_distributed — unbounded growth with depth).
+                visited = visited.coalesce(
+                    _shuffle_partitions(spark)
+                ).localCheckpoint(eager=True)
                 # visited no longer references earlier rounds; frontier
                 # (= this round's nxt) is checkpointed, so every pinned
                 # cache is now releasable.

@@ -1114,3 +1114,304 @@ def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return out
+
+# ---------------------------------------------------------------------------
+# Louvain refinement: one provably-improving local-move pass
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_louvain_onepass",
+    oracle=f"""
+    WITH {_MOD_EDGES_SQL},
+    {_LPA_ROUND.format(k=1, prev=0)},
+    {_LPA_ROUND.format(k=2, prev=1)},
+    {_LPA_ROUND.format(k=3, prev=2)},
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+    deg AS (
+      SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+      FROM sym GROUP BY 1
+    ),
+    comm AS MATERIALIZED (
+      SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS sig
+      FROM l3 l JOIN deg d ON d.id = l.id GROUP BY l.label
+    ),
+    kvc AS MATERIALIZED (
+      SELECT s.src AS id, l.label AS c, CAST(count(*) AS BIGINT) AS k
+      FROM sym s JOIN l3 l ON l.id = s.dst
+      GROUP BY 1, 2
+    ),
+    own AS (SELECT id, label AS s FROM l3),
+    kvs AS (
+      SELECT o.id, o.s, coalesce(k.k, 0) AS k_own
+      FROM own o LEFT JOIN kvc k ON k.id = o.id AND k.c = o.s
+    ),
+    cand0 AS (
+      SELECT kvc.id, kvs.s, kvc.c,
+             2 * mm.m * (kvc.k - kvs.k_own)
+               - d.deg * (cc.sig - cs.sig + d.deg) AS gain
+      FROM kvc
+      JOIN kvs ON kvs.id = kvc.id
+      JOIN deg d ON d.id = kvc.id
+      JOIN comm cc ON cc.label = kvc.c
+      JOIN comm cs ON cs.label = kvs.s
+      CROSS JOIN mm
+      WHERE kvc.c <> kvs.s
+    ),
+    cand1 AS (
+      SELECT id, s, c, gain FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY id ORDER BY gain DESC, c
+        ) AS rn FROM cand0 WHERE gain > 0
+      ) WHERE rn = 1
+    ),
+    cand2 AS (
+      SELECT id, s, c, gain FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY s ORDER BY gain DESC, id
+        ) AS rn FROM cand1
+      ) WHERE rn = 1
+    ),
+    cand3 AS MATERIALIZED (
+      SELECT id, s, c, gain FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY c ORDER BY gain DESC, id
+        ) AS rn FROM cand2
+      ) WHERE rn = 1
+    ),
+    movers AS MATERIALIZED (
+      SELECT t.id, t.s, t.c, t.gain FROM cand3 t
+      WHERE NOT EXISTS (SELECT 1 FROM cand3 x WHERE x.c = t.s)
+        AND NOT EXISTS (SELECT 1 FROM cand3 x WHERE x.s = t.c)
+    ),
+    l4 AS MATERIALIZED (
+      SELECT l.id, coalesce(mv.c, l.label) AS label
+      FROM l3 l LEFT JOIN movers mv ON mv.id = l.id
+    ),
+    ca AS (
+      SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS sig
+      FROM l4 l JOIN deg d ON d.id = l.id GROUP BY l.label
+    ),
+    ib AS (
+      SELECT CAST(count(*) AS BIGINT) AS intra
+      FROM e0 e JOIN l3 a ON a.id = e.src JOIN l3 b ON b.id = e.dst
+      WHERE a.label = b.label
+    ),
+    ia AS (
+      SELECT CAST(count(*) AS BIGINT) AS intra
+      FROM e0 e JOIN l4 a ON a.id = e.src JOIN l4 b ON b.id = e.dst
+      WHERE a.label = b.label
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM l0) AS n_nodes,
+      mm.m AS n_edges,
+      (SELECT CAST(count(*) AS BIGINT) FROM comm) AS n_comm_before,
+      (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM l4)
+        AS n_comm_after,
+      (SELECT CAST(count(*) AS BIGINT) FROM movers) AS n_moves,
+      (SELECT CAST(coalesce(sum(gain), 0) AS BIGINT) FROM movers)
+        AS gain_2m2,
+      CAST((1000000::HUGEINT
+            * (4::HUGEINT * mm.m * mm.m
+               + 4::HUGEINT * mm.m * (SELECT intra FROM ib)
+               - (SELECT sum(sig * sig) FROM comm)))
+           // (4::HUGEINT * mm.m * mm.m) AS BIGINT) - 1000000
+        AS q_before_ppm,
+      CAST((1000000::HUGEINT
+            * (4::HUGEINT * mm.m * mm.m
+               + 4::HUGEINT * mm.m * (SELECT intra FROM ia)
+               - (SELECT sum(sig * sig) FROM ca)))
+           // (4::HUGEINT * mm.m * mm.m) AS BIGINT) - 1000000
+        AS q_after_ppm
+    FROM mm
+    """,
+    doc="ONE Louvain local-move refinement pass over the 3-round LPA "
+    "partition of the co-purchase graph (the natural next operator "
+    "after graph_modularity scores it): every vertex evaluates its "
+    "best neighboring community by the standard Louvain gain, in "
+    "EXACT integers scaled by 2m² — gain_2m2(v: s→c) = 2m·(k_vc − "
+    "k_vs) − d_v·(Σ_c − Σ_s + d_v), no float ΔQ anywhere — and a "
+    "COMMUNITY-DISJOINT subset of positive-gain moves applies "
+    "simultaneously. Selection (all keyed aggs/windows, deterministic "
+    "ties by gain DESC then label/id ASC): best target per vertex → "
+    "best mover per SOURCE community → best mover per TARGET "
+    "community → drop moves whose source is another selected move's "
+    "target or vice versa. The surviving moves touch pairwise-"
+    "DISTINCT communities, so each mover's k_v· and Σ· terms are "
+    "unaffected by the others and total ΔQ = Σ gain_2m2/(2m²) adds "
+    "EXACTLY — synchronous application provably improves Q whenever "
+    "n_moves ≥ 1 (the classic simultaneous-swap oscillation is "
+    "excluded by construction; pinned in tests/test_round10_graph.py "
+    "with a pure-Python integer replay). Q before/after emitted via "
+    "graph_modularity's exact +4m²-shifted floor-div ppm identity. "
+    "Scale shape: k_vc is one keyed agg over sym-edges (the LPA round "
+    "shape); comm/Σ one keyed agg; candidate windows partition by "
+    "vertex/community (never global); the crossing filter is two "
+    "left-anti joins against the ≤|communities| selected-move "
+    "relation. No new shuffle class beyond the LPA entry itself.",
+)
+def graph_louvain_onepass(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from graphdatabases_spark.graph.algorithms import label_propagation
+
+    l = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    e0 = (
+        l.alias("a")
+        .join(
+            l.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = label_propagation(e0, num_iters=3).localCheckpoint(eager=True)
+    sym = e0.select("src", "dst").unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    mm = e0.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    comm = (
+        labels.join(deg, "id")
+        .groupBy("label")
+        .agg(F.sum("deg").cast("long").alias("sig"))
+        .localCheckpoint(eager=True)
+    )
+    kvc = (
+        sym.join(
+            labels.select(F.col("id").alias("dst"), F.col("label").alias("c")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"), "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    own = labels.select("id", F.col("label").alias("s"))
+    kvs = own.join(
+        kvc.select("id", F.col("c").alias("s"), F.col("k").alias("k_own")),
+        ["id", "s"],
+        "left",
+    ).select("id", "s", F.coalesce("k_own", F.lit(0)).alias("k_own"))
+    cand0 = (
+        kvc.join(kvs, "id")
+        .filter(F.col("c") != F.col("s"))
+        .join(deg, "id")
+        .join(comm.select(F.col("label").alias("c"), F.col("sig").alias("sig_c")), "c")
+        .join(comm.select(F.col("label").alias("s"), F.col("sig").alias("sig_s")), "s")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "id",
+            "s",
+            "c",
+            (
+                2 * F.col("m") * (F.col("k") - F.col("k_own"))
+                - F.col("deg")
+                * (F.col("sig_c") - F.col("sig_s") + F.col("deg"))
+            ).alias("gain"),
+        )
+        .filter(F.col("gain") > 0)
+    )
+    w1 = Window.partitionBy("id").orderBy(F.col("gain").desc(), F.col("c"))
+    cand1 = (
+        cand0.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("s").orderBy(F.col("gain").desc(), F.col("id"))
+    cand2 = (
+        cand1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w3 = Window.partitionBy("c").orderBy(F.col("gain").desc(), F.col("id"))
+    cand3 = (
+        cand2.withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    movers = (
+        cand3.join(
+            cand3.select(F.col("c").alias("s")).distinct(), "s", "left_anti"
+        )
+        .join(
+            cand3.select(F.col("s").alias("c")).distinct(), "c", "left_anti"
+        )
+        .localCheckpoint(eager=True)
+    )
+    l4 = labels.join(
+        movers.select("id", F.col("c").alias("new_label")), "id", "left"
+    ).select("id", F.coalesce("new_label", "label").alias("label"))
+
+    def _q_parts(lbl, alias):
+        sig = (
+            lbl.join(deg, "id")
+            .groupBy("label")
+            .agg(F.sum("deg").cast("long").alias("sig"))
+            .agg(F.sum(F.col("sig") * F.col("sig")).cast("long").alias(f"sum_d2_{alias}"))
+        )
+        la = lbl.select(F.col("id").alias("src"), F.col("label").alias("la"))
+        lb = lbl.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+        intra = (
+            e0.join(la, "src")
+            .join(lb, "dst")
+            .filter(F.col("la") == F.col("lb"))
+            .agg(F.count(F.lit(1)).cast("long").alias(f"intra_{alias}"))
+        )
+        return sig, intra
+
+    sig_b, intra_b = _q_parts(labels, "b")
+    sig_a, intra_a = _q_parts(l4, "a")
+    counts = (
+        mm.crossJoin(labels.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+        .crossJoin(comm.agg(F.count(F.lit(1)).cast("long").alias("n_comm_before")))
+        .crossJoin(
+            l4.select("label")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_comm_after"))
+        )
+        .crossJoin(
+            movers.agg(
+                F.count(F.lit(1)).cast("long").alias("n_moves"),
+                F.coalesce(F.sum("gain"), F.lit(0))
+                .cast("long")
+                .alias("gain_2m2"),
+            )
+        )
+        .crossJoin(sig_b)
+        .crossJoin(intra_b)
+        .crossJoin(sig_a)
+        .crossJoin(intra_a)
+    )
+
+    def _q_ppm(intra_col, sumd2_col):
+        return (
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * (4 * CAST(m AS DECIMAL(38,0)) * m"
+                f"    + 4 * CAST(m AS DECIMAL(38,0)) * {intra_col}"
+                f"    - {sumd2_col}))"
+                " div (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)"
+            )
+            - F.lit(1000000)
+        )
+
+    return counts.select(
+        "n_nodes",
+        F.col("m").alias("n_edges"),
+        "n_comm_before",
+        "n_comm_after",
+        "n_moves",
+        "gain_2m2",
+        _q_ppm("intra_b", "sum_d2_b").alias("q_before_ppm"),
+        _q_ppm("intra_a", "sum_d2_a").alias("q_after_ppm"),
+    )

@@ -342,6 +342,8 @@ class TestUniversalGates:
         "dedup_prefix_zipf",          # 1-row bound-summary scalars (x2)
         "retrieval_ndcg_mrr",         # k=8 cells + bounded query batch + 1-row stats
         "graph_modularity",           # 1-row m/totals/intra scalars (x3)
+        "graph_louvain_onepass",      # 1-row m/moves/intra/sumd2 scalars
+                                      # folded into the single output row
         "docs_dsir_weights",          # 1-row model-total scalars (tt, ct)
         "retrieval_rrf_fusion",       # same bounded runs as ndcg_mrr
         "events_cusum_hourly",        # 1-row baseline/split scalars
