@@ -104,6 +104,12 @@ HEADLINE = [
     "docs_dsir_weights",
     "docs_sequence_packing",
     "events_cusum_hourly",
+    # round 10: the Louvain community-disjoint refinement pass (LPA +
+    # exact-gain evaluation + two exact-Q scorings — the heaviest
+    # graph-analytics entry, benched on purpose), and the
+    # quantile-kernel trim (bounded two-pass histogram fences).
+    "graph_louvain_onepass",
+    "docs_length_quantile_trim",
 ]
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphdatabases_spark.functions import text as T
+from graphdatabases_spark.operators.quantile import quantile_cont_vden
 from graphdatabases_spark.relational.analytics_queries import _ngram_array
 from graphdatabases_spark.relational.catalog import register, table
 from graphdatabases_spark.relational.curation_queries import _H, _let
@@ -849,3 +850,128 @@ def docs_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("span_fp"),
     ).orderBy("doc_id", "span_start")
 
+
+
+# ---------------------------------------------------------------------------
+# Adaptive length-outlier trimming by exact per-language quantiles
+# ---------------------------------------------------------------------------
+
+@register(
+    "docs_length_quantile_trim",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+    r AS MATERIALIZED (
+      SELECT lang, n_tok AS v,
+             row_number() OVER (PARTITION BY lang ORDER BY n_tok) AS rn
+      FROM t
+    ),
+    q(q_label, num) AS (VALUES ('p05', 1), ('p95', 19)),
+    tq AS (
+      SELECT n.lang, q.q_label,
+             ((n.n - 1) * q.num) // 20 + 1 AS lo,
+             ((n.n - 1) * q.num) % 20 AS rem
+      FROM n CROSS JOIN q
+    ),
+    bq AS (
+      SELECT tq.lang, tq.q_label,
+             20 * rlo.v + tq.rem * (coalesce(rhi.v, rlo.v) - rlo.v)
+               AS vden
+      FROM tq
+      JOIN r rlo ON rlo.lang = tq.lang AND rlo.rn = tq.lo
+      LEFT JOIN r rhi ON rhi.lang = tq.lang AND rhi.rn = tq.lo + 1
+                     AND tq.rem > 0
+    ),
+    b AS (
+      SELECT lang,
+             max(CASE WHEN q_label = 'p05' THEN vden END) AS v05,
+             max(CASE WHEN q_label = 'p95' THEN vden END) AS v95
+      FROM bq GROUP BY lang
+    )
+    SELECT t.lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      round(CAST(min(b.v05) AS DOUBLE) / 20, 2) AS p05_tok,
+      round(CAST(min(b.v95) AS DOUBLE) / 20, 2) AS p95_tok,
+      CAST(sum(CASE WHEN 20 * t.n_tok < b.v05 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_below,
+      CAST(sum(CASE WHEN 20 * t.n_tok > b.v95 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_above,
+      CAST(sum(CASE WHEN 20 * t.n_tok >= b.v05
+                     AND 20 * t.n_tok <= b.v95 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_kept
+    FROM t JOIN b USING (lang)
+    GROUP BY t.lang
+    ORDER BY t.lang
+    """,
+    doc="ADAPTIVE length-outlier trimming — per-language exact "
+    "p05/p95 token-count fences with kept/trimmed tallies, the "
+    "quantile-based cousin of the fixed-threshold C4/Gopher filters "
+    "(fixed thresholds go stale as a corpus mix shifts; per-language "
+    "fences track each language's own length distribution, the "
+    "standard pretraining-data trim). Boundaries come from the shared "
+    "two-pass histogram-refinement kernel (operators/quantile.py, the "
+    "round-10 exact-percentile-hazard replacement) and are carried as "
+    "the exact rational vden/20 (type-7 quantile_cont at 1/20 and "
+    "19/20, all-integer rank arithmetic); membership compares "
+    "20·n_tok against vden — zero floats until the two display "
+    "roundings. The oracle computes the same rationals by brute "
+    "row_number sort. Scale shape: one tokenizer projection + the "
+    "kernel's combinable bucket histogram (bounded by "
+    "max_tokens/width, independent of corpus size) + a broadcast "
+    "|langs|×2 fence join back onto the token counts — no global "
+    "sort, no per-group value->count percentile buffer.",
+)
+def docs_length_quantile_trim(spark: SparkSession, sf: str) -> DataFrame:
+    t = table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    vals = t.select("lang", F.col("n_tok").alias("v"))
+    bq = quantile_cont_vden(
+        spark,
+        vals,
+        ["lang"],
+        [("p05", 1, 20), ("p95", 19, 20)],
+        bucket_width=16,
+    )
+    b = bq.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("q_label") == "p05", F.col("vden"))
+        ).alias("v05"),
+        F.max(
+            F.when(F.col("q_label") == "p95", F.col("vden"))
+        ).alias("v95"),
+    )
+    return (
+        t.join(F.broadcast(b), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.min("v05").cast("double") / 20, 2).alias("p05_tok"),
+            F.round(F.min("v95").cast("double") / 20, 2).alias("p95_tok"),
+            F.sum(
+                F.when(20 * F.col("n_tok") < F.col("v05"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_below"),
+            F.sum(
+                F.when(20 * F.col("n_tok") > F.col("v95"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_above"),
+            F.sum(
+                F.when(
+                    (20 * F.col("n_tok") >= F.col("v05"))
+                    & (20 * F.col("n_tok") <= F.col("v95")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -304,6 +304,7 @@ class TestUniversalGates:
         "orders_rfm_segments",        # 1-row boundary scalars + 3-row
                                       # quantile-spec frame (quantile.py)
         "agg_percentile",             # 2-row quantile-spec literal frame
+        "docs_length_quantile_trim",  # 2-row quantile-spec literal frame
         "orders_mad_outliers",        # 1-row quantile-spec frame (x2) +
                                       # 5-row med/mad/moment broadcasts
         "copurchase_lift",            # 1-row total-orders scalar
