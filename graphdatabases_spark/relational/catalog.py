@@ -401,7 +401,6 @@ _VERIFIED_ROUND: dict[str, int] = {
     "agg_cube": 8,
     "agg_grouping_sets": 8,
     "agg_mode_status_priority": 8,
-    "agg_percentile": 8,
     "agg_rollup": 8,
     "agg_stats": 8,
     "customer_ldiversity_audit": 8,
@@ -453,7 +452,6 @@ _VERIFIED_ROUND: dict[str, int] = {
     "docs_sequence_packing": 9,
     "docs_stratified_sample": 9,
     "embedding_norm_outliers": 9,
-    "events_cusum_hourly": 9,
     "events_stream_click_attribution": 9,
     "events_user_features": 9,
     "graph_kcore_entity": 9,
@@ -465,9 +463,7 @@ _VERIFIED_ROUND: dict[str, int] = {
     "kmeans_assign_init": 9,
     "kmeans_embeddings": 9,
     "multimodal_phash_neardup": 9,
-    "orders_mad_outliers": 9,
     "orders_repeat_intervals": 9,
-    "orders_rfm_segments": 9,
     "q10_returned_items": 9,
     "q12_priority_by_month": 9,
     "q14_promo_revenue": 9,
