@@ -1415,3 +1415,135 @@ def graph_louvain_onepass(spark: SparkSession, sf: str) -> DataFrame:
         _q_ppm("intra_b", "sum_d2_b").alias("q_before_ppm"),
         _q_ppm("intra_a", "sum_d2_a").alias("q_after_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Community quality: per-community conductance of the LPA partition
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_conductance",
+    oracle=f"""
+    WITH {_MOD_EDGES_SQL},
+    {_LPA_ROUND.format(k=1, prev=0)},
+    {_LPA_ROUND.format(k=2, prev=1)},
+    {_LPA_ROUND.format(k=3, prev=2)},
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+    deg AS (
+      SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+      FROM sym GROUP BY 1
+    ),
+    comm AS (
+      SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d.deg) AS BIGINT) AS vol
+      FROM l3 l JOIN deg d ON d.id = l.id GROUP BY l.label
+    ),
+    lab AS (
+      SELECT e.src, e.dst, a.label AS la, b.label AS lb
+      FROM e0 e JOIN l3 a ON a.id = e.src JOIN l3 b ON b.id = e.dst
+    ),
+    cut AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS cut FROM (
+        SELECT la AS label FROM lab WHERE la <> lb
+        UNION ALL
+        SELECT lb AS label FROM lab WHERE la <> lb
+      ) GROUP BY label
+    )
+    SELECT c.label, c.n_nodes, c.vol,
+      coalesce(t.cut, 0) AS cut,
+      CAST(CASE
+        WHEN least(c.vol, 2 * mm.m - c.vol) = 0 THEN 0
+        ELSE (1000000 * coalesce(t.cut, 0))
+               // least(c.vol, 2 * mm.m - c.vol)
+      END AS BIGINT) AS phi_ppm
+    FROM comm c LEFT JOIN cut t ON t.label = c.label
+    CROSS JOIN mm
+    ORDER BY c.n_nodes DESC, c.label
+    LIMIT 20
+    """,
+    doc="Per-community CONDUCTANCE φ(C) = cut(C)/min(vol(C), 2m−vol(C)) "
+    "of the 3-round LPA partition over the co-purchase graph, for the "
+    "20 largest communities — the boundary-quality complement to "
+    "graph_modularity's global Q (a partition can score a decent Q "
+    "while individual communities leak; φ reads per community and is "
+    "the standard seed-set/community-detection quality in the local "
+    "graph-clustering literature). Exact integers end-to-end: vol from "
+    "the degree agg, cut by counting label-discordant edges into BOTH "
+    "end communities (one union-all keyed agg), φ as floor-div ppm "
+    "with the min(vol, 2m−vol) denominator guarded at 0 — identical "
+    "BIGINT arithmetic in both engines, no ratio ever a float. "
+    "Deterministic top-k: ORDER BY n_nodes DESC, label. Scale shape: "
+    "LPA is the iterative part (shared with modularity/Louvain); the "
+    "overlay is one (id,label)⋈edges join + two keyed aggs + a "
+    "broadcast 1-row m scalar — no new shuffle class.",
+)
+def graph_conductance(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.graph.algorithms import label_propagation
+
+    l = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    e0 = (
+        l.alias("a")
+        .join(
+            l.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = label_propagation(e0, num_iters=3).localCheckpoint(eager=True)
+    sym = e0.select("src").unionAll(e0.select(F.col("dst").alias("src")))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    mm = e0.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    comm = (
+        labels.join(deg, "id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("vol"),
+        )
+    )
+    lab = (
+        e0.join(
+            labels.select(F.col("id").alias("src"), F.col("label").alias("la")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("id").alias("dst"), F.col("label").alias("lb")),
+            "dst",
+        )
+        .filter(F.col("la") != F.col("lb"))
+    )
+    cut = (
+        lab.select(F.col("la").alias("label"))
+        .unionAll(lab.select(F.col("lb").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut"))
+    )
+    return (
+        comm.join(cut, "label", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "label",
+            "n_nodes",
+            "vol",
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+            F.expr(
+                "CAST(CASE WHEN least(vol, 2 * m - vol) = 0 THEN 0 "
+                "ELSE (1000000 * coalesce(cut, 0))"
+                " div least(vol, 2 * m - vol) END AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+        .orderBy(F.col("n_nodes").desc(), "label")
+        .limit(20)
+    )
