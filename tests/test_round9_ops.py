@@ -42,7 +42,13 @@ class TestPrefixZipfBound:
 
     def test_staged_corpus_is_reused(self, spark, sf_dir):
         """Second call must read the already-staged parquet (same
-        path, same _SIG) — not re-materialize."""
+        path, same _SIG) — not re-materialize.  Reuse is pinned on the
+        _SIG file's inode+mtime: a re-stage writes a fresh tmp dir and
+        renames it into place, which replaces the file.  The staging
+        DIRECTORY's mtime is deliberately NOT a reuse proxy anymore —
+        the round-9 ADVICE GC fix refreshes it on every successful
+        resolve so the lazy-GC grace period measures time since last
+        use."""
         import os
 
         from graphdatabases_spark.relational.dedup_queries import (
@@ -51,11 +57,16 @@ class TestPrefixZipfBound:
 
         p1 = _stage_zipf_corpus(spark, sf_dir)
         sig1 = open(os.path.join(p1, "_SIG")).read()
-        mtime1 = os.path.getmtime(p1)
+        st1 = os.stat(os.path.join(p1, "_SIG"))
+        dir_mtime1 = os.path.getmtime(p1)
         p2 = _stage_zipf_corpus(spark, sf_dir)
         assert p2 == p1
         assert open(os.path.join(p2, "_SIG")).read() == sig1
-        assert os.path.getmtime(p2) == mtime1
+        st2 = os.stat(os.path.join(p2, "_SIG"))
+        assert (st2.st_ino, st2.st_mtime_ns) == (st1.st_ino, st1.st_mtime_ns)
+        # The use-time refresh itself: the directory reads as touched
+        # no earlier than the first resolve.
+        assert os.path.getmtime(p2) >= dir_mtime1
 
     def test_zipf_marginals(self, spark, sf_dir):
         """The generator is exactly Zipf(1)-by-octave: octave counts
