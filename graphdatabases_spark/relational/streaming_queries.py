@@ -770,6 +770,135 @@ def events_stream_attrib_outer(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "events_stream_attrib_full",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+             - INTERVAL 10 MINUTE AS w
+    ),
+    m AS (
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purch_id,
+             p.value
+      FROM c JOIN p
+        ON p.user_id = c.user_id
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ),
+    u AS (
+      SELECT c.user_id
+      FROM c, wm
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.event_id)
+        AND c.ts + INTERVAL 30 MINUTE < wm.w
+    ),
+    o AS (
+      SELECT p.user_id
+      FROM p, wm
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.purch_id = p.event_id)
+        AND p.ts < wm.w
+    ),
+    allrows AS (
+      SELECT user_id, 1 AS matched, 0 AS orphan,
+             CAST(value AS DECIMAL(18,4)) AS v FROM m
+      UNION ALL SELECT user_id, 0, 0, NULL FROM u
+      UNION ALL SELECT user_id, 0, 1, NULL FROM o
+    )
+    SELECT user_id,
+      CAST(sum(matched) AS BIGINT) AS n_matched,
+      CAST(sum(CASE WHEN matched = 0 AND orphan = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_unconverted,
+      CAST(sum(orphan) AS BIGINT) AS n_orphan_purchases,
+      CAST(round(coalesce(sum(CASE WHEN matched = 1 THEN v END), 0), 2)
+           AS DOUBLE) AS matched_value
+    FROM allrows GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Runs the REAL Structured Streaming engine: STREAM-STREAM FULL "
+    "OUTER join — the last join mode in the streaming matrix (inner "
+    "pairs, LEFT OUTER unconverted clicks, and now ORPHAN purchases "
+    "with no preceding click, the funnel's 'dark conversions' the "
+    "production attribution table must also report). Matched pairs "
+    "emit immediately; an unmatched click null-emits when the global "
+    "watermark passes click_ts + the 30-minute gap (the attrib_outer "
+    "rule); an unmatched purchase null-emits under the SYMMETRIC "
+    "proof with NO +gap offset — the join constraint p.ts >= c.ts "
+    "means a future click above the watermark could still match any "
+    "purchase with ts >= watermark, so purchase state is evicted "
+    "exactly when the global watermark passes purchase_ts itself. "
+    "Both measured rules are encoded literally in the oracle "
+    "(u: ts + 30min < wm; o: ts < wm, wm = least(max_c, max_p) − "
+    "10min), so this entry pins BOTH sides' state-eviction contracts "
+    "— the full bounded-state story for outer stream-stream joins on "
+    "an unbounded stream. user_id is coalesced across sides so both "
+    "null shapes roll up into one per-user funnel row.",
+)
+def events_stream_attrib_full(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.streaming.windows import (
+        attribution_join,
+        read_events_stream,
+    )
+
+    staged, tag = _stage_events_micro(spark, sf)
+    clicks = read_events_stream(spark, staged).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, staged).filter(
+        F.col("event_type") == "purchase"
+    )
+    pairs = attribution_join(
+        clicks, purchases, max_gap="30 minutes", how="full_outer"
+    )
+    sink = f"stream_attrib_full_{tag}"
+    (
+        pairs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    matched = F.col("purchase_id").isNotNull() & F.col("click_id").isNotNull()
+    orphan = F.col("click_id").isNull()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(matched, 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.sum(
+                F.when(F.col("purchase_id").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_unconverted"),
+            F.sum(F.when(orphan, 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphan_purchases"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            matched,
+                            F.col("purchase_value").cast("decimal(18,4)"),
+                        )
+                    ),
+                    F.lit(0).cast("decimal(18,4)"),
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("matched_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "events_stream_tumbling_append",
     oracle="""
     WITH p AS (

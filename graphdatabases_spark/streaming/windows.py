@@ -185,9 +185,24 @@ def attribution_join(
     ``click_ts + max_gap``. Clicks newer than that stay buffered and
     emit nothing (measured; pinned in tests/test_streaming.py and in
     the catalog oracle of events_stream_attrib_outer).
+
+    ``how='full_outer'`` ALSO emits each ORPHAN purchase (no click in
+    the preceding ``max_gap``) once, with null click columns, under
+    the symmetric proof: the join constraint ``p.ts >= c.ts`` means a
+    future click (ts above the global watermark) could still match
+    any purchase with ``purchase_ts >= watermark``, so a purchase's
+    state is evicted and null-emitted only when the global watermark
+    passes ``purchase_ts`` itself — no ``+ max_gap`` offset on this
+    side (measured; pinned in the events_stream_attrib_full oracle).
+    ``user_id`` is coalesced across sides so both null shapes roll up.
     """
     c = clicks.withWatermark("ts", watermark).alias("c")
     p = purchases.withWatermark("ts", watermark).alias("p")
+    uid = (
+        F.coalesce(F.col("c.user_id"), F.col("p.user_id"))
+        if how == "full_outer"
+        else F.col("c.user_id")
+    )
     return c.join(
         p,
         F.expr(
@@ -197,7 +212,7 @@ def attribution_join(
         ),
         how,
     ).select(
-        F.col("c.user_id").alias("user_id"),
+        uid.alias("user_id"),
         F.col("c.event_id").alias("click_id"),
         F.col("c.ts").alias("click_ts"),
         F.col("p.event_id").alias("purchase_id"),

@@ -225,6 +225,7 @@ _EAGER_STREAMING = {
     "events_stream_enriched_nation",
     "events_stream_click_attribution",
     "events_stream_attrib_outer",
+    "events_stream_attrib_full",
     "events_stream_tumbling_append",
 }
 

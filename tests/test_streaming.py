@@ -294,6 +294,58 @@ class TestStreamStreamJoin:
         }
         assert pairs == {(1, 101): 10.0, (1, 102): 20.0, (3, 104): 40.0}
 
+    def test_full_outer_emits_each_side_at_most_once(self, spark):
+        """FULL OUTER stream-stream join (events_stream_attrib_full):
+        each click appears either in matched rows OR in exactly one
+        null-purchase row (never both), each purchase in matched rows
+        OR exactly one null-click row, every row carries a non-null
+        coalesced user_id, and the two null shapes respect their
+        measured eviction boundaries (click: ts + gap < wm; purchase:
+        ts < wm — the no-offset side, since the p.ts >= c.ts
+        constraint leaves any purchase above the watermark matchable
+        by a future click)."""
+        from graphdatabases_spark.relational.streaming_queries import (
+            _stage_events_micro,
+        )
+        from graphdatabases_spark.streaming.windows import attribution_join
+
+        staged, tag = _stage_events_micro(spark, "/root/testdata/sf0.001")
+        ev = read_events_stream(spark, staged)
+        joined = attribution_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+            max_gap="30 minutes",
+            how="full_outer",
+        )
+        got = run_stream_to_memory(
+            joined, f"t_attrib_full_{tag}", "append"
+        ).toPandas()
+        assert got["user_id"].notna().all()
+        matched = got[got.click_id.notna() & got.purchase_id.notna()]
+        null_p = got[got.purchase_id.isna()]
+        null_c = got[got.click_id.isna()]
+        # XOR per side: no id appears both matched and null-emitted,
+        # and null emissions are unique per id.
+        assert not (set(null_p.click_id) & set(matched.click_id))
+        assert not (set(null_c.purchase_id) & set(matched.purchase_id))
+        assert null_p.click_id.is_unique
+        assert null_c.purchase_id.is_unique
+        # Eviction boundaries against the batch-computed watermark.
+        raw = spark.read.parquet(staged).toPandas()
+        clicks = raw[raw.event_type == "click"]
+        purch = raw[raw.event_type == "purchase"]
+        wm = min(clicks.ts.max(), purch.ts.max()) - pd.Timedelta(minutes=10)
+        gap = pd.Timedelta(minutes=30)
+        assert (null_p.click_ts + gap < wm).all()
+        assert (null_c.purchase_ts < wm).all()
+        # Completeness below the boundary: every unmatched purchase
+        # older than the watermark DID null-emit.
+        orphan_expected = purch[
+            ~purch.event_id.isin(set(matched.purchase_id))
+            & (purch.ts < wm)
+        ]
+        assert set(orphan_expected.event_id) == set(null_c.purchase_id)
+
 
 class TestStatefulOperator:
     def test_running_totals_across_batches(self, spark, events_dir, tmp_path):
