@@ -50,7 +50,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["exact_values_at_ranks", "quantile_cont_vden"]
+__all__ = [
+    "exact_values_at_ranks",
+    "quantile_cont_vden",
+    "weighted_values_at_ranks",
+]
 
 #: Default pass-1 histogram bucket width, in caller units.  65,536
 #: cents keeps the per-group bucket list at ``range/64Ki`` entries
@@ -184,4 +188,70 @@ def quantile_cont_vden(
     )
     return out.select(
         *g, "q_label", "n", "den", "rem", "v_lo", "v_hi", "vden"
+    )
+
+
+def weighted_values_at_ranks(
+    vals: DataFrame,
+    group_cols: Sequence[str],
+    ranks: DataFrame,
+    bucket_width: "int | str" = DEFAULT_BUCKET_WIDTH,
+) -> DataFrame:
+    """WEIGHTED type-1 quantile primitive: the smallest ``v`` whose
+    cumulative weight (over the per-group value-sorted order) reaches
+    each requested weighted rank.
+
+    ``vals`` is ``[*group_cols, v: BIGINT, w: BIGINT]`` with integer
+    weights ``w >= 0`` (each unit of weight counts as one observation
+    — the quantity-weighted/token-weighted quantile of a pretraining
+    pipeline); ``ranks`` is ``[*group_cols, rank: BIGINT]`` with
+    ``1 <= rank <= sum(w)`` per group.  Same two-pass shape as
+    :func:`exact_values_at_ranks` — pass 1 histograms WEIGHT per
+    bucket (combinable sum agg, state bounded by range/width), pass 2
+    aggregates weight per DISTINCT value inside only the target
+    buckets, so the answer is independent of row order among equal
+    values and every comparison is BIGINT.  Returns
+    ``[*group_cols, rank, v]``.
+    """
+    g = list(group_cols)
+    w = (
+        str(bucket_width)
+        if isinstance(bucket_width, str)
+        else int(bucket_width)
+    )
+    b = vals.withColumn("_bkt", F.expr(f"v div {w}").cast("long"))
+    hist = b.groupBy(*g, "_bkt").agg(F.sum("w").cast("long").alias("_c"))
+    wc = (
+        Window.partitionBy(*g)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(wc)).withColumn(
+        "_prev", F.col("_cum") - F.col("_c")
+    )
+    targets = ranks.join(cum, g).filter(
+        (F.col("_prev") < F.col("rank")) & (F.col("rank") <= F.col("_cum"))
+    )
+    cand = b.join(
+        F.broadcast(targets.select(*g, "_bkt", "rank", "_prev")),
+        g + ["_bkt"],
+    )
+    # Aggregate per distinct value first: the in-bucket cumulative is
+    # then tie-order-independent by construction.
+    per_v = cand.groupBy(*g, "rank", "_prev", "v").agg(
+        F.sum("w").cast("long").alias("_wv")
+    )
+    wv = (
+        Window.partitionBy(*(g + ["rank"]))
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hit = per_v.withColumn("_cw", F.sum("_wv").over(wv)).filter(
+        F.col("_prev") + F.col("_cw") >= F.col("rank")
+    )
+    first = Window.partitionBy(*(g + ["rank"])).orderBy("v")
+    return (
+        hit.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .select(*g, "rank", "v")
     )
