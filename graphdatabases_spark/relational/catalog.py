@@ -249,49 +249,6 @@ def _load_all() -> None:
 # covers the new round-7 entries (tier 0) followed by the oldest
 # remaining r3/r4-stale cohort.
 _VERIFIED_ROUND: dict[str, int] = {
-    # r5 cohort
-    "dedup_embedding_neardup": 5,
-    "dedup_exact_summary": 5,
-    "dedup_jaccard_pairs": 5,
-    "dedup_lsh_candidates": 5,
-    "dedup_minhash_signatures": 5,
-    "dedup_simhash": 5,
-    "docs_decontaminate_ngrams": 5,
-    "embedding_label_centroids": 5,
-    "events_dedup_first": 5,
-    "events_session_windows": 5,
-    "events_sliding_10m5m": 5,
-    "events_stateful_running_totals": 5,
-    "events_tumbling_hourly": 5,
-    "graph_bfs_distances_entity": 5,
-    "graph_connected_components": 5,
-    "graph_copurchase_pairs": 5,
-    "graph_degree_histogram": 5,
-    "graph_khop_entity": 5,
-    "graph_khop_grid": 5,
-    "graph_label_propagation": 5,
-    "graph_node_derivation": 5,
-    "graph_pagerank": 5,
-    "graph_ssp_grid": 5,
-    "graph_triangle_count": 5,
-    "multimodal_metadata": 5,
-    "q11_important_parts": 5,
-    "q13_customer_distribution": 5,
-    "q15_top_supplier": 5,
-    "q16_supplier_part_counts": 5,
-    "q17_small_qty_revenue": 5,
-    "q20_part_promotion": 5,
-    "q21_waiting_suppliers": 5,
-    "q9_product_profit": 5,
-    "similarity_cosine_topk": 5,
-    "similarity_threshold_pairs": 5,
-    "text_fingerprint": 5,
-    "text_language_guess": 5,
-    "text_quality_score": 5,
-    "text_repetition_score": 5,
-    "text_tfidf_topterms": 5,
-    "text_token_stats": 5,
-    "udf_embedding_l2norm": 5,
     # r6 cohort
     "docs_boilerplate_lines": 6,
     "docs_boilerplate_strip": 6,
@@ -492,6 +449,57 @@ _VERIFIED_ROUND: dict[str, int] = {
     "text_bigram_novelty": 9,
     "topk_global": 9,
     "window_ntile": 9,
+    # r10 cohort
+    "agg_percentile": 10,
+    "dedup_embedding_neardup": 10,
+    "dedup_exact_summary": 10,
+    "dedup_jaccard_pairs": 10,
+    "dedup_lsh_candidates": 10,
+    "dedup_minhash_signatures": 10,
+    "dedup_simhash": 10,
+    "docs_decontaminate_ngrams": 10,
+    "docs_length_quantile_trim": 10,
+    "embedding_label_centroids": 10,
+    "events_cusum_hourly": 10,
+    "events_dedup_first": 10,
+    "events_session_windows": 10,
+    "events_sliding_10m5m": 10,
+    "events_stateful_running_totals": 10,
+    "events_stream_attrib_full": 10,
+    "events_tumbling_hourly": 10,
+    "graph_bfs_distances_entity": 10,
+    "graph_conductance": 10,
+    "graph_connected_components": 10,
+    "graph_copurchase_pairs": 10,
+    "graph_degree_histogram": 10,
+    "graph_khop_entity": 10,
+    "graph_khop_grid": 10,
+    "graph_label_propagation": 10,
+    "graph_louvain_onepass": 10,
+    "graph_node_derivation": 10,
+    "graph_pagerank": 10,
+    "graph_ssp_grid": 10,
+    "graph_triangle_count": 10,
+    "multimodal_metadata": 10,
+    "orders_mad_outliers": 10,
+    "orders_rfm_segments": 10,
+    "q11_important_parts": 10,
+    "q13_customer_distribution": 10,
+    "q15_top_supplier": 10,
+    "q16_supplier_part_counts": 10,
+    "q17_small_qty_revenue": 10,
+    "q20_part_promotion": 10,
+    "q21_waiting_suppliers": 10,
+    "q9_product_profit": 10,
+    "similarity_cosine_topk": 10,
+    "similarity_threshold_pairs": 10,
+    "text_fingerprint": 10,
+    "text_language_guess": 10,
+    "text_quality_score": 10,
+    "text_repetition_score": 10,
+    "text_tfidf_topterms": 10,
+    "text_token_stats": 10,
+    "udf_embedding_l2norm": 10,
 }
 
 
