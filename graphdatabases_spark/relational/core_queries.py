@@ -642,9 +642,14 @@ def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     "(den*v_lo + rem*(v_hi-v_lo), all-integer rank arithmetic) until "
     "ONE final double division. The oracle computes the same rationals "
     "by brute row_number sort — different algorithm, identical exact "
-    "answer. At 100 TB: one combinable bucket histogram + a window "
-    "over the bounded bucket list + an in-bucket sort of only the "
-    "target buckets.",
+    "answer. Bucket width is PER AXIS (the melted width-column "
+    "pattern): cents-scaled l_quantity spans only 100..5000, so the "
+    "default 64Ki width would collapse the whole qty axis into bucket "
+    "0 and pass 2 would sort the entire group — w=16 keeps the qty "
+    "bucket list at ~320 entries while price keeps 64Ki. At 100 TB: "
+    "one combinable bucket histogram + a window over the bounded "
+    "bucket list + an in-bucket sort of only the target buckets, on "
+    "BOTH axes.",
 )
 def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem")
@@ -666,12 +671,21 @@ def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
                 ),
             )
         ).alias("s"),
-    ).select("g", "s.axis", "s.v")
+    ).select(
+        "g",
+        "s.axis",
+        "s.v",
+        F.when(F.col("s.axis") == "qty", F.lit(16))
+        .otherwise(F.lit(65536))
+        .cast("long")
+        .alias("w"),
+    )
     qd = quantile_cont_vden(
         spark,
         melt,
         ["g", "axis"],
         [("p50", 1, 2), ("p90", 9, 10)],
+        bucket_width="w",
     )
     x = qd.filter(
         ((F.col("axis") == "qty") & (F.col("q_label") == "p50"))

@@ -860,7 +860,9 @@ def docs_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     "docs_length_quantile_trim",
     oracle=f"""
     WITH t AS MATERIALIZED (
-      SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      SELECT doc_id, lang,
+             CAST(len({_TOKS.replace("trim(text)", "trim(coalesce(text, ''))")})
+                  AS BIGINT) AS n_tok
       FROM documents
     ),
     n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
@@ -925,10 +927,17 @@ def docs_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     "sort, no per-group value->count percentile buffer.",
 )
 def docs_length_quantile_trim(spark: SparkSession, sf: str) -> DataFrame:
+    # coalesce NULL text to '' BEFORE tokenizing: size(NULL) yields
+    # -1/NULL (violating the kernel's nonnegative-v precondition, where
+    # `div` truncates toward zero vs DuckDB's floor) and DuckDB's
+    # len(NULL) drops the row from the rank arithmetic differently —
+    # with '' both engines count the row as n_tok = 0.
     t = table(spark, sf, "documents").select(
         "doc_id",
         "lang",
-        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.size(T.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tok"),
     )
     vals = t.select("lang", F.col("n_tok").alias("v"))
     bq = quantile_cont_vden(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from graphdatabases_spark.operators.quantile import (
     exact_values_at_ranks,
     quantile_cont_vden,
+    weighted_values_at_ranks,
 )
 
 
@@ -128,3 +129,83 @@ def test_per_row_bucket_width_column(spark):
             assert melted[(a, lab)] == solo[lab] == _brute_vden(
                 sv, num, den
             ), (a, lab)
+
+
+def _brute_weighted_rank(pairs, rank):
+    """Smallest v whose cumulative weight over value-sorted order
+    reaches ``rank`` (type-1 weighted quantile)."""
+    cum = 0
+    for v, w in sorted(pairs):
+        cum += w
+        if cum >= rank:
+            return v
+    raise AssertionError("rank exceeds total weight")
+
+
+def test_weighted_values_at_ranks_matches_brute(spark):
+    """Pin weighted_values_at_ranks against a brute cumulative-weight
+    scan: w=0 rows (must never satisfy a rank on their own), heavy ties
+    split across rows (tie-order independence), single-row groups,
+    boundary ranks 1 and sum(w), and a per-row width column."""
+    rng = random.Random(6700417)
+    groups = {
+        # ties: the same v appears in MULTIPLE rows whose weights must
+        # combine before the rank comparison.
+        "ties": [(500_000, 3), (500_000, 5), (500_001, 2), (0, 1),
+                 (2_999_999, 4)],
+        # zeros: w=0 rows interleaved — they carry no rank mass.
+        "zeros": [(10, 0), (10, 2), (20, 0), (30, 5), (40, 0), (40, 1)],
+        "single": [(42, 7)],
+        "wide": [(rng.randrange(0, 3_000_000), rng.randrange(0, 6))
+                 for _ in range(97)],
+    }
+    # guarantee positive total weight for every group
+    assert all(sum(w for _, w in ps) > 0 for ps in groups.values())
+    rows = [(g, v, w) for g, ps in groups.items() for v, w in ps]
+    vals = spark.createDataFrame(rows, "g string, v long, w long")
+    rng2 = random.Random(1299709)
+    wanted = []
+    for g, ps in groups.items():
+        tot = sum(w for _, w in ps)
+        picks = {1, tot, max(1, tot // 2)}
+        picks |= {rng2.randrange(1, tot + 1) for _ in range(3)}
+        wanted += [(g, r) for r in picks]
+    ranks = spark.createDataFrame(wanted, "g string, rank long")
+    for bw in (65536, 16):
+        got = {
+            (r["g"], r["rank"]): r["v"]
+            for r in weighted_values_at_ranks(
+                vals, ["g"], ranks, bucket_width=bw
+            ).collect()
+        }
+        assert len(got) == len(wanted)
+        for g, r in wanted:
+            assert got[(g, r)] == _brute_weighted_rank(groups[g], r), (
+                g, r, bw,
+            )
+
+
+def test_weighted_values_at_ranks_width_column(spark):
+    """Per-row width column gives the same answers as an int width."""
+    pairs = [(v, (v % 4)) for v in range(200, 1200, 7)]
+    rows = [("a", v, w, 16) for v, w in pairs]
+    vals = spark.createDataFrame(rows, "g string, v long, w long, bw long")
+    tot = sum(w for _, w in pairs)
+    ranks = spark.createDataFrame(
+        [("a", r) for r in (1, tot // 3, tot)], "g string, rank long"
+    )
+    via_col = {
+        r["rank"]: r["v"]
+        for r in weighted_values_at_ranks(
+            vals, ["g"], ranks, bucket_width="bw"
+        ).collect()
+    }
+    via_int = {
+        r["rank"]: r["v"]
+        for r in weighted_values_at_ranks(
+            vals.select("g", "v", "w"), ["g"], ranks, bucket_width=16
+        ).collect()
+    }
+    assert via_col == via_int
+    for r, v in via_col.items():
+        assert v == _brute_weighted_rank(pairs, r)
