@@ -390,6 +390,16 @@ def main() -> None:
         )
         if k in timings
     }
+    # The forced-distributed deep-BFS rows, likewise mirrored into a
+    # tail-safe key (round-10 verdict item 3): they are the durable
+    # record of the O4/O5 kernel's measured per-round cost at the
+    # reference's max depth, and existed only inside the truncated
+    # `queries` key in the r10 record.
+    deep_rows = {
+        k: timings[k]
+        for k in ("grid500_khop300_dist", "grid500_ssp299_dist")
+        if k in timings
+    }
     out = {
         "metric": "headline_total",
         "value": total,
@@ -398,6 +408,7 @@ def main() -> None:
         "queries_median": medians,
         "calib": calib,
         "baseline_rows": baseline_rows,
+        "deep_rows": deep_rows,
         "sf": _sf_from_dir(sf_dir),
     }
     if sf1_section:
