@@ -1,0 +1,430 @@
+"""Corpus-analytics catalog entries (Batch 5, round 4): dedup
+materialization, stratified sampling, interval featurization, user
+featurization, co-purchase lift, embedding-norm outliers, and bigram
+novelty over the documents/orders/events tables.
+
+Split out of analytics_queries.py at the round-10 verdict's 2k-line
+module bar (pure line-range move — entry semantics, oracles, and
+registry names unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphdatabases_spark.functions import text as T
+from graphdatabases_spark.relational.catalog import register, table
+
+# ---------------------------------------------------------------------------
+# Batch 5 (round 4): dedup materialization, stratified sampling,
+# interval featurization, bigram novelty
+# ---------------------------------------------------------------------------
+
+# Shared normalized-token fragment (DuckDB side) — THE llm_queries TOKS
+# macro (one definition; a private copy here would silently desync from
+# functions/text.py's TOKEN_SPLIT_RE pipeline).
+from graphdatabases_spark.relational.llm_queries import TOKS as _TOKS  # noqa: E402
+
+
+@register(
+    "dedup_keep_first_normalized",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             sha256(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+               AS sig
+      FROM documents
+    )
+    SELECT min(doc_id) AS keeper, count(*) AS n_docs
+    FROM t GROUP BY sig HAVING count(*) > 1
+    ORDER BY keeper
+    """,
+    doc="Normalize-then-keep-first dedup MATERIALIZATION: documents "
+    "sharing a normalized bag-of-words signature (lowercase, strip "
+    "punctuation, sorted distinct tokens, sha256) collapse to the "
+    "lowest doc_id — the canonical exact-dedup-after-normalization "
+    "step that runs before near-dup passes. One map-side-combinable "
+    "hash aggregation keyed on the 32-byte signature; no windows, no "
+    "joins — the same plan at 100 TB.",
+)
+def dedup_keep_first_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.array_sort(T.distinct_tokens(F.col("text")))
+    sig = F.sha2(F.array_join(toks, " "), 256)
+    return (
+        table(spark, sf, "documents")
+        .select(F.col("doc_id"), sig.alias("sig"))
+        .groupBy("sig")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("keeper", "n_docs")
+        .orderBy("keeper")
+    )
+
+
+@register(
+    "docs_stratified_sample",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(count(*) FILTER (
+             WHERE (lang = 'en' AND doc_id % 10 = 0)
+                OR (lang <> 'en' AND doc_id % 10 < 2)
+           ) AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Deterministic per-stratum sampling (majority language 'en' at "
+    "10%, minority languages at 20% via key-mod) — the language-"
+    "rebalancing primitive for multilingual training mixes. Key-mod "
+    "membership is reproducible across engines, runs, and "
+    "partitionings (unlike rand()-based sampling); the whole check is "
+    "one combinable aggregation over the corpus.",
+)
+def docs_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    in_sample = (
+        (F.col("lang") == "en") & (F.col("doc_id") % 10 == 0)
+    ) | ((F.col("lang") != "en") & (F.col("doc_id") % 10 < 2))
+    return (
+        table(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(in_sample).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "orders_repeat_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(CAST(o_orderdate AS DATE)) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                       ),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    ),
+    b AS (
+      SELECT o_custkey,
+             CASE WHEN gap_days <= 7 THEN '0-7'
+                  WHEN gap_days <= 30 THEN '8-30'
+                  WHEN gap_days <= 90 THEN '31-90'
+                  ELSE '91+' END AS gap_bucket
+      FROM seq WHERE gap_days IS NOT NULL
+    )
+    SELECT gap_bucket,
+           count(*) AS n_gaps,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM b GROUP BY gap_bucket ORDER BY gap_bucket
+    """,
+    doc="Repeat-purchase interval featurization: per-customer "
+    "consecutive-order gaps (lag window keyed on the customer — the "
+    "natural partition key, so the single window shuffle scales) "
+    "bucketed into recency bands — the inter-arrival feature behind "
+    "churn/LTV training sets. Output is the bounded bucket histogram.",
+)
+def orders_repeat_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), "o_orderkey"
+    )
+    gap = F.datediff(
+        F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+    )
+    bucket = (
+        F.when(F.col("gap_days") <= 7, "0-7")
+        .when(F.col("gap_days") <= 30, "8-30")
+        .when(F.col("gap_days") <= 90, "31-90")
+        .otherwise("91+")
+    )
+    return (
+        table(spark, sf, "orders")
+        .select("o_custkey", gap.alias("gap_days"))
+        .filter(F.col("gap_days").isNotNull())
+        .select("o_custkey", bucket.alias("gap_bucket"))
+        .groupBy("gap_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("gap_bucket")
+    )
+
+
+@register(
+    "events_user_features",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+             AS span_days,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Per-user feature table (event count, type diversity, active "
+    "span, decimal-exact value total) — the entity featurization pass "
+    "that turns an event log into a training-set row per user. One "
+    "combinable aggregation keyed on the natural partition key.",
+)
+def events_user_features(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias(
+                "span_days"
+            ),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "copurchase_lift",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    pc AS (SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS together
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, together,
+           round(CAST(together AS DOUBLE) / n_orders, 6) AS support,
+           round(CAST(together AS DOUBLE) / pa.n_part, 6) AS confidence,
+           round(CAST(together AS DOUBLE) * n_orders
+                 / (CAST(pa.n_part AS DOUBLE) * pb.n_part), 6) AS lift
+    FROM pairs
+    JOIN pc pa ON pa.l_partkey = part_a
+    JOIN pc pb ON pb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY together DESC, part_a, part_b
+    LIMIT 20
+    """,
+    doc="Association-rule metrics (support / confidence / lift) over "
+    "part pairs sharing an order — the market-basket operator on top "
+    "of the co-purchase self-join. All inputs are exact integer "
+    "counts, so the double divisions are engine-identical; the "
+    "per-part count table broadcasts against the bounded pair set and "
+    "the order total is a broadcast-1-row crossJoin.",
+)
+def copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = F.broadcast(li.agg(F.count_distinct("l_orderkey").alias("n_orders")))
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    pa = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na"))
+    pb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb"))
+    t = F.col("together").cast("double")
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(n)
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            F.round(t / F.col("n_orders"), 6).alias("support"),
+            F.round(t / F.col("na"), 6).alias("confidence"),
+            F.round(
+                t * F.col("n_orders") / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("together").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             CAST(sqrt(list_inner_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))
+                  AS DECIMAL(18,9)) AS nrm
+      FROM embeddings
+    ),
+    s1 AS (
+      SELECT count(*) AS n,
+             CAST(round(CAST(sum(nrm) AS DOUBLE) / count(*), 6)
+                  AS DECIMAL(12,6)) AS c
+      FROM v
+    ),
+    d AS (
+      SELECT vec_id, nrm,
+             CAST(nrm - c AS DECIMAL(18,9)) AS dev
+      FROM v, s1
+    ),
+    s2 AS (
+      SELECT sum(dev) AS m1s, sum(dev * dev) AS m2s FROM d
+    ),
+    z AS (
+      SELECT vec_id, nrm,
+             (CAST(dev AS DOUBLE) - CAST(m1s AS DOUBLE) / n)
+             / sqrt(CAST(m2s AS DOUBLE) / n
+                    - (CAST(m1s AS DOUBLE) / n) * (CAST(m1s AS DOUBLE) / n))
+               AS zval
+      FROM d, s2, s1
+    )
+    SELECT vec_id, CAST(round(CAST(nrm AS DOUBLE), 6) AS DOUBLE) AS norm,
+           round(zval, 4) AS z
+    FROM z WHERE abs(zval) > 2
+    ORDER BY vec_id
+    """,
+    doc="Embedding QA: vectors whose L2 norm is a >2-sigma outlier — "
+    "the malformed-embedding detector run before indexing/clustering. "
+    "Per-vector norms fold deterministically in index order (bit-"
+    "identical across engines) and get cast to DECIMAL so moment sums "
+    "are EXACT on any partitioning. Moments are CENTERED on a 6-dp "
+    "anchor (round(mean)) before squaring: the raw sum-of-squares "
+    "formulation put a large scale-18 decimal through a decimal→double "
+    "cast whose rounding differs across engines by an ulp, and with "
+    "near-constant norms the variance is pure cancellation — centering "
+    "keeps every decimal that crosses into double TINY, so the cast is "
+    "well-conditioned and z is engine-identical. Two broadcast stats "
+    "rows, shift-invariant z, same output.",
+)
+def embedding_norm_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    base = table(spark, sf, "embeddings").select(
+        "vec_id", F.sqrt(dot).cast("decimal(18,9)").alias("nrm")
+    )
+    s1 = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("nrm").cast("double") / F.count(F.lit(1)), 6)
+            .cast("decimal(12,6)")
+            .alias("c"),
+        )
+    )
+    d = base.crossJoin(s1).withColumn(
+        "dev", (F.col("nrm") - F.col("c")).cast("decimal(18,9)")
+    )
+    s2 = F.broadcast(
+        d.agg(
+            F.sum("dev").alias("m1s"),
+            F.sum(F.col("dev") * F.col("dev")).alias("m2s"),
+        )
+    )
+    m1 = F.col("m1s").cast("double") / F.col("n")
+    var = F.col("m2s").cast("double") / F.col("n") - m1 * m1
+    zval = (F.col("dev").cast("double") - m1) / F.sqrt(var)
+    return (
+        d.crossJoin(s2)
+        .withColumn("_z", zval)
+        .filter(F.abs(F.col("_z")) > 2)
+        .select(
+            "vec_id",
+            F.round(F.col("nrm").cast("double"), 6).alias("norm"),
+            F.round(F.col("_z"), 4).alias("z"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "text_bigram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bg
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+    ),
+    top AS (
+      SELECT bg FROM (
+        SELECT bg, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, bg) AS r
+        FROM bg GROUP BY bg
+      ) WHERE r <= 100
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(CAST(count(*) FILTER (WHERE top.bg IS NULL) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM bg LEFT JOIN top ON top.bg = bg.bg
+    WHERE doc_id <= 100
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Corpus bigram-novelty quality score: fraction of each "
+    "document's token bigrams outside the corpus top-100 bigram list — "
+    "the boilerplate/template detector (low novelty = templated text). "
+    "The top list is bounded (100 rows) and broadcast; the per-doc "
+    "pass is one explode + broadcast left join + re-agg on doc_id, so "
+    "the corpus never shuffles by bigram except inside the bounded "
+    "top-k aggregation.",
+)
+def text_bigram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    # Top-100 via orderBy+limit (TakeOrderedAndProject — per-partition
+    # top-k then a 100-row merge), NOT a global row_number window.
+    top = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bg")
+        .limit(100)
+        .select(F.col("bg").alias("top_bg"))
+    )
+    return (
+        bg.filter(F.col("doc_id") <= 100)
+        .join(F.broadcast(top), bg.bg == F.col("top_bg"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.count_if(F.col("top_bg").isNull()).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+

@@ -226,6 +226,7 @@ def _load_all() -> None:
         udf_queries,
         pipeline_queries,
         analytics_queries,
+        analytics_corpus_queries,
         analytics_stats_queries,
         analytics_extended_queries,
         curation_queries,
