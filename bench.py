@@ -110,6 +110,9 @@ HEADLINE = [
     # quantile-kernel trim (bounded two-pass histogram fences).
     "graph_louvain_onepass",
     "docs_length_quantile_trim",
+    # round 11: the multilevel coarsening completion (3 weighted
+    # local-move passes + 2 contractions; level 0 dominates).
+    "graph_louvain_multilevel",
 ]
 
 

@@ -218,6 +218,7 @@ def _load_all() -> None:
         tpch_queries,
         graph_queries,
         graph_centrality_queries,
+        graph_community_queries,
         llm_queries,
         similarity_queries,
         dedup_queries,

@@ -346,6 +346,8 @@ class TestUniversalGates:
         "graph_modularity",           # 1-row m/totals/intra scalars (x3)
         "graph_louvain_onepass",      # 1-row m/moves/intra/sumd2 scalars
                                       # folded into the single output row
+        "graph_louvain_multilevel",   # same 1-row scalar folds, once per
+                                      # level (3 levels, sizes shrinking)
         "graph_conductance",          # 1-row m scalar broadcast
         "docs_dsir_weights",          # 1-row model-total scalars (tt, ct)
         "retrieval_rrf_fusion",       # same bounded runs as ndcg_mrr
