@@ -113,6 +113,10 @@ HEADLINE = [
     # round 11: the multilevel coarsening completion (3 weighted
     # local-move passes + 2 contractions; level 0 dominates).
     "graph_louvain_multilevel",
+    # round 11: incremental rank maintenance (6 cold + 3 warm-start
+    # fixed-point rounds over the entity graph; the per-round cost is
+    # 3 bounded shuffles, phase setup is one checkpointed edge scan).
+    "graph_pagerank_incremental",
 ]
 
 

@@ -492,6 +492,110 @@ def personalized_pagerank_batch_units(
         links.unpersist()
 
 
+def pagerank_units(
+    graph: PropertyGraph | DataFrame,
+    num_iters: int = 10,
+    damping_pct: int = 85,
+    unit_scale: int = 10**12,
+    init_ranks: DataFrame | None = None,
+) -> DataFrame:
+    """GLOBAL fixed-point PageRank with an optional WARM START — the
+    whole-graph sibling of ``personalized_pagerank_batch_units`` and
+    the kernel behind incremental rank maintenance: after appending an
+    edge batch, restart power iteration from the previous fixed point
+    (``init_ranks``) instead of from uniform, and the walk re-contracts
+    from the perturbation size rather than from scratch.
+
+    Arithmetic (mirrors the per-seed units kernel so unrolled-CTE
+    oracles replay it bit-for-bit): every vertex starts at
+    ``unit_scale`` units (or its ``init_ranks`` value; vertices the
+    batch introduced that have no prior rank fall back to
+    ``unit_scale``, the cold-start value); each round is
+    contrib = units div outdeg (truncating), msg = Σ contrib (exact
+    integer sum — associative/commutative, so ANY partitioning yields
+    the same bits), new = (100-damping_pct)%·unit_scale +
+    damping_pct·msg div 100 at EVERY vertex. Dangling mass decays.
+    The truncated integer map is deterministic, so cold and warm
+    trajectories that meet once stay equal — the basis of the
+    rounds_warm < rounds_cold / identical-fixed-point pin in
+    ``tests/test_round11_graph.py``.
+
+    Scale shape: the (src, dst, outdeg) relation shuffles once and is
+    reused every round; each round is one join (reusing the edge
+    partitioning) plus one dst-keyed aggregation; state is one BIGINT
+    per vertex; lineage truncated every ``CHECKPOINT_EVERY`` rounds.
+    No local fast path is needed: integer ops remove the only
+    cross-strategy divergence (same policy as the per-seed kernel).
+
+    Returns DataFrame(id BIGINT, rank_units BIGINT) over the graph's
+    full vertex set.
+    """
+    edges = _edges(graph)
+    # The vertex frame re-enters the plan EVERY round (the left join
+    # that hands each vertex its base units) — materialize it once;
+    # without this each round re-runs the edge scan + explode-distinct
+    # (measured 3.6× the whole entry's wall at sf0.1).
+    vertices = (
+        _vertices_from(graph, edges)
+        .select(F.col("id").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    links = edges.join(out_deg, edges.src == out_deg.id).select(
+        "src", "dst", "outdeg"
+    )
+    if not hash_partitioned_on(links, "src"):
+        links = links.repartition("src")
+    links = links.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        base_units = ((100 - damping_pct) * unit_scale) // 100
+        if init_ranks is None:
+            ranks = vertices.select(
+                "id", F.lit(unit_scale).cast("long").alias("rank_units")
+            )
+        else:
+            prev = init_ranks.select(
+                F.col("id").cast("long").alias("id"),
+                F.col("rank_units").cast("long").alias("prev_units"),
+            )
+            ranks = vertices.join(prev, "id", "left").select(
+                "id",
+                F.coalesce("prev_units", F.lit(unit_scale))
+                .cast("long")
+                .alias("rank_units"),
+            )
+        ranks = ranks.localCheckpoint(eager=True)
+        for i in range(num_iters):
+            msgs = (
+                links.join(ranks, links.src == ranks.id)
+                .select(
+                    F.col("dst").alias("id"),
+                    F.expr("rank_units div outdeg").alias("contrib"),
+                )
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("msg"))
+            )
+            ranks = vertices.join(msgs, "id", "left").select(
+                "id",
+                (
+                    F.lit(base_units)
+                    + F.expr(f"({damping_pct} * coalesce(msg, 0)) div 100")
+                )
+                .cast("long")
+                .alias("rank_units"),
+            )
+            if (i + 1) % CHECKPOINT_EVERY == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        if num_iters % CHECKPOINT_EVERY != 0:
+            ranks = ranks.localCheckpoint(eager=True)
+        return ranks
+    finally:
+        links.unpersist()
+
+
 def _connected_components_local(graph, edges: DataFrame) -> DataFrame:
     """Union-find — the converged fixpoint of min-id propagation."""
     spark = _spark_of(edges)

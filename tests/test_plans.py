@@ -281,6 +281,9 @@ class TestUniversalGates:
         # ordered window over the HORIZON-bounded hourly relation
         # (the events_hourly_autocorr pattern)
         "events_cusum_hourly",
+        # pos numbering over the limit(25) TakeOrdered frame (the
+        # docs_bm25_topk pattern)
+        "graph_pagerank_incremental",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
