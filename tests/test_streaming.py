@@ -1326,3 +1326,140 @@ class TestAppendTumblingFinalization:
         rows = spark.table("t_tumb_tie").collect()
         got = {(str(r["w"].start), str(r["w"].end), r["n"]) for r in rows}
         assert got == {("2024-01-01 00:00:00", "2024-01-01 06:00:00", 1)}
+
+
+class TestChainedStatefulOperators:
+    """Multi-stateful-operator pipeline (Spark 3.5+ / SPARK-42376):
+    stream-stream attribution join FEEDING a tumbling windowed count —
+    every stateful operator is pinned individually elsewhere in this
+    file; this pins the COMPOSITION: the join's emitted pairs flow into
+    the downstream agg's state within the same query, cross micro-batch
+    boundaries in BOTH operators, and windows finalize against the
+    propagated (join-delayed) watermark."""
+
+    def _stage(self, spark, tmp_path):
+        import glob
+        import shutil
+
+        src = tmp_path / "chain_src"
+        src.mkdir()
+
+        def write_file(name, rows):
+            pdf = pd.DataFrame(
+                rows,
+                columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            sdf = spark.createDataFrame(pdf)
+            sdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp_c"))
+            part = glob.glob(str(tmp_path / "tmp_c" / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / name))
+
+        # Batch 1: click 1 + purchase 101 pair in-batch (window 10:00).
+        write_file("f1.parquet", [
+            (1, "2024-01-01 10:00:00", 1, "click", 0.0, "{}"),
+            (101, "2024-01-01 10:10:00", 1, "purchase", 10.0, "{}"),
+        ])
+        # Batch 2: purchase 102 pairs with click 1 ACROSS the join's
+        # batch boundary AND lands in window 10:00, whose partial count
+        # (n=1 from batch 1) must still be open in the AGG's state —
+        # cross-batch state in both operators at once. Click 2/purchase
+        # 103 start window 11:00.
+        write_file("f2.parquet", [
+            (102, "2024-01-01 10:20:00", 1, "purchase", 20.0, "{}"),
+            (2, "2024-01-01 11:05:00", 2, "click", 0.0, "{}"),
+            (103, "2024-01-01 11:10:00", 2, "purchase", 40.0, "{}"),
+        ])
+        # Batch 3: a far-future in-gap pair advances the global
+        # watermark to 13:51, finalizing windows 10:00 and 11:00; its
+        # own window 14:00 stays OPEN and must be withheld in append
+        # mode.
+        write_file("f3.parquet", [
+            (3, "2024-01-01 14:00:00", 3, "click", 0.0, "{}"),
+            (104, "2024-01-01 14:01:00", 3, "purchase", 5.0, "{}"),
+        ])
+        return src
+
+    def _chained(self, spark, src):
+        from graphdatabases_spark.streaming.windows import attribution_join
+
+        ev = read_events_stream(spark, str(src), max_files_per_trigger=1)
+        pairs = attribution_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+            max_gap="30 minutes",
+            watermark="10 minutes",
+        )
+        return (
+            pairs.groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("purchase_value").alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "n_pairs",
+                "total_value",
+            )
+        )
+
+    def test_join_feeding_windowed_agg_replay_equals_batch(
+        self, spark, tmp_path
+    ):
+        src = self._stage(spark, tmp_path)
+        got = run_stream_to_memory(
+            self._chained(spark, src), "t_chain_agg", "append"
+        )
+        emitted = {
+            str(r["window_start"]): (r["n_pairs"], r["total_value"])
+            for r in got.collect()
+        }
+
+        # Batch oracle: the same range join + hourly rollup, restricted
+        # to windows the final propagated watermark can finalize.
+        ev = spark.read.parquet(str(src))
+        c = ev.filter(F.col("event_type") == "click").alias("c")
+        p = ev.filter(F.col("event_type") == "purchase").alias("p")
+        batch = (
+            c.join(
+                p,
+                F.expr(
+                    "c.user_id = p.user_id AND p.ts >= c.ts "
+                    "AND p.ts <= c.ts + interval 30 minutes"
+                ),
+            )
+            .groupBy(F.window(F.col("p.ts"), "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.col("p.value")).alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "n_pairs",
+                "total_value",
+            )
+        )
+        final_wm = "2024-01-01 13:51:00"  # max ts 14:01 - 10 min delay
+        expect = {
+            str(r["window_start"]): (r["n_pairs"], r["total_value"])
+            for r in batch.filter(
+                F.col("window_end") <= F.lit(final_wm).cast("timestamp")
+            ).collect()
+        }
+        # The finalized prefix equals the batch rollup EXACTLY — pair
+        # 101 (batch 1) and pair 102 (batch 2) merged into one window
+        # row, so both the join's buffered click AND the agg's open
+        # window crossed micro-batch boundaries.
+        assert emitted == expect
+        assert emitted == {
+            "2024-01-01 10:00:00": (2, 30.0),
+            "2024-01-01 11:00:00": (1, 40.0),
+        }
+        # The open window (14:00, holding the watermark-advancing pair)
+        # is withheld in append mode — finalization, not truncation:
+        # the batch rollup WITHOUT the watermark filter has it.
+        assert "2024-01-01 14:00:00" not in emitted
+        assert {str(r["window_start"]) for r in batch.collect()} == set(
+            emitted
+        ) | {"2024-01-01 14:00:00"}
