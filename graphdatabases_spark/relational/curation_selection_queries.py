@@ -1527,3 +1527,110 @@ def docs_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield–Lund–Thorup) — weighted bottom-k sketch
+# ---------------------------------------------------------------------------
+
+_PRIO_K = 20
+# key = (h48 * 2^15) div n_tok: h48 < 2^48, so h48 * 2^15 <= 2^63 - 2^15
+# — the largest scale that cannot overflow BIGINT for any hash value.
+_PRIO_SCALE = 32768
+
+
+@register(
+    "docs_priority_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, source, n_tok,
+        (('0x' || substr(md5('prio' || doc_id), 1, 12))::BIGINT
+         * {_PRIO_SCALE}) // n_tok AS key
+      FROM d WHERE n_tok >= 1
+    ),
+    r AS (
+      SELECT doc_id, source, n_tok, key,
+        row_number() OVER (ORDER BY key, doc_id) AS pos
+      FROM k
+    )
+    SELECT CAST(pos AS INT) AS pos, doc_id, source, n_tok,
+           CAST(key AS BIGINT) AS key,
+           (SELECT CAST(key AS BIGINT) FROM r WHERE pos = {_PRIO_K + 1})
+             AS tau_key
+    FROM r WHERE pos <= {_PRIO_K}
+    ORDER BY pos
+    """,
+    doc=f"PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 2007): the "
+    "weighted bottom-k sketch — each doc gets priority q = w/u "
+    "(w = token count, u = its deterministic 48-bit md5 uniform), the "
+    f"sample is the top-{_PRIO_K} by q, and the (k+1)-th priority is "
+    "the threshold τ that makes max(w, τ-as-weight) an UNBIASED "
+    "per-item estimator of any subset-sum over the whole corpus. "
+    "Ranking by q descending ⇔ ranking by the EXACT INTEGER key "
+    f"(h48 · 2^15) div w ascending (u = h48/2^48, so q ∝ 2^63/key — "
+    "a monotone transform), which keeps the realized sample a pure "
+    "integer function of the corpus: no float ever carries the "
+    "selection (the engine-exactness discipline of docs_pps_sample "
+    "and the quantile kernel), no ln()/pow() whose last-ulp "
+    "divergence across engines could flip a boundary rank. "
+    "Complements the sampling family: docs_hash_sample (uniform "
+    "Bernoulli), docs_stratified_sample (per-stratum uniform), "
+    "docs_pps_sample (systematic ∝-size ticks) — priority sampling "
+    "is the MERGEABLE ∝-size variant: top-k by key is associative, "
+    "so per-shard top-k then merge equals the whole-corpus sample "
+    "(the shard-merge = whole-corpus proof pinned in "
+    "tests/test_round11_ops.py alongside a Fraction-exact DLT "
+    "estimator check). Scale shape: one scan computing w and the "
+    "hash key, then TakeOrdered (per-partition heaps + one "
+    f"{_PRIO_K + 1}-row merge — never a global sort); the pos window "
+    "runs on the bounded k+1-row frame. NULL/empty text drops on "
+    "both engines (n_tok >= 1 on NULL-propagating length).",
+)
+def docs_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(T.tokens(F.coalesce(F.col("text"), F.lit(""))))
+            .cast("long")
+            .alias("n_tok"),
+        )
+        .filter(F.col("n_tok") >= 1)
+    )
+    keyed = d.withColumn(
+        "h",
+        T.portable_hash64(
+            F.concat(F.lit("prio"), F.col("doc_id").cast("string"))
+        ),
+    ).withColumn("key", F.expr(f"(h * {_PRIO_SCALE}) div n_tok"))
+    # TakeOrdered to k+1 rows, THEN number them — the bounded-window
+    # top-k pattern (test_plans._GLOBAL_WINDOW_OK).
+    top = (
+        keyed.orderBy("key", "doc_id")
+        .limit(_PRIO_K + 1)
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.orderBy("key", "doc_id")),
+        )
+    )
+    tau = top.filter(F.col("pos") == _PRIO_K + 1).select(
+        F.col("key").alias("tau_key")
+    )
+    return (
+        top.filter(F.col("pos") <= _PRIO_K)
+        .crossJoin(tau)  # 1-row threshold frame (test_plans._BNLJ_OK)
+        .select(
+            "pos",
+            "doc_id",
+            "source",
+            "n_tok",
+            F.col("key").cast("long"),
+            F.col("tau_key").cast("long"),
+        )
+        .orderBy("pos")
+    )

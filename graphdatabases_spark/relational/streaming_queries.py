@@ -972,3 +972,103 @@ def events_stream_tumbling_append(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("win_start")
     )
+
+
+@register(
+    "events_stream_attrib_hourly",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts, CAST(value AS DECIMAL(18,4)) AS v FROM events
+      WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+             - INTERVAL 10 MINUTE AS w
+    ),
+    pairs AS (
+      SELECT p.ts, p.v
+      FROM c JOIN p
+        ON p.user_id = c.user_id
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ),
+    agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(round(sum(v), 2) AS DOUBLE) AS total_value
+      FROM pairs GROUP BY win_start
+    )
+    SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end,
+      n_pairs, total_value
+    FROM agg, wm
+    WHERE win_start + INTERVAL 1 HOUR < wm.w - INTERVAL 30 MINUTE
+    ORDER BY win_start
+    """,
+    doc="Runs the REAL Structured Streaming engine: CHAINED "
+    "multi-stateful pipeline (Spark 3.5+/SPARK-42376) — the "
+    "stream-stream attribution join FEEDING an append-mode hourly "
+    "windowed aggregate inside ONE streaming query. Every stateful "
+    "operator in the catalog is pinned individually; this entry pins "
+    "the COMPOSITION's finalization rule, MEASURED with boundary "
+    "probes then encoded: a window emits iff window_end < "
+    "global_watermark - max_gap STRICTLY (the join holds click state "
+    "up to click_ts + 30 min, so the watermark reaching the "
+    "downstream agg is DELAYED by the gap — probes at wm-gap == "
+    "window_end withhold, one minute past emits; contrast the plain "
+    "single-operator agg of events_stream_tumbling_append, whose tie "
+    "EMITS on <=). Global watermark = min over BOTH filtered inputs "
+    "of max event time, minus the 10-minute delay. The availableNow "
+    "replay processes all staged files in one batch; the emitted "
+    "finalized prefix must equal the batch range join + hourly "
+    "rollup under that filter, which is exactly the SQL oracle. "
+    "Value sums are DECIMAL(18,4) (order-invariant). Cross-batch "
+    "state in both operators at once is pinned in "
+    "tests/test_streaming.py::TestChainedStatefulOperators. At "
+    "100 TB this is the online-attribution warehouse rollup: join "
+    "state bounded by the gap, agg state bounded by open windows, "
+    "each window emitted exactly once.",
+)
+def events_stream_attrib_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.streaming.windows import (
+        attribution_join,
+        read_events_stream,
+    )
+
+    staged, tag = _stage_events_micro(spark, sf)
+    pairs = attribution_join(
+        read_events_stream(spark, staged).filter(
+            F.col("event_type") == "click"
+        ),
+        read_events_stream(spark, staged).filter(
+            F.col("event_type") == "purchase"
+        ),
+        max_gap="30 minutes",
+    )
+    s = pairs.groupBy(F.window("purchase_ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.sum(F.col("purchase_value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+    sink = f"stream_attrib_hourly_{tag}"
+    (
+        s.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.table(sink)
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_pairs",
+            "total_value",
+        )
+        .orderBy("win_start")
+    )

@@ -284,6 +284,8 @@ class TestUniversalGates:
         # pos numbering over the limit(25) TakeOrdered frame (the
         # docs_bm25_topk pattern)
         "graph_pagerank_incremental",
+        # pos numbering over the limit(k+1) TakeOrdered frame
+        "docs_priority_sample",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
@@ -301,6 +303,7 @@ class TestUniversalGates:
         "knn_label_vote",             # bounded labeled reference batch
         "events_hourly_anomaly",      # 1-row global mean/std scalar
         "similarity_ann_ivf",         # k=8 seed/centroid frames
+        "docs_priority_sample",       # 1-row (k+1)th-key threshold frame
         "similarity_ivf_recall",      # same k=8 frames + bounded query batch
         "similarity_lsh_recall",      # bounded query batch brute anchor
         "similarity_quantized_recall", # same bounded 20-query brute anchor
