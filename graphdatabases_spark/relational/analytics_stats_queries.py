@@ -1382,3 +1382,188 @@ def orders_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Quantile serving from mergeable histograms (the pre-aggregated layout)
+# ---------------------------------------------------------------------------
+
+_QHS_W = 8  # bucket width in tokens: |hist_estimate - exact| < 8 guaranteed
+_QHS_QS = (50, 90, 99)
+
+
+@register(
+    "docs_tok_quantile_hist_serving",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id % 4 AS shard, doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS v
+      FROM documents
+    ),
+    part AS (
+      SELECT source, shard, v // {_QHS_W} AS bkt,
+             CAST(count(*) AS BIGINT) AS c
+      FROM d GROUP BY source, shard, bkt
+    ),
+    merged AS (
+      SELECT source, bkt, CAST(sum(c) AS BIGINT) AS c_m
+      FROM part GROUP BY source, bkt
+    ),
+    direct AS (
+      SELECT source, v // {_QHS_W} AS bkt, CAST(count(*) AS BIGINT) AS c_d
+      FROM d GROUP BY source, bkt
+    ),
+    he AS (
+      SELECT m.source, bool_and(m.c_m = dd.c_d) AS hist_equal
+      FROM merged m JOIN direct dd ON dd.source = m.source AND dd.bkt = m.bkt
+      GROUP BY m.source
+    ),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY source),
+    ranks AS (
+      {" UNION ALL ".join(
+        f"SELECT source, n_docs, CAST({q} AS BIGINT) AS q_pct,"
+        f" ((n_docs - 1) * {q}) // 100 + 1 AS rank FROM n"
+        for q in _QHS_QS
+      )}
+    ),
+    cum AS (
+      SELECT source, bkt, c_m,
+        sum(c_m) OVER (PARTITION BY source ORDER BY bkt
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+        sum(c_m) OVER (PARTITION BY source ORDER BY bkt
+                       ROWS UNBOUNDED PRECEDING) - c_m AS prev
+      FROM merged
+    ),
+    hist_q AS (
+      SELECT r.source, r.n_docs, r.q_pct, r.rank,
+        c.bkt * {_QHS_W}
+          + ({_QHS_W} * (2 * (r.rank - c.prev) - 1)) // (2 * c.c_m) AS v_hist
+      FROM ranks r JOIN cum c
+        ON c.source = r.source AND c.prev < r.rank AND r.rank <= c.cum
+    ),
+    exact_q AS (
+      SELECT r.source, r.q_pct,
+        (SELECT v FROM (
+           SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rn
+           FROM d WHERE d.source = r.source
+         ) WHERE rn = r.rank) AS v_exact
+      FROM ranks r
+    )
+    SELECT h.source, h.n_docs, h.q_pct, CAST(h.rank AS BIGINT) AS rank,
+      CAST(e.v_exact AS BIGINT) AS v_exact,
+      CAST(h.v_hist AS BIGINT) AS v_hist,
+      CAST(abs(h.v_hist - e.v_exact) AS BIGINT) AS abs_err,
+      abs(h.v_hist - e.v_exact) < {_QHS_W} AS within_bound,
+      he.hist_equal
+    FROM hist_q h
+    JOIN exact_q e ON e.source = h.source AND e.q_pct = h.q_pct
+    JOIN he ON he.source = h.source
+    ORDER BY h.source, h.q_pct
+    """,
+    doc="QUANTILE SERVING FROM MERGEABLE HISTOGRAMS — the "
+    "pre-aggregated layout a 100 TB warehouse actually answers "
+    "percentile queries from: per-(source, shard) token-length bucket "
+    f"histograms (width {_QHS_W}, bounded state ∝ range/width) merge "
+    "by plain SUM — associative and commutative, so shard partials "
+    "roll up in any tree shape; pinned bucket-for-bucket equal to the "
+    "direct per-source histogram (bool_and, the dedup_hll_merge "
+    "pattern on the quantile axis, completing the partial-merge "
+    "identity family: SUM aggregates have orders_incremental_agg, "
+    "distinct counts have the HLL entries, quantiles now have this). "
+    f"p{{{ ','.join(str(q) for q in _QHS_QS) }}} are then answered TWO "
+    "ways: from the merged histogram alone (integer in-bucket "
+    "interpolation — no re-scan of raw rows, the serving path) and "
+    "exactly via the shared bounded two-pass kernel "
+    "(operators/quantile.py exact_values_at_ranks, type-1 rank "
+    f"((n-1)·q) div 100 + 1); |err| < {_QHS_W} (the bucket width) is "
+    "guaranteed because both values live in the located bucket, and "
+    "the realized per-rank error ships in the output. Pure integer "
+    "arithmetic end-to-end on both paths and both engines.",
+)
+def docs_tok_quantile_hist_serving(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.operators.quantile import exact_values_at_ranks
+
+    d = table(spark, sf, "documents").select(
+        "source",
+        (F.col("doc_id") % 4).alias("shard"),
+        "doc_id",
+        F.size(T.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("v"),
+    )
+    part = (
+        d.withColumn("bkt", F.expr(f"v div {_QHS_W}"))
+        .groupBy("source", "shard", "bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    merged = part.groupBy("source", "bkt").agg(
+        F.sum("c").cast("long").alias("c_m")
+    )
+    direct = (
+        d.withColumn("bkt", F.expr(f"v div {_QHS_W}"))
+        .groupBy("source", "bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_d"))
+    )
+    he = (
+        merged.join(direct, ["source", "bkt"])
+        .groupBy("source")
+        .agg(F.every(F.col("c_m") == F.col("c_d")).alias("hist_equal"))
+    )
+    n = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ranks = None
+    for q in _QHS_QS:
+        r = n.select(
+            "source",
+            "n_docs",
+            F.lit(q).cast("long").alias("q_pct"),
+            (F.expr(f"((n_docs - 1) * {q}) div 100") + 1).alias("rank"),
+        )
+        ranks = r if ranks is None else ranks.unionByName(r)
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.withColumn("cum", F.sum("c_m").over(wc)).withColumn(
+        "prev", F.col("cum") - F.col("c_m")
+    )
+    hist_q = ranks.join(cum, "source").filter(
+        (F.col("prev") < F.col("rank")) & (F.col("rank") <= F.col("cum"))
+    ).select(
+        "source",
+        "n_docs",
+        "q_pct",
+        "rank",
+        (
+            F.col("bkt") * _QHS_W
+            + F.expr(
+                f"({_QHS_W} * (2 * (rank - prev) - 1)) div (2 * c_m)"
+            )
+        ).alias("v_hist"),
+    )
+    exact = exact_values_at_ranks(
+        d.select("source", "v"),
+        ["source"],
+        ranks.select("source", "rank").distinct(),
+        bucket_width=_QHS_W,
+    ).withColumnRenamed("v", "v_exact")
+    return (
+        hist_q.join(exact, ["source", "rank"])
+        .join(he, "source")
+        .select(
+            "source",
+            "n_docs",
+            "q_pct",
+            F.col("rank").cast("long"),
+            F.col("v_exact").cast("long"),
+            F.col("v_hist").cast("long"),
+            F.abs(F.col("v_hist") - F.col("v_exact"))
+            .cast("long")
+            .alias("abs_err"),
+            (F.abs(F.col("v_hist") - F.col("v_exact")) < _QHS_W).alias(
+                "within_bound"
+            ),
+            "hist_equal",
+        )
+        .orderBy("source", "q_pct")
+    )

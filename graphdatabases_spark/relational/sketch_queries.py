@@ -540,3 +540,177 @@ def text_cms_merge(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("r", "bucket")
     )
+
+
+@register(
+    "events_hll_hourly_rollup",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(extract('hour' FROM ts) AS BIGINT) AS hr,
+             user_id
+      FROM events
+    ),
+    h AS (
+      SELECT day, hr, user_id,
+             {H.format(v="'uhll' || user_id")} % 64 AS j,
+             {H.format(v="'uhll' || user_id")} // 64 AS w
+      FROM ev
+    ),
+    rk AS (
+      SELECT day, hr, user_id, j,
+        CASE WHEN w = 0 THEN 43 ELSE 43 - length(bin(w)) END AS rank
+      FROM h
+    ),
+    hour_regs AS (
+      SELECT day, hr, j, max(rank) AS m FROM rk GROUP BY day, hr, j
+    ),
+    merged AS (
+      SELECT day, j, max(m) AS m_merged FROM hour_regs GROUP BY day, j
+    ),
+    direct AS (
+      SELECT day, j, max(rank) AS m_direct FROM rk GROUP BY day, j
+    ),
+    reg_cmp AS (
+      SELECT mg.day, bool_and(mg.m_merged = d.m_direct) AS merged_equals_direct
+      FROM merged mg JOIN direct d ON d.day = mg.day AND d.j = mg.j
+      GROUP BY mg.day
+    ),
+    acc AS (
+      SELECT day,
+        CAST(count(*) AS BIGINT) AS n_present,
+        CAST(sum(CAST(pow(2.0, 50 - m_merged) AS BIGINT)) AS BIGINT)
+          AS s_present
+      FROM merged GROUP BY day
+    ),
+    ex AS (
+      SELECT day,
+        CAST(count(DISTINCT hr) AS BIGINT) AS n_hours,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM ev GROUP BY day
+    ),
+    est AS (
+      SELECT e.day, e.n_hours, e.exact_users,
+        CAST(64 - a.n_present AS BIGINT) AS n_zero_registers,
+        0.709 * 4096.0 * (1125899906842624.0 /
+          CAST(a.s_present + (64 - a.n_present) * 1125899906842624 AS DOUBLE))
+          AS raw
+      FROM ex e JOIN acc a ON a.day = e.day
+    ),
+    fin AS (
+      SELECT day, n_hours, exact_users, n_zero_registers,
+        CASE WHEN raw <= 160.0 AND n_zero_registers > 0
+             THEN 64.0 * round(ln(64.0 / n_zero_registers), 9)
+             ELSE raw END AS estimate
+      FROM est
+    )
+    SELECT f.day, f.n_hours, f.n_zero_registers,
+      round(f.estimate, 3) AS hll_estimate,
+      f.exact_users,
+      round(abs(f.estimate - f.exact_users) / f.exact_users, 6) AS rel_err,
+      r.merged_equals_direct
+    FROM fin f JOIN reg_cmp r ON r.day = f.day
+    ORDER BY f.day
+    """,
+    doc="HLL TIME-AXIS ROLLUP — the range-query serving pattern that "
+    "completes the sketch-mergeability family on its second axis: "
+    "dedup_hll_merge proves shard-merge = whole-corpus (the map-reduce "
+    "tree); this entry proves TIME-BUCKET merge = whole-range (the "
+    "streaming warehouse layout, where a 100 TB pipeline keeps one "
+    "64-byte register set per hour and answers ANY time-range "
+    "distinct-users query by per-register MAX over the covered "
+    "buckets — no re-scan of raw events, ever). Per (day, hour) "
+    "register sets over the portable 48-bit user hash roll up to "
+    "per-day sketches; merged registers are pinned "
+    "register-for-register equal to the direct per-day build "
+    "(bool_and per day — MAX is associative/commutative/idempotent, "
+    "so hourly pre-aggregation is lossless), and the daily estimate "
+    "(same exact-BIGINT harmonic denominator + 9-dp-pre-rounded "
+    "linear-counting branch as dedup_hll_cardinality) is reported "
+    "against the exact daily distinct with realized error. All "
+    "aggregates are combinable keyed MAX/SUM over at most "
+    "|days|x24x64 rows of state.",
+)
+def events_hll_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+        "user_id",
+    )
+    hh = T.portable_hash64(
+        F.concat(F.lit("uhll"), F.col("user_id").cast("string"))
+    )
+    rk = ev.select(
+        "day",
+        "hr",
+        "user_id",
+        (hh % 64).alias("j"),
+        F.when(F.shiftright(hh, 6) == 0, F.lit(43))
+        .otherwise(F.lit(43) - F.length(F.bin(F.shiftright(hh, 6))))
+        .alias("rank"),
+    )
+    hour_regs = rk.groupBy("day", "hr", "j").agg(F.max("rank").alias("m"))
+    merged = hour_regs.groupBy("day", "j").agg(
+        F.max("m").alias("m_merged")
+    )
+    direct = rk.groupBy("day", "j").agg(F.max("rank").alias("m_direct"))
+    reg_cmp = (
+        merged.join(direct, ["day", "j"])
+        .groupBy("day")
+        .agg(
+            F.every(F.col("m_merged") == F.col("m_direct")).alias(
+                "merged_equals_direct"
+            )
+        )
+    )
+    acc = merged.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), 50 - F.col("m_merged")).cast("long"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    ex = ev.groupBy("day").agg(
+        F.countDistinct("hr").cast("long").alias("n_hours"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+    )
+    p50 = 1125899906842624  # 2^50
+    est = ex.join(acc, "day").select(
+        "day",
+        "n_hours",
+        "exact_users",
+        (F.lit(64) - F.col("n_present")).cast("long").alias("n_zero_registers"),
+        (
+            F.lit(0.709)
+            * F.lit(4096.0)
+            * (
+                F.lit(float(p50))
+                / (
+                    F.col("s_present")
+                    + (F.lit(64) - F.col("n_present")) * F.lit(p50)
+                ).cast("double")
+            )
+        ).alias("raw"),
+    )
+    estimate = F.when(
+        (F.col("raw") <= 160.0) & (F.col("n_zero_registers") > 0),
+        F.lit(64.0)
+        * F.round(F.log(F.lit(64.0) / F.col("n_zero_registers")), 9),
+    ).otherwise(F.col("raw"))
+    return (
+        est.withColumn("estimate", estimate)
+        .join(reg_cmp, "day")
+        .select(
+            "day",
+            "n_hours",
+            "n_zero_registers",
+            F.round(F.col("estimate"), 3).alias("hll_estimate"),
+            "exact_users",
+            F.round(
+                F.abs(F.col("estimate") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_err"),
+            "merged_equals_direct",
+        )
+        .orderBy("day")
+    )
