@@ -546,7 +546,7 @@ def text_cms_merge(spark: SparkSession, sf: str) -> DataFrame:
     "events_hll_hourly_rollup",
     oracle=f"""
     WITH ev AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      SELECT date_trunc('day', ts) AS day,
              CAST(extract('hour' FROM ts) AS BIGINT) AS hr,
              user_id
       FROM events
@@ -633,7 +633,7 @@ def text_cms_merge(spark: SparkSession, sf: str) -> DataFrame:
 )
 def events_hll_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events").select(
-        F.to_date("ts").alias("day"),
+        F.date_trunc("DAY", "ts").alias("day"),
         F.hour("ts").alias("hr"),
         "user_id",
     )
