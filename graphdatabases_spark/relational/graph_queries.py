@@ -983,7 +983,7 @@ def _pr_inc_round_sql(tag: str, k: int, everts: str, eedges: str, eoutdeg: str) 
     the 15% base units plus 85% of the exact integer message sum (contrib
     = units div outdeg, truncating — identical to pagerank_units)."""
     return f"""
-    {tag}{k} AS (
+    {tag}{k} AS MATERIALIZED (
       SELECT v.id,
         {_PR_INC_BASE_UNITS} + (85 * coalesce(m.msg, 0)) // 100 AS units
       FROM {everts} v
@@ -1001,7 +1001,7 @@ def _pr_inc_round_sql(tag: str, k: int, everts: str, eedges: str, eoutdeg: str) 
     "graph_pagerank_incremental",
     oracle=f"""
     WITH {ENTITY_EDGES_SQL},
-    base_e AS (
+    base_e AS MATERIALIZED (
       SELECT src, dst FROM edges WHERE (src + dst) % {_PR_INC_MOD} <> 0
     ),
     bverts AS (
@@ -1009,7 +1009,7 @@ def _pr_inc_round_sql(tag: str, k: int, everts: str, eedges: str, eoutdeg: str) 
         SELECT src AS v FROM base_e UNION ALL SELECT dst FROM base_e
       )
     ),
-    boutdeg AS (SELECT src, count(*) AS d FROM base_e GROUP BY src),
+    boutdeg AS MATERIALIZED (SELECT src, count(*) AS d FROM base_e GROUP BY src),
     b0 AS (SELECT id, CAST({_PR_INC_UNIT} AS BIGINT) AS units FROM bverts),
     {",".join(
         _pr_inc_round_sql("b", k, "bverts", "base_e", "boutdeg")
@@ -1020,7 +1020,7 @@ def _pr_inc_round_sql(tag: str, k: int, everts: str, eedges: str, eoutdeg: str) 
         SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
       )
     ),
-    foutdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    foutdeg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
     w0 AS (
       SELECT f.id, coalesce(b.units, {_PR_INC_UNIT}) AS units
       FROM fverts f LEFT JOIN b{_PR_INC_ROUNDS_BASE} b ON b.id = f.id
@@ -1063,7 +1063,10 @@ def _pr_inc_round_sql(tag: str, k: int, everts: str, eedges: str, eoutdeg: str) 
     "tests/test_round11_graph.py via a pure-Python integer replay "
     "plus distributed-kernel bit-equality; the oracle replays all "
     f"{_PR_INC_ROUNDS_BASE}+{_PR_INC_ROUNDS_WARM} rounds as unrolled "
-    "CTEs. Scale shape: the links relation shuffles once per phase "
+    "CTEs, each AS MATERIALIZED so DuckDB evaluates the chain "
+    "round-by-round (inlined, the single fused pipeline holds every "
+    "round's join hash tables at once — measured >85 GB temp spill at "
+    "sf1; materialized, zero spill, 144 s). Scale shape: the links relation shuffles once per phase "
     "and is reused every round; each round is one partitioning-reuse "
     "join plus one dst-keyed agg; state is one BIGINT per vertex.",
 )
