@@ -117,6 +117,12 @@ HEADLINE = [
     # fixed-point rounds over the entity graph; the per-round cost is
     # 3 bounded shuffles, phase setup is one checkpointed edge scan).
     "graph_pagerank_incremental",
+    # round 11: the mergeable-serving trio — priority sampling
+    # (TakeOrdered, ~0 shuffle), HLL time-axis rollup (register-state
+    # aggs), and quantile serving from SUM-merged histograms.
+    "docs_priority_sample",
+    "events_hll_hourly_rollup",
+    "docs_tok_quantile_hist_serving",
 ]
 
 
