@@ -1120,3 +1120,125 @@ def graph_pagerank_incremental(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (DeepWalk/node2vec corpus generation)
+# ---------------------------------------------------------------------------
+
+_RW_SEEDS = tuple(range(1, 11))  # customers 1..10 exist at every sf
+_RW_STEPS = 8
+
+
+def _rw_step_sql(k: int) -> str:
+    """One unrolled walk step: from (seed, node) pick the i-th ranked
+    out-neighbor, i = portable-hash('wk'|seed|step|node) mod degree."""
+    return f"""
+    s{k} AS MATERIALIZED (
+      SELECT w.seed, a.dst AS node
+      FROM s{k - 1} w
+      JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.rn = (('0x' || substr(md5(
+             'wk' || w.seed || ':{k}:' || w.node), 1, 12))::BIGINT
+             % d.deg) + 1
+    )"""
+
+
+@register(
+    "graph_random_walks",
+    oracle=f"""
+    WITH {ENTITY_EDGES_SQL},
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    adj AS MATERIALIZED (
+      SELECT src, dst,
+        row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+      FROM sym
+    ),
+    deg AS MATERIALIZED (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src
+    ),
+    s0 AS (
+      SELECT s AS seed, s AS node
+      FROM (VALUES {", ".join(f"({s})" for s in _RW_SEEDS)}) t(s)
+    ),
+    {",".join(_rw_step_sql(k) for k in range(1, _RW_STEPS + 1))}
+    SELECT CAST(seed AS BIGINT) AS seed, CAST(step AS INT) AS step,
+           CAST(node AS BIGINT) AS node
+    FROM (
+      {" UNION ALL ".join(
+        f"SELECT seed, {k} AS step, node FROM s{k}"
+        for k in range(0, _RW_STEPS + 1)
+      )}
+    )
+    ORDER BY seed, step
+    """,
+    doc=f"DETERMINISTIC RANDOM WALKS — the DeepWalk/node2vec corpus "
+    f"generator: {len(_RW_SEEDS)} walkers take {_RW_STEPS} steps on the "
+    "SYMMETRIZED entity graph (walks on the directed 3-layer DAG die at "
+    "the dangling suppliers; the undirected view is what embedding "
+    "pipelines walk). Each step picks the i-th dst-ranked out-neighbor "
+    "with i = portable-48-bit-md5('wk'|seed|step|node) mod degree — a "
+    "pure function of the corpus, so the realized walk corpus is "
+    "engine-exact and partitioning-invariant (rand()-driven walkers "
+    "are neither), while remaining uniform over neighbors per step "
+    "(the DeepWalk transition kernel). Scale shape: the dst-ranked "
+    "adjacency builds ONCE (one per-src window, never global) and is "
+    "reused every step; each step is a |walkers|-row frontier joined "
+    "against it — walkers scale to millions as one keyed join per "
+    "step, the frontier pattern the BFS kernel already proves. The "
+    "oracle unrolls the steps as MATERIALIZED CTEs (the "
+    "graph_pagerank_incremental finding: inlined iterative chains fuse "
+    "into one pipeline that holds every step's hash tables at once).",
+)
+def graph_random_walks(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from graphdatabases_spark.functions import text as T
+
+    edges = entity_edges(spark, sf, dedup=True)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    adj = sym.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+
+    walks = spark.createDataFrame(
+        [(s, s) for s in _RW_SEEDS], "seed BIGINT, node BIGINT"
+    )
+    out = walks.withColumn("step", F.lit(0).cast("int"))
+    for k in range(1, _RW_STEPS + 1):
+        h = T.portable_hash64(
+            F.concat(
+                F.lit("wk"),
+                F.col("seed").cast("string"),
+                F.lit(f":{k}:"),
+                F.col("node").cast("string"),
+            )
+        )
+        # The frontier is |walkers| rows — broadcast it EXPLICITLY on
+        # both per-step joins: the checkpointed adjacency carries no
+        # stats, so the planner otherwise sort-merges (measured 22.3x
+        # shuffle at the 10x step — the adjacency re-shuffled per step).
+        picked = (
+            deg.join(F.broadcast(walks), deg.src == walks.node)
+            .select("seed", "node", ((h % F.col("deg")) + 1).alias("pick"))
+        )
+        walks = (
+            adj.join(
+                F.broadcast(picked),
+                (adj.src == picked.node) & (adj.rn == picked.pick),
+            )
+            .select("seed", F.col("dst").alias("node"))
+        )
+        out = out.unionByName(
+            walks.withColumn("step", F.lit(k).cast("int"))
+        )
+    return out.select(
+        "seed", "step", F.col("node").cast("long")
+    ).orderBy("seed", "step")

@@ -317,3 +317,56 @@ class TestPagerankIncremental:
         for r in rows:
             assert r["delta_units"] == r["units_warm"] - r["units_base"]
             assert r["units_warm"] > _PR_U  # top vertices beat uniform
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (graph_random_walks)
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def _h48s(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+class TestRandomWalks:
+    def test_python_hash_chain_replay(self, spark, sf_dir):
+        """The walk corpus is a pure function of the corpus: a driver-side
+        replay of the hash-pick chain over the same symmetrized adjacency
+        reproduces every (seed, step, node) row bit-for-bit."""
+        edges = _entity_edges_py(sf_dir)
+        sym = edges + [(d, s) for s, d in edges]
+        adj: dict[int, list[int]] = {}
+        for s, d in sym:
+            adj.setdefault(s, []).append(d)
+        for s in adj:
+            adj[s].sort()
+        expect = []
+        for seed in range(1, 11):
+            node = seed
+            expect.append((seed, 0, node))
+            for k in range(1, 9):
+                nbrs = adj[node]
+                i = _h48s(f"wk{seed}:{k}:{node}") % len(nbrs)
+                node = nbrs[i]
+                expect.append((seed, k, node))
+        got = [
+            (r["seed"], r["step"], r["node"])
+            for r in queries()["graph_random_walks"](spark, sf_dir)
+            .orderBy("seed", "step")
+            .collect()
+        ]
+        assert got == sorted(expect)
+
+    def test_walks_move(self, spark, sf_dir):
+        """Every walker leaves its seed (degree >= 1 on the symmetrized
+        graph guarantees progress) and no walk is truncated."""
+        rows = queries()["graph_random_walks"](spark, sf_dir).collect()
+        by_seed: dict[int, list] = {}
+        for r in rows:
+            by_seed.setdefault(r["seed"], []).append(r)
+        assert set(by_seed) == set(range(1, 11))
+        for seed, rs in by_seed.items():
+            assert len(rs) == 9
+            assert any(r["node"] != seed for r in rs)
