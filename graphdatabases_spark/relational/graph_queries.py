@@ -1242,3 +1242,119 @@ def graph_random_walks(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "seed", "step", F.col("node").cast("long")
     ).orderBy("seed", "step")
+
+
+# ---------------------------------------------------------------------------
+# Temporal earliest-arrival reachability (time-respecting paths)
+# ---------------------------------------------------------------------------
+
+_TR_SEEDS = (1, 2, 3, 4, 5)
+_TR_ROUNDS = 3  # the dated entity DAG is 3 layers deep
+
+_TEMPORAL_EDGES_SQL = """
+    tedges AS MATERIALIZED (
+      SELECT DISTINCT src, dst, t FROM (
+        SELECT o_custkey AS src, 1000000000 + o_orderkey AS dst,
+               CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS t
+        FROM orders
+        UNION ALL
+        SELECT 1000000000 + l_orderkey, 2000000000 + l_partkey,
+               CAST(l_shipdate AS DATE) - DATE '1990-01-01'
+        FROM lineitem
+        UNION ALL
+        SELECT 2000000000 + l_partkey, 3000000000 + l_suppkey,
+               CAST(l_shipdate AS DATE) - DATE '1990-01-01'
+        FROM lineitem
+      )
+    )
+"""
+
+
+def _tr_round_sql(k: int) -> str:
+    """One temporal-relaxation round: arrival(dst) can improve to any
+    edge time t >= the current arrival at src (waiting is allowed)."""
+    return f"""
+    a{k} AS MATERIALIZED (
+      SELECT seed, id, min(d) AS d FROM (
+        SELECT seed, id, d FROM a{k - 1}
+        UNION ALL
+        SELECT p.seed, e.dst AS id, e.t AS d
+        FROM a{k - 1} p JOIN tedges e ON e.src = p.id AND e.t >= p.d
+      ) GROUP BY seed, id
+    )"""
+
+
+@register(
+    "graph_temporal_reach",
+    oracle=f"""
+    WITH {_TEMPORAL_EDGES_SQL},
+    a0 AS (
+      SELECT s AS seed, s AS id, CAST(-1 AS BIGINT) AS d
+      FROM (VALUES {", ".join(f"({s})" for s in _TR_SEEDS)}) t(s)
+    ),
+    {",".join(_tr_round_sql(k) for k in range(1, _TR_ROUNDS + 1))}
+    SELECT CAST(seed AS BIGINT) AS seed, CAST(id AS BIGINT) AS id,
+           CAST(d AS BIGINT) AS arrival_day
+    FROM a{_TR_ROUNDS} WHERE id <> seed
+    ORDER BY seed, id
+    """,
+    doc="TEMPORAL EARLIEST-ARRIVAL REACHABILITY (time-respecting "
+    "paths, the Wu et al. VLDB'14 single-source earliest-arrival "
+    "semantics): an edge (u, v, t) is traversable only at t >= the "
+    "path's arrival time at u (waiting allowed), so reachability "
+    "depends on edge ORDER in time, not just topology — the "
+    "fraud-chain / contact-tracing / information-flow operator class "
+    "that static BFS cannot express (a part shipped BEFORE its order "
+    "was placed on another path does not propagate). Edges carry real "
+    "dates: customer→order at o_orderdate, order→part and "
+    "part→supplier at l_shipdate, as integer days since 1990-01-01 — "
+    "exact integer comparisons and MIN-relaxations only, so both "
+    f"engines agree bit-for-bit. {_TR_ROUNDS} label-correcting "
+    "relaxation rounds (= the DAG depth, so the fixpoint is exact): "
+    "each round is one edges⋈frontier join with the t >= arrival "
+    "filter plus one (seed, id) keyed MIN — the BFS frontier shape "
+    "with a per-vertex monotone label, state ∝ touched vertices. "
+    "Per-seed arrival days for customer seeds "
+    f"{{{', '.join(str(s) for s in _TR_SEEDS)}}}; the oracle unrolls "
+    "the rounds as MATERIALIZED CTEs (the fused-pipeline finding).",
+)
+def graph_temporal_reach(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(ORDER_BASE) + F.col("o_orderkey")).alias("dst"),
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")).cast("long").alias("t"),
+    )
+    l = table(spark, sf, "lineitem")
+    ship = F.datediff(F.col("l_shipdate"), F.lit("1990-01-01")).cast("long")
+    op = l.select(
+        (F.lit(ORDER_BASE) + F.col("l_orderkey")).alias("src"),
+        (F.lit(PART_BASE) + F.col("l_partkey")).alias("dst"),
+        ship.alias("t"),
+    )
+    ps = l.select(
+        (F.lit(PART_BASE) + F.col("l_partkey")).alias("src"),
+        (F.lit(SUPP_BASE) + F.col("l_suppkey")).alias("dst"),
+        ship.alias("t"),
+    )
+    tedges = o.union(op).union(ps).distinct().localCheckpoint(eager=True)
+
+    arr = spark.createDataFrame(
+        [(s, s, -1) for s in _TR_SEEDS], "seed BIGINT, id BIGINT, d BIGINT"
+    )
+    for _ in range(_TR_ROUNDS):
+        cand = (
+            tedges.join(F.broadcast(arr), tedges.src == arr.id)
+            .filter(F.col("t") >= F.col("d"))
+            .select("seed", F.col("dst").alias("id"), F.col("t").alias("d"))
+        )
+        arr = (
+            arr.unionByName(cand)
+            .groupBy("seed", "id")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        arr.filter(F.col("id") != F.col("seed"))
+        .select("seed", "id", F.col("d").cast("long").alias("arrival_day"))
+        .orderBy("seed", "id")
+    )

@@ -370,3 +370,87 @@ class TestRandomWalks:
         for seed, rs in by_seed.items():
             assert len(rs) == 9
             assert any(r["node"] != seed for r in rs)
+
+
+# ---------------------------------------------------------------------------
+# Temporal earliest-arrival reachability (graph_temporal_reach)
+# ---------------------------------------------------------------------------
+
+
+def _temporal_edges_py(sf_dir: str) -> list[tuple[int, int, int]]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT DISTINCT src, dst, t FROM (
+          SELECT o_custkey AS src, 1000000000 + o_orderkey AS dst,
+                 CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS t
+          FROM read_parquet('{sf_dir}/orders.parquet')
+          UNION ALL
+          SELECT 1000000000 + l_orderkey, 2000000000 + l_partkey,
+                 CAST(l_shipdate AS DATE) - DATE '1990-01-01'
+          FROM read_parquet('{sf_dir}/lineitem.parquet')
+          UNION ALL
+          SELECT 2000000000 + l_partkey, 3000000000 + l_suppkey,
+                 CAST(l_shipdate AS DATE) - DATE '1990-01-01'
+          FROM read_parquet('{sf_dir}/lineitem.parquet')
+        )
+        """
+    ).fetchall()
+    con.close()
+    return [(int(s), int(d), int(t)) for s, d, t in rows]
+
+
+class TestTemporalReach:
+    def test_python_relaxation_replay(self, spark, sf_dir):
+        edges = _temporal_edges_py(sf_dir)
+        adj: dict[int, list[tuple[int, int]]] = {}
+        for s, d, t in edges:
+            adj.setdefault(s, []).append((d, t))
+        expect = {}
+        for seed in range(1, 6):
+            arr = {seed: -1}
+            for _ in range(3):
+                new = dict(arr)
+                for u, du in arr.items():
+                    for v, t in adj.get(u, []):
+                        if t >= du and (v not in new or t < new[v]):
+                            new[v] = min(new.get(v, t), t)
+                arr = new
+            for v, d in arr.items():
+                if v != seed:
+                    expect[(seed, v)] = d
+        got = {
+            (r["seed"], r["id"]): r["arrival_day"]
+            for r in queries()["graph_temporal_reach"](spark, sf_dir).collect()
+        }
+        assert got == expect
+
+    def test_temporal_strictly_excludes_static_paths(self, sf_dir):
+        """The operator's raison d'être: some statically 3-hop-reachable
+        vertices are NOT time-respecting-reachable (a part shipped
+        before its order date on the connecting path)."""
+        edges = _temporal_edges_py(sf_dir)
+        adj: dict[int, list[tuple[int, int]]] = {}
+        for s, d, t in edges:
+            adj.setdefault(s, []).append((d, t))
+        static, temporal = set(), set()
+        for seed in range(1, 6):
+            # static 3-hop
+            front = {seed}
+            seen = set()
+            for _ in range(3):
+                front = {v for u in front for v, _ in adj.get(u, [])}
+                seen |= front
+            static |= {(seed, v) for v in seen if v != seed}
+            # temporal
+            arr = {seed: -1}
+            for _ in range(3):
+                new = dict(arr)
+                for u, du in arr.items():
+                    for v, t in adj.get(u, []):
+                        if t >= du and (v not in new or t < new[v]):
+                            new[v] = min(new.get(v, t), t)
+                arr = new
+            temporal |= {(seed, v) for v in arr if v != seed}
+        assert temporal < static  # strict subset
+        assert len(static - temporal) > 0
