@@ -1463,3 +1463,70 @@ class TestChainedStatefulOperators:
         assert {str(r["window_start"]) for r in batch.collect()} == set(
             emitted
         ) | {"2024-01-01 14:00:00"}
+
+
+class TestChainedDedupWindow:
+    def test_bounded_dedup_feeding_windowed_agg(self, spark, tmp_path):
+        """Second multi-stateful pair (the chained matrix's dedup axis):
+        dropDuplicatesWithinWatermark FEEDING a tumbling count in one
+        query. A duplicate event_id arriving in a LATER micro-batch with
+        a DIFFERENT timestamp (within the delay) must be suppressed
+        before the window agg sees it — the window holds the
+        first-occurrence count, not the multiset's."""
+        import glob
+        import shutil
+
+        from graphdatabases_spark.streaming.windows import (
+            streaming_dedup_bounded,
+        )
+
+        src = tmp_path / "ddw_src"
+        src.mkdir()
+
+        def write_file(name, rows):
+            pdf = pd.DataFrame(
+                rows,
+                columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            sdf = spark.createDataFrame(pdf)
+            sdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp_d"))
+            part = glob.glob(str(tmp_path / "tmp_d" / "part-*.parquet"))[0]
+            shutil.copy(part, str(src / name))
+
+        write_file("f1.parquet", [
+            (101, "2024-01-01 10:10:00", 1, "purchase", 10.0, "{}"),
+            (102, "2024-01-01 10:20:00", 1, "purchase", 20.0, "{}"),
+        ])
+        # 101 again, different ts, within the 10-minute delay, across
+        # the batch boundary — dedup state must survive the boundary
+        # and the agg must never see the copy.
+        write_file("f2.parquet", [
+            (101, "2024-01-01 10:12:00", 1, "purchase", 10.0, "{}"),
+            (103, "2024-01-01 11:10:00", 2, "purchase", 40.0, "{}"),
+        ])
+        # Advances the watermark far past both windows; its own window
+        # stays open and is withheld.
+        write_file("f3.parquet", [
+            (104, "2024-01-01 14:00:00", 3, "purchase", 5.0, "{}"),
+        ])
+
+        ev = read_events_stream(
+            spark, str(src), max_files_per_trigger=1
+        ).filter(F.col("event_type") == "purchase")
+        dd = streaming_dedup_bounded(
+            ev, keys=["event_id"], watermark="10 minutes"
+        )
+        agg = dd.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tv"),
+        )
+        got = run_stream_to_memory(agg, "t_dd_window_chain", "append")
+        rows = {
+            str(r["w"].start): (r["n"], r["tv"]) for r in got.collect()
+        }
+        assert rows == {
+            "2024-01-01 10:00:00": (2, 30.0),  # 101 once + 102, NOT 3/40
+            "2024-01-01 11:00:00": (1, 40.0),
+        }
+        assert "2024-01-01 14:00:00" not in rows  # open window withheld
