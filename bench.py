@@ -123,6 +123,11 @@ HEADLINE = [
     "docs_priority_sample",
     "events_hll_hourly_rollup",
     "docs_tok_quantile_hist_serving",
+    # round 11: walk-corpus generation (ranked adjacency built once,
+    # frontier broadcast per step) and temporal earliest-arrival
+    # reachability (3 relaxation rounds over the dated entity graph).
+    "graph_random_walks",
+    "graph_temporal_reach",
 ]
 
 
