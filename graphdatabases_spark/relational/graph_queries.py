@@ -1358,3 +1358,98 @@ def graph_temporal_reach(spark: SparkSession, sf: str) -> DataFrame:
         .select("seed", "id", F.col("d").cast("long").alias("arrival_day"))
         .orderBy("seed", "id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram co-occurrence over the walk corpus (embedding training input)
+# ---------------------------------------------------------------------------
+
+_SG_WINDOW = 2
+_SG_K = 30
+
+_RW_WALK_SQL = (
+    "walk AS MATERIALIZED (\n      "
+    + " UNION ALL ".join(
+        f"SELECT seed, {k} AS step, node FROM s{k}"
+        for k in range(0, _RW_STEPS + 1)
+    )
+    + "\n    )"
+)
+
+
+@register(
+    "graph_walk_skipgrams",
+    oracle=f"""
+    WITH {ENTITY_EDGES_SQL},
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    adj AS MATERIALIZED (
+      SELECT src, dst,
+        row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+      FROM sym
+    ),
+    deg AS MATERIALIZED (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src
+    ),
+    s0 AS (
+      SELECT s AS seed, s AS node
+      FROM (VALUES {", ".join(f"({s})" for s in _RW_SEEDS)}) t(s)
+    ),
+    {",".join(_rw_step_sql(k) for k in range(1, _RW_STEPS + 1))},
+    {_RW_WALK_SQL},
+    pairs AS (
+      SELECT a.node AS center, b.node AS context
+      FROM walk a JOIN walk b
+        ON b.seed = a.seed
+       AND b.step BETWEEN a.step + 1 AND a.step + {_SG_WINDOW}
+    ),
+    sym_pairs AS (
+      SELECT center, context FROM pairs
+      UNION ALL SELECT context, center FROM pairs
+    )
+    SELECT CAST(center AS BIGINT) AS center,
+           CAST(context AS BIGINT) AS context,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM sym_pairs GROUP BY center, context
+    ORDER BY cnt DESC, center, context
+    LIMIT {_SG_K}
+    """,
+    doc=f"SKIP-GRAM CO-OCCURRENCE over the deterministic walk corpus — "
+    "the actual training input a DeepWalk/node2vec pipeline feeds "
+    f"word2vec: for every walk position, the following {_SG_WINDOW} "
+    "nodes are its contexts (symmetrized, the standard skip-gram "
+    f"convention), counted across all walks; top-{_SG_K} pairs by "
+    "count with full deterministic tie-break (cnt desc, center, "
+    "context). Composes graph_random_walks end-to-end: the oracle "
+    "re-derives the identical walks (same unrolled MATERIALIZED "
+    "step CTEs) and self-joins the (seed, step, node) corpus on step "
+    "offsets 1..w per seed — so this entry cross-checks the whole "
+    "walk chain a second way. Scale shape: the walk corpus is "
+    "|walkers|·(steps+1) rows (tiny relative to the graph); the "
+    "skip-gram join is per-seed step-banded, the count a combinable "
+    "keyed agg; top-k via TakeOrdered.",
+)
+def graph_walk_skipgrams(spark: SparkSession, sf: str) -> DataFrame:
+    walk = graph_random_walks(spark, sf).localCheckpoint(eager=True)
+    a, b = walk.alias("a"), walk.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.seed") == F.col("a.seed"))
+        & (F.col("b.step") > F.col("a.step"))
+        & (F.col("b.step") <= F.col("a.step") + _SG_WINDOW),
+    ).select(
+        F.col("a.node").alias("center"), F.col("b.node").alias("context")
+    )
+    sym_pairs = pairs.unionByName(
+        pairs.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
+    )
+    return (
+        sym_pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "center", "context")
+        .limit(_SG_K)
+    )
