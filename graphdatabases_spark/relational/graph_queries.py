@@ -1453,3 +1453,145 @@ def graph_walk_skipgrams(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "center", "context")
         .limit(_SG_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal latest-departure (the Wu et al. dual: reach a target in time)
+# ---------------------------------------------------------------------------
+
+_LD_TARGETS = (0, 1, 2)  # suppliers present at every sf
+_LD_INF = 10**9  # "no deadline" sentinel, above any day value
+_LD_K = 50  # bounded per-target serving slice
+
+
+def _ld_round_sql(k: int) -> str:
+    """One backward MAX-relaxation round: u can depart at edge time t
+    (the latest such edge) if t <= the latest departure usable at v."""
+    return f"""
+    l{k} AS MATERIALIZED (
+      SELECT tgt, id, max(d) AS d FROM (
+        SELECT tgt, id, d FROM l{k - 1}
+        UNION ALL
+        SELECT p.tgt, e.src AS id, e.t AS d
+        FROM l{k - 1} p JOIN tedges e ON e.dst = p.id AND e.t <= p.d
+      ) GROUP BY tgt, id
+    )"""
+
+
+@register(
+    "graph_temporal_latest_dep",
+    oracle=f"""
+    WITH {_TEMPORAL_EDGES_SQL},
+    l0 AS (
+      SELECT 3000000000 + s AS tgt, 3000000000 + s AS id,
+             CAST({_LD_INF} AS BIGINT) AS d
+      FROM (VALUES {", ".join(f"({s})" for s in _LD_TARGETS)}) t(s)
+    ),
+    {",".join(_ld_round_sql(k) for k in range(1, _TR_ROUNDS + 1))},
+    ranked AS (
+      SELECT tgt, id, d,
+        row_number() OVER (
+          PARTITION BY tgt ORDER BY d DESC, id
+        ) AS pos
+      FROM l{_TR_ROUNDS} WHERE id <> tgt
+    )
+    SELECT CAST(tgt AS BIGINT) AS tgt, CAST(id AS BIGINT) AS id,
+           CAST(d AS BIGINT) AS latest_dep_day, CAST(pos AS INT) AS pos
+    FROM ranked WHERE pos <= {_LD_K}
+    ORDER BY tgt, pos
+    """,
+    doc="TEMPORAL LATEST-DEPARTURE paths — the dual of "
+    "graph_temporal_reach, completing the Wu et al. VLDB'14 operator "
+    "pair: for each target supplier, the LATEST day each upstream "
+    "vertex can still 'depart' (take its outgoing edge) and reach the "
+    "target along a time-respecting path (every subsequent edge time "
+    "nondecreasing). Backward MAX-relaxation over the same dated "
+    "entity edges: LD(target) = +inf, and u improves to the max edge "
+    "time t of any (u, v, t) with t <= LD(v). The same "
+    f"{_TR_ROUNDS}-round exact fixpoint (= DAG depth), the same exact "
+    "integer-day arithmetic, the same frontier shape — but the edge "
+    "traversal is dst→src and the monotone label is a MAX, so the "
+    "pair pins both relaxation directions of the temporal kernel. "
+    "The 'how late can the order be placed and still ship via this "
+    f"supplier' serving question, emitted as the top-{_LD_K} per "
+    "target by latest departure (per-target window — partitioned, "
+    "bounded output; the full label relation is the target's "
+    "upstream cone, ~|V| at the fixpoint, so unlike the seed-frontier "
+    "dual it is joined keyed, never broadcast). Oracle unrolls the "
+    "rounds as MATERIALIZED CTEs.",
+)
+def graph_temporal_latest_dep(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(ORDER_BASE) + F.col("o_orderkey")).alias("dst"),
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")).cast("long").alias("t"),
+    )
+    l = table(spark, sf, "lineitem")
+    ship = F.datediff(F.col("l_shipdate"), F.lit("1990-01-01")).cast("long")
+    op = l.select(
+        (F.lit(ORDER_BASE) + F.col("l_orderkey")).alias("src"),
+        (F.lit(PART_BASE) + F.col("l_partkey")).alias("dst"),
+        ship.alias("t"),
+    )
+    ps = l.select(
+        (F.lit(PART_BASE) + F.col("l_partkey")).alias("src"),
+        (F.lit(SUPP_BASE) + F.col("l_suppkey")).alias("dst"),
+        ship.alias("t"),
+    )
+    tedges = o.union(op).union(ps).distinct().localCheckpoint(eager=True)
+
+    ld = spark.createDataFrame(
+        [(SUPP_BASE + s, SUPP_BASE + s, _LD_INF) for s in _LD_TARGETS],
+        "tgt BIGINT, id BIGINT, d BIGINT",
+    )
+    # DELTA-FRONTIER relaxation: only labels that IMPROVED last round
+    # re-join the edges (each edge relaxed once per target in the
+    # layered DAG), and the delta frontier — NOT the full label
+    # relation — is broadcast against the dst-keyed edges (without it
+    # the planner sort-merged the FULL 13.4M-row edge list per round:
+    # measured 37x shuffle at the 10x step, restored to linear). A
+    # general kernel would size-switch like traversal._EdgeSides
+    # (FRONTIER_BROADCAST_MAX) when a cone outgrows the broadcast
+    # limit. MAX-merge is confluent, so the delta schedule reaches
+    # the identical fixpoint the oracle's full unrolled relaxation
+    # does.
+    frontier = ld
+    for _ in range(_TR_ROUNDS):
+        cand = (
+            tedges.join(F.broadcast(frontier), tedges.dst == frontier.id)
+            .filter(F.col("t") <= F.col("d"))
+            .groupBy("tgt", F.col("src").alias("id"))
+            .agg(F.max("t").alias("cd"))
+        )
+        frontier = (
+            cand.join(
+                ld.select(
+                    F.col("tgt").alias("ltgt"),
+                    F.col("id").alias("lid"),
+                    F.col("d").alias("od"),
+                ),
+                (F.col("tgt") == F.col("ltgt")) & (F.col("id") == F.col("lid")),
+                "left",
+            )
+            .filter(F.col("od").isNull() | (F.col("cd") > F.col("od")))
+            .select("tgt", "id", F.col("cd").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        ld = (
+            ld.unionByName(frontier)
+            .groupBy("tgt", "id")
+            .agg(F.max("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("tgt").orderBy(F.col("d").desc(), F.col("id"))
+    return (
+        ld.filter(F.col("id") != F.col("tgt"))
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= _LD_K)
+        .select(
+            "tgt", "id", F.col("d").cast("long").alias("latest_dep_day"), "pos"
+        )
+        .orderBy("tgt", "pos")
+    )
