@@ -128,6 +128,7 @@ HEADLINE = [
     # reachability (3 relaxation rounds over the dated entity graph).
     "graph_random_walks",
     "graph_temporal_reach",
+    "graph_temporal_latest_dep",
 ]
 
 
