@@ -67,6 +67,10 @@ ENTRIES = [
     "graph_harmonic_centrality",  # integer micro-unit shells + top-k ties
     "events_cuped_adjustment",   # decimal moments -> closed-form doubles
     "similarity_truncation_recall",  # float dots + per-dims top-k ties
+    # round-11 additions
+    "graph_pagerank_incremental",  # fixed-point integer warm-start ranks
+    "graph_random_walks",          # hash-pick chain over ranked adjacency
+    "graph_temporal_latest_dep",   # delta-frontier MAX relaxation + top-k
 ]
 
 # Two adversarial layouts, exercised separately so a failure localizes
