@@ -1595,3 +1595,127 @@ def graph_temporal_latest_dep(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("tgt", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal reachability delta after the edge-batch append
+# ---------------------------------------------------------------------------
+
+
+def _trd_round_sql(tag: str, k: int, edges: str) -> str:
+    return f"""
+    {tag}{k} AS MATERIALIZED (
+      SELECT seed, id, min(d) AS d FROM (
+        SELECT seed, id, d FROM {tag}{k - 1}
+        UNION ALL
+        SELECT p.seed, e.dst AS id, e.t AS d
+        FROM {tag}{k - 1} p JOIN {edges} e ON e.src = p.id AND e.t >= p.d
+      ) GROUP BY seed, id
+    )"""
+
+
+@register(
+    "graph_temporal_reach_delta",
+    oracle=f"""
+    WITH {_TEMPORAL_EDGES_SQL},
+    base_e AS MATERIALIZED (
+      SELECT src, dst, t FROM tedges WHERE (src + dst) % {_PR_INC_MOD} <> 0
+    ),
+    b0 AS (
+      SELECT s AS seed, s AS id, CAST(-1 AS BIGINT) AS d
+      FROM (VALUES {", ".join(f"({s})" for s in _TR_SEEDS)}) t(s)
+    ),
+    {",".join(_trd_round_sql("b", k, "base_e") for k in range(1, _TR_ROUNDS + 1))},
+    f0 AS (SELECT seed, id, d FROM b0),
+    {",".join(_trd_round_sql("f", k, "tedges") for k in range(1, _TR_ROUNDS + 1))}
+    SELECT CAST(f.seed AS BIGINT) AS seed, CAST(f.id AS BIGINT) AS id,
+           CAST(f.d AS BIGINT) AS arrival_full,
+           CAST(b.d AS BIGINT) AS arrival_base,
+           b.d IS NULL AS newly_reachable
+    FROM f{_TR_ROUNDS} f
+    LEFT JOIN b{_TR_ROUNDS} b ON b.seed = f.seed AND b.id = f.id
+    WHERE f.id <> f.seed AND (b.d IS NULL OR f.d < b.d)
+    ORDER BY f.seed, f.id
+    """,
+    doc="TEMPORAL REACHABILITY DELTA — the composition of the round's "
+    "two themes (incremental maintenance × temporal semantics): after "
+    f"appending the ~{100 // _PR_INC_MOD}% edge batch "
+    f"((src+dst) % {_PR_INC_MOD} == 0, the graph_pagerank_incremental "
+    "split) to the DATED entity graph, which vertices become newly "
+    "time-respecting-reachable from the customer seeds, and whose "
+    "earliest arrival IMPROVES? Both relaxation chains (base graph, "
+    "full graph) run the exact-integer earliest-arrival kernel of "
+    f"graph_temporal_reach ({_TR_ROUNDS} rounds = the DAG depth, so "
+    "both fixpoints are exact); the delta is one keyed left join — "
+    "emitted rows are exactly the batch's causal impact, the "
+    "'what did this append change' audit a temporal serving layer "
+    "publishes after ingest. NULL arrival_base marks vertices the "
+    "base graph could not reach time-respectingly at all. The oracle "
+    "unrolls both chains as MATERIALIZED CTEs.",
+)
+def graph_temporal_reach_delta(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(ORDER_BASE) + F.col("o_orderkey")).alias("dst"),
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")).cast("long").alias("t"),
+    )
+    l = table(spark, sf, "lineitem")
+    ship = F.datediff(F.col("l_shipdate"), F.lit("1990-01-01")).cast("long")
+    op = l.select(
+        (F.lit(ORDER_BASE) + F.col("l_orderkey")).alias("src"),
+        (F.lit(PART_BASE) + F.col("l_partkey")).alias("dst"),
+        ship.alias("t"),
+    )
+    ps = l.select(
+        (F.lit(PART_BASE) + F.col("l_partkey")).alias("src"),
+        (F.lit(SUPP_BASE) + F.col("l_suppkey")).alias("dst"),
+        ship.alias("t"),
+    )
+    tedges = o.union(op).union(ps).distinct().localCheckpoint(eager=True)
+    base_e = tedges.filter(
+        ((F.col("src") + F.col("dst")) % _PR_INC_MOD) != 0
+    ).localCheckpoint(eager=True)
+
+    def relax(edges: DataFrame) -> DataFrame:
+        arr = spark.createDataFrame(
+            [(s, s, -1) for s in _TR_SEEDS],
+            "seed BIGINT, id BIGINT, d BIGINT",
+        )
+        for _ in range(_TR_ROUNDS):
+            cand = (
+                edges.join(F.broadcast(arr), edges.src == arr.id)
+                .filter(F.col("t") >= F.col("d"))
+                .select(
+                    "seed", F.col("dst").alias("id"), F.col("t").alias("d")
+                )
+            )
+            arr = (
+                arr.unionByName(cand)
+                .groupBy("seed", "id")
+                .agg(F.min("d").alias("d"))
+                .localCheckpoint(eager=True)
+            )
+        return arr
+
+    full = relax(tedges).withColumnRenamed("d", "arrival_full")
+    base = relax(base_e).select(
+        "seed", "id", F.col("d").alias("arrival_base")
+    )
+    return (
+        full.join(base, ["seed", "id"], "left")
+        .filter(
+            (F.col("id") != F.col("seed"))
+            & (
+                F.col("arrival_base").isNull()
+                | (F.col("arrival_full") < F.col("arrival_base"))
+            )
+        )
+        .select(
+            "seed",
+            "id",
+            F.col("arrival_full").cast("long"),
+            F.col("arrival_base").cast("long"),
+            F.col("arrival_base").isNull().alias("newly_reachable"),
+        )
+        .orderBy("seed", "id")
+    )
