@@ -217,6 +217,7 @@ def _load_all() -> None:
         core_queries,
         tpch_queries,
         graph_queries,
+        graph_temporal_queries,
         graph_centrality_queries,
         graph_community_queries,
         llm_queries,
@@ -252,56 +253,17 @@ def _load_all() -> None:
 # remaining r3/r4-stale cohort.
 _VERIFIED_ROUND: dict[str, int] = {
     # r6 cohort
-    "docs_boilerplate_lines": 6,
     "docs_boilerplate_strip": 6,
     "docs_bpe_merges": 6,
-    "docs_c4_line_filters": 6,
     "docs_dedup_canonical": 6,
     "docs_hash_sample": 6,
     "docs_incremental_dedup": 6,
     "docs_mixture_grid": 6,
-    "docs_mixture_weights": 6,
-    "docs_pack_chunks": 6,
-    "docs_pii_redaction": 6,
-    "docs_rag_chunks": 6,
     "docs_select_budget": 6,
     "docs_shard_manifest": 6,
     "docs_source_overlap": 6,
-    "docs_stream_dedup": 6,
-    "docs_substring_dedup": 6,
     "docs_token_drift": 6,
     "docs_unigram_surprise": 6,
-    "docs_url_domain_rollup": 6,
-    "events_daily_retention": 6,
-    "events_first_touch": 6,
-    "events_funnel_conversion": 6,
-    "events_latest_per_user": 6,
-    "events_session_stats": 6,
-    "events_stream_enriched_nation": 6,
-    "events_type_pivot": 6,
-    "filter_in_list": 6,
-    "filter_like": 6,
-    "filter_null_safe": 6,
-    "filter_range_dates": 6,
-    "graph_degree_assortativity": 6,
-    "graph_node_jaccard": 6,
-    "graph_wsssp_entity": 6,
-    "join_broadcast_dim": 6,
-    "join_full_outer": 6,
-    "join_left_outer": 6,
-    "join_semi": 6,
-    "join_sortmerge_fact": 6,
-    "json_extract_events": 6,
-    "knn_label_vote": 6,
-    "multimodal_frame_sample": 6,
-    "multimodal_resize_thumbs": 6,
-    "scan_filter_project": 6,
-    "source_binary_listing": 6,
-    "stat_corr_part": 6,
-    "stat_histogram_events": 6,
-    "text_char_trigrams_by_lang": 6,
-    "udaf_priority_geomean": 6,
-    "udtf_bigram_counts": 6,
     # r7 cohort
     "customer_kanon_audit": 7,
     "dedup_hll_cardinality": 7,
@@ -502,6 +464,57 @@ _VERIFIED_ROUND: dict[str, int] = {
     "text_tfidf_topterms": 10,
     "text_token_stats": 10,
     "udf_embedding_l2norm": 10,
+    # r11 cohort
+    "docs_boilerplate_lines": 11,
+    "docs_c4_line_filters": 11,
+    "docs_mixture_weights": 11,
+    "docs_pack_chunks": 11,
+    "docs_pii_redaction": 11,
+    "docs_priority_sample": 11,
+    "docs_rag_chunks": 11,
+    "docs_stream_dedup": 11,
+    "docs_substring_dedup": 11,
+    "docs_tok_quantile_hist_serving": 11,
+    "docs_url_domain_rollup": 11,
+    "events_daily_retention": 11,
+    "events_first_touch": 11,
+    "events_funnel_conversion": 11,
+    "events_hll_hourly_rollup": 11,
+    "events_latest_per_user": 11,
+    "events_session_stats": 11,
+    "events_stream_attrib_hourly": 11,
+    "events_stream_enriched_nation": 11,
+    "events_type_pivot": 11,
+    "filter_in_list": 11,
+    "filter_like": 11,
+    "filter_null_safe": 11,
+    "filter_range_dates": 11,
+    "graph_degree_assortativity": 11,
+    "graph_louvain_multilevel": 11,
+    "graph_node_jaccard": 11,
+    "graph_pagerank_incremental": 11,
+    "graph_random_walks": 11,
+    "graph_temporal_latest_dep": 11,
+    "graph_temporal_reach": 11,
+    "graph_temporal_reach_delta": 11,
+    "graph_walk_skipgrams": 11,
+    "graph_wsssp_entity": 11,
+    "join_broadcast_dim": 11,
+    "join_full_outer": 11,
+    "join_left_outer": 11,
+    "join_semi": 11,
+    "join_sortmerge_fact": 11,
+    "json_extract_events": 11,
+    "knn_label_vote": 11,
+    "multimodal_frame_sample": 11,
+    "multimodal_resize_thumbs": 11,
+    "scan_filter_project": 11,
+    "source_binary_listing": 11,
+    "stat_corr_part": 11,
+    "stat_histogram_events": 11,
+    "text_char_trigrams_by_lang": 11,
+    "udaf_priority_geomean": 11,
+    "udtf_bigram_counts": 11,
 }
 
 
