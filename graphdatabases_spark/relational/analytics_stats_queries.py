@@ -1396,9 +1396,14 @@ _QHS_QS = (50, 90, 99)
     "docs_tok_quantile_hist_serving",
     oracle=f"""
     WITH d AS (
+      -- coalesce text to '' BEFORE tokenizing so a NULL-text doc counts
+      -- as v=0 (bucket 0) on BOTH engines — the Spark side coalesces
+      -- the same way; without this the oracle's len(TOKS)
+      -- NULL-propagates and the engines diverge on any NULL row.
       SELECT source, doc_id % 4 AS shard, doc_id,
              CAST(len({_TOKS}) AS BIGINT) AS v
-      FROM documents
+      FROM (SELECT source, doc_id, coalesce(text, '') AS text
+            FROM documents)
     ),
     part AS (
       SELECT source, shard, v // {_QHS_W} AS bkt,

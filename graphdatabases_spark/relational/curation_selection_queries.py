@@ -1618,8 +1618,14 @@ def docs_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
             F.row_number().over(Window.orderBy("key", "doc_id")),
         )
     )
-    tau = top.filter(F.col("pos") == _PRIO_K + 1).select(
-        F.col("key").alias("tau_key")
+    # Aggregate to EXACTLY one row (NULL tau_key when the corpus has
+    # <= k docs) so the crossJoin matches the oracle's scalar-subquery
+    # semantics — a filter-built tau frame is EMPTY in that case and
+    # the crossJoin would wrongly drop the whole sample.
+    tau = top.agg(
+        F.max(
+            F.when(F.col("pos") == _PRIO_K + 1, F.col("key"))
+        ).alias("tau_key")
     )
     return (
         top.filter(F.col("pos") <= _PRIO_K)

@@ -1120,3 +1120,239 @@ def graph_pagerank_incremental(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components (quotient-graph warm restart)
+# ---------------------------------------------------------------------------
+
+_CC_INC_K = 40
+# Oracle-side fixed unrolls (the Spark kernel loops to the true fixpoint;
+# the oracle's converged-pin columns fail the differential loudly if a
+# bigger fixture ever needs more rounds). Measured to fixpoint: base
+# 3/4/5 rounds at sf0.001/0.01/0.1, quotient 2 — margins of 2+ each.
+_CC_INC_BASE_ROUNDS = 7
+_CC_INC_Q_ROUNDS = 4
+
+
+def _cc_round_sql(tag: str, k: int, sym: str) -> str:
+    """One unrolled min-label propagation round over symmetrized edges."""
+    return f"""
+    {tag}{k} AS MATERIALIZED (
+      SELECT l.id, least(l.comp, coalesce(m.mn, l.comp)) AS comp
+      FROM {tag}{k - 1} l
+      LEFT JOIN (
+        SELECT s.dst AS id, min(p.comp) AS mn
+        FROM {sym} s JOIN {tag}{k - 1} p ON p.id = s.src
+        GROUP BY s.dst
+      ) m ON m.id = l.id
+    )"""
+
+
+@register(
+    "graph_cc_incremental",
+    oracle=f"""
+    WITH {ENTITY_EDGES_SQL},
+    batch_e AS MATERIALIZED (
+      SELECT src, dst FROM edges
+      WHERE src >= {ORDER_BASE} AND src < {PART_BASE}
+    ),
+    base_e AS MATERIALIZED (
+      SELECT src, dst FROM edges
+      WHERE src < {ORDER_BASE} OR src >= {PART_BASE}
+    ),
+    bsym AS MATERIALIZED (
+      SELECT src, dst FROM base_e UNION SELECT dst, src FROM base_e
+    ),
+    c0 AS (SELECT DISTINCT src AS id, src AS comp FROM bsym),
+    {",".join(_cc_round_sql("c", k, "bsym") for k in range(1, _CC_INC_BASE_ROUNDS + 1))},
+    base_conv AS (
+      SELECT bool_and(a.comp = b.comp) AS ok
+      FROM c{_CC_INC_BASE_ROUNDS} a
+      JOIN c{_CC_INC_BASE_ROUNDS - 1} b ON b.id = a.id
+    ),
+    qe AS MATERIALIZED (
+      SELECT DISTINCT coalesce(ls.comp, b.src) AS src,
+                      coalesce(ld.comp, b.dst) AS dst
+      FROM batch_e b
+      LEFT JOIN c{_CC_INC_BASE_ROUNDS} ls ON ls.id = b.src
+      LEFT JOIN c{_CC_INC_BASE_ROUNDS} ld ON ld.id = b.dst
+      WHERE coalesce(ls.comp, b.src) <> coalesce(ld.comp, b.dst)
+    ),
+    qsym AS MATERIALIZED (
+      SELECT src, dst FROM qe UNION SELECT dst, src FROM qe
+    ),
+    q0 AS (SELECT DISTINCT src AS id, src AS comp FROM qsym),
+    {",".join(_cc_round_sql("q", k, "qsym") for k in range(1, _CC_INC_Q_ROUNDS + 1))},
+    q_conv AS (
+      SELECT coalesce(bool_and(a.comp = b.comp), true) AS ok
+      FROM q{_CC_INC_Q_ROUNDS} a
+      JOIN q{_CC_INC_Q_ROUNDS - 1} b ON b.id = a.id
+    ),
+    newv AS (
+      SELECT v AS id, v AS comp FROM (
+        SELECT DISTINCT src AS v FROM batch_e
+        UNION SELECT DISTINCT dst FROM batch_e
+      ) t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM c{_CC_INC_BASE_ROUNDS} bl WHERE bl.id = t.v
+      )
+    ),
+    allv AS (
+      SELECT id, comp FROM c{_CC_INC_BASE_ROUNDS}
+      UNION ALL SELECT id, comp FROM newv
+    ),
+    final AS (
+      SELECT a.id, a.comp AS comp_base,
+             coalesce(q.comp, a.comp) AS comp_warm
+      FROM allv a LEFT JOIN q{_CC_INC_Q_ROUNDS} q ON q.id = a.comp
+    ),
+    stats AS (
+      SELECT comp_base, min(comp_warm) AS comp_warm,
+             CAST(count(*) AS BIGINT) AS n_vertices
+      FROM final GROUP BY comp_base
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_base_comps,
+             CAST(count(DISTINCT comp_warm) AS BIGINT) AS n_warm_comps
+      FROM stats
+    ),
+    ranked AS (
+      SELECT comp_base, comp_warm, n_vertices,
+        row_number() OVER (ORDER BY n_vertices DESC, comp_base) AS pos
+      FROM stats
+    )
+    SELECT CAST(pos AS INT) AS pos,
+           CAST(comp_base AS BIGINT) AS comp_base,
+           CAST(comp_warm AS BIGINT) AS comp_warm,
+           n_vertices,
+           comp_base <> comp_warm AS merged,
+           t.n_base_comps, t.n_warm_comps,
+           (SELECT ok FROM base_conv) AS base_converged,
+           (SELECT ok FROM q_conv) AS q_converged
+    FROM ranked, tot t
+    WHERE pos <= {_CC_INC_K}
+    ORDER BY pos
+    """,
+    doc="INCREMENTAL CONNECTED COMPONENTS — completes the incremental "
+    "graph trilogy (graph_pagerank_incremental, "
+    "graph_temporal_reach_delta, this): after an edge-batch append, "
+    "maintain component labels WITHOUT re-solving the full graph. The "
+    "fixture is the layered-ingest split of the entity graph: base = "
+    "the dimension-side layers (customer→order, part→supplier), batch "
+    "= the order→part FACT edges landing afterwards — chosen because "
+    "it genuinely BRIDGES: every customer star is its own base "
+    "component until the fact layer arrives (measured 151/1501/15001 "
+    "base comps → 1 at sf0.001/0.01/0.1; the (src+dst)%MOD split of "
+    "the pagerank sibling merges NOTHING here — the entity giant "
+    "component survives a 5% edge deletion, probed round 12). The "
+    "incremental algorithm is QUOTIENT CONTRACTION, not label "
+    "re-propagation: map each batch edge through the persisted base "
+    "labels (batch-new vertices cold-start at own id), drop "
+    "intra-component edges, solve CC on the contracted quotient graph "
+    "(|quotient| <= 2·|batch| vertices — state scales with the BATCH, "
+    "never the graph), then ONE keyed relabel join "
+    "comp_warm = q(comp_base). Labels are canonical min-vertex-ids, "
+    "so warm output is bit-identical to a cold full-graph solve — "
+    "pinned in tests/test_round12_graph.py along with "
+    "rounds_warm << rounds_cold (2 quotient rounds vs 7-8 full-graph "
+    "rounds: propagation cost is graph DISTANCE, and contraction "
+    "collapses every solved component to distance 0). Emits the "
+    f"top-{_CC_INC_K} base components by size with before/after "
+    "labels, the merged flag, and global base/warm component counts "
+    "(the bridging pin lives IN the output: n_base_comps >> "
+    "n_warm_comps). base_converged/q_converged are the oracle's "
+    "fixed-unroll guards; the Spark side runs the engine kernel "
+    "(graph/algorithms.py connected_components, strict=True — raises "
+    "rather than emit unconverged labels, so the literal True columns "
+    "are honest). Scale shape: base labels are the persisted state "
+    "(one BIGINT per vertex); per batch the work is two keyed joins "
+    "against the batch, CC on the tiny quotient (driver union-find "
+    "below the adaptive threshold, distributed propagation above), "
+    "one relabel join, one bounded top-k.",
+)
+def graph_cc_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from graphdatabases_spark.graph.algorithms import connected_components
+
+    edges = entity_edges(spark, sf, dedup=True).localCheckpoint(eager=True)
+    is_batch = (F.col("src") >= ORDER_BASE) & (F.col("src") < PART_BASE)
+    base_e = edges.filter(~is_batch)
+    batch_e = edges.filter(is_batch).localCheckpoint(eager=True)
+
+    base_lab = connected_components(base_e, strict=True).localCheckpoint(
+        eager=True
+    )
+
+    # Quotient contraction: batch edges through the persisted labels
+    # (coalesce = batch-new vertices cold-start at own id), dropping
+    # already-intra-component edges.
+    ls = base_lab.select(F.col("id").alias("src"), F.col("comp").alias("scomp"))
+    ld = base_lab.select(F.col("id").alias("dst"), F.col("comp").alias("dcomp"))
+    qe = (
+        batch_e.join(ls, "src", "left")
+        .join(ld, "dst", "left")
+        .select(
+            F.coalesce("scomp", F.col("src")).alias("src"),
+            F.coalesce("dcomp", F.col("dst")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    qlab = connected_components(qe, strict=True)
+
+    # Batch-new vertices (none in this fixture — every order has its
+    # customer edge and every part its supplier edge in base — but the
+    # operator handles them: they entered the quotient at own id).
+    bverts = (
+        batch_e.select(F.col("src").alias("id"))
+        .union(batch_e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    newv = bverts.join(base_lab, "id", "left_anti").select(
+        "id", F.col("id").alias("comp")
+    )
+    allv = base_lab.unionByName(newv)
+
+    final = allv.join(
+        qlab.select(
+            F.col("id").alias("comp"), F.col("comp").alias("qcomp")
+        ),
+        "comp",
+        "left",
+    ).select(
+        "id",
+        F.col("comp").alias("comp_base"),
+        F.coalesce("qcomp", F.col("comp")).alias("comp_warm"),
+    )
+    stats = final.groupBy("comp_base").agg(
+        F.min("comp_warm").alias("comp_warm"),
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+    )
+    tot = stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_base_comps"),
+        F.countDistinct("comp_warm").cast("long").alias("n_warm_comps"),
+    )
+    # TakeOrdered top-k, then pos over the bounded frame
+    # (test_plans._GLOBAL_WINDOW_OK); 1-row totals crossJoin
+    # (test_plans._BNLJ_OK).
+    w = Window.orderBy(F.col("n_vertices").desc(), F.col("comp_base"))
+    return (
+        stats.orderBy(F.col("n_vertices").desc(), "comp_base")
+        .limit(_CC_INC_K)
+        .withColumn("pos", F.row_number().over(w))
+        .crossJoin(tot)
+        .select(
+            "pos",
+            F.col("comp_base").cast("long"),
+            F.col("comp_warm").cast("long"),
+            "n_vertices",
+            (F.col("comp_base") != F.col("comp_warm")).alias("merged"),
+            "n_base_comps",
+            "n_warm_comps",
+            F.lit(True).alias("base_converged"),
+            F.lit(True).alias("q_converged"),
+        )
+        .orderBy("pos")
+    )

@@ -22,6 +22,46 @@ from graphdatabases_spark.relational.graph_queries import (
     entity_edges,
 )
 
+def _dated_entity_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The dated entity edge list (src, dst, t) shared by the temporal
+    kernels: customer→order at o_orderdate, order→part and part→supplier
+    at l_shipdate, t as integer days since 1990-01-01 (exact integer
+    comparisons on both engines). Distinct + eagerly checkpointed — it
+    re-enters the plan every relaxation round."""
+    o = table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(ORDER_BASE) + F.col("o_orderkey")).alias("dst"),
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+        .cast("long")
+        .alias("t"),
+    )
+    l = table(spark, sf, "lineitem")
+    ship = F.datediff(F.col("l_shipdate"), F.lit("1990-01-01")).cast("long")
+    op = l.select(
+        (F.lit(ORDER_BASE) + F.col("l_orderkey")).alias("src"),
+        (F.lit(PART_BASE) + F.col("l_partkey")).alias("dst"),
+        ship.alias("t"),
+    )
+    ps = l.select(
+        (F.lit(PART_BASE) + F.col("l_partkey")).alias("src"),
+        (F.lit(SUPP_BASE) + F.col("l_suppkey")).alias("dst"),
+        ship.alias("t"),
+    )
+    return o.union(op).union(ps).distinct().localCheckpoint(eager=True)
+
+
+def _labels_side(labels: DataFrame, n_labels: int) -> DataFrame:
+    """Size-switched join side for a per-round label/frontier relation:
+    broadcast while it fits (the common case — seed cones at test sfs),
+    keyed shuffle join once it outgrows ``FRONTIER_BROADCAST_MAX`` (the
+    label relation grows to the seeds' reachable cone, ~|touched V|, so
+    an unconditional broadcast risks the 8 GB limit / driver memory at
+    scale — the traversal._EdgeSides discipline)."""
+    from graphdatabases_spark.graph.traversal import FRONTIER_BROADCAST_MAX
+
+    return F.broadcast(labels) if n_labels <= FRONTIER_BROADCAST_MAX else labels
+
+
 # ---------------------------------------------------------------------------
 # Deterministic random walks (DeepWalk/node2vec corpus generation)
 # ---------------------------------------------------------------------------
@@ -129,12 +169,18 @@ def graph_random_walks(spark: SparkSession, sf: str) -> DataFrame:
             deg.join(F.broadcast(walks), deg.src == walks.node)
             .select("seed", "node", ((h % F.col("deg")) + 1).alias("pick"))
         )
+        # Truncate the chain's lineage each step: without the checkpoint the
+        # step-k frame's plan embeds the whole step-1..k join prefix, so
+        # the final union replays O(steps^2) joins (the loop discipline
+        # of the temporal kernels and pagerank_units; ADVICE r11). The
+        # frame is |walkers| rows — the checkpoint is O(walkers).
         walks = (
             adj.join(
                 F.broadcast(picked),
                 (adj.src == picked.node) & (adj.rn == picked.pick),
             )
             .select("seed", F.col("dst").alias("node"))
+            .localCheckpoint(eager=True)
         )
         out = out.unionByName(
             walks.withColumn("step", F.lit(k).cast("int"))
@@ -219,31 +265,18 @@ def _tr_round_sql(k: int) -> str:
     "the rounds as MATERIALIZED CTEs (the fused-pipeline finding).",
 )
 def graph_temporal_reach(spark: SparkSession, sf: str) -> DataFrame:
-    o = table(spark, sf, "orders").select(
-        F.col("o_custkey").alias("src"),
-        (F.lit(ORDER_BASE) + F.col("o_orderkey")).alias("dst"),
-        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")).cast("long").alias("t"),
-    )
-    l = table(spark, sf, "lineitem")
-    ship = F.datediff(F.col("l_shipdate"), F.lit("1990-01-01")).cast("long")
-    op = l.select(
-        (F.lit(ORDER_BASE) + F.col("l_orderkey")).alias("src"),
-        (F.lit(PART_BASE) + F.col("l_partkey")).alias("dst"),
-        ship.alias("t"),
-    )
-    ps = l.select(
-        (F.lit(PART_BASE) + F.col("l_partkey")).alias("src"),
-        (F.lit(SUPP_BASE) + F.col("l_suppkey")).alias("dst"),
-        ship.alias("t"),
-    )
-    tedges = o.union(op).union(ps).distinct().localCheckpoint(eager=True)
+    tedges = _dated_entity_edges(spark, sf)
 
     arr = spark.createDataFrame(
         [(s, s, -1) for s in _TR_SEEDS], "seed BIGINT, id BIGINT, d BIGINT"
     )
+    n_arr = len(_TR_SEEDS)
     for _ in range(_TR_ROUNDS):
+        # The label relation grows to the seeds' reachable cone, so the
+        # broadcast is size-switched (_labels_side); the count is free —
+        # arr is an eagerly-checkpointed frame each round.
         cand = (
-            tedges.join(F.broadcast(arr), tedges.src == arr.id)
+            tedges.join(_labels_side(arr, n_arr), tedges.src == arr.id)
             .filter(F.col("t") >= F.col("d"))
             .select("seed", F.col("dst").alias("id"), F.col("t").alias("d"))
         )
@@ -253,6 +286,7 @@ def graph_temporal_reach(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.min("d").alias("d"))
             .localCheckpoint(eager=True)
         )
+        n_arr = arr.count()
     return (
         arr.filter(F.col("id") != F.col("seed"))
         .select("seed", "id", F.col("d").cast("long").alias("arrival_day"))
@@ -421,24 +455,7 @@ def _ld_round_sql(k: int) -> str:
     "rounds as MATERIALIZED CTEs.",
 )
 def graph_temporal_latest_dep(spark: SparkSession, sf: str) -> DataFrame:
-    o = table(spark, sf, "orders").select(
-        F.col("o_custkey").alias("src"),
-        (F.lit(ORDER_BASE) + F.col("o_orderkey")).alias("dst"),
-        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")).cast("long").alias("t"),
-    )
-    l = table(spark, sf, "lineitem")
-    ship = F.datediff(F.col("l_shipdate"), F.lit("1990-01-01")).cast("long")
-    op = l.select(
-        (F.lit(ORDER_BASE) + F.col("l_orderkey")).alias("src"),
-        (F.lit(PART_BASE) + F.col("l_partkey")).alias("dst"),
-        ship.alias("t"),
-    )
-    ps = l.select(
-        (F.lit(PART_BASE) + F.col("l_partkey")).alias("src"),
-        (F.lit(SUPP_BASE) + F.col("l_suppkey")).alias("dst"),
-        ship.alias("t"),
-    )
-    tedges = o.union(op).union(ps).distinct().localCheckpoint(eager=True)
+    tedges = _dated_entity_edges(spark, sf)
 
     ld = spark.createDataFrame(
         [(SUPP_BASE + s, SUPP_BASE + s, _LD_INF) for s in _LD_TARGETS],
@@ -449,16 +466,19 @@ def graph_temporal_latest_dep(spark: SparkSession, sf: str) -> DataFrame:
     # layered DAG), and the delta frontier — NOT the full label
     # relation — is broadcast against the dst-keyed edges (without it
     # the planner sort-merged the FULL 13.4M-row edge list per round:
-    # measured 37x shuffle at the 10x step, restored to linear). A
-    # general kernel would size-switch like traversal._EdgeSides
-    # (FRONTIER_BROADCAST_MAX) when a cone outgrows the broadcast
-    # limit. MAX-merge is confluent, so the delta schedule reaches
-    # the identical fixpoint the oracle's full unrolled relaxation
-    # does.
+    # measured 37x shuffle at the 10x step, restored to linear). The
+    # broadcast is size-switched via _labels_side (FRONTIER_BROADCAST_MAX)
+    # for when a cone outgrows the broadcast limit. MAX-merge is
+    # confluent, so the delta schedule reaches the identical fixpoint
+    # the oracle's full unrolled relaxation does.
     frontier = ld
+    n_frontier = len(_LD_TARGETS)
     for _ in range(_TR_ROUNDS):
         cand = (
-            tedges.join(F.broadcast(frontier), tedges.dst == frontier.id)
+            tedges.join(
+                _labels_side(frontier, n_frontier),
+                tedges.dst == frontier.id,
+            )
             .filter(F.col("t") <= F.col("d"))
             .groupBy("tgt", F.col("src").alias("id"))
             .agg(F.max("t").alias("cd"))
@@ -477,6 +497,7 @@ def graph_temporal_latest_dep(spark: SparkSession, sf: str) -> DataFrame:
             .select("tgt", "id", F.col("cd").alias("d"))
             .localCheckpoint(eager=True)
         )
+        n_frontier = frontier.count()
         ld = (
             ld.unionByName(frontier)
             .groupBy("tgt", "id")
@@ -554,24 +575,7 @@ def _trd_round_sql(tag: str, k: int, edges: str) -> str:
     "unrolls both chains as MATERIALIZED CTEs.",
 )
 def graph_temporal_reach_delta(spark: SparkSession, sf: str) -> DataFrame:
-    o = table(spark, sf, "orders").select(
-        F.col("o_custkey").alias("src"),
-        (F.lit(ORDER_BASE) + F.col("o_orderkey")).alias("dst"),
-        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")).cast("long").alias("t"),
-    )
-    l = table(spark, sf, "lineitem")
-    ship = F.datediff(F.col("l_shipdate"), F.lit("1990-01-01")).cast("long")
-    op = l.select(
-        (F.lit(ORDER_BASE) + F.col("l_orderkey")).alias("src"),
-        (F.lit(PART_BASE) + F.col("l_partkey")).alias("dst"),
-        ship.alias("t"),
-    )
-    ps = l.select(
-        (F.lit(PART_BASE) + F.col("l_partkey")).alias("src"),
-        (F.lit(SUPP_BASE) + F.col("l_suppkey")).alias("dst"),
-        ship.alias("t"),
-    )
-    tedges = o.union(op).union(ps).distinct().localCheckpoint(eager=True)
+    tedges = _dated_entity_edges(spark, sf)
     base_e = tedges.filter(
         ((F.col("src") + F.col("dst")) % _PR_INC_MOD) != 0
     ).localCheckpoint(eager=True)
@@ -581,9 +585,10 @@ def graph_temporal_reach_delta(spark: SparkSession, sf: str) -> DataFrame:
             [(s, s, -1) for s in _TR_SEEDS],
             "seed BIGINT, id BIGINT, d BIGINT",
         )
+        n_arr = len(_TR_SEEDS)
         for _ in range(_TR_ROUNDS):
             cand = (
-                edges.join(F.broadcast(arr), edges.src == arr.id)
+                edges.join(_labels_side(arr, n_arr), edges.src == arr.id)
                 .filter(F.col("t") >= F.col("d"))
                 .select(
                     "seed", F.col("dst").alias("id"), F.col("t").alias("d")
@@ -595,6 +600,7 @@ def graph_temporal_reach_delta(spark: SparkSession, sf: str) -> DataFrame:
                 .agg(F.min("d").alias("d"))
                 .localCheckpoint(eager=True)
             )
+            n_arr = arr.count()
         return arr
 
     full = relax(tedges).withColumnRenamed("d", "arrival_full")

@@ -286,6 +286,8 @@ class TestUniversalGates:
         "graph_pagerank_incremental",
         # pos numbering over the limit(k+1) TakeOrdered frame
         "docs_priority_sample",
+        # pos numbering over the limit(40) TakeOrdered frame
+        "graph_cc_incremental",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
@@ -358,6 +360,7 @@ class TestUniversalGates:
         "docs_dsir_weights",          # 1-row model-total scalars (tt, ct)
         "retrieval_rrf_fusion",       # same bounded runs as ndcg_mrr
         "events_cusum_hourly",        # 1-row baseline/split scalars
+        "graph_cc_incremental",       # 1-row base/warm comp-count totals
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):

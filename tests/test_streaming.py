@@ -1337,23 +1337,26 @@ class TestChainedStatefulOperators:
     boundaries in BOTH operators, and windows finalize against the
     propagated (join-delayed) watermark."""
 
-    def _stage(self, spark, tmp_path):
+    def _write_file(self, spark, tmp_path, src, name, rows):
         import glob
         import shutil
 
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp_c"))
+        part = glob.glob(str(tmp_path / "tmp_c" / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / name))
+
+    def _stage(self, spark, tmp_path):
         src = tmp_path / "chain_src"
         src.mkdir()
 
         def write_file(name, rows):
-            pdf = pd.DataFrame(
-                rows,
-                columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
-            )
-            pdf["ts"] = pd.to_datetime(pdf["ts"])
-            sdf = spark.createDataFrame(pdf)
-            sdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp_c"))
-            part = glob.glob(str(tmp_path / "tmp_c" / "part-*.parquet"))[0]
-            shutil.copy(part, str(src / name))
+            self._write_file(spark, tmp_path, src, name, rows)
 
         # Batch 1: click 1 + purchase 101 pair in-batch (window 10:00).
         write_file("f1.parquet", [
@@ -1440,11 +1443,18 @@ class TestChainedStatefulOperators:
                 "total_value",
             )
         )
-        final_wm = "2024-01-01 13:51:00"  # max ts 14:01 - 10 min delay
+        # Same finalization rule as the catalog oracle for
+        # events_stream_attrib_hourly: window_end < wm - max_gap
+        # STRICTLY (wm = min input max ts - 10 min = 13:51, threshold
+        # 13:21) — the boundary itself is pinned by
+        # test_finalization_boundary_wm_minus_gap below.
+        final_wm = "2024-01-01 13:50:00"  # min(max c.ts, max p.ts) - 10 min
         expect = {
             str(r["window_start"]): (r["n_pairs"], r["total_value"])
             for r in batch.filter(
-                F.col("window_end") <= F.lit(final_wm).cast("timestamp")
+                F.col("window_end")
+                < F.lit(final_wm).cast("timestamp")
+                - F.expr("interval 30 minutes")
             ).collect()
         }
         # The finalized prefix equals the batch rollup EXACTLY — pair
@@ -1463,6 +1473,47 @@ class TestChainedStatefulOperators:
         assert {str(r["window_start"]) for r in batch.collect()} == set(
             emitted
         ) | {"2024-01-01 14:00:00"}
+
+    @pytest.mark.parametrize(
+        "tag,probe_ts,expect_emitted",
+        [
+            # wm = 11:40 - 10 min = 11:30; wm - max_gap == 11:00 lands
+            # EXACTLY on the window end → withheld (strict <).
+            ("at", "2024-01-01 11:40:00", False),
+            # one minute later: wm - max_gap = 11:01 > 11:00 → emitted.
+            ("past", "2024-01-01 11:41:00", True),
+        ],
+    )
+    def test_finalization_boundary_wm_minus_gap(
+        self, spark, tmp_path, tag, probe_ts, expect_emitted
+    ):
+        """Boundary probes for the composition's finalization rule —
+        the rule the catalog oracle for events_stream_attrib_hourly
+        encodes (window_end < global_wm - max_gap STRICTLY, the join
+        delaying the agg's watermark by the gap). The sibling replay
+        test's windows sit far from the boundary and pass under both
+        <= wm and < wm - gap; these two probes sit ON it."""
+        src = tmp_path / f"chain_bnd_{tag}"
+        src.mkdir()
+        self._write_file(spark, tmp_path, src, "f1.parquet", [
+            (1, "2024-01-01 10:00:00", 1, "click", 0.0, "{}"),
+            (101, "2024-01-01 10:10:00", 1, "purchase", 10.0, "{}"),
+        ])
+        # The probe pair advances BOTH filtered inputs' max event time
+        # to probe_ts (global wm = min over inputs = probe_ts - 10 min);
+        # its own window stays open and is never emitted here.
+        self._write_file(spark, tmp_path, src, "f2.parquet", [
+            (2, probe_ts, 9, "click", 0.0, "{}"),
+            (102, probe_ts, 9, "purchase", 1.0, "{}"),
+        ])
+        got = run_stream_to_memory(
+            self._chained(spark, src), f"t_chain_bnd_{tag}", "append"
+        )
+        emitted = {str(r["window_start"]) for r in got.collect()}
+        if expect_emitted:
+            assert emitted == {"2024-01-01 10:00:00"}
+        else:
+            assert emitted == set()
 
 
 class TestChainedDedupWindow:
