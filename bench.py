@@ -129,6 +129,13 @@ HEADLINE = [
     "graph_random_walks",
     "graph_temporal_reach",
     "graph_temporal_latest_dep",
+    # round 12: the incremental-CC completion (base fixpoint + quotient
+    # contraction + relabel), the KLL-lite sketch serving, the
+    # multi-probe LSH curve, and the second-order biased walk kernel.
+    "graph_cc_incremental",
+    "docs_tok_kll_quantiles",
+    "similarity_multiprobe_recall",
+    "graph_node2vec_walks",
 ]
 
 

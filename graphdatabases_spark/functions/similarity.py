@@ -154,21 +154,30 @@ def lsh_bucket_signature(
     keeping buckets bit-identical to the original per-plane form
     (pinned by the recall tests).
     """
-    planes = [_hyperplane_signs(dim, p) for p in range(num_planes)]
-    weights = [float(2**p) for p in range(num_planes)]
     v = _as_double(F.col(vec_col))
-    # The plane matrix literal is built as ONE parsed SQL expression:
-    # F.lit on a nested 8x64 list issues a py4j call per element
-    # (~170 ms of driver time per plan), the expr string parses
-    # JVM-side in <1 ms — same literal, pinned identical by the recall
-    # and oracle tests.
+    dots = F.transform(_plane_matrix_lit(num_planes, dim), lambda plane: _dot(v, plane))
+    return vectors.withColumn("bucket", _fold_sign_bits(dots, num_planes))
+
+
+def _plane_matrix_lit(num_planes: int, dim: int):
+    """The SRP plane matrix as ONE parsed SQL literal expression:
+    F.lit on a nested 8x64 list issues a py4j call per element
+    (~170 ms of driver time per plan), the expr string parses
+    JVM-side in <1 ms — same literal, pinned identical by the recall
+    and oracle tests."""
+    planes = [_hyperplane_signs(dim, p) for p in range(num_planes)]
     body = ",".join(
         "array(" + ",".join(f"{x:.1f}" for x in plane) + ")"
         for plane in planes
     )
-    plane_lit = F.expr(f"array({body})")
-    dots = F.transform(plane_lit, lambda plane: _dot(v, plane))
-    sig = F.aggregate(
+    return F.expr(f"array({body})")
+
+
+def _fold_sign_bits(dots, num_planes: int):
+    """Fold per-plane dot signs into the bucket long, in index order —
+    bit-identical to the DuckDB signed-sum mirror."""
+    weights = [float(2**p) for p in range(num_planes)]
+    return F.aggregate(
         F.zip_with(
             dots,
             F.lit(weights),
@@ -177,7 +186,6 @@ def lsh_bucket_signature(
         F.lit(0.0),
         lambda acc, x: acc + x,
     ).cast("long")
-    return vectors.withColumn("bucket", sig)
 
 
 def srp_band_plan(
@@ -413,6 +421,74 @@ def lsh_query(
     q = with_norm(qb, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("bucket"),
+        F.col("_vec").alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    scored = (
+        index.join(F.broadcast(q), F.col("bucket") == F.col("bucket_c"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_query_multiprobe(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    probes: int = 2,
+    num_planes: int = 8,
+    dim: int = EMBEDDING_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe SRP query (Lv et al., VLDB'07): probe the home
+    bucket plus ``probes - 1`` single-bit perturbations, flipping the
+    planes where the query's |dot| margin is SMALLEST — the bits most
+    likely to differ for a true near neighbor just across a hyperplane.
+    A recall/cost operating point between one-bucket ``lsh_query``
+    (cheapest, lowest recall) and brute force: candidate cost grows
+    linearly in ``probes`` while no second index is built (vs adding
+    plane tables or lowering num_planes, which reshapes the index).
+
+    Deterministic and engine-exact: the flip order ranks planes by
+    (round(|dot|, 6), plane index) — the rounding absorbs any cross-
+    engine last-ulp drift, the index tiebreak makes the probe sequence
+    a pure function of the query. Probed buckets are all distinct
+    (distinct bit flips), so no candidate dedup pass is needed.
+    """
+    from pyspark.sql.window import Window
+
+    if probes < 1:
+        raise ValueError(f"lsh_query_multiprobe needs probes >= 1, got {probes}")
+    v = _as_double(F.col(vec_col))
+    dots = F.transform(_plane_matrix_lit(num_planes, dim), lambda plane: _dot(v, plane))
+    qd = queries.withColumn("_dots", dots).withColumn(
+        "bucket", _fold_sign_bits(F.col("_dots"), num_planes)
+    )
+    margins = F.transform(
+        F.col("_dots"),
+        lambda d, i: F.struct(
+            F.round(F.abs(d), 6).alias("m"), i.alias("i")
+        ),
+    )
+    flips = F.slice(F.array_sort(margins), 1, probes - 1)
+    pbuckets = F.concat(
+        F.array(F.col("bucket")),
+        F.transform(
+            flips,
+            lambda s: F.col("bucket").bitwiseXOR(
+                F.call_function("shiftleft", F.lit(1), s["i"])
+            ).cast("long"),
+        ),
+    )
+    q = with_norm(qd, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(pbuckets).alias("bucket"),
         F.col("_vec").alias("q_vec"),
         F.col("_norm").alias("q_norm"),
     )

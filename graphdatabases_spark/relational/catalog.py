@@ -222,6 +222,7 @@ def _load_all() -> None:
         graph_community_queries,
         llm_queries,
         similarity_queries,
+        similarity_probe_queries,
         dedup_queries,
         sketch_queries,
         streaming_queries,

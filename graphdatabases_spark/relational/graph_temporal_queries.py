@@ -626,3 +626,272 @@ def graph_temporal_reach_delta(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("seed", "id")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Node2vec biased walks (second-order (p, q) transition kernel)
+# ---------------------------------------------------------------------------
+
+# Integer class weights encoding node2vec (p=2, q=0.5) scaled by 2:
+# alpha = 1/p (return) -> 1, 1 (stay at distance 1) -> 2, 1/q (explore
+# outward) -> 4. Exact integers, so the cumulative-weight pick is a
+# pure function of the corpus on both engines.
+_N2V_W_RET = 1
+_N2V_W_IN = 2
+_N2V_W_OUT = 4
+_N2V_STEPS = 8
+
+
+def _n2v_step_sql(k: int) -> str:
+    """One unrolled biased step: classify each neighbor x of the
+    current node v against the PREVIOUS node t (x==t return / x~t
+    in-neighborhood / else outward), cumulative-sum the integer class
+    weights in dst-rank order, and pick the neighbor whose weight range
+    contains portable-hash('n2v'|seed|step|v|t) mod total."""
+    return f"""
+    n{k} AS MATERIALIZED (
+      SELECT seed, node, prev FROM (
+        SELECT seed, node, prev, wt, rn, h,
+          sum(wt) OVER (PARTITION BY seed ORDER BY rn) AS cum,
+          sum(wt) OVER (PARTITION BY seed) AS tot
+        FROM (
+          SELECT w.seed, a.dst AS node, w.node AS prev, a.rn,
+            CASE WHEN a.dst = w.prev THEN {_N2V_W_RET}
+                 WHEN e.src IS NOT NULL THEN {_N2V_W_IN}
+                 ELSE {_N2V_W_OUT} END AS wt,
+            ('0x' || substr(md5('n2v' || w.seed || ':{k}:' || w.node
+                 || ':' || w.prev), 1, 12))::BIGINT AS h
+          FROM n{k - 1} w
+          JOIN adj a ON a.src = w.node
+          LEFT JOIN sym e ON e.src = w.prev AND e.dst = a.dst
+        )
+      ) WHERE (h % tot) + 1 > cum - wt AND (h % tot) + 1 <= cum
+    )"""
+
+
+_N2V_WALK_SQL = (
+    "walk AS MATERIALIZED (\n      "
+    + " UNION ALL ".join(
+        f"SELECT seed, {k} AS step, node FROM n{k}"
+        for k in range(0, _N2V_STEPS + 1)
+    )
+    + "\n    )"
+)
+
+
+@register(
+    "graph_node2vec_walks",
+    oracle=f"""
+    WITH {ENTITY_EDGES_SQL},
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    adj AS MATERIALIZED (
+      SELECT src, dst,
+        row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+      FROM sym
+    ),
+    n0 AS (
+      SELECT s AS seed, s AS node, CAST(-1 AS BIGINT) AS prev
+      FROM (VALUES {", ".join(f"({s})" for s in _RW_SEEDS)}) t(s)
+    ),
+    {",".join(_n2v_step_sql(k) for k in range(1, _N2V_STEPS + 1))}
+    SELECT CAST(seed AS BIGINT) AS seed, CAST(step AS INT) AS step,
+           CAST(node AS BIGINT) AS node, CAST(prev AS BIGINT) AS prev
+    FROM (
+      {" UNION ALL ".join(
+        f"SELECT seed, {k} AS step, node, prev FROM n{k}"
+        for k in range(0, _N2V_STEPS + 1)
+      )}
+    )
+    ORDER BY seed, step
+    """,
+    doc=f"NODE2VEC BIASED WALKS (Grover-Leskovec KDD'16) — the "
+    "second-order generalization of graph_random_walks: the transition "
+    "out of node v depends on the PREVIOUS node t, weighting each "
+    "neighbor x by its class — return (x == t, weight "
+    f"{_N2V_W_RET}), in-neighborhood (x adjacent to t, weight "
+    f"{_N2V_W_IN}), outward (else, weight {_N2V_W_OUT}) — the exact "
+    "integer encoding of (p=2, q=0.5), the DFS-leaning exploration "
+    "setting. The pick is deterministic: cumulative class weights in "
+    "dst-rank order, selected at portable-48-bit-md5("
+    "'n2v'|seed|step|v|t) mod total-weight — per-neighbor probability "
+    "proportional to its node2vec alpha, yet the realized corpus is a "
+    "pure integer function of the graph (engine-exact, partitioning-"
+    "invariant; rand()-driven biased walkers are neither). Step 0 has "
+    "no predecessor (prev = -1): every neighbor classes as outward, "
+    "so the first hop is uniform — the standard node2vec convention. "
+    f"{len(_RW_SEEDS)} walkers × {_N2V_STEPS} steps on the symmetrized "
+    "entity graph, emitting (seed, step, node, prev). Scale shape: "
+    "the dst-ranked adjacency builds once and is reused every step; "
+    "per step the frontier is |walkers| rows joined keyed against it, "
+    "the prev-adjacency test is one inner join of the (broadcast) "
+    "candidate set against the checkpointed symmetric edges, and the "
+    "weight windows partition per walker — walkers scale to millions "
+    "as bounded keyed joins per step. The oracle re-derives every "
+    "biased pick through the same unrolled MATERIALIZED CTEs.",
+)
+def graph_node2vec_walks(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from graphdatabases_spark.functions import text as T
+
+    edges = entity_edges(spark, sf, dedup=True)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    adj = sym.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+    ).localCheckpoint(eager=True)
+
+    walks = spark.createDataFrame(
+        [(s, s, -1) for s in _RW_SEEDS],
+        "seed BIGINT, node BIGINT, prev BIGINT",
+    )
+    out = walks.withColumn("step", F.lit(0).cast("int"))
+    for k in range(1, _N2V_STEPS + 1):
+        # Candidates: all neighbors x of the walker's current node v,
+        # carrying the predecessor t for the class test. |walkers| ×
+        # deg(v) rows — bounded, checkpointed so the two consumers
+        # below don't replay the adjacency join.
+        cand = (
+            adj.join(F.broadcast(walks), adj.src == walks.node)
+            .select(
+                "seed",
+                F.col("dst").alias("x"),
+                F.col("node").alias("v"),
+                F.col("prev").alias("t"),
+                "rn",
+            )
+            .localCheckpoint(eager=True)
+        )
+        # In-neighborhood test: does edge (t, x) exist? The big
+        # checkpointed sym streams once, the bounded candidate set
+        # broadcasts, and the tiny match list broadcasts back — never
+        # a big-side shuffle.
+        matched = (
+            sym.join(
+                F.broadcast(cand.select("seed", "x", "t")),
+                (sym.src == F.col("t")) & (sym.dst == F.col("x")),
+            )
+            .select("seed", "x")
+            .distinct()
+            .withColumn("is_in", F.lit(True))
+        )
+        h = T.portable_hash64(
+            F.concat(
+                F.lit("n2v"),
+                F.col("seed").cast("string"),
+                F.lit(f":{k}:"),
+                F.col("v").cast("string"),
+                F.lit(":"),
+                F.col("t").cast("string"),
+            )
+        )
+        wcum = Window.partitionBy("seed").orderBy("rn")
+        wtot = Window.partitionBy("seed")
+        scored = (
+            cand.join(F.broadcast(matched), ["seed", "x"], "left")
+            .withColumn(
+                "wt",
+                F.when(F.col("x") == F.col("t"), F.lit(_N2V_W_RET))
+                .when(F.col("is_in").isNotNull(), F.lit(_N2V_W_IN))
+                .otherwise(F.lit(_N2V_W_OUT))
+                .cast("long"),
+            )
+            .withColumn("cum", F.sum("wt").over(wcum))
+            .withColumn("tot", F.sum("wt").over(wtot))
+            .withColumn("pick", (h % F.col("tot")) + 1)
+        )
+        walks = (
+            scored.filter(
+                (F.col("pick") > F.col("cum") - F.col("wt"))
+                & (F.col("pick") <= F.col("cum"))
+            )
+            .select(
+                "seed",
+                F.col("x").alias("node"),
+                F.col("v").alias("prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(walks.withColumn("step", F.lit(k).cast("int")))
+    return out.select(
+        "seed",
+        "step",
+        F.col("node").cast("long"),
+        F.col("prev").cast("long"),
+    ).orderBy("seed", "step")
+
+
+@register(
+    "graph_node2vec_skipgrams",
+    oracle=f"""
+    WITH {ENTITY_EDGES_SQL},
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    adj AS MATERIALIZED (
+      SELECT src, dst,
+        row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+      FROM sym
+    ),
+    n0 AS (
+      SELECT s AS seed, s AS node, CAST(-1 AS BIGINT) AS prev
+      FROM (VALUES {", ".join(f"({s})" for s in _RW_SEEDS)}) t(s)
+    ),
+    {",".join(_n2v_step_sql(k) for k in range(1, _N2V_STEPS + 1))},
+    {_N2V_WALK_SQL},
+    pairs AS (
+      SELECT a.node AS center, b.node AS context
+      FROM walk a JOIN walk b
+        ON b.seed = a.seed
+       AND b.step BETWEEN a.step + 1 AND a.step + {_SG_WINDOW}
+    ),
+    sym_pairs AS (
+      SELECT center, context FROM pairs
+      UNION ALL SELECT context, center FROM pairs
+    )
+    SELECT CAST(center AS BIGINT) AS center,
+           CAST(context AS BIGINT) AS context,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM sym_pairs GROUP BY center, context
+    ORDER BY cnt DESC, center, context
+    LIMIT {_SG_K}
+    """,
+    doc=f"SKIP-GRAM CO-OCCURRENCE over the BIASED node2vec corpus — "
+    "graph_walk_skipgrams' sibling on graph_node2vec_walks: window-"
+    f"{_SG_WINDOW} symmetrized context pairs counted across all "
+    f"biased walks, top-{_SG_K} with full deterministic tie-break. "
+    "The oracle re-derives the entire second-order walk chain "
+    "independently (unrolled MATERIALIZED step CTEs with the class-"
+    "weight cumulative pick), so this entry end-to-end cross-checks "
+    "the biased kernel a second way — the same double-derivation "
+    "discipline the uniform-walk pair established. Scale shape "
+    "identical: bounded walk corpus, per-seed step-banded self-join, "
+    "combinable keyed count, TakeOrdered top-k.",
+)
+def graph_node2vec_skipgrams(spark: SparkSession, sf: str) -> DataFrame:
+    walk = graph_node2vec_walks(spark, sf).localCheckpoint(eager=True)
+    a, b = walk.alias("a"), walk.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.seed") == F.col("a.seed"))
+        & (F.col("b.step") > F.col("a.step"))
+        & (F.col("b.step") <= F.col("a.step") + _SG_WINDOW),
+    ).select(
+        F.col("a.node").alias("center"), F.col("b.node").alias("context")
+    )
+    sym_pairs = pairs.unionByName(
+        pairs.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
+    )
+    return (
+        sym_pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "center", "context")
+        .limit(_SG_K)
+    )

@@ -71,6 +71,10 @@ ENTRIES = [
     "graph_pagerank_incremental",  # fixed-point integer warm-start ranks
     "graph_random_walks",          # hash-pick chain over ranked adjacency
     "graph_temporal_latest_dep",   # delta-frontier MAX relaxation + top-k
+    # round-12 additions
+    "graph_node2vec_walks",        # second-order class-weighted hash picks
+    "graph_cc_incremental",        # quotient-contraction warm-start labels
+    "docs_tok_kll_quantiles",      # two-level rank-sampled sketch serving
 ]
 
 # Two adversarial layouts, exercised separately so a failure localizes

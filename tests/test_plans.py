@@ -308,6 +308,7 @@ class TestUniversalGates:
         "docs_priority_sample",       # 1-row (k+1)th-key threshold frame
         "similarity_ivf_recall",      # same k=8 frames + bounded query batch
         "similarity_lsh_recall",      # bounded query batch brute anchor
+        "similarity_multiprobe_recall",  # same bounded 20-query brute anchor
         "similarity_quantized_recall", # same bounded 20-query brute anchor
         "similarity_truncation_recall", # same bounded 20-query brute anchor
         "orders_rfm_segments",        # 1-row boundary scalars + 3-row

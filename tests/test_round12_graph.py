@@ -198,3 +198,128 @@ class TestCcIncremental:
         merged_rows = [r for r in rows if r["merged"]]
         assert merged_rows
         assert all(r["comp_warm"] == min_cust for r in merged_rows)
+
+
+# ---------------------------------------------------------------------------
+# Node2vec biased walks (graph_node2vec_walks)
+# ---------------------------------------------------------------------------
+
+import hashlib
+from collections import defaultdict
+
+_N2V_STEPS = 8
+_W_RET, _W_IN, _W_OUT = 1, 2, 4
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _sym_adj(spark, sf_dir):
+    edges, _, _ = _split(spark, sf_dir)
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    nbrs = defaultdict(list)
+    eset = set()
+    for u, v in pairs:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+        eset.add((u, v))
+        eset.add((v, u))
+    for u in nbrs:
+        nbrs[u].sort()
+    return nbrs, eset
+
+
+def _n2v_replay(nbrs, eset, seeds, steps):
+    rows = []
+    for s in seeds:
+        node, prev = s, -1
+        rows.append((s, 0, node, prev))
+        for k in range(1, steps + 1):
+            cands = nbrs[node]
+            wts = [
+                _W_RET if x == prev
+                else _W_IN if (prev, x) in eset
+                else _W_OUT
+                for x in cands
+            ]
+            tot = sum(wts)
+            pick = _h48(f"n2v{s}:{k}:{node}:{prev}") % tot + 1
+            cum = 0
+            for x, w in zip(cands, wts):
+                cum += w
+                if pick <= cum:
+                    node, prev = x, node
+                    break
+            rows.append((s, k, node, prev))
+    return rows
+
+
+class TestNode2vecWalks:
+    def test_python_replay_bit_exact(self, spark, sf_dir):
+        """Pure-Python replay of the second-order class-weighted pick
+        chain reproduces the engine's biased corpus exactly."""
+        nbrs, eset = _sym_adj(spark, sf_dir)
+        expect = sorted(_n2v_replay(nbrs, eset, range(1, 11), _N2V_STEPS))
+        got = sorted(
+            (r["seed"], r["step"], r["node"], r["prev"])
+            for r in queries()["graph_node2vec_walks"](spark, sf_dir).collect()
+        )
+        assert got == expect
+
+    def test_bias_is_non_vacuous(self, spark, sf_dir):
+        """The (p, q) kernel must actually change the corpus relative
+        to the uniform walker (else the class weights are dead code),
+        while sharing seeds, steps, and the adjacency."""
+        biased = {
+            (r["seed"], r["step"], r["node"])
+            for r in queries()["graph_node2vec_walks"](spark, sf_dir).collect()
+        }
+        uniform = {
+            (r["seed"], r["step"], r["node"])
+            for r in queries()["graph_random_walks"](spark, sf_dir).collect()
+        }
+        assert biased != uniform
+        # same walker count and length
+        assert len(biased) == len(uniform)
+
+    def test_step0_uniform_convention(self, spark, sf_dir):
+        """prev = -1 at step 0; every step-k row's prev equals the
+        step-(k-1) node of the same walker (the chain is coherent)."""
+        rows = queries()["graph_node2vec_walks"](spark, sf_dir).collect()
+        by_walker = defaultdict(dict)
+        for r in rows:
+            by_walker[r["seed"]][r["step"]] = (r["node"], r["prev"])
+        for s, steps in by_walker.items():
+            assert steps[0] == (s, -1)
+            for k in range(1, _N2V_STEPS + 1):
+                assert steps[k][1] == steps[k - 1][0]
+
+    def test_skipgrams_rederive(self, spark, sf_dir):
+        """The skip-gram entry's counts match a direct recount over
+        the engine's own walk corpus (window 2, symmetrized)."""
+        walk = sorted(
+            (r["seed"], r["step"], r["node"])
+            for r in queries()["graph_node2vec_walks"](spark, sf_dir).collect()
+        )
+        from collections import Counter
+
+        by_seed = defaultdict(list)
+        for s, k, n in walk:
+            by_seed[s].append((k, n))
+        cnt = Counter()
+        for s, seq in by_seed.items():
+            seq.sort()
+            for i, (ka, na) in enumerate(seq):
+                for kb, nb in seq[i + 1:]:
+                    if kb - ka <= 2:
+                        cnt[(na, nb)] += 1
+                        cnt[(nb, na)] += 1
+        expect = sorted(
+            ((-c, a, b) for (a, b), c in cnt.items())
+        )[:30]
+        got = [
+            (-r["cnt"], r["center"], r["context"])
+            for r in queries()["graph_node2vec_skipgrams"](spark, sf_dir).collect()
+        ]
+        assert got == expect

@@ -181,3 +181,39 @@ class TestKllQuantiles:
             # within the bound of the target
             assert rank_lo + 1 <= t + bound and rank_hi >= t - bound
             assert bound < n  # a useful bound, not the trivial n
+
+
+class TestMultiprobeRecall:
+    """Pins for ``similarity_multiprobe_recall`` beyond the value-hash
+    oracle: the monotonicity the operating curve exists for, and the
+    candidate-nesting that guarantees it."""
+
+    def test_recall_monotone_in_probes(self, spark, sf_dir):
+        rows = sorted(
+            queries()["similarity_multiprobe_recall"](spark, sf_dir).collect(),
+            key=lambda r: r["probes"],
+        )
+        assert [r["probes"] for r in rows] == [1, 2, 4]
+        hits = [r["n_hits"] for r in rows]
+        results = [r["n_results"] for r in rows]
+        assert hits == sorted(hits)
+        assert results == sorted(results)
+
+    def test_candidates_nest(self, spark, sf_dir):
+        """probes=T's probed buckets are a prefix-superset of T-1's, so
+        the raw candidate (query, neighbor) set must nest."""
+        from graphdatabases_spark.functions import similarity as S
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5)
+        index = S.lsh_build(emb, num_planes=8)
+        sets = {}
+        for t in (1, 2, 4):
+            got = S.lsh_query_multiprobe(
+                index, q, k=10**6, probes=t, num_planes=8
+            )
+            sets[t] = {
+                (r["query_id"], r["neighbor_id"]) for r in got.collect()
+            }
+        assert sets[1] <= sets[2] <= sets[4]
