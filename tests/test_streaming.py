@@ -1581,3 +1581,102 @@ class TestChainedDedupWindow:
             "2024-01-01 11:00:00": (1, 40.0),
         }
         assert "2024-01-01 14:00:00" not in rows  # open window withheld
+
+
+class TestChainedSessionHourly:
+    """Round-12 probe of the session-window → tumbling-aggregate chain
+    (builder queue #4). pyspark 4.1.2 status, measured:
+
+    * append mode RUNS (the UnsupportedOperationChecker no longer
+      rejects it — new since the round-11 probe) via
+      ``F.window(session_struct, "1 hour")``; the session is assigned
+      to the hour containing its EXTENT END (probe: session
+      [10:50, 11:35) → hour 11:00), finalization is window_end < wm
+      strictly;
+    * complete and update modes are REJECTED (multi-stateful
+      late-rows correctness checker);
+    * the availableNow EMISSION SET is batch-schedule-dependent: the
+      same fixture emits different finalized prefixes across runs
+      (the no-data flush micro-batch is best-effort), so the chain is
+      NOT value-hash-stable and stays out of the catalog — recorded
+      in COVERAGE.md.
+
+    What IS deterministic, pinned here: every row the chain does emit
+    carries values identical to the batch sessionize+rollup for that
+    hour, and a window the watermark can never pass is never emitted.
+    """
+
+    def _write_file(self, spark, tmp_path, src, name, rows):
+        import glob
+        import shutil
+
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp_s"))
+        part = glob.glob(str(tmp_path / "tmp_s" / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / name))
+
+    def test_append_runs_and_emitted_values_match_batch(
+        self, spark, tmp_path
+    ):
+        src = tmp_path / "sess_chain"
+        src.mkdir()
+        self._write_file(spark, tmp_path, src, "f1.parquet", [
+            (1, "2024-01-01 10:00:00", 1, "click", 0.0, "{}"),
+            (2, "2024-01-01 10:05:00", 1, "click", 0.0, "{}"),
+        ])
+        self._write_file(spark, tmp_path, src, "f2.parquet", [
+            (3, "2024-01-01 11:50:00", 2, "click", 0.0, "{}"),
+        ])
+        self._write_file(spark, tmp_path, src, "f3.parquet", [
+            (9, "2024-01-01 20:00:00", 9, "click", 0.0, "{}"),
+        ])
+        ev = read_events_stream(
+            spark, str(src), max_files_per_trigger=1
+        ).withWatermark("ts", "10 minutes")
+        sess = ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        ch = sess.groupBy(F.window(F.col("w"), "1 hour").alias("h")).agg(
+            F.sum("n").alias("events"),
+            F.count(F.lit(1)).alias("sessions"),
+        )
+        got = run_stream_to_memory(ch, "t_sess_chain", "append")
+        emitted = {
+            str(r["h"]["start"]): (r["events"], r["sessions"])
+            for r in got.collect()
+        }
+        # Batch truth: sessions [10:00,10:35)→hour 10, [11:50,12:20)→
+        # hour 12, [20:00,20:30)→hour 20 (open forever: wm tops out at
+        # 19:50 < 21:00).
+        batch = {
+            "2024-01-01 10:00:00": (2, 1),
+            "2024-01-01 12:00:00": (1, 1),
+            "2024-01-01 20:00:00": (1, 1),
+        }
+        assert "2024-01-01 20:00:00" not in emitted
+        for h, v in emitted.items():
+            assert batch[h] == v
+
+    def test_complete_and_update_rejected(self, spark, tmp_path):
+        src = tmp_path / "sess_chain_rej"
+        src.mkdir()
+        self._write_file(spark, tmp_path, src, "f1.parquet", [
+            (1, "2024-01-01 10:00:00", 1, "click", 0.0, "{}"),
+        ])
+        for mode in ("complete", "update"):
+            ev = read_events_stream(spark, str(src)).withWatermark(
+                "ts", "10 minutes"
+            )
+            sess = ev.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            ).agg(F.count(F.lit(1)).alias("n"))
+            ch = sess.groupBy(
+                F.window(F.col("w"), "1 hour").alias("h")
+            ).agg(F.sum("n").alias("events"))
+            with pytest.raises(Exception):
+                run_stream_to_memory(ch, f"t_sess_rej_{mode}", mode)
