@@ -428,3 +428,159 @@ def text_bigram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / SpaceSaving heavy hitters (deterministic mergeable counters)
+# ---------------------------------------------------------------------------
+
+_MG_S = 4    # shards (the per-executor summary analogy)
+_MG_K = 8    # counters per shard summary (fixture vocab is 31
+             # distinct tokens, so K=8 makes compression REAL: thr > 0)
+_MG_TOP = 12  # served heavy hitters
+
+
+@register(
+    "docs_token_mg_hitters",
+    oracle=f"""
+    WITH tok0 AS MATERIALIZED (
+      SELECT doc_id % {_MG_S} AS shard, unnest({_TOKS}) AS token
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS MATERIALIZED (
+      SELECT shard, token,
+        CASE WHEN ('0x' || substr(md5(token), 1, 12))::BIGINT % 8 = 0
+             THEN 32 ELSE 1 END AS w
+      FROM tok0
+    ),
+    freq AS MATERIALIZED (
+      SELECT shard, token, CAST(sum(w) AS BIGINT) AS f
+      FROM tok GROUP BY shard, token
+    ),
+    ranked AS (
+      SELECT shard, token, f,
+        row_number() OVER (
+          PARTITION BY shard ORDER BY f DESC, token) AS rn
+      FROM freq
+    ),
+    thr AS (
+      SELECT shard,
+        CAST(coalesce(max(CASE WHEN rn = {_MG_K} + 1 THEN f END), 0)
+             AS BIGINT) AS thr
+      FROM ranked GROUP BY shard
+    ),
+    summ AS MATERIALIZED (
+      SELECT r.shard, r.token, r.f - t.thr AS c
+      FROM ranked r JOIN thr t ON t.shard = r.shard
+      WHERE r.rn <= {_MG_K} AND r.f - t.thr > 0
+    ),
+    bound AS (SELECT CAST(sum(thr) AS BIGINT) AS b FROM thr),
+    merged AS (
+      SELECT token, CAST(sum(c) AS BIGINT) AS est
+      FROM summ GROUP BY token
+    ),
+    truth AS (
+      SELECT token, CAST(sum(w) AS BIGINT) AS true_cnt
+      FROM tok GROUP BY token
+    ),
+    served AS (
+      SELECT m.token, m.est, t.true_cnt,
+        row_number() OVER (ORDER BY m.est DESC, m.token) AS pos
+      FROM merged m JOIN truth t ON t.token = m.token
+    )
+    SELECT CAST(pos AS INT) AS pos, token, est, true_cnt,
+      (SELECT b FROM bound) AS err_bound,
+      est <= true_cnt AND true_cnt - est <= (SELECT b FROM bound)
+        AS within_bound
+    FROM served WHERE pos <= {_MG_TOP}
+    ORDER BY pos
+    """,
+    doc=f"MISRA-GRIES / SPACESAVING HEAVY HITTERS — the DETERMINISTIC "
+    "counter-based sibling of text_cms_heavy_hitters (CMS bounds "
+    "OVERcounts probabilistically via hashed rows; MG counters bound "
+    "UNDERcounts exactly with zero randomness — the pair covers both "
+    f"error directions). Per shard (doc_id % {_MG_S}, the "
+    "per-executor summary analogy) the batch-equivalent MG summary "
+    f"keeps the top-{_MG_K} tokens by frequency with counts reduced "
+    f"by the (K+1)-th frequency thr_s: every token's shard estimate "
+    "undercounts by at most thr_s (kept: f - thr_s; dropped: f <= "
+    "thr_s, est 0), so the PLAIN-SUM merge — associative and "
+    "commutative, any tree shape — satisfies est <= true <= est + "
+    "sum_s(thr_s), the bound SHIPPED in the output next to the exact "
+    "count (the in-output verification anchor) and pinned per row by "
+    f"within_bound. Serves the top-{_MG_TOP} by merged estimate with "
+    "deterministic tie-break. State is {_MG_K} (token, count) pairs "
+    "per shard — the fixed-size summary a 100 TB token-frequency "
+    "pipeline ships from each executor instead of the full "
+    "vocabulary; the exact `truth` relation here is the bounded-"
+    "fixture anchor, not part of the serving path. Pure integer "
+    "arithmetic end-to-end. FIXTURE NOTE: the synthetic corpus is "
+    "near-uniform by construction (measured max/median token freq "
+    "964/900 at sf0.01 — no natural hitters), so the stream "
+    "injects deterministic skew the dup-injected-corpus way: a "
+    "portable-md5-selected 1/8 of the vocabulary weighs 32x per "
+    "occurrence, giving real hitters far above the tail with the "
+    "bound well below hitter mass — the regime MG exists for.",
+)
+def docs_token_mg_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    tok = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            (F.col("doc_id") % _MG_S).alias("shard"),
+            F.explode(T.tokens(F.col("text"))).alias("token"),
+        )
+        .withColumn(
+            "w",
+            F.when(
+                T.portable_hash64(F.col("token")) % 8 == 0, F.lit(32)
+            ).otherwise(F.lit(1)),
+        )
+    )
+    freq = tok.groupBy("shard", "token").agg(
+        F.sum("w").cast("long").alias("f")
+    )
+    wr = Window.partitionBy("shard").orderBy(F.col("f").desc(), "token")
+    ranked = freq.withColumn("rn", F.row_number().over(wr)).localCheckpoint(
+        eager=True
+    )
+    thr = ranked.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _MG_K + 1, F.col("f"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("thr")
+    )
+    summ = (
+        ranked.filter(F.col("rn") <= _MG_K)
+        .join(thr, "shard")
+        .withColumn("c", F.col("f") - F.col("thr"))
+        .filter(F.col("c") > 0)
+    )
+    bound = thr.agg(F.sum("thr").cast("long").alias("err_bound"))
+    merged = summ.groupBy("token").agg(F.sum("c").cast("long").alias("est"))
+    truth = tok.groupBy("token").agg(
+        F.sum("w").cast("long").alias("true_cnt")
+    )
+    # TakeOrdered top-k, pos over the bounded frame, 1-row bound
+    # crossJoin (test_plans allowlists).
+    wp = Window.orderBy(F.col("est").desc(), "token")
+    return (
+        merged.join(truth, "token")
+        .orderBy(F.col("est").desc(), "token")
+        .limit(_MG_TOP)
+        .withColumn("pos", F.row_number().over(wp))
+        .crossJoin(bound)
+        .select(
+            "pos",
+            "token",
+            "est",
+            "true_cnt",
+            "err_bound",
+            (
+                (F.col("est") <= F.col("true_cnt"))
+                & (F.col("true_cnt") - F.col("est") <= F.col("err_bound"))
+            ).alias("within_bound"),
+        )
+        .orderBy("pos")
+    )

@@ -1547,3 +1547,206 @@ def graph_conductance(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n_nodes").desc(), "label")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental triangle count (delta maintenance on the co-purchase graph)
+# ---------------------------------------------------------------------------
+
+_TD_MOD = 5  # (pa + pb) % 5 == 0 -> the ~20% "appended" co-purchase batch
+
+
+@register(
+    "graph_triangle_delta",
+    oracle=f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 2 = 0
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    em AS MATERIALIZED (
+      SELECT pa, pb, (pa + pb) % {_TD_MOD} = 0 AS is_b FROM e0
+    ),
+    base_e AS MATERIALIZED (SELECT pa, pb FROM em WHERE NOT is_b),
+    tri_full AS (
+      SELECT CAST(count(*) AS BIGINT) AS c
+      FROM em e1
+      JOIN em e2 ON e2.pa = e1.pb
+      JOIN em e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    tri_base AS (
+      SELECT CAST(count(*) AS BIGINT) AS c
+      FROM base_e e1
+      JOIN base_e e2 ON e2.pa = e1.pb
+      JOIN base_e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    es AS MATERIALIZED (
+      SELECT pa AS u, pb AS v, is_b FROM em
+      UNION ALL SELECT pb, pa, is_b FROM em
+    ),
+    inc AS (
+      SELECT 1 + CAST(n1.is_b AS INT) + CAST(n2.is_b AS INT) AS nb
+      FROM em b
+      JOIN es n1 ON n1.u = b.pa AND n1.v <> b.pb
+      JOIN es n2 ON n2.u = b.pb AND n2.v = n1.v
+      WHERE b.is_b
+    ),
+    cls AS (
+      SELECT nb, CAST(count(*) AS BIGINT) AS inc_rows
+      FROM inc GROUP BY nb
+    )
+    SELECT
+      (SELECT c FROM tri_base) AS n_tri_base,
+      (SELECT c FROM tri_full) AS n_tri_full,
+      (SELECT c FROM tri_full) - (SELECT c FROM tri_base) AS delta_direct,
+      CAST(coalesce((SELECT inc_rows FROM cls WHERE nb = 1), 0)
+           AS BIGINT) AS tri_1batch,
+      CAST(coalesce((SELECT inc_rows FROM cls WHERE nb = 2), 0) // 2
+           AS BIGINT) AS tri_2batch,
+      CAST(coalesce((SELECT inc_rows FROM cls WHERE nb = 3), 0) // 3
+           AS BIGINT) AS tri_3batch,
+      CAST(coalesce((SELECT inc_rows FROM cls WHERE nb = 1), 0)
+         + coalesce((SELECT inc_rows FROM cls WHERE nb = 2), 0) // 2
+         + coalesce((SELECT inc_rows FROM cls WHERE nb = 3), 0) // 3
+           AS BIGINT) AS delta_incremental,
+      (SELECT c FROM tri_full) - (SELECT c FROM tri_base)
+        = coalesce((SELECT inc_rows FROM cls WHERE nb = 1), 0)
+        + coalesce((SELECT inc_rows FROM cls WHERE nb = 2), 0) // 2
+        + coalesce((SELECT inc_rows FROM cls WHERE nb = 3), 0) // 3
+        AS identity_ok
+    """,
+    doc="INCREMENTAL TRIANGLE COUNT — extends the incremental family "
+    "(pagerank/CC/temporal-reach deltas are label fixpoints; this is "
+    "the SUBGRAPH-COUNTING shape) on the co-purchase projection "
+    "(parts sharing >= 2 half-sampled orders, the "
+    f"graph_ktruss_copurchase graph): a ~{100 // _TD_MOD}% edge batch "
+    f"((pa+pb) % {_TD_MOD} == 0) appends, and the new-triangle count "
+    "is maintained WITHOUT re-enumerating base-only triangles — the "
+    "work is one wedge join seeded from the BATCH edges only (each "
+    "batch edge joined against the full symmetric adjacency for "
+    "common neighbors), so cost scales with batch-incident wedges, "
+    "never the whole graph's triangle set. A triangle containing j "
+    "batch edges is hit once per batch edge, so the batch-driven "
+    "enumeration counts it j times; classifying each hit by "
+    "nb = 1 + flag(u,w) + flag(v,w) and dividing class j by j "
+    "(exact integer division — the multiplicity is structural) "
+    "recovers the per-class triangle counts, and "
+    "delta_incremental = t1 + t2 + t3. The inclusion identity "
+    "delta_incremental == n_tri_full - n_tri_base is computed "
+    "independently on BOTH engines and shipped as identity_ok — the "
+    "direct counts are the in-output verification anchor (the "
+    "recall-curve brute-anchor discipline). All canonical-pair "
+    "equi-joins, never all-pairs.",
+)
+def graph_triangle_delta(spark: SparkSession, sf: str) -> DataFrame:
+    l = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = l.alias("a"), l.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("pa", "pb")
+    )
+    em = e0.withColumn(
+        "is_b", ((F.col("pa") + F.col("pb")) % _TD_MOD) == 0
+    ).localCheckpoint(eager=True)
+    base_e = em.filter(~F.col("is_b")).select("pa", "pb")
+
+    def tri_count(e: DataFrame) -> DataFrame:
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        return (
+            e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+            .join(
+                e3,
+                (F.col("e3.pa") == F.col("e1.pa"))
+                & (F.col("e3.pb") == F.col("e2.pb")),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    tri_full = tri_count(em.select("pa", "pb")).withColumnRenamed(
+        "c", "n_tri_full"
+    )
+    tri_base = tri_count(base_e).withColumnRenamed("c", "n_tri_base")
+
+    es = em.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v"), "is_b"
+    ).unionByName(
+        em.select(F.col("pb").alias("u"), F.col("pa").alias("v"), "is_b")
+    )
+    batch = em.filter(F.col("is_b")).select("pa", "pb")
+    n1 = es.select(
+        F.col("u").alias("u1"), F.col("v").alias("w1"), F.col("is_b").alias("b1")
+    )
+    n2 = es.select(
+        F.col("u").alias("u2"), F.col("v").alias("w2"), F.col("is_b").alias("b2")
+    )
+    inc = (
+        batch.join(n1, (F.col("u1") == F.col("pa")) & (F.col("w1") != F.col("pb")))
+        .join(n2, (F.col("u2") == F.col("pb")) & (F.col("w2") == F.col("w1")))
+        .select(
+            (
+                F.lit(1)
+                + F.col("b1").cast("int")
+                + F.col("b2").cast("int")
+            ).alias("nb")
+        )
+    )
+    cls = inc.groupBy("nb").agg(F.count(F.lit(1)).cast("long").alias("inc_rows"))
+    t = (
+        cls.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("nb") == 1, F.col("inc_rows"))), F.lit(0)
+            ).cast("long").alias("tri_1batch"),
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("nb") == 2, F.col("inc_rows"))),
+                    F.lit(0),
+                )
+                / 2
+            ).cast("long").alias("tri_2batch"),
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("nb") == 3, F.col("inc_rows"))),
+                    F.lit(0),
+                )
+                / 3
+            ).cast("long").alias("tri_3batch"),
+        )
+    )
+    # 1-row x 1-row crossJoins (test_plans._BNLJ_OK).
+    return (
+        tri_base.crossJoin(tri_full)
+        .crossJoin(t)
+        .select(
+            "n_tri_base",
+            "n_tri_full",
+            (F.col("n_tri_full") - F.col("n_tri_base")).alias("delta_direct"),
+            "tri_1batch",
+            "tri_2batch",
+            "tri_3batch",
+            (
+                F.col("tri_1batch") + F.col("tri_2batch") + F.col("tri_3batch")
+            ).alias("delta_incremental"),
+            (
+                F.col("n_tri_full") - F.col("n_tri_base")
+                == F.col("tri_1batch")
+                + F.col("tri_2batch")
+                + F.col("tri_3batch")
+            ).alias("identity_ok"),
+        )
+    )

@@ -1356,3 +1356,199 @@ def graph_cc_incremental(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal independent set (deterministic Luby-style symmetry breaking)
+# ---------------------------------------------------------------------------
+
+_MIS_ROUNDS = 8  # measured fixpoint: 4/4/5 rounds at sf0.001/0.01/0.1
+
+
+def _mis_side(frame: DataFrame, n_rows: int) -> DataFrame:
+    from graphdatabases_spark.graph.traversal import FRONTIER_BROADCAST_MAX
+
+    return F.broadcast(frame) if n_rows <= FRONTIER_BROADCAST_MAX else frame
+
+
+def _mis_round_sql(k: int) -> str:
+    """One symmetry-breaking round: an undecided vertex joins the MIS
+    iff its (h, id) priority is the strict minimum over its undecided
+    closed neighborhood; winners and their neighbors leave the
+    undecided set."""
+    return f"""
+    w{k} AS MATERIALIZED (
+      SELECT u.id, u.h FROM u{k - 1} u
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sym s JOIN u{k - 1} n ON n.id = s.dst
+        WHERE s.src = u.id
+          AND (n.h < u.h OR (n.h = u.h AND n.id < u.id))
+      )
+    ),
+    u{k} AS MATERIALIZED (
+      SELECT u.id, u.h FROM u{k - 1} u
+      WHERE NOT EXISTS (SELECT 1 FROM w{k} w WHERE w.id = u.id)
+        AND NOT EXISTS (
+          SELECT 1 FROM sym s JOIN w{k} w ON w.id = s.dst
+          WHERE s.src = u.id
+        )
+    )"""
+
+
+@register(
+    "graph_mis_luby",
+    oracle=f"""
+    WITH {ENTITY_EDGES_SQL},
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    u0 AS MATERIALIZED (
+      SELECT DISTINCT src AS id,
+        ('0x' || substr(md5('mis' || src), 1, 12))::BIGINT AS h
+      FROM sym
+    ),
+    {",".join(_mis_round_sql(k) for k in range(1, _MIS_ROUNDS + 1))},
+    mis AS MATERIALIZED (
+      {" UNION ALL ".join(f"SELECT id FROM w{k}" for k in range(1, _MIS_ROUNDS + 1))}
+    ),
+    indep AS (
+      SELECT CAST(count(*) AS BIGINT) AS viol
+      FROM sym s JOIN mis a ON a.id = s.src JOIN mis b ON b.id = s.dst
+    ),
+    uncov AS (
+      SELECT CAST(count(*) AS BIGINT) AS viol
+      FROM u0 v
+      WHERE NOT EXISTS (SELECT 1 FROM mis m WHERE m.id = v.id)
+        AND NOT EXISTS (
+          SELECT 1 FROM sym s JOIN mis m ON m.id = s.dst
+          WHERE s.src = v.id
+        )
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM u0) AS n_vertices,
+      (SELECT CAST(count(*) AS BIGINT) FROM mis) AS mis_size,
+      (SELECT CAST(sum(id) AS BIGINT) FROM mis) AS sum_ids,
+      (SELECT viol FROM indep) = 0 AS independent,
+      (SELECT viol FROM uncov) = 0 AS maximal,
+      (SELECT count(*) FROM u{_MIS_ROUNDS}) = 0 AS converged
+    """,
+    doc="MAXIMAL INDEPENDENT SET — deterministic Luby-style symmetry "
+    "breaking on the symmetrized entity graph, the distributed "
+    "greedy-by-priority MIS: every vertex gets a fixed "
+    "portable-48-bit-md5 priority, and each round every undecided "
+    "vertex whose (h, id) is the strict minimum over its undecided "
+    "closed neighborhood joins the set, knocking its neighbors out. "
+    "Fixed priorities make the result the UNIQUE lexicographically-"
+    "first-by-priority MIS — a pure function of the graph, identical "
+    "on both engines and under any round schedule (unlike classic "
+    "Luby's per-round re-randomization), while keeping Luby's "
+    "expected O(log n) round count on hash priorities (measured "
+    f"4/4/5 rounds at the three sfs; the oracle unrolls {_MIS_ROUNDS} "
+    "with a converged guard that fails the differential loudly if a "
+    "bigger fixture ever needs more). MIS is the symmetry-breaking "
+    "primitive under distributed coloring/matching/scheduling — a "
+    "different kernel class from the label-fixpoint family. The "
+    "output carries its own PROOF obligations, computed independently "
+    "on both engines: independent (no edge inside the set) and "
+    "maximal (no uncovered vertex could still join) — serving-shape "
+    "1-row summary with the membership checksum. Scale shape: each "
+    "round is one dst-keyed min over undecided neighborhoods plus two "
+    "anti-joins; the undecided relation shrinks geometrically "
+    "(state <= |V| BIGINTs, shrinking).",
+)
+def graph_mis_luby(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.functions import text as T
+
+    edges = entity_edges(spark, sf, dedup=True)
+    # No distinct on the symmetrized list: the layered entity edges are
+    # distinct directed pairs with no reverse duplicates, and every
+    # consumer below (min-agg, knockout anti-join, violation == 0
+    # checks) is duplicate-insensitive — the distinct was a pure
+    # |E|-row shuffle per build (caught by the round-12 scaling audit:
+    # 35x shuffle at the 10x step before this and the fixes below).
+    # The dst-keyed repartition is paid ONCE so the per-round
+    # neighborhood-min join exchanges only the shrinking undecided
+    # side, the _EdgeSides discipline.
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("dst")
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn(
+            "h", T.portable_hash64(F.concat(F.lit("mis"), F.col("id").cast("string")))
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_vertices = und.count()
+    mis = None
+    n_und = n_vertices
+    while n_und > 0:
+        nbr_min = (
+            sym.join(
+                _mis_side(
+                    und.select(F.col("id").alias("nid"), F.col("h").alias("nh")),
+                    n_und,
+                ),
+                sym.dst == F.col("nid"),
+            )
+            .groupBy("src")
+            .agg(F.min(F.struct(F.col("nh"), F.col("nid"))).alias("mn"))
+        )
+        win = (
+            und.join(nbr_min, und.id == nbr_min.src, "left")
+            .filter(
+                F.col("mn").isNull()
+                | (F.struct(F.col("h"), F.col("id")) < F.col("mn"))
+            )
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        mis = win if mis is None else mis.unionByName(win)
+        # Winners' neighbors drop out too. No distinct on the knockout
+        # list — the anti-join is duplicate-insensitive and the
+        # distinct cost a full shuffle per round. Winner broadcast is
+        # size-switched like every frontier in this package.
+        knocked = (
+            sym.join(_mis_side(win, win.count()), sym.src == win.id)
+            .select(F.col("dst").alias("id"))
+            .unionByName(win.select("id"))
+        )
+        und = und.join(knocked, "id", "left_anti").localCheckpoint(eager=True)
+        n_und = und.count()
+    mis = mis.localCheckpoint(eager=True)
+    m_a = mis.select(F.col("id").alias("aid"))
+    m_b = mis.select(F.col("id").alias("bid"))
+    indep_viol = (
+        sym.join(m_a, sym.src == F.col("aid"))
+        .join(m_b, sym.dst == F.col("bid"))
+        .count()
+    )
+    covered = (
+        sym.join(m_b, sym.dst == F.col("bid"))
+        .select(F.col("src").alias("id"))
+        .distinct()
+    )
+    uncov_viol = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .join(mis, "id", "left_anti")
+        .join(covered, "id", "left_anti")
+        .count()
+    )
+    summary = mis.agg(
+        F.count(F.lit(1)).cast("long").alias("mis_size"),
+        F.sum("id").cast("long").alias("sum_ids"),
+    )
+    return summary.select(
+        F.lit(n_vertices).cast("long").alias("n_vertices"),
+        "mis_size",
+        "sum_ids",
+        F.lit(indep_viol == 0).alias("independent"),
+        F.lit(uncov_viol == 0).alias("maximal"),
+        F.lit(True).alias("converged"),
+    )

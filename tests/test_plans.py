@@ -288,6 +288,8 @@ class TestUniversalGates:
         "docs_priority_sample",
         # pos numbering over the limit(40) TakeOrdered frame
         "graph_cc_incremental",
+        # pos numbering over the limit(12) TakeOrdered frame
+        "docs_token_mg_hitters",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
@@ -362,6 +364,8 @@ class TestUniversalGates:
         "retrieval_rrf_fusion",       # same bounded runs as ndcg_mrr
         "events_cusum_hourly",        # 1-row baseline/split scalars
         "graph_cc_incremental",       # 1-row base/warm comp-count totals
+        "graph_triangle_delta",       # 1-row count scalars folded (x3)
+        "docs_token_mg_hitters",      # 1-row error-bound scalar
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):

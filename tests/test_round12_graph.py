@@ -323,3 +323,111 @@ class TestNode2vecWalks:
             for r in queries()["graph_node2vec_skipgrams"](spark, sf_dir).collect()
         ]
         assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Incremental triangle count (graph_triangle_delta)
+# ---------------------------------------------------------------------------
+
+
+class TestTriangleDelta:
+    def _edges(self, sf_dir):
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT a.l_partkey, b.l_partkey
+            FROM read_parquet('{sf_dir}/lineitem.parquet') a
+            JOIN read_parquet('{sf_dir}/lineitem.parquet') b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 2 = 0
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            """
+        ).fetchall()
+        con.close()
+        return [(int(a), int(b)) for a, b in rows]
+
+    def test_python_replay_and_identity(self, spark, sf_dir):
+        from itertools import combinations
+
+        edges = self._edges(sf_dir)
+        eset = set(edges)
+        nbrs = defaultdict(set)
+        for a, b in edges:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+        is_b = lambda a, b: (a + b) % 5 == 0
+
+        def count(pred):
+            n = 0
+            for a, b in edges:
+                if not pred(a, b):
+                    continue
+                for c in nbrs[a] & nbrs[b]:
+                    if c > b:
+                        ab, ac, bc = (a, b), (a, c), (b, c)
+                        if pred(*ac) and pred(*bc):
+                            n += 1
+            return n
+
+        full = count(lambda a, b: True)
+        base = count(lambda a, b: not is_b(a, b))
+        cls = defaultdict(int)
+        for a, b, c in (
+            (a, b, c)
+            for a, b in edges
+            for c in nbrs[a] & nbrs[b]
+            if c > b
+        ):
+            nb = is_b(a, b) + is_b(min(a, c), max(a, c)) + is_b(
+                min(b, c), max(b, c)
+            )
+            if nb:
+                cls[nb] += 1
+        r = queries()["graph_triangle_delta"](spark, sf_dir).collect()[0]
+        assert (r["n_tri_base"], r["n_tri_full"]) == (base, full)
+        assert (r["tri_1batch"], r["tri_2batch"], r["tri_3batch"]) == (
+            cls[1], cls[2], cls[3],
+        )
+        assert r["identity_ok"]
+        assert r["delta_incremental"] == full - base
+
+    def test_delta_non_trivial(self, spark):
+        r = queries()["graph_triangle_delta"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()[0]
+        assert r["n_tri_full"] > r["n_tri_base"] > 0
+        assert r["identity_ok"]
+
+
+# ---------------------------------------------------------------------------
+# Maximal independent set (graph_mis_luby)
+# ---------------------------------------------------------------------------
+
+
+class TestMisLuby:
+    def test_sequential_greedy_equals_parallel_rounds(self, spark, sf_dir):
+        """The fixed-priority parallel rounds must produce EXACTLY the
+        lexicographically-first-by-priority MIS, i.e. the sequential
+        greedy over (h, id)-sorted vertices — two very different
+        algorithms, one answer."""
+        edges, _, _ = _split(spark, sf_dir)
+        pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+        nbrs = defaultdict(set)
+        for u, v in pairs:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+        verts = sorted(
+            nbrs, key=lambda v: (_h48(f"mis{v}"), v)
+        )
+        mis, blocked = set(), set()
+        for v in verts:
+            if v not in blocked:
+                mis.add(v)
+                blocked |= nbrs[v]
+        r = queries()["graph_mis_luby"](spark, sf_dir).collect()[0]
+        assert r["mis_size"] == len(mis)
+        assert r["sum_ids"] == sum(mis)
+        assert r["independent"] and r["maximal"] and r["converged"]
+        assert r["n_vertices"] == len(nbrs)

@@ -217,3 +217,86 @@ class TestMultiprobeRecall:
                 (r["query_id"], r["neighbor_id"]) for r in got.collect()
             }
         assert sets[1] <= sets[2] <= sets[4]
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (docs_token_mg_hitters)
+# ---------------------------------------------------------------------------
+
+_MG_S, _MG_K, _MG_TOP = 4, 8, 12
+
+
+def _mg_tokens(sf_dir):
+    import hashlib
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT doc_id % {_MG_S},
+          unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+            '[^a-z0-9]+'), x -> x <> ''))
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE text IS NOT NULL
+        """
+    ).fetchall()
+    con.close()
+
+    def w(tok):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:12], 16)
+        return 32 if h % 8 == 0 else 1
+
+    return [(int(s), t, w(t)) for s, t in rows]
+
+
+def _mg_replay(toks, shard_order=None):
+    shards = defaultdict(lambda: defaultdict(int))
+    truth = defaultdict(int)
+    for s, t, w in toks:
+        shards[s][t] += w
+        truth[t] += w
+    keys = sorted(shards)
+    if shard_order is not None:
+        keys = shard_order(keys)
+    merged, bound = defaultdict(int), 0
+    for s in keys:
+        ranked = sorted(shards[s].items(), key=lambda kv: (-kv[1], kv[0]))
+        thr = ranked[_MG_K][1] if len(ranked) > _MG_K else 0
+        bound += thr
+        for t, f in ranked[:_MG_K]:
+            if f - thr > 0:
+                merged[t] += f - thr
+    served = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:_MG_TOP]
+    return {
+        t: (i + 1, est, truth[t], bound,
+            est <= truth[t] and truth[t] - est <= bound)
+        for i, (t, est) in enumerate(served)
+    }
+
+
+class TestMgHitters:
+    def test_python_replay_bit_exact(self, spark, sf_dir):
+        got = {
+            r["token"]: (r["pos"], r["est"], r["true_cnt"], r["err_bound"],
+                         r["within_bound"])
+            for r in queries()["docs_token_mg_hitters"](spark, sf_dir).collect()
+        }
+        assert got == _mg_replay(_mg_tokens(sf_dir))
+
+    def test_merge_order_invariance_and_bound(self, spark, sf_dir):
+        toks = _mg_tokens(sf_dir)
+        base = _mg_replay(toks)
+        for seed in range(4):
+            r = random.Random(seed)
+            assert _mg_replay(
+                toks, shard_order=lambda ks, r=r: r.sample(ks, len(ks))
+            ) == base
+        # the bound is live, not vacuous: compression really happened
+        # and every row honors est <= true <= est + B
+        rows = list(base.values())
+        assert all(ok for (_, _, _, _, ok) in rows)
+        assert any(est < true for (_, est, true, _, _) in rows)
+        assert all(b > 0 for (_, _, _, b, _) in rows)
+        # hitters (the 32x-weighted 1/8 of the vocab) rank first and
+        # their mass dwarfs the bound
+        _, est0, true0, b0, _ = rows[0]
+        assert true0 > 10 * b0
