@@ -136,6 +136,11 @@ HEADLINE = [
     "docs_tok_kll_quantiles",
     "similarity_multiprobe_recall",
     "graph_node2vec_walks",
+    # round 12 widening: the symmetry-breaking pair (vertex MIS + edge
+    # matching), both audit-tuned (35.1x -> 17.2x and 22.6x -> 12.7x
+    # shuffle at the 10x step).
+    "graph_mis_luby",
+    "graph_matching_greedy",
 ]
 
 

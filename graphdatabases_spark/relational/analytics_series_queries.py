@@ -1,0 +1,148 @@
+"""Time-series smoothing / recursive-fold queries (SURVEY §2.2
+analytics family).
+
+New module (round 12): analytics_stats_queries.py sits at ~1.9k lines
+(project 2k bar). Home of the RECURSIVE-fold series shapes — kernels
+whose value at t depends on the value at t-1, the one dependence
+structure plain windows cannot express — evaluated JVM-side as an
+exact-integer expression fold over the value-bounded hourly horizon
+(<= 720 buckets by fixture construction, the events_cusum_hourly
+boundedness argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdatabases_spark.relational.catalog import register, table
+
+# EWMA smoothing factor alpha = 1/_EWMA_A (exact rational); values are
+# scaled to integer micro-units so the recurrence is pure integer
+# arithmetic with truncating division — bit-identical across engines.
+_EWMA_A = 8
+_EWMA_SCALE = 1_000_000
+_EWMA_SPIKE_NUM = 2  # spike iff x_t * SCALE >= 2 * s_{t-1}
+
+
+@register(
+    "events_ewma_hourly",
+    oracle=f"""
+    WITH RECURSIVE hr AS (
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY hour_ts
+    ),
+    rk AS (
+      SELECT hour_ts, n,
+        CAST(row_number() OVER (ORDER BY hour_ts) AS BIGINT) AS rn
+      FROM hr
+    ),
+    ew(rn, s) AS (
+      SELECT rn, n * {_EWMA_SCALE} FROM rk WHERE rn = 1
+      UNION ALL
+      SELECT r.rn,
+        (r.n * {_EWMA_SCALE} + {_EWMA_A - 1} * e.s) // {_EWMA_A}
+      FROM ew e JOIN rk r ON r.rn = e.rn + 1
+    )
+    SELECT r.hour_ts, r.n AS n_events,
+      CAST(e.s AS BIGINT) AS ewma_units,
+      CAST(p.s AS BIGINT) AS ewma_prev_units,
+      r.n * {_EWMA_SCALE} >= {_EWMA_SPIKE_NUM} * p.s AS spike
+    FROM rk r
+    JOIN ew e ON e.rn = r.rn
+    LEFT JOIN ew p ON p.rn = r.rn - 1
+    WHERE r.rn > 1
+    ORDER BY r.hour_ts
+    """,
+    doc="EXPONENTIAL MOVING AVERAGE over the hourly event series — the "
+    "RECURSIVE-fold kernel the time-series family was missing "
+    "(events_cusum_hourly resets on a threshold, autocorr is a "
+    "self-join; EWMA's s_t = alpha*x_t + (1-alpha)*s_(t-1) depends on "
+    "its own previous OUTPUT, which no window function expresses). "
+    f"Exact integer recurrence: alpha = 1/{_EWMA_A}, counts scaled to "
+    f"{_EWMA_SCALE} micro-units, s_t = (x_t*SCALE + "
+    f"{_EWMA_A - 1}*s_(t-1)) div {_EWMA_A} with truncating division — "
+    "a pure integer function of the series, bit-identical across "
+    "engines (a float EWMA would accumulate last-ulp divergence over "
+    "720 steps). Spark evaluates the whole recurrence as ONE "
+    "JVM-side expression fold (F.aggregate over the hour-sorted "
+    "struct array — state (s, emitted array), then posexplode), the "
+    "DuckDB oracle as a linear recursive CTE marching the hour rank; "
+    "each hour also serves the operational spike flag "
+    f"x_t*SCALE >= {_EWMA_SPIKE_NUM}*s_(t-1) (current >= "
+    f"{_EWMA_SPIKE_NUM}x the smoothed baseline). The horizon is "
+    "VALUE-bounded (<= 720 hourly buckets over the fixture's 30-day "
+    "span — the events_cusum_hourly boundedness argument), so the "
+    "collect-to-array fold is a bounded serving-side step over a "
+    "pre-aggregated relation; the hourly agg itself is a combinable "
+    "keyed count at any scale.",
+)
+def events_ewma_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    hr = (
+        table(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    def snew(acc, x):
+        a = x["n"] * _EWMA_SCALE + (_EWMA_A - 1) * acc["s"]
+        return (
+            F.when(acc["s"] < 0, x["n"] * _EWMA_SCALE)
+            .otherwise(((a - a % _EWMA_A) / _EWMA_A).cast("long"))
+            .cast("long")
+        )
+
+    # Bounded serving fold: pack the <=720-row hourly relation into one
+    # hour-sorted array, run the exact-integer recurrence as a single
+    # JVM expression fold, re-explode. No driver collect, no Python
+    # UDF; (a - a%8)/8 is an exact multiple divided in double, exact
+    # for the bounded magnitudes here (documented ceiling 2^53).
+    init = F.struct(
+        F.lit(-1).cast("long").alias("s"),
+        F.array()
+        .cast(
+            "array<struct<hour_ts:timestamp,n:bigint,s:bigint,sprev:bigint>>"
+        )
+        .alias("out"),
+    )
+    folded = (
+        hr.agg(
+            F.sort_array(F.collect_list(F.struct("hour_ts", "n"))).alias("xs")
+        )
+        .select(
+            F.aggregate(
+                F.col("xs"),
+                init,
+                lambda acc, x: F.struct(
+                    snew(acc, x).alias("s"),
+                    F.concat(
+                        acc["out"],
+                        F.array(
+                            F.struct(
+                                x["hour_ts"].alias("hour_ts"),
+                                x["n"].alias("n"),
+                                snew(acc, x).alias("s"),
+                                acc["s"].alias("sprev"),
+                            )
+                        ),
+                    ).alias("out"),
+                ),
+            )["out"].alias("rows")
+        )
+    )
+    r = folded.select(F.explode("rows").alias("r")).select(
+        F.col("r.hour_ts").alias("hour_ts"),
+        F.col("r.n").alias("n_events"),
+        F.col("r.s").alias("ewma_units"),
+        F.col("r.sprev").alias("ewma_prev_units"),
+    )
+    return (
+        r.filter(F.col("ewma_prev_units") >= 0)
+        .withColumn(
+            "spike",
+            F.col("n_events") * _EWMA_SCALE
+            >= _EWMA_SPIKE_NUM * F.col("ewma_prev_units"),
+        )
+        .orderBy("hour_ts")
+    )

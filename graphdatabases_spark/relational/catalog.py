@@ -231,6 +231,7 @@ def _load_all() -> None:
         analytics_queries,
         analytics_corpus_queries,
         analytics_stats_queries,
+        analytics_series_queries,
         analytics_extended_queries,
         curation_queries,
         curation_removal_queries,

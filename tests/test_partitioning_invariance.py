@@ -75,6 +75,9 @@ ENTRIES = [
     "graph_node2vec_walks",        # second-order class-weighted hash picks
     "graph_cc_incremental",        # quotient-contraction warm-start labels
     "docs_tok_kll_quantiles",      # two-level rank-sampled sketch serving
+    "graph_mis_luby",              # fixed-priority parallel symmetry breaking
+    "graph_matching_greedy",       # argmin-edge parallel matching rounds
+    "events_ewma_hourly",          # 719-step integer recurrence fold
 ]
 
 # Two adversarial layouts, exercised separately so a failure localizes

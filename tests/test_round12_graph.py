@@ -431,3 +431,34 @@ class TestMisLuby:
         assert r["sum_ids"] == sum(mis)
         assert r["independent"] and r["maximal"] and r["converged"]
         assert r["n_vertices"] == len(nbrs)
+
+
+# ---------------------------------------------------------------------------
+# Maximal matching (graph_matching_greedy)
+# ---------------------------------------------------------------------------
+
+_MM_SCALE = 32768
+
+
+class TestMatchingGreedy:
+    def test_sequential_greedy_equals_parallel_rounds(self, spark, sf_dir):
+        """The fixed-priority parallel rounds must produce EXACTLY the
+        sequential greedy matching over priority-sorted edges — the
+        lexicographically-first maximal matching."""
+        edges, _, _ = _split(spark, sf_dir)
+        pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+
+        def h(u, v):
+            return _h48(f"mat{u}:{v}") * _MM_SCALE + (u * 31 + v) % _MM_SCALE
+
+        mat, used = [], set()
+        for u, v in sorted(pairs, key=lambda e: (h(*e), e)):
+            if u not in used and v not in used:
+                mat.append((u, v))
+                used.add(u)
+                used.add(v)
+        r = queries()["graph_matching_greedy"](spark, sf_dir).collect()[0]
+        assert r["matching_size"] == len(mat)
+        assert r["sum_ids"] == sum(u + v for u, v in mat)
+        assert r["is_matching"] and r["maximal_and_converged"]
+        assert r["n_edges"] == len(pairs)

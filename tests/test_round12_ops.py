@@ -300,3 +300,40 @@ class TestMgHitters:
         # their mass dwarfs the bound
         _, est0, true0, b0, _ = rows[0]
         assert true0 > 10 * b0
+
+
+# ---------------------------------------------------------------------------
+# Integer EWMA (events_ewma_hourly)
+# ---------------------------------------------------------------------------
+
+
+class TestEwmaHourly:
+    def test_python_replay_bit_exact(self, spark, sf_dir):
+        con = duckdb.connect()
+        hrs = con.execute(
+            f"""
+            SELECT date_trunc('hour', ts) AS h, count(*) AS n
+            FROM read_parquet('{sf_dir}/events.parquet')
+            GROUP BY h ORDER BY h
+            """
+        ).fetchall()
+        con.close()
+        A, SCALE = 8, 1_000_000
+        s, expect = None, {}
+        for h, n in hrs:
+            prev = s
+            s = n * SCALE if s is None else (n * SCALE + (A - 1) * s) // A
+            if prev is not None:
+                expect[str(h)] = (n, s, prev, n * SCALE >= 2 * prev)
+        got = {
+            str(r["hour_ts"]): (
+                r["n_events"], r["ewma_units"], r["ewma_prev_units"],
+                r["spike"],
+            )
+            for r in queries()["events_ewma_hourly"](spark, sf_dir).collect()
+        }
+        assert got == expect
+        # the recurrence actually smooths: ewma varies less than raw
+        ns = [v[0] for v in got.values()]
+        ss = [v[1] / 1_000_000 for v in got.values()]
+        assert max(ss) - min(ss) < max(ns) - min(ns)
