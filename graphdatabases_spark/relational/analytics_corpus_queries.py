@@ -584,3 +584,131 @@ def docs_token_mg_hitters(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth range-partition planner (histogram-driven repartitioning)
+# ---------------------------------------------------------------------------
+
+_RPP_P = 8   # planned partitions
+_RPP_W = 8   # histogram bucket width (token counts), the _QHS_W layout
+
+
+@register(
+    "docs_tok_range_partition_plan",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(len({_TOKS}) AS BIGINT) AS v
+      FROM (SELECT coalesce(text, '') AS text FROM documents)
+    ),
+    hist AS MATERIALIZED (
+      SELECT v // {_RPP_W} AS bkt, CAST(count(*) AS BIGINT) AS c
+      FROM d GROUP BY bkt
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(max(c) AS BIGINT) AS max_c
+      FROM hist
+    ),
+    cum AS (
+      SELECT bkt, c,
+        sum(c) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS cw
+      FROM hist
+    ),
+    assigned AS (
+      -- bucket goes to the FIRST partition whose depth target its
+      -- cumulative mass has not yet exceeded: pid = ceil(cw / target)
+      SELECT c2.bkt, c2.c,
+        least({_RPP_P}, (c2.cw + t.target - 1) // t.target) AS pid
+      FROM cum c2, (
+        SELECT (n + {_RPP_P} - 1) // {_RPP_P} AS target FROM tot
+      ) t
+    ),
+    parts AS (
+      SELECT pid,
+        CAST(min(bkt) * {_RPP_W} AS BIGINT) AS lo_v,
+        CAST((max(bkt) + 1) * {_RPP_W} AS BIGINT) AS hi_v,
+        CAST(sum(c) AS BIGINT) AS n_docs_part
+      FROM assigned GROUP BY pid
+    )
+    SELECT CAST(p.pid AS INT) AS pid, p.lo_v, p.hi_v, p.n_docs_part,
+      CAST((t.n + {_RPP_P} - 1) // {_RPP_P} AS BIGINT) AS target,
+      t.max_c AS slack,
+      p.n_docs_part <= (t.n + {_RPP_P} - 1) // {_RPP_P} + t.max_c - 1
+        AS within_bound
+    FROM parts p, tot t
+    ORDER BY pid
+    """,
+    doc=f"EQUI-DEPTH RANGE-PARTITION PLANNER — the skew-aware "
+    "repartitioning plan a 100 TB engine computes BEFORE a range "
+    "shuffle (Spark's own RangePartitioner samples; this plans from "
+    "the mergeable width-{w} bucket histogram the warehouse already "
+    "maintains — docs_tok_quantile_hist_serving's layout — so the "
+    "plan costs one bounded scan of pre-aggregated state, zero "
+    "re-sampling). Greedy bucket assignment by cumulative mass: "
+    "bucket b lands in partition ceil(cum(b)/target), target = "
+    f"ceil(n/{_RPP_P}) — pure integer arithmetic, identical on both "
+    "engines. The depth GUARANTEE ships in the output: every planned "
+    "partition holds at most target + max_bucket_count - 1 docs "
+    "(the straddling bucket is the atomic unit — the bound is "
+    "structural, pinned per row by within_bound), so partition skew "
+    "is bounded by the histogram resolution, not the data. Emits the "
+    "value ranges [lo_v, hi_v) with exact per-partition counts — the "
+    "row a planner feeds to repartitionByRange. Scale shape: one "
+    "combinable histogram agg + windows over the value-bounded "
+    "bucket list.".format(w=_RPP_W),
+)
+def docs_tok_range_partition_plan(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").select(
+        F.size(T.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("v")
+    )
+    hist = (
+        d.withColumn("bkt", F.expr(f"v div {_RPP_W}"))
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = hist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    wc = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # cumulative window over the VALUE-bounded bucket list (the
+    # orders_pareto_share pattern); 1-row totals crossJoin (_BNLJ_OK).
+    cum = hist.withColumn("cw", F.sum("c").over(wc)).crossJoin(tot)
+    assigned = cum.withColumn(
+        "target", F.expr(f"(n + {_RPP_P} - 1) div {_RPP_P}")
+    ).withColumn(
+        "pid",
+        F.least(
+            F.lit(_RPP_P),
+            F.expr("(cw + target - 1) div target"),
+        ),
+    )
+    return (
+        assigned.groupBy("pid")
+        .agg(
+            (F.min("bkt") * _RPP_W).cast("long").alias("lo_v"),
+            ((F.max("bkt") + 1) * _RPP_W).cast("long").alias("hi_v"),
+            F.sum("c").cast("long").alias("n_docs_part"),
+            F.max("target").cast("long").alias("target"),
+            F.max("max_c").cast("long").alias("slack"),
+        )
+        .withColumn(
+            "within_bound",
+            F.col("n_docs_part") <= F.col("target") + F.col("slack") - 1,
+        )
+        .select(
+            F.col("pid").cast("int"),
+            "lo_v",
+            "hi_v",
+            "n_docs_part",
+            "target",
+            "slack",
+            "within_bound",
+        )
+        .orderBy("pid")
+    )

@@ -290,6 +290,9 @@ class TestUniversalGates:
         "graph_cc_incremental",
         # pos numbering over the limit(12) TakeOrdered frame
         "docs_token_mg_hitters",
+        # cumulative window over the VALUE-bounded bucket list (the
+        # orders_pareto_share pattern)
+        "docs_tok_range_partition_plan",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
@@ -366,6 +369,7 @@ class TestUniversalGates:
         "graph_cc_incremental",       # 1-row base/warm comp-count totals
         "graph_triangle_delta",       # 1-row count scalars folded (x3)
         "docs_token_mg_hitters",      # 1-row error-bound scalar
+        "docs_tok_range_partition_plan",  # 1-row histogram-totals scalar
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):

@@ -337,3 +337,46 @@ class TestEwmaHourly:
         ns = [v[0] for v in got.values()]
         ss = [v[1] / 1_000_000 for v in got.values()]
         assert max(ss) - min(ss) < max(ns) - min(ns)
+
+
+# ---------------------------------------------------------------------------
+# Range-partition planner (docs_tok_range_partition_plan)
+# ---------------------------------------------------------------------------
+
+
+class TestRangePartitionPlan:
+    def test_python_replay_and_coverage(self, spark, sf_dir):
+        docs = _docs(sf_dir)  # (doc_id, source, v) with coalesced text
+        vs = sorted(v for _, _, v in docs)
+        W, P = 8, 8
+        hist = defaultdict(int)
+        for v in vs:
+            hist[v // W] += 1
+        n = len(vs)
+        target = (n + P - 1) // P
+        max_c = max(hist.values())
+        cw, parts = 0, defaultdict(lambda: [None, None, 0])
+        for b in sorted(hist):
+            cw += hist[b]
+            pid = min(P, (cw + target - 1) // target)
+            p = parts[pid]
+            p[0] = b if p[0] is None else min(p[0], b)
+            p[1] = b if p[1] is None else max(p[1], b)
+            p[2] += hist[b]
+        expect = {
+            pid: (lo * W, (hi + 1) * W, c, target, max_c,
+                  c <= target + max_c - 1)
+            for pid, (lo, hi, c) in parts.items()
+        }
+        got = {
+            r["pid"]: (r["lo_v"], r["hi_v"], r["n_docs_part"], r["target"],
+                       r["slack"], r["within_bound"])
+            for r in queries()["docs_tok_range_partition_plan"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == expect
+        # the plan covers every doc exactly once and every row honors
+        # the structural depth bound
+        assert sum(v[2] for v in got.values()) == n
+        assert all(v[5] for v in got.values())
