@@ -217,6 +217,7 @@ def _load_all() -> None:
         core_queries,
         tpch_queries,
         graph_queries,
+        graph_symmetry_queries,
         graph_temporal_queries,
         graph_centrality_queries,
         graph_community_queries,

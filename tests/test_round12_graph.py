@@ -462,3 +462,41 @@ class TestMatchingGreedy:
         assert r["sum_ids"] == sum(u + v for u, v in mat)
         assert r["is_matching"] and r["maximal_and_converged"]
         assert r["n_edges"] == len(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Iterated-MIS coloring (graph_coloring_mis)
+# ---------------------------------------------------------------------------
+
+
+class TestColoringMis:
+    def test_python_replay_and_first_class_is_mis(self, spark, sf_dir):
+        """Greedy replay of iterated lexicographic-MIS extraction must
+        match per-class sizes/checksums; color 1 must be EXACTLY
+        graph_mis_luby's set (same priorities, same residual = whole
+        graph) — a cross-entry structural identity."""
+        edges, _, _ = _split(spark, sf_dir)
+        pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+        nbrs = defaultdict(set)
+        for u, v in pairs:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+        remaining = set(nbrs)
+        expect = {}
+        color = 0
+        while remaining:
+            color += 1
+            mis, blocked = set(), set()
+            for v in sorted(remaining, key=lambda x: (_h48(f"mis{x}"), x)):
+                if v not in blocked:
+                    mis.add(v)
+                    blocked |= nbrs[v] & remaining
+            expect[color] = (len(mis), sum(mis))
+            remaining -= mis
+        rows = queries()["graph_coloring_mis"](spark, sf_dir).collect()
+        got = {r["color"]: (r["n_vertices"], r["sum_ids"]) for r in rows}
+        assert got == expect
+        assert all(r["proper"] and r["converged"] for r in rows)
+        assert rows[0]["n_colors"] == color
+        mis_row = queries()["graph_mis_luby"](spark, sf_dir).collect()[0]
+        assert got[1] == (mis_row["mis_size"], mis_row["sum_ids"])
