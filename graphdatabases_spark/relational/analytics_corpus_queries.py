@@ -712,3 +712,239 @@ def docs_tok_range_partition_plan(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("pid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-partition plan drift audit (re-plan after a skewed append)
+# ---------------------------------------------------------------------------
+
+_RPD_MOD = 10  # doc_id % 10 == 0 -> the appended batch (dup-injected, v*4)
+
+
+def _rpd_plan_sql(tag: str, hist: str) -> str:
+    """Greedy equi-depth plan over histogram CTE ``hist`` (bkt, c):
+    emits ({tag}parts): pid, lo_bkt, hi_bkt, n_part, target, max_c."""
+    return f"""
+    {tag}tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n, CAST(max(c) AS BIGINT) AS max_c
+      FROM {hist}
+    ),
+    {tag}cum AS (
+      SELECT bkt, c, sum(c) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS cw
+      FROM {hist}
+    ),
+    {tag}assigned AS (
+      SELECT c2.bkt, c2.c,
+        least({_RPP_P}, (c2.cw + t.target - 1) // t.target) AS pid
+      FROM {tag}cum c2,
+           (SELECT (n + {_RPP_P} - 1) // {_RPP_P} AS target FROM {tag}tot) t
+    ),
+    {tag}parts AS (
+      SELECT pid, CAST(min(bkt) AS BIGINT) AS lo_bkt,
+             CAST(max(bkt) AS BIGINT) AS hi_bkt,
+             CAST(sum(c) AS BIGINT) AS n_part
+      FROM {tag}assigned GROUP BY pid
+    )"""
+
+
+@register(
+    "docs_tok_partition_plan_drift",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT CAST(len({_TOKS}) AS BIGINT) AS v
+      FROM (SELECT coalesce(text, '') AS text FROM documents)
+    ),
+    batch AS MATERIALIZED (
+      SELECT CAST(len({_TOKS}) AS BIGINT) * 4 AS v
+      FROM (SELECT coalesce(text, '') AS text FROM documents
+            WHERE doc_id % {_RPD_MOD} = 0)
+    ),
+    newd AS MATERIALIZED (
+      SELECT v FROM base UNION ALL SELECT v FROM batch
+    ),
+    ohist AS MATERIALIZED (
+      SELECT v // {_RPP_W} AS bkt, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY bkt
+    ),
+    nhist AS MATERIALIZED (
+      SELECT v // {_RPP_W} AS bkt, CAST(count(*) AS BIGINT) AS c
+      FROM newd GROUP BY bkt
+    ),
+    {_rpd_plan_sql("o", "ohist")},
+    {_rpd_plan_sql("n", "nhist")},
+    obounds AS (
+      -- upper value bound of old pids 1..P-1: route v to
+      -- 1 + #(bounds <= v)
+      SELECT (hi_bkt + 1) * {_RPP_W} AS b FROM oparts
+      WHERE pid < {_RPP_P}
+    ),
+    vpid AS (
+      SELECT d.v,
+        1 + CAST(coalesce(sum(CASE WHEN d.v >= b.b THEN 1 END), 0)
+                 AS BIGINT) AS pid
+      FROM (SELECT DISTINCT v FROM newd) d
+      LEFT JOIN obounds b ON TRUE
+      GROUP BY d.v
+    ),
+    old_route_cnt AS (
+      SELECT p.pid, CAST(sum(h.c) AS BIGINT) AS n_old_route
+      FROM vpid p
+      JOIN (SELECT v, CAST(count(*) AS BIGINT) AS c FROM newd GROUP BY v) h
+        ON h.v = p.v
+      GROUP BY p.pid
+    ),
+    grid AS (SELECT unnest(generate_series(1, {_RPP_P})) AS pid)
+    SELECT CAST(g.pid AS INT) AS pid,
+      CAST(coalesce(orc.n_old_route, 0) AS BIGINT) AS n_old_route,
+      CAST(coalesce(np.n_part, 0) AS BIGINT) AS n_new_route,
+      CAST((SELECT (n + {_RPP_P} - 1) // {_RPP_P} FROM ntot) AS BIGINT)
+        AS target_new,
+      CAST((SELECT max(n_old_route) FROM old_route_cnt) * 1000000
+           // (SELECT (n + {_RPP_P} - 1) // {_RPP_P} FROM ntot)
+           AS BIGINT) AS skew_old_ppm,
+      CAST((SELECT max(n_part) FROM nparts) * 1000000
+           // (SELECT (n + {_RPP_P} - 1) // {_RPP_P} FROM ntot)
+           AS BIGINT) AS skew_new_ppm,
+      coalesce(op.hi_bkt, -1) <> coalesce(np.hi_bkt, -1) AS boundary_moved
+    FROM grid g
+    LEFT JOIN old_route_cnt orc ON orc.pid = g.pid
+    LEFT JOIN nparts np ON np.pid = g.pid
+    LEFT JOIN oparts op ON op.pid = g.pid
+    ORDER BY g.pid
+    """,
+    doc="RANGE-PARTITION PLAN DRIFT AUDIT — composes the equi-depth "
+    "planner with the incremental theme: a deterministically skewed "
+    f"batch appends (docs with doc_id % {_RPD_MOD} == 0 re-ingested "
+    "at 4x token length — the dup-injection discipline standing in "
+    "for a heavy-tailed source landing), and the audit quantifies, "
+    "per partition, what a STALE plan would do to the new data vs the "
+    "re-plan: n_old_route (rows routed by the old value boundaries — "
+    "routing is 1 + #(boundaries <= v), exactly how a deployed "
+    "repartitionByRange ships rows) against n_new_route, the moved "
+    "boundaries, and the headline skew ratios in exact integer ppm "
+    "(max partition / depth target). The operational answer to 'do we "
+    "need to re-plan after this ingest' — at 100 TB a stale range "
+    "plan is the silent hot-partition generator, and this audit costs "
+    "two bounded histogram passes, never a re-shuffle. skew_new <= "
+    "skew_old is pinned in tests/test_round12_ops.py along with a "
+    "Python replay. Scale shape: combinable histogram aggs, bounded "
+    "boundary fanout (|hist| x 7), windows over the bucket list.",
+)
+def docs_tok_partition_plan_drift(spark: SparkSession, sf: str) -> DataFrame:
+    base = table(spark, sf, "documents").select(
+        F.size(T.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("v")
+    )
+    batch = (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") % _RPD_MOD == 0)
+        .select(
+            (
+                F.size(T.tokens(F.coalesce(F.col("text"), F.lit("")))) * 4
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    newd = base.unionByName(batch).localCheckpoint(eager=True)
+
+    def hist_of(d: DataFrame) -> DataFrame:
+        return (
+            d.withColumn("bkt", F.expr(f"v div {_RPP_W}"))
+            .groupBy("bkt")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    def plan_of(h: DataFrame) -> DataFrame:
+        tot = h.agg(
+            F.sum("c").cast("long").alias("n"),
+            F.max("c").cast("long").alias("max_c"),
+        )
+        wc = Window.orderBy("bkt").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        assigned = (
+            h.withColumn("cw", F.sum("c").over(wc))
+            .crossJoin(tot)
+            .withColumn("target", F.expr(f"(n + {_RPP_P} - 1) div {_RPP_P}"))
+            .withColumn(
+                "pid",
+                F.least(F.lit(_RPP_P), F.expr("(cw + target - 1) div target")),
+            )
+        )
+        return assigned.groupBy("pid").agg(
+            F.min("bkt").cast("long").alias("lo_bkt"),
+            F.max("bkt").cast("long").alias("hi_bkt"),
+            F.sum("c").cast("long").alias("n_part"),
+            F.max("target").cast("long").alias("target"),
+        )
+
+    oparts = plan_of(hist_of(base)).localCheckpoint(eager=True)
+    nhist = hist_of(newd).localCheckpoint(eager=True)
+    nparts = plan_of(nhist).localCheckpoint(eager=True)
+
+    # Route the NEW data by the OLD boundaries: bounded 7-row fanout.
+    obounds = oparts.filter(F.col("pid") < _RPP_P).select(
+        ((F.col("hi_bkt") + 1) * _RPP_W).alias("b")
+    )
+    vcnt = newd.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    old_route = (
+        vcnt.join(F.broadcast(obounds))
+        .groupBy("v", "c")
+        .agg(
+            (
+                F.lit(1)
+                + F.coalesce(
+                    F.sum(F.when(F.col("v") >= F.col("b"), 1)), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("pid")
+        )
+        .groupBy("pid")
+        .agg(F.sum("c").cast("long").alias("n_old_route"))
+    )
+    target_new = nparts.agg(F.max("target").cast("long").alias("target_new"))
+    skew_old = old_route.agg(
+        F.max("n_old_route").cast("long").alias("mx_old")
+    )
+    skew_new = nparts.agg(F.max("n_part").cast("long").alias("mx_new"))
+    grid = spark.range(1, _RPP_P + 1).select(F.col("id").cast("int").alias("pid"))
+    return (
+        grid.join(old_route, "pid", "left")
+        .join(
+            nparts.select(
+                "pid",
+                F.col("n_part").alias("n_new_route"),
+                F.col("hi_bkt").alias("hi_new"),
+            ),
+            "pid",
+            "left",
+        )
+        .join(
+            oparts.select("pid", F.col("hi_bkt").alias("hi_old")),
+            "pid",
+            "left",
+        )
+        .crossJoin(target_new)
+        .crossJoin(skew_old)
+        .crossJoin(skew_new)
+        .select(
+            "pid",
+            F.coalesce("n_old_route", F.lit(0)).cast("long").alias("n_old_route"),
+            F.coalesce("n_new_route", F.lit(0)).cast("long").alias("n_new_route"),
+            F.col("target_new"),
+            F.expr("mx_old * 1000000 div target_new")
+            .cast("long")
+            .alias("skew_old_ppm"),
+            F.expr("mx_new * 1000000 div target_new")
+            .cast("long")
+            .alias("skew_new_ppm"),
+            (
+                F.coalesce("hi_old", F.lit(-1))
+                != F.coalesce("hi_new", F.lit(-1))
+            ).alias("boundary_moved"),
+        )
+        .orderBy("pid")
+    )

@@ -293,6 +293,7 @@ class TestUniversalGates:
         # cumulative window over the VALUE-bounded bucket list (the
         # orders_pareto_share pattern)
         "docs_tok_range_partition_plan",
+        "docs_tok_partition_plan_drift",
     }
 
     # Queries allowed a BroadcastNestedLoopJoin / crossJoin: every
@@ -370,6 +371,7 @@ class TestUniversalGates:
         "graph_triangle_delta",       # 1-row count scalars folded (x3)
         "docs_token_mg_hitters",      # 1-row error-bound scalar
         "docs_tok_range_partition_plan",  # 1-row histogram-totals scalar
+        "docs_tok_partition_plan_drift",  # 1-row totals + 7-row bounds
     }
 
     def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):

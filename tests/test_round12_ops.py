@@ -380,3 +380,159 @@ class TestRangePartitionPlan:
         # the structural depth bound
         assert sum(v[2] for v in got.values()) == n
         assert all(v[5] for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# Persisted KLL store: save / append / serve (operators/kll.py)
+# ---------------------------------------------------------------------------
+
+
+class TestKllStore:
+    def _docs_df(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from graphdatabases_spark.functions import text as T
+
+        return (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(
+                F.col("source").alias("group"),
+                (F.col("doc_id") % 8).alias("shard"),
+                F.col("doc_id").alias("tie"),
+                F.size(T.tokens(F.coalesce(F.col("text"), F.lit(""))))
+                .cast("long")
+                .alias("v"),
+            )
+        )
+
+    def test_append_serve_equals_scratch_and_files_untouched(
+        self, spark, sf_dir, tmp_path
+    ):
+        """ivf_append's contract on the quantile axis: save shards
+        0..6, append shard 7 — the serve equals the all-at-once build
+        (L2 merge is a pure function of the compactor multiset), and
+        every pre-existing file is byte-identical after the append."""
+        import glob
+        import hashlib
+        import os
+
+        from graphdatabases_spark.operators.kll import (
+            kll_append,
+            kll_build,
+            kll_save,
+            kll_serve,
+        )
+
+        d = self._docs_df(spark, sf_dir)
+        p_all = str(tmp_path / "kll_all")
+        p_inc = str(tmp_path / "kll_inc")
+        kll_save(kll_build(d), p_all)
+        kll_save(kll_build(d.filter("shard < 7")), p_inc)
+
+        def digest(path):
+            out = {}
+            for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
+                out[os.path.relpath(f, path)] = hashlib.md5(
+                    open(f, "rb").read()
+                ).hexdigest()
+            return out
+
+        before = digest(p_inc)
+        kll_append(spark, p_inc, d.filter("shard = 7"))
+        after = digest(p_inc)
+        # resident files byte-identical; only shard=7 files are new
+        assert all(after[k] == v for k, v in before.items())
+        assert all(k.startswith("shard=7") for k in set(after) - set(before))
+        assert set(after) - set(before)
+
+        rows_all = sorted(
+            (r["group"], r["q_pct"], r["v_kll"])
+            for r in kll_serve(spark, p_all).collect()
+        )
+        rows_inc = sorted(
+            (r["group"], r["q_pct"], r["v_kll"])
+            for r in kll_serve(spark, p_inc).collect()
+        )
+        assert rows_all == rows_inc
+
+    def test_disk_serve_equals_catalog_entry(self, spark, sf_dir, tmp_path):
+        """A serve from the persisted store is bit-equal to the
+        catalog entry's v_kll column on the same corpus — the operator
+        and the in-plan sketch share one arithmetic."""
+        from graphdatabases_spark.operators.kll import (
+            kll_build,
+            kll_save,
+            kll_serve,
+        )
+
+        p = str(tmp_path / "kll_ent")
+        kll_save(kll_build(self._docs_df(spark, sf_dir)), p)
+        got = {
+            (r["group"], r["q_pct"]): r["v_kll"]
+            for r in kll_serve(spark, p).collect()
+        }
+        expect = {
+            (r["source"], r["q_pct"]): r["v_kll"]
+            for r in queries()["docs_tok_kll_quantiles"](spark, sf_dir).collect()
+        }
+        assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Plan drift audit (docs_tok_partition_plan_drift)
+# ---------------------------------------------------------------------------
+
+
+class TestPlanDrift:
+    def test_replay_and_replan_helps(self, spark, sf_dir):
+        """Python replay of the stale-route vs re-plan audit; the
+        re-plan's skew must never exceed the stale plan's, and both
+        route every row exactly once."""
+        docs = _docs(sf_dir)
+        W, P = 8, 8
+        base = [v for _, _, v in docs]
+        batch = [v * 4 for i, _, v in docs if i % 10 == 0]
+        new = base + batch
+
+        def plan(vs):
+            hist = defaultdict(int)
+            for v in vs:
+                hist[v // W] += 1
+            n = len(vs)
+            target = (n + P - 1) // P
+            cw, parts = 0, {}
+            for b in sorted(hist):
+                cw += hist[b]
+                pid = min(P, (cw + target - 1) // target)
+                lo, hi, c = parts.get(pid, (b, b, 0))
+                parts[pid] = (min(lo, b), max(hi, b), c + hist[b])
+            return parts, target
+
+        oparts, _ = plan(base)
+        nparts, target_new = plan(new)
+        bounds = sorted(
+            (hi + 1) * W for pid, (lo, hi, c) in oparts.items() if pid < P
+        )
+        old_route = defaultdict(int)
+        for v in new:
+            old_route[1 + sum(1 for b in bounds if v >= b)] += 1
+        mx_old, mx_new = max(old_route.values()), max(
+            c for _, _, c in nparts.values()
+        )
+        rows = queries()["docs_tok_partition_plan_drift"](
+            spark, sf_dir
+        ).collect()
+        got = {r["pid"]: (r["n_old_route"], r["n_new_route"]) for r in rows}
+        expect = {
+            pid: (old_route.get(pid, 0),
+                  nparts.get(pid, (0, 0, 0))[2])
+            for pid in range(1, P + 1)
+        }
+        assert got == expect
+        r0 = rows[0]
+        assert r0["target_new"] == target_new
+        assert r0["skew_old_ppm"] == mx_old * 1_000_000 // target_new
+        assert r0["skew_new_ppm"] == mx_new * 1_000_000 // target_new
+        assert r0["skew_new_ppm"] <= r0["skew_old_ppm"]
+        assert sum(v[0] for v in got.values()) == len(new)
+        assert sum(v[1] for v in got.values()) == len(new)
+        assert any(r["boundary_moved"] for r in rows)
