@@ -19,8 +19,8 @@ from graphdatabases_spark.relational.graph_queries import (
     entity_edges,
 )
 
-_GC_COLORS = 9   # oracle unroll: measured 5/6 colors at sf0.001/0.01
-_GC_ROUNDS = 7   # per-extraction MIS rounds (measured max 5)
+_GC_COLORS = 20  # oracle unroll: measured 5/6/16 colors at the 3 sfs
+_GC_ROUNDS = 8   # per-extraction MIS rounds (measured max 6 at sf0.1)
 
 
 def _gc_mis_sql(c: int) -> str:
@@ -108,8 +108,9 @@ def _gc_mis_sql(c: int) -> str:
     "is the unique lexicographically-first MIS of its residual and "
     "the whole coloring is a pure function of the graph — "
     "engine-exact under any schedule. Color count is NOT minimized "
-    "(proper coloring, greedy bound): measured 5/6 colors at "
-    f"sf0.001/0.01 on the 4-layer entity graph; the {_GC_COLORS}-"
+    "(proper coloring, greedy bound): measured 5/6/16 colors at "
+    f"sf0.001/0.01/0.1 — hub neighborhoods force a long tail of tiny "
+    f"classes on the entity graph; the {_GC_COLORS}-"
     f"extraction x {_GC_ROUNDS}-round oracle unroll carries a "
     "converged guard (empty final residual) that fails the "
     "differential loudly if a bigger fixture needs more. The output "
