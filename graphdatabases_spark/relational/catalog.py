@@ -255,24 +255,8 @@ def _load_all() -> None:
 # covers the new round-7 entries (tier 0) followed by the oldest
 # remaining r3/r4-stale cohort.
 _VERIFIED_ROUND: dict[str, int] = {
-    # r6 cohort
-    "docs_boilerplate_strip": 6,
-    "docs_bpe_merges": 6,
-    "docs_dedup_canonical": 6,
-    "docs_hash_sample": 6,
-    "docs_incremental_dedup": 6,
-    "docs_mixture_grid": 6,
-    "docs_select_budget": 6,
-    "docs_shard_manifest": 6,
-    "docs_source_overlap": 6,
-    "docs_token_drift": 6,
-    "docs_unigram_surprise": 6,
     # r7 cohort
     "customer_kanon_audit": 7,
-    "dedup_hll_cardinality": 7,
-    "dedup_hll_merge": 7,
-    "dedup_minhash_recall": 7,
-    "docs_bm25_topk": 7,
     "docs_bpe_apply": 7,
     "docs_bpe_fertility": 7,
     "docs_bpe_subword": 7,
@@ -283,41 +267,19 @@ _VERIFIED_ROUND: dict[str, int] = {
     "docs_split_contamination": 7,
     "docs_split_manifest": 7,
     "docs_split_rebalance": 7,
-    "docs_stream_dedup_bounded": 7,
     "docs_substring_spans": 7,
     "docs_substring_strip": 7,
     "docs_val_novelty": 7,
-    "embedding_source_drift": 7,
     "events_conversion_latency_quantiles": 7,
     "events_cuped_adjustment": 7,
     "events_next_match_veto": 7,
     "events_session_gap_curve": 7,
-    "events_stream_attrib_outer": 7,
-    "events_stream_sessions": 7,
-    "events_stream_tumbling_append": 7,
-    "graph_anf_hyperball": 7,
-    "graph_effective_diameter": 7,
-    "graph_harmonic_centrality": 7,
-    "graph_ktruss_copurchase": 7,
-    "graph_ppr_grid": 7,
-    "graph_ppr_seed_topk": 7,
-    "graph_ppr_seeds_entity": 7,
-    "join_bloom_prefilter": 7,
-    "join_selfjoin_size_cms": 7,
     "lineitem_zorder_incremental_scan": 7,
-    "lineitem_zorder_scan": 7,
     "orders_pareto_share": 7,
     "orders_quantile_histogram": 7,
     "orders_tdigest_merge": 7,
     "orders_tdigest_sketch": 7,
     "orders_trimmed_mean": 7,
-    "similarity_ivf_recall": 7,
-    "similarity_lsh_recall": 7,
-    "similarity_quantized_recall": 7,
-    "similarity_truncation_recall": 7,
-    "text_cms_heavy_hitters": 7,
-    "text_cms_merge": 7,
-    "text_rake_keywords": 7,
     # r8 cohort
     "agg_approx_count_distinct": 8,
     "agg_collect_set": 8,
@@ -518,6 +480,57 @@ _VERIFIED_ROUND: dict[str, int] = {
     "text_char_trigrams_by_lang": 11,
     "udaf_priority_geomean": 11,
     "udtf_bigram_counts": 11,
+    # r12 cohort
+    "dedup_hll_cardinality": 12,
+    "dedup_hll_merge": 12,
+    "dedup_minhash_recall": 12,
+    "docs_bm25_topk": 12,
+    "docs_boilerplate_strip": 12,
+    "docs_bpe_merges": 12,
+    "docs_dedup_canonical": 12,
+    "docs_hash_sample": 12,
+    "docs_incremental_dedup": 12,
+    "docs_mixture_grid": 12,
+    "docs_select_budget": 12,
+    "docs_shard_manifest": 12,
+    "docs_source_overlap": 12,
+    "docs_stream_dedup_bounded": 12,
+    "docs_tok_kll_quantiles": 12,
+    "docs_tok_partition_plan_drift": 12,
+    "docs_tok_range_partition_plan": 12,
+    "docs_token_drift": 12,
+    "docs_token_mg_hitters": 12,
+    "docs_unigram_surprise": 12,
+    "embedding_source_drift": 12,
+    "events_ewma_hourly": 12,
+    "events_stream_attrib_outer": 12,
+    "events_stream_sessions": 12,
+    "events_stream_tumbling_append": 12,
+    "graph_anf_hyperball": 12,
+    "graph_cc_incremental": 12,
+    "graph_coloring_mis": 12,
+    "graph_effective_diameter": 12,
+    "graph_harmonic_centrality": 12,
+    "graph_ktruss_copurchase": 12,
+    "graph_matching_greedy": 12,
+    "graph_mis_luby": 12,
+    "graph_node2vec_skipgrams": 12,
+    "graph_node2vec_walks": 12,
+    "graph_ppr_grid": 12,
+    "graph_ppr_seed_topk": 12,
+    "graph_ppr_seeds_entity": 12,
+    "graph_triangle_delta": 12,
+    "join_bloom_prefilter": 12,
+    "join_selfjoin_size_cms": 12,
+    "lineitem_zorder_scan": 12,
+    "similarity_ivf_recall": 12,
+    "similarity_lsh_recall": 12,
+    "similarity_multiprobe_recall": 12,
+    "similarity_quantized_recall": 12,
+    "similarity_truncation_recall": 12,
+    "text_cms_heavy_hitters": 12,
+    "text_cms_merge": 12,
+    "text_rake_keywords": 12,
 }
 
 
