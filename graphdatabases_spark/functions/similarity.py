@@ -465,6 +465,12 @@ def lsh_query_multiprobe(
 
     if probes < 1:
         raise ValueError(f"lsh_query_multiprobe needs probes >= 1, got {probes}")
+    if num_planes > 31:
+        # the flip mask is built with shiftleft on a 32-bit literal; wider
+        # codes would silently overflow the mask
+        raise ValueError(
+            f"lsh_query_multiprobe supports num_planes <= 31, got {num_planes}"
+        )
     v = _as_double(F.col(vec_col))
     dots = F.transform(_plane_matrix_lit(num_planes, dim), lambda plane: _dot(v, plane))
     qd = queries.withColumn("_dots", dots).withColumn(

@@ -81,14 +81,19 @@ def kll_serve(
 ) -> DataFrame:
     """Serve type-1-rank quantiles per group from the persisted
     compactor union: weighted-rank grid recompaction to <= k2 + 1
-    items, then v = arg-min-cw over kept rows with cw >= target."""
+    items, then v = arg-min-cw over kept rows with cw >= target.
+
+    The recompaction windows order by (v, tie, shard): ``tie`` need not
+    be globally unique across shards — the shard key makes the
+    cumulative-weight order (and hence the serve) deterministic even
+    when (group, v, tie) repeats in two shards' compactors."""
     l1 = spark.read.parquet(path)
     wcum = (
         Window.partitionBy("group")
-        .orderBy("v", "tie")
+        .orderBy("v", "tie", "shard")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wlag = Window.partitionBy("group").orderBy("v", "tie")
+    wlag = Window.partitionBy("group").orderBy("v", "tie", "shard")
     ntot = l1.groupBy("group").agg(F.sum("weight").cast("long").alias("n"))
     l1cw = (
         l1.withColumn("cw", F.sum("weight").over(wcum).cast("long"))

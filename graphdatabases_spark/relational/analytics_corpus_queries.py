@@ -642,7 +642,7 @@ _RPP_W = 8   # histogram bucket width (token counts), the _QHS_W layout
     doc=f"EQUI-DEPTH RANGE-PARTITION PLANNER — the skew-aware "
     "repartitioning plan a 100 TB engine computes BEFORE a range "
     "shuffle (Spark's own RangePartitioner samples; this plans from "
-    "the mergeable width-{w} bucket histogram the warehouse already "
+    f"the mergeable width-{_RPP_W} bucket histogram the warehouse already "
     "maintains — docs_tok_quantile_hist_serving's layout — so the "
     "plan costs one bounded scan of pre-aggregated state, zero "
     "re-sampling). Greedy bucket assignment by cumulative mass: "
@@ -656,7 +656,7 @@ _RPP_W = 8   # histogram bucket width (token counts), the _QHS_W layout
     "value ranges [lo_v, hi_v) with exact per-partition counts — the "
     "row a planner feeds to repartitionByRange. Scale shape: one "
     "combinable histogram agg + windows over the value-bounded "
-    "bucket list.".format(w=_RPP_W),
+    "bucket list.",
 )
 def docs_tok_range_partition_plan(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents").select(

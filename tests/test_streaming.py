@@ -1445,8 +1445,8 @@ class TestChainedStatefulOperators:
         )
         # Same finalization rule as the catalog oracle for
         # events_stream_attrib_hourly: window_end < wm - max_gap
-        # STRICTLY (wm = min input max ts - 10 min = 13:51, threshold
-        # 13:21) — the boundary itself is pinned by
+        # STRICTLY (wm = min input max ts - 10 min = 13:50, max_gap
+        # 30 min, threshold 13:20) — the boundary itself is pinned by
         # test_finalization_boundary_wm_minus_gap below.
         final_wm = "2024-01-01 13:50:00"  # min(max c.ts, max p.ts) - 10 min
         expect = {
