@@ -224,6 +224,7 @@ def _load_all() -> None:
         llm_queries,
         similarity_queries,
         similarity_probe_queries,
+        retrieval_queries,
         dedup_queries,
         sketch_queries,
         streaming_queries,
@@ -232,6 +233,7 @@ def _load_all() -> None:
         analytics_queries,
         analytics_corpus_queries,
         analytics_stats_queries,
+        analytics_quantile_queries,
         analytics_series_queries,
         analytics_extended_queries,
         curation_queries,

@@ -1369,474 +1369,3 @@ def embedding_source_drift(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
-
-
-# ---------------------------------------------------------------------------
-# Ranking quality: nDCG@10 / MRR of every retrieval path vs the exact anchor
-# ---------------------------------------------------------------------------
-
-_NDCG_K = 10
-# Per-position discount weights round(1e6 / log2(pos+1)) — precomputed
-# module-side so NO transcendental runs in either engine (the BM25-idf
-# pre-rounding discipline applied to the DCG discount).
-_NDCG_W = [1000000, 630930, 500000, 430677, 386853, 356207,
-           333333, 315465, 301030, 289065]
-# Ideal DCG in micro-units: gains 10..1 at positions 1..10 (truth =
-# exact top-10, so every query's ideal ranking is fully graded).
-_NDCG_IDCG = sum((_NDCG_K + 1 - i) * _NDCG_W[i - 1]
-                 for i in range(1, _NDCG_K + 1))
-
-_NDCG_TRUTH_SQL = f"""
-    truth AS MATERIALIZED (
-      SELECT query_id, neighbor_id, {_NDCG_K + 1} - rank AS gain,
-             rank AS pos
-      FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               row_number() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY round(list_inner_product(q.e, c.e)
-                                / (q.nrm * c.nrm), 6) DESC, c.vec_id
-               ) AS rank
-        FROM v q JOIN v c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id < {_RECALL_NQ}
-      ) WHERE rank <= {_NDCG_K}
-    )"""
-
-_NDCG_BM25_SQL = """
-    tokf AS MATERIALIZED (
-      SELECT doc_id, unnest({toks}) AS tok FROM documents
-    ),
-    dlf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-            FROM tokf GROUP BY doc_id),
-    statsf AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(dl) AS BIGINT) AS total
-      FROM dlf
-    ),
-    qt AS (
-      SELECT DISTINCT doc_id AS query_id, tok FROM tokf
-      WHERE doc_id < {nq}
-    ),
-    tff AS (
-      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-      FROM tokf WHERE tok IN (SELECT tok FROM qt)
-      GROUP BY doc_id, tok
-    ),
-    dfreqf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
-               FROM tff GROUP BY tok),
-    idff AS (
-      SELECT tok,
-        round(ln(((CAST(n_docs - df AS DOUBLE) + 0.5)
-                  / (CAST(df AS DOUBLE) + 0.5)) + 1.0), 9) AS idf
-      FROM dfreqf, statsf
-    ),
-    scf AS (
-      SELECT q.query_id, t.doc_id,
-        CAST(idf * ((CAST(t.tf AS DOUBLE) * 2.2)
-          / (CAST(t.tf AS DOUBLE)
-             + (1.2 * (0.25 + (0.75 * (CAST(dlf.dl AS DOUBLE)
-                 / (CAST(total AS DOUBLE) / n_docs)))))))
-          AS DECIMAL(28,12)) AS term
-      FROM qt q
-      JOIN tff t ON t.tok = q.tok AND t.doc_id <> q.query_id
-      JOIN idff ON idff.tok = q.tok
-      JOIN dlf ON dlf.doc_id = t.doc_id
-      CROSS JOIN statsf
-    ),
-    bm25_run AS (
-      SELECT 'bm25_lex' AS system, query_id, doc_id AS neighbor_id,
-             rank AS pos
-      FROM (
-        SELECT query_id, doc_id,
-               row_number() OVER (
-                 PARTITION BY query_id ORDER BY s DESC, doc_id
-               ) AS rank
-        FROM (SELECT query_id, doc_id, sum(term) AS s
-              FROM scf GROUP BY query_id, doc_id)
-      ) WHERE rank <= {k}
-    )"""
-
-
-# Shared retrieval-run CTE block — the exact-cosine truth plus the
-# IVF / SRP-LSH / per-query-BM25 runs over it, ending in the unioned
-# `runs` relation.  Used verbatim by retrieval_ndcg_mrr AND
-# retrieval_rrf_fusion so both entries pin the SAME retrieval runs.
-_RETR_RUNS_SQL = (
-    f"""{{build}},
-    {_NDCG_TRUTH_SQL},
-    b8 AS (SELECT vec_id, e, {{bucket8}} AS bucket FROM v),
-    lsh_run AS (
-      SELECT 'lsh_p8' AS system, query_id, neighbor_id, rank AS pos
-      FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               row_number() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY round(list_inner_product(q.e, c.e)
-                                / (sqrt(list_inner_product(q.e, q.e))
-                                   * sqrt(list_inner_product(c.e, c.e))),
-                          6) DESC, c.vec_id
-               ) AS rank
-        FROM b8 q JOIN b8 c
-          ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-        WHERE q.vec_id < {_RECALL_NQ}
-      ) WHERE rank <= {_NDCG_K}
-    ),
-    q_probe AS (
-      SELECT vec_id AS query_id, cid, rr, e, nrm FROM (
-        SELECT x.vec_id, s.cid, x.e, x.nrm,
-               row_number() OVER (
-                 PARTITION BY x.vec_id
-                 ORDER BY {{cc}} DESC, s.cid
-               ) AS rr
-        FROM v x CROSS JOIN cents s
-        WHERE x.vec_id < {_RECALL_NQ}
-      ) WHERE rr <= {max(_RECALL_PROBES)}
-    ),
-    ivf_run AS (
-      SELECT 'ivf_np' || np AS system, query_id, neighbor_id,
-             rank AS pos
-      FROM (
-        SELECT p.np, q.query_id, c.neighbor_id,
-               row_number() OVER (
-                 PARTITION BY p.np, q.query_id
-                 ORDER BY round(list_inner_product(q.e, c.e)
-                                / (q.nrm * c.nrm), 6) DESC, c.neighbor_id
-               ) AS rank
-        FROM (VALUES {", ".join(f"({p})" for p in _RECALL_PROBES)}) p(np)
-        JOIN q_probe q ON q.rr <= p.np
-        JOIN c_idx c ON c.cid = q.cid AND c.neighbor_id <> q.query_id
-      ) WHERE rank <= {_NDCG_K}
-    ),
-    {_NDCG_BM25_SQL.format(toks="{toks}", nq=_RECALL_NQ, k=_NDCG_K)},
-    runs AS (
-      SELECT 'exact' AS system, query_id, neighbor_id, pos FROM truth
-      UNION ALL SELECT * FROM ivf_run
-      UNION ALL SELECT * FROM lsh_run
-      UNION ALL SELECT * FROM bm25_run
-    )
-    """
-).format(
-    build=_IVF_BUILD_SQL,
-    cc=_IVF_CC.format(x="x", s="s"),
-    bucket8=_lsh_bucket_sql(8),
-    toks=TOKS,
-)
-
-
-def _retrieval_runs(spark: SparkSession, sf: str):
-    """(truth, runs) for the shared retrieval evaluation harness: the
-    exact-cosine top-10 anchor with graded gains, and the unioned
-    (system, query_id, neighbor_id, pos) runs — exact, IVF nprobe
-    1/2/4, SRP-LSH p8, per-query lexical BM25 (the _RETR_RUNS_SQL
-    mirror).  Used by retrieval_ndcg_mrr and retrieval_rrf_fusion."""
-    from graphdatabases_spark.functions import text as T
-
-    emb = table(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < _RECALL_NQ)
-
-    truth = S.cosine_topk(q, emb, k=_NDCG_K).select(
-        "query_id",
-        "neighbor_id",
-        (F.lit(_NDCG_K + 1) - F.col("rank")).cast("long").alias("gain"),
-        F.col("rank").alias("pos"),
-    )
-
-    runs = truth.select(
-        F.lit("exact").alias("system"), "query_id", "neighbor_id", "pos"
-    )
-    index = S.ivf_build(emb, num_clusters=8, lloyd_iters=1)
-    for p in _RECALL_PROBES:
-        runs = runs.unionByName(
-            S.ivf_query(index, q, k=_NDCG_K, nprobe=p).select(
-                F.lit(f"ivf_np{p}").alias("system"),
-                "query_id",
-                "neighbor_id",
-                F.col("rank").alias("pos"),
-            )
-        )
-    runs = runs.unionByName(
-        S.ann_cosine_topk(q, emb, k=_NDCG_K, num_planes=8).select(
-            F.lit("lsh_p8").alias("system"),
-            "query_id",
-            "neighbor_id",
-            F.col("rank").alias("pos"),
-        )
-    )
-
-    # Per-query lexical BM25 run (docs_bm25_topk's exactness recipe,
-    # generalized from one fixed query to the 20 query docs).
-    tok = table(spark, sf, "documents").select(
-        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
-    )
-    dl = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dl")
-    )
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total"),
-    )
-    qt = (
-        tok.filter(F.col("doc_id") < _RECALL_NQ)
-        .select(F.col("doc_id").alias("query_id"), "tok")
-        .distinct()
-    )
-    tf = (
-        tok.join(qt.select("tok").distinct(), "tok")
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    dfreq = tf.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    idf = dfreq.crossJoin(F.broadcast(stats)).select(
-        "tok",
-        F.round(
-            F.log(
-                (
-                    (F.col("n_docs") - F.col("df")).cast("double") + 0.5
-                )
-                / (F.col("df").cast("double") + 0.5)
-                + 1.0
-            ),
-            9,
-        ).alias("idf"),
-    )
-    term = (
-        F.col("idf")
-        * (
-            (F.col("tf").cast("double") * F.lit(2.2))
-            / (
-                F.col("tf").cast("double")
-                + (
-                    F.lit(1.2)
-                    * (
-                        F.lit(0.25)
-                        + (
-                            F.lit(0.75)
-                            * (
-                                F.col("dl").cast("double")
-                                / (
-                                    F.col("total").cast("double")
-                                    / F.col("n_docs")
-                                )
-                            )
-                        )
-                    )
-                )
-            )
-        )
-    ).cast("decimal(28,12)")
-    sc = (
-        qt.alias("q")
-        .join(
-            tf.alias("t"),
-            (F.col("t.tok") == F.col("q.tok"))
-            & (F.col("t.doc_id") != F.col("q.query_id")),
-        )
-        .join(idf.alias("i"), F.col("i.tok") == F.col("q.tok"))
-        .join(dl.alias("d"), F.col("d.doc_id") == F.col("t.doc_id"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.col("q.query_id").alias("query_id"),
-            F.col("t.doc_id").alias("doc_id"),
-            term.alias("term"),
-        )
-    )
-    from pyspark.sql.window import Window
-
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("s").desc(), F.col("doc_id")
-    )
-    bm25_run = (
-        sc.groupBy("query_id", "doc_id")
-        .agg(F.sum("term").alias("s"))
-        .withColumn("pos", F.row_number().over(wq))
-        .filter(F.col("pos") <= _NDCG_K)
-        .select(
-            F.lit("bm25_lex").alias("system"),
-            "query_id",
-            F.col("doc_id").alias("neighbor_id"),
-            "pos",
-        )
-    )
-    return truth, runs.unionByName(bm25_run)
-
-
-@register(
-    "retrieval_ndcg_mrr",
-    oracle=f"""
-    WITH {_RETR_RUNS_SQL},
-    scored AS (
-      SELECT r.system, r.query_id, r.pos,
-             CAST(coalesce(t.gain, 0) AS BIGINT) AS gain
-      FROM runs r LEFT JOIN truth t
-        ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
-    ),
-    perq AS (
-      SELECT system, query_id,
-        CAST(sum(gain * ({_NDCG_W}[pos])) AS BIGINT) AS dcg_u,
-        CAST(coalesce(
-          1000000 // min(CASE WHEN gain > 0 THEN pos END), 0
-        ) AS BIGINT) AS rr_u,
-        CAST(count(*) AS BIGINT) AS n_results,
-        CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits
-      FROM scored GROUP BY system, query_id
-    )
-    SELECT system,
-           CAST({_RECALL_NQ} AS BIGINT) AS n_queries,
-           CAST(sum(n_results) AS BIGINT) AS n_results,
-           CAST(sum(hits) AS BIGINT) AS n_hits,
-           CAST((1000000 * sum(dcg_u))
-                // ({_RECALL_NQ} * {_NDCG_IDCG}) AS BIGINT) AS ndcg_ppm,
-           CAST(sum(rr_u) // {_RECALL_NQ} AS BIGINT) AS mrr_ppm
-    FROM perq GROUP BY system ORDER BY system
-    """,
-    doc=f"Ranking-QUALITY metrics for every retrieval path in the repo "
-    f"— nDCG@{_NDCG_K} and MRR as exact integer ppm over a "
-    f"{_RECALL_NQ}-query batch, the axis the recall curves "
-    "(similarity_ivf_recall/lsh/pq) don't measure: recall counts set "
-    "overlap; nDCG grades ORDER. Truth = exact cosine top-10 with "
-    "linear graded gains (rank r → gain 11−r); position discounts are "
-    "the PRE-ROUNDED integers round(10⁶/log2(pos+1)) baked module-"
-    "side into both engines (the BM25-idf discipline — no runtime "
-    "transcendental, so the whole curve value-hashes), DCG/IDCG fold "
-    "in micro-units, and MRR is 10⁶ // first-relevant-position. Runs "
-    "scored: the exact anchor itself (pins the metric ceiling at "
-    "exactly 1e6), IVF at nprobe 1/2/4 (shared _IVF_BUILD_SQL index — "
-    "same build the recall entries pin), SRP-LSH at 8 planes, and a "
-    "per-query LEXICAL BM25 run (query = each query-doc's token set; "
-    "k1=1.2, b=0.75, the docs_bm25_topk engine-exactness recipe) "
-    "scored against the EMBEDDING truth — the fixture's embeddings "
-    "are independent of its text, so the bm25_lex row lands at the "
-    "cross-modal agreement floor and documents exactly that; the ANN "
-    "rows show ordering quality tracking nprobe. Scale: truth/ANN "
-    "sides are the bounded-query-batch patterns of the recall "
-    "entries; BM25 adds vocab-bounded aggs and a (query-term × "
-    "posting) equi-join — no all-pairs anywhere.",
-)
-def retrieval_ndcg_mrr(spark: SparkSession, sf: str) -> DataFrame:
-    truth, runs = _retrieval_runs(spark, sf)
-    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
-    scored = runs.join(
-        truth.select("query_id", "neighbor_id", "gain"),
-        ["query_id", "neighbor_id"],
-        "left",
-    ).select(
-        "system",
-        "query_id",
-        "pos",
-        F.coalesce("gain", F.lit(0)).cast("long").alias("gain"),
-    )
-    perq = scored.groupBy("system", "query_id").agg(
-        F.sum(F.col("gain") * F.element_at(w_arr, F.col("pos")))
-        .cast("long")
-        .alias("dcg_u"),
-        F.min(F.when(F.col("gain") > 0, F.col("pos"))).alias("fr"),
-        F.count(F.lit(1)).cast("long").alias("n_results"),
-        F.sum(F.when(F.col("gain") > 0, 1).otherwise(0))
-        .cast("long")
-        .alias("hits"),
-    )
-    return (
-        perq.withColumn(
-            "rr_u",
-            F.coalesce(F.expr("1000000 div fr"), F.lit(0)).cast("long"),
-        )
-        .groupBy("system")
-        .agg(
-            F.lit(_RECALL_NQ).cast("long").alias("n_queries"),
-            F.sum("n_results").cast("long").alias("n_results"),
-            F.sum("hits").cast("long").alias("n_hits"),
-            F.expr(
-                f"CAST((1000000 * sum(dcg_u))"
-                f" div ({_RECALL_NQ} * {_NDCG_IDCG}) AS BIGINT)"
-            ).alias("ndcg_ppm"),
-            F.expr(
-                f"CAST(sum(rr_u) div {_RECALL_NQ} AS BIGINT)"
-            ).alias("mrr_ppm"),
-        )
-        .orderBy("system")
-    )
-
-
-_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
-_RRF_TOPK = 5
-_RRF_SYSTEMS = ("ivf_np4", "lsh_p8", "bm25_lex")
-
-
-@register(
-    "retrieval_rrf_fusion",
-    oracle=f"""
-    WITH {_RETR_RUNS_SQL},
-    contrib AS (
-      SELECT query_id, neighbor_id, pos FROM runs
-      WHERE system IN ({", ".join(f"'{x}'" for x in _RRF_SYSTEMS)})
-    ),
-    fused AS (
-      SELECT query_id, neighbor_id,
-        CAST(sum(1000000 // ({_RRF_K} + pos)) AS BIGINT) AS rrf_u,
-        CAST(count(*) AS BIGINT) AS n_systems
-      FROM contrib GROUP BY query_id, neighbor_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, rrf_u, n_systems,
-        row_number() OVER (
-          PARTITION BY query_id ORDER BY rrf_u DESC, neighbor_id
-        ) AS pos
-      FROM fused
-    )
-    SELECT r.query_id, r.pos, r.neighbor_id, r.rrf_u, r.n_systems,
-      CAST(coalesce(t.gain, 0) AS BIGINT) AS gain
-    FROM ranked r LEFT JOIN truth t
-      ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
-    WHERE r.pos <= {_RRF_TOPK}
-    ORDER BY r.query_id, r.pos
-    """,
-    doc="HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al. "
-    "2009) — the standard way production search fuses lexical and "
-    "vector rankings without score calibration: each of the IVF "
-    "(nprobe 4), SRP-LSH, and per-query BM25 runs contributes "
-    f"1/({_RRF_K}+rank) per retrieved doc — here the exact integer "
-    f"10⁶ // ({_RRF_K}+pos), so the fused score value-hashes — and "
-    f"the fused top-{_RRF_TOPK} per query is reported with how many "
-    "systems voted for each doc and its graded gain under the exact-"
-    "cosine anchor (0 = a fused result outside the true top-10). The "
-    "runs come from the SAME _RETR_RUNS_SQL block retrieval_ndcg_mrr "
-    "pins, so the two entries score identical retrieval output. "
-    "Scale: fusion is one keyed agg over the union of bounded "
-    "per-query result lists + a per-query top-k window — the runs "
-    "themselves are the bounded-query-batch patterns of the recall "
-    "entries.",
-)
-def retrieval_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    truth, runs = _retrieval_runs(spark, sf)
-    contrib = runs.filter(F.col("system").isin(*_RRF_SYSTEMS))
-    fused = contrib.groupBy("query_id", "neighbor_id").agg(
-        F.sum(F.expr(f"1000000 div ({_RRF_K} + pos)"))
-        .cast("long")
-        .alias("rrf_u"),
-        F.count(F.lit(1)).cast("long").alias("n_systems"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_u").desc(), "neighbor_id"
-    )
-    return (
-        fused.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= _RRF_TOPK)
-        .join(
-            truth.select("query_id", "neighbor_id", "gain"),
-            ["query_id", "neighbor_id"],
-            "left",
-        )
-        .select(
-            "query_id",
-            "pos",
-            "neighbor_id",
-            "rrf_u",
-            "n_systems",
-            F.coalesce("gain", F.lit(0)).cast("long").alias("gain"),
-        )
-        .orderBy("query_id", "pos")
-    )

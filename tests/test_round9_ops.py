@@ -281,7 +281,7 @@ class TestRetrievalMetrics:
     the IVF ordering quality."""
 
     def test_ceiling_and_probe_monotonicity(self, spark, sf_dir):
-        from graphdatabases_spark.relational.similarity_queries import (
+        from graphdatabases_spark.relational.retrieval_queries import (
             retrieval_ndcg_mrr,
         )
 
