@@ -146,3 +146,157 @@ def events_ewma_hourly(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("hour_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear smoothing (level + trend double exponential)
+# ---------------------------------------------------------------------------
+
+# alpha = 1/_HOLT_A (level), beta = 1/_HOLT_B (trend), counts scaled to
+# micro-units; all divisions truncate toward zero, which Spark's `div`
+# and DuckDB's `//` agree on for BOTH signs (verified: -7//4 == -1 on
+# both engines), so the trend — which CAN go negative — stays exact.
+_HOLT_A = 4
+_HOLT_B = 4
+_HOLT_SCALE = 1_000_000
+
+
+@register(
+    "events_holt_hourly",
+    oracle=f"""
+    WITH RECURSIVE hr AS (
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY hour_ts
+    ),
+    rk AS (
+      SELECT hour_ts, n,
+        CAST(row_number() OVER (ORDER BY hour_ts) AS BIGINT) AS rn
+      FROM hr
+    ),
+    ho(rn, l, t) AS (
+      SELECT rn, n * {_HOLT_SCALE}, CAST(0 AS BIGINT) FROM rk WHERE rn = 1
+      UNION ALL
+      SELECT r.rn,
+        (r.n * {_HOLT_SCALE} + {_HOLT_A - 1} * (h.l + h.t)) // {_HOLT_A},
+        (((r.n * {_HOLT_SCALE} + {_HOLT_A - 1} * (h.l + h.t)) // {_HOLT_A})
+          - h.l + {_HOLT_B - 1} * h.t) // {_HOLT_B}
+      FROM ho h JOIN rk r ON r.rn = h.rn + 1
+    )
+    SELECT r.hour_ts, r.n AS n_events,
+      CAST(e.l AS BIGINT) AS level_units,
+      CAST(e.t AS BIGINT) AS trend_units,
+      CAST(e.l + e.t AS BIGINT) AS forecast_units,
+      CAST(r.n * {_HOLT_SCALE} - (p.l + p.t) AS BIGINT) AS miss_units,
+      e.t > 0 AS trend_up
+    FROM rk r
+    JOIN ho e ON e.rn = r.rn
+    JOIN ho p ON p.rn = r.rn - 1
+    WHERE r.rn > 1
+    ORDER BY r.hour_ts
+    """,
+    doc="HOLT LINEAR (double-exponential) SMOOTHING over the hourly "
+    "event series — events_ewma_hourly's level+trend extension, the "
+    "second member of the recursive-fold family: l_t = alpha*x_t + "
+    "(1-alpha)*(l_(t-1) + t_(t-1)), t_t = beta*(l_t - l_(t-1)) + "
+    f"(1-beta)*t_(t-1) with alpha = 1/{_HOLT_A}, beta = 1/{_HOLT_B}, "
+    f"counts in {_HOLT_SCALE} micro-units. Both recurrences are pure "
+    "integer arithmetic with toward-zero truncating division — "
+    "Spark's div and DuckDB's // agree on both signs, so the trend "
+    "component (which goes negative on decays, unlike the EWMA "
+    "baseline) is bit-identical across engines; a float Holt would "
+    "drift over 720 coupled steps. Spark evaluates both recurrences "
+    "in ONE JVM expression fold over the hour-sorted struct array "
+    "(state (l, t) + emitted rows, then posexplode); the oracle is a "
+    "linear recursive CTE marching the hour rank. Each row serves the "
+    "level, the trend, the one-step-ahead forecast l + t, and the "
+    "forecast miss x_t*SCALE - forecast_(t-1) — the anomaly signal a "
+    "trend-aware monitor pages on (the EWMA spike flag fires on every "
+    "steady ramp; the Holt miss does not). Same scale shape as the "
+    "EWMA: combinable hourly count at any scale, value-bounded "
+    "(<= 720 buckets) serving-side fold, no driver collect, no "
+    "Python UDF.",
+)
+def events_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    hr = (
+        table(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    def tdiv(a, b):
+        # toward-zero integer division as an exact JVM expression:
+        # a - a%b is an exact multiple of b, |values| << 2^53
+        return ((a - a % b) / b).cast("long")
+
+    def lnew(acc, x):
+        return tdiv(
+            x["n"] * _HOLT_SCALE + (_HOLT_A - 1) * (acc["l"] + acc["t"]),
+            _HOLT_A,
+        )
+
+    def tnew(acc, x):
+        return tdiv(
+            lnew(acc, x) - acc["l"] + (_HOLT_B - 1) * acc["t"], _HOLT_B
+        )
+
+    init = F.struct(
+        F.lit(False).alias("started"),
+        F.lit(0).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("t"),
+        F.array()
+        .cast(
+            "array<struct<hour_ts:timestamp,n:bigint,l:bigint,t:bigint,"
+            "fc:bigint,miss:bigint>>"
+        )
+        .alias("out"),
+    )
+
+    def step(acc, x):
+        first_l = x["n"] * F.lit(_HOLT_SCALE).cast("long")
+        return F.struct(
+            F.lit(True).alias("started"),
+            F.when(~acc["started"], first_l)
+            .otherwise(lnew(acc, x))
+            .alias("l"),
+            F.when(~acc["started"], F.lit(0).cast("long"))
+            .otherwise(tnew(acc, x))
+            .alias("t"),
+            F.when(~acc["started"], acc["out"])
+            .otherwise(
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            x["hour_ts"].alias("hour_ts"),
+                            x["n"].alias("n"),
+                            lnew(acc, x).alias("l"),
+                            tnew(acc, x).alias("t"),
+                            (lnew(acc, x) + tnew(acc, x)).alias("fc"),
+                            (
+                                x["n"] * _HOLT_SCALE
+                                - (acc["l"] + acc["t"])
+                            ).alias("miss"),
+                        )
+                    ),
+                )
+            )
+            .alias("out"),
+        )
+
+    folded = hr.agg(
+        F.sort_array(F.collect_list(F.struct("hour_ts", "n"))).alias("xs")
+    ).select(F.aggregate(F.col("xs"), init, step)["out"].alias("rows"))
+    return (
+        folded.select(F.explode("rows").alias("r"))
+        .select(
+            F.col("r.hour_ts").alias("hour_ts"),
+            F.col("r.n").alias("n_events"),
+            F.col("r.l").alias("level_units"),
+            F.col("r.t").alias("trend_units"),
+            F.col("r.fc").alias("forecast_units"),
+            F.col("r.miss").alias("miss_units"),
+            (F.col("r.t") > 0).alias("trend_up"),
+        )
+        .orderBy("hour_ts")
+    )
