@@ -79,6 +79,15 @@ def kll_serve(
     q_pcts: tuple[int, ...] = (50, 90, 99),
     k2: int = DEFAULT_K2,
 ) -> DataFrame:
+    """Serve from the persisted store at ``path`` (see kll_serve_df)."""
+    return kll_serve_df(spark.read.parquet(path), q_pcts=q_pcts, k2=k2)
+
+
+def kll_serve_df(
+    l1: DataFrame,
+    q_pcts: tuple[int, ...] = (50, 90, 99),
+    k2: int = DEFAULT_K2,
+) -> DataFrame:
     """Serve type-1-rank quantiles per group from the persisted
     compactor union: weighted-rank grid recompaction to <= k2 + 1
     items, then v = arg-min-cw over kept rows with cw >= target.
@@ -87,7 +96,6 @@ def kll_serve(
     be globally unique across shards — the shard key makes the
     cumulative-weight order (and hence the serve) deterministic even
     when (group, v, tie) repeats in two shards' compactors."""
-    l1 = spark.read.parquet(path)
     wcum = (
         Window.partitionBy("group")
         .orderBy("v", "tie", "shard")

@@ -502,3 +502,225 @@ def docs_tok_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "q_pct")
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Persisted-store re-plan: range boundaries served from the KLL compactor
+# store, before and after a skewed shard append
+# ---------------------------------------------------------------------------
+
+_KSR_S = 4     # base shards in the persisted store (doc_id % 4)
+_KSR_MOD = 10  # doc_id % 10 == 0 -> the appended skewed shard's docs
+_KSR_F = 4     # skew factor: appended values are v * 4
+_KSR_QS = (25, 50, 75)  # served boundary percentiles -> 4 ranges
+_KSR_K = 64    # compactor sizes (operators/kll.py defaults)
+
+
+def _ksr_serve_sql(p: str, where: str) -> str:
+    """Serve the three boundary percentiles from the compactor union
+    ``l1`` (optionally filtered) and count the NEW corpus per range —
+    the SQL mirror of operators/kll.kll_serve_df: (v, tie, shard)-
+    ordered cumulative weights, ceil(n/k2) grid recompaction, type-1
+    rank arg-min."""
+    targets = " UNION ALL ".join(
+        f"SELECT {q} AS q_pct, ((n - 1) * {q}) // 100 + 1 AS t FROM {p}n"
+        for q in _KSR_QS
+    )
+    return f"""
+    {p}cw AS MATERIALIZED (
+      SELECT v, tie, shard, weight,
+        CAST(sum(weight) OVER (
+          ORDER BY v, tie, shard ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+      FROM l1 {where}
+    ),
+    {p}n AS (SELECT CAST(sum(weight) AS BIGINT) AS n FROM l1 {where}),
+    {p}l2 AS MATERIALIZED (
+      SELECT c.v, c.cw FROM (
+        SELECT v, cw,
+          CAST(coalesce(lag(cw) OVER (ORDER BY v, tie, shard), 0)
+               AS BIGINT) AS pcw
+        FROM {p}cw
+      ) c, {p}n t
+      WHERE c.cw // ((t.n + {_KSR_K - 1}) // {_KSR_K})
+          > c.pcw // ((t.n + {_KSR_K - 1}) // {_KSR_K})
+         OR c.cw = t.n
+    ),
+    {p}b AS MATERIALIZED (
+      SELECT g.q_pct, arg_min(l.v, l.cw) AS b
+      FROM ({targets}) g
+      JOIN {p}l2 l ON l.cw >= g.t
+      GROUP BY g.q_pct
+    ),
+    {p}bb AS (
+      SELECT max(CASE WHEN q_pct = 25 THEN b END) AS b25,
+             max(CASE WHEN q_pct = 50 THEN b END) AS b50,
+             max(CASE WHEN q_pct = 75 THEN b END) AS b75
+      FROM {p}b
+    ),
+    {p}parts AS MATERIALIZED (
+      SELECT pp.pid,
+        CAST(coalesce(cnt.n_part, 0) AS BIGINT) AS n_part,
+        CASE pp.pid WHEN 1 THEN (SELECT b25 FROM {p}bb)
+                    WHEN 2 THEN (SELECT b50 FROM {p}bb)
+                    WHEN 3 THEN (SELECT b75 FROM {p}bb)
+                    ELSE NULL END AS hi_v
+      FROM (VALUES (1), (2), (3), (4)) pp(pid)
+      LEFT JOIN (
+        SELECT CASE WHEN a.v <= bb.b25 THEN 1
+                    WHEN a.v <= bb.b50 THEN 2
+                    WHEN a.v <= bb.b75 THEN 3
+                    ELSE 4 END AS pid,
+               CAST(count(*) AS BIGINT) AS n_part
+        FROM alld a, {p}bb bb GROUP BY 1
+      ) cnt ON cnt.pid = pp.pid
+    )"""
+
+
+@register(
+    "docs_tok_kll_store_replan",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id % {_KSR_S} AS shard, doc_id AS tie,
+             CAST(len({_TOKS}) AS BIGINT) AS v
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+    ),
+    skew AS MATERIALIZED (
+      SELECT {_KSR_S} AS shard, doc_id AS tie,
+             CAST(len({_TOKS}) AS BIGINT) * {_KSR_F} AS v
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents
+            WHERE doc_id % {_KSR_MOD} = 0)
+    ),
+    alld AS MATERIALIZED (
+      SELECT shard, tie, v FROM base
+      UNION ALL SELECT shard, tie, v FROM skew
+    ),
+    rk AS MATERIALIZED (
+      SELECT shard, tie, v,
+        CAST(row_number() OVER (
+          PARTITION BY shard ORDER BY v, tie) AS BIGINT) AS r,
+        CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS n_s
+      FROM alld
+    ),
+    l1 AS MATERIALIZED (
+      SELECT shard, tie, v,
+        r - coalesce(lag(r) OVER (
+          PARTITION BY shard ORDER BY r), 0) AS weight
+      FROM (SELECT *, (n_s + {_KSR_K - 1}) // {_KSR_K} AS step_s FROM rk)
+      WHERE r % step_s = 0 OR r = n_s
+    ),
+    {_ksr_serve_sql("st", f"WHERE shard < {_KSR_S}")},
+    {_ksr_serve_sql("rp", "")},
+    ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM alld)
+    SELECT plan, CAST(pid AS INT) AS pid, hi_v, n_part,
+      (SELECT (n + {_KSR_S - 1}) // {_KSR_S} FROM ntot) AS target,
+      n_part * 100 // (SELECT (n + {_KSR_S - 1}) // {_KSR_S} FROM ntot)
+        AS load_x100
+    FROM (
+      SELECT 'stale' AS plan, pid, hi_v, n_part FROM stparts
+      UNION ALL
+      SELECT 'replan', pid, hi_v, n_part FROM rpparts
+    )
+    ORDER BY plan, pid
+    """,
+    doc="PERSISTED-STORE RE-PLAN — the round-12 verdict's composition "
+    "item (#7): the range-partition planner fed from the PERSISTED "
+    "KLL compactor store (operators/kll.py) instead of a fresh corpus "
+    "scan, re-planned after a skewed shard append. The entry stages "
+    f"the store once (kll_build over {_KSR_S} doc_id-sharded base "
+    "compactors, kll_save, then kll_append of the dup-injected skewed "
+    f"shard: every doc_id % {_KSR_MOD} == 0 doc re-enters with v*"
+    f"{_KSR_F} — the dup-injected-corpus discipline), then serves "
+    "BOTH plans from DISK: the stale plan's boundaries from the "
+    "pre-append shards only (a shard filter on the partitioned "
+    "store), the re-plan from the full compactor union — and counts "
+    "the post-append corpus into each plan's ranges exactly. The "
+    "oracle rebuilds compactors + serve + counts from scratch in SQL "
+    "(same sorted rank sampling, same (v, tie, shard)-ordered "
+    "recompaction, same type-1 arg-min), so the value-hash equality "
+    "IS the pin that serving from resident files equals a from-"
+    "scratch rebuild — the ivf_append add-after-train contract "
+    "composed with the equi-depth planner. Each row serves pid, the "
+    "range's hi boundary, its exact post-append doc count, the ideal "
+    "target, and load_x100 (percent of ideal) — the stale plan's "
+    "tail partition visibly overloads while the re-plan rebalances. "
+    "Scale shape: the store is bounded compactor state (<= "
+    f"{_KSR_S + 1}*({_KSR_K}+1) rows); serving is a window over that "
+    "bounded union; only the exact per-range counts scan the corpus "
+    "(one combinable conditional agg).",
+)
+def docs_tok_kll_store_replan(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.operators.kll import (
+        kll_append,
+        kll_build,
+        kll_save,
+        kll_serve_df,
+    )
+    from graphdatabases_spark.relational.catalog import stage_derived
+
+    def _vals(skewed: bool):
+        d = table(spark, sf, "documents")
+        if skewed:
+            d = d.filter(F.col("doc_id") % _KSR_MOD == 0)
+        v = F.size(T.tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long")
+        return d.select(
+            F.lit("all").alias("group"),
+            (
+                F.lit(_KSR_S).cast("long")
+                if skewed
+                else (F.col("doc_id") % _KSR_S).cast("long")
+            ).alias("shard"),
+            F.col("doc_id").cast("long").alias("tie"),
+            (v * _KSR_F if skewed else v).alias("v"),
+        )
+
+    def writer(out: str) -> None:
+        kll_save(kll_build(_vals(False)), f"{out}/store")
+        kll_append(spark, f"{out}/store", _vals(True))
+
+    staged, _tag = stage_derived(sf, "documents", "kllstore13", writer)
+    l1 = spark.read.parquet(f"{staged}/store")
+    serves = {
+        "stale": kll_serve_df(l1.filter(F.col("shard") < _KSR_S), q_pcts=_KSR_QS),
+        "replan": kll_serve_df(l1, q_pcts=_KSR_QS),
+    }
+    newd = _vals(False).select("v").unionByName(_vals(True).select("v"))
+    n_new = newd.count()
+    target = (n_new + _KSR_S - 1) // _KSR_S
+    out = None
+    for plan, served in serves.items():
+        b = {int(r["q_pct"]): int(r["v_kll"]) for r in served.collect()}
+        pid = (
+            F.when(F.col("v") <= b[25], 1)
+            .when(F.col("v") <= b[50], 2)
+            .when(F.col("v") <= b[75], 3)
+            .otherwise(4)
+        )
+        counts = {
+            int(r["pid"]): int(r["n"])
+            for r in newd.select(pid.alias("pid"))
+            .groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows = spark.createDataFrame(
+            [
+                (
+                    plan,
+                    p,
+                    {1: b[25], 2: b[50], 3: b[75]}.get(p),
+                    counts.get(p, 0),
+                )
+                for p in (1, 2, 3, 4)
+            ],
+            "plan string, pid int, hi_v long, n_part long",
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out.select(
+        "plan",
+        "pid",
+        "hi_v",
+        "n_part",
+        F.lit(target).cast("long").alias("target"),
+        F.expr(f"n_part * 100 div {target}").cast("long").alias("load_x100"),
+    ).orderBy("plan", "pid")

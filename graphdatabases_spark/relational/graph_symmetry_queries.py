@@ -3,8 +3,10 @@ analytics).
 
 New module (round 12): graph_queries.py sits near the 2k bar after the
 MIS/matching additions; this is the growth home for the
-symmetry-breaking family (coloring now; b-matching and the incremental
-matching/MIS repairs are round-13 queue candidates).
+symmetry-breaking family: iterated-MIS coloring (round 12), and the
+round-13 additions — incremental MIS/matching repair via priority-DAG
+cascade relaxation, and weighted b-matching (the capacity relaxation
+of the argmin-edge kernel).
 """
 
 from __future__ import annotations
@@ -402,7 +404,8 @@ def graph_mis_incremental(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("h", mis_h(F.col("id")))
         .localCheckpoint(eager=True)
     )
-    base_mis = _mis_kernel(spark, symb, bverts, bverts.count(), None)
+    n_bverts = bverts.count()
+    base_mis = _mis_kernel(spark, symb, bverts, n_bverts, None)
     base_row = base_mis.agg(
         F.count(F.lit(1)).cast("long").alias("sz"),
         F.sum("id").cast("long").alias("cks"),
@@ -429,14 +432,58 @@ def graph_mis_incremental(spark: SparkSession, sf: str) -> DataFrame:
         .select("src", F.col("dst").alias("nid"), "nh", "ns")
         .localCheckpoint(eager=True)
     )
-    bep = (
+    # Initial dirty set, filtered to endpoints whose VALUE can actually
+    # move: a batch-NEW vertex (must compute its own status), or an
+    # existing endpoint whose new batch neighbor is base-TRUE with
+    # higher priority (only true higher-priority neighbors feed
+    # blocked()) — seeding every batch endpoint re-judged ~all of the
+    # hub neighborhoods for nothing.
+    st = _mis_side(fstat, n_vertices)
+    cand = (
         edges.filter(is_batch)
+        .join(
+            st.select(
+                F.col("id").alias("src"),
+                F.col("h").alias("sh"),
+                F.col("s").alias("ssb"),
+            ),
+            "src",
+        )
+        .join(
+            st.select(
+                F.col("id").alias("dst"),
+                F.col("h").alias("dh"),
+                F.col("s").alias("dsb"),
+            ),
+            "dst",
+        )
+    )
+    newv = fverts.select("id").join(
+        _mis_side(bverts.select("id"), n_bverts), "id", "left_anti"
+    )
+    dirty_ids = (
+        cand.filter(
+            F.col("dsb")
+            & (
+                F.struct(F.col("dh"), F.col("dst"))
+                < F.struct(F.col("sh"), F.col("src"))
+            )
+        )
         .select(F.col("src").alias("id"))
-        .unionByName(edges.filter(is_batch).select(F.col("dst").alias("id")))
+        .unionByName(
+            cand.filter(
+                F.col("ssb")
+                & (
+                    F.struct(F.col("sh"), F.col("src"))
+                    < F.struct(F.col("dh"), F.col("dst"))
+                )
+            ).select(F.col("dst").alias("id"))
+        )
+        .unionByName(newv)
         .distinct()
     )
     dirty = fstat.join(
-        _mis_side(bep, 2 * n_batch_edges), "id", "left_semi"
+        _mis_side(dirty_ids, 2 * n_batch_edges), "id", "left_semi"
     ).localCheckpoint(eager=True)
     n_dirty = dirty.count()
     delta = spark.createDataFrame([], "id long, s boolean")
@@ -591,6 +638,110 @@ def graph_mis_incremental(spark: SparkSession, sf: str) -> DataFrame:
 _MMI_ROUNDS = 10  # oracle unroll per phase (cold fixpoint 5/5/6 measured)
 
 
+def _mat_cascade_local(spark, x: DataFrame, vstat0: DataFrame, dirty_df: DataFrame):
+    """Driver-local matching cascade with LAZY adjacency fetches: the
+    cascade's working state (batch edges, per-vertex true-h lists,
+    status overrides) is cone-sized, so run the relaxation in-process
+    and pull the endpoint index rows for newly-touched vertices one
+    bounded Spark job per round — ~1 job/round instead of the
+    distributed loop's ~8 actions/round of scheduling floor.  Exact
+    same fixpoint (the pure-Python replay IS this algorithm).  Returns
+    the (dsrc, ddst, dls) status-override relation."""
+    from graphdatabases_spark.relational.graph_queries import _ids_df
+
+    vtrue: dict[int, list[int]] = {}
+    for r in vstat0.toPandas().itertuples(index=False):
+        vtrue.setdefault(int(r.v), []).append(int(r.m1))
+    status: dict[tuple[int, int], bool] = {}
+    base_s: dict[tuple[int, int], bool] = {}
+    hmap: dict[tuple[int, int], int] = {}
+    dirty_set: set[tuple[int, int]] = set()
+    for r in dirty_df.select("src", "dst", "h", "s").toPandas().itertuples(
+        index=False
+    ):
+        e = (int(r.src), int(r.dst))
+        base_s[e] = bool(r.s)
+        hmap[e] = int(r.h)
+        dirty_set.add(e)
+    adj: dict[int, list[tuple[tuple[int, int], int]]] = {}
+    fetched: set[int] = set()
+
+    def stat(e):
+        return status.get(e, base_s.get(e, False))
+
+    while dirty_set:
+        changed = []
+        for e in dirty_set:
+            he = hmap[e]
+            blocked = any(
+                any(hh < he for hh in vtrue.get(v, ())) for v in e
+            )
+            ns = not blocked
+            if ns != stat(e):
+                changed.append((e, ns))
+        dirty_set = set()
+        if not changed:
+            break
+        av = set()
+        for e, ns in changed:
+            status[e] = ns
+            av.add(e[0])
+            av.add(e[1])
+        new_verts = [v for v in av if v not in fetched]
+        if new_verts:
+            rows = x.join(
+                F.broadcast(
+                    _ids_df(spark, new_verts).withColumnRenamed("id", "v")
+                ),
+                "v",
+                "left_semi",
+            ).toPandas()
+            for rr in rows.itertuples(index=False):
+                e = (int(rr.fsrc), int(rr.fdst))
+                hmap.setdefault(e, int(rr.fh))
+                base_s.setdefault(e, bool(rr.fs))
+                adj.setdefault(int(rr.v), []).append((e, hmap[e]))
+            fetched.update(new_verts)
+        for e, ns in changed:
+            he = hmap[e]
+            for v in e:
+                hs = vtrue.setdefault(v, [])
+                old = list(hs)
+                if ns:
+                    hs.append(he)
+                elif he in hs:
+                    hs.remove(he)
+                for f, hf in adj.get(v, ()):
+                    if f == e:
+                        continue
+                    po = any(hh < hf for hh in old)
+                    pn = any(hh < hf for hh in hs)
+                    if po != pn:
+                        dirty_set.add(f)
+    import pandas as pd
+
+    overrides = [
+        (e[0], e[1], s)
+        for e, s in status.items()
+        if s != base_s.get(e, False)
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "dsrc": pd.Series([o[0] for o in overrides], dtype="int64"),
+                "ddst": pd.Series([o[1] for o in overrides], dtype="int64"),
+                "dls": pd.Series([o[2] for o in overrides], dtype="bool"),
+            }
+        )
+        if overrides
+        else pd.DataFrame(
+            {"dsrc": pd.Series([], dtype="int64"),
+             "ddst": pd.Series([], dtype="int64"),
+             "dls": pd.Series([], dtype="bool")}
+        )
+    ).localCheckpoint(eager=True), len(overrides)
+
+
 def _mmi_round_sql(tag: str, k: int) -> str:
     """One fixed-priority matching round over ``{tag}g{k-1}``
     (graph_matching_greedy's _mm_round_sql parameterized by prefix for
@@ -696,10 +847,13 @@ def _mmi_mat_union(tag: str) -> str:
     "propagation. Output: base/warm sizes and endpoint checksums, "
     "|base symmetric-difference warm| as the cascade footprint, and "
     "the matching + maximality proofs on the appended graph. Scale "
-    "shape: base phase is the shared argmin-edge kernel; warm rounds "
-    "scan the once-checkpointed endpoint-indexed edge-status relation "
-    "against a broadcast dirty set, exchanged rows bounded by the "
-    "cascade cone.",
+    "shape: base phase is the shared argmin-edge kernel; the warm "
+    "rounds never expand adjacency — blocked(e) reads a per-VERTEX "
+    "matched-state (the sorted h-list of currently-true edges at the "
+    "endpoint: <= 1 at any fixpoint, a few transiently), joined as a "
+    "size-switched broadcast, so per-round exchanged rows are the "
+    "cascade cone's edges, not its degree sum (the audit-caught hub "
+    "blowup of the naive line-graph recompute).",
 )
 def graph_matching_incremental(spark: SparkSession, sf: str) -> DataFrame:
     from graphdatabases_spark.functions import text as T
@@ -735,10 +889,17 @@ def graph_matching_incremental(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("src") + F.col("dst")).cast("long").alias("cks"),
     ).collect()[0]
     # Edge-status relation (s = base membership; batch edges false) and
-    # its endpoint index, checkpointed once.
+    # its endpoint index, checkpointed once.  The base matching is a
+    # size-switched broadcast (<= |V|/2 rows, count known) so the
+    # status join never exchanges g; the endpoint index skips the
+    # v-repartition entirely — every per-round consumer broadcasts the
+    # dirty side, so a 2|E| exchange would buy nothing (audit catch:
+    # it was 850 MB of the entry's sf1 shuffle).
     estat = (
         g.join(
-            mat_base.withColumn("s0", F.lit(True)), ["src", "dst"], "left"
+            _mis_side(mat_base.withColumn("s0", F.lit(True)), base_row["sz"]),
+            ["src", "dst"],
+            "left",
         )
         .select(
             "src", "dst", "h", F.coalesce(F.col("s0"), F.lit(False)).alias("s")
@@ -762,74 +923,97 @@ def graph_matching_incremental(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("s").alias("fs"),
             )
         )
-        .repartition("v")
         .localCheckpoint(eager=True)
     )
-    bep = (
-        g.filter(is_batch)
-        .select(F.col("src").alias("v"))
-        .unionByName(g.filter(is_batch).select(F.col("dst").alias("v")))
-        .distinct()
-    )
-    dirty = (
-        x.join(_mis_side(bep, 2 * n_batch_edges), "v", "left_semi")
-        .select(
-            F.col("fsrc").alias("src"),
-            F.col("fdst").alias("dst"),
-            F.col("fh").alias("h"),
-            F.col("fs").alias("s"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Initial dirty set: the BATCH EDGES ONLY.  A new edge enters with
+    # status false, and blocked() reads only TRUE adjacent edges — so
+    # existing edges stay consistent until some flip actually reaches
+    # them (the first version seeded every edge at a batch endpoint
+    # and the hub degrees made that ~all of the graph).
+    dirty = estat.filter(is_batch).localCheckpoint(eager=True)
     n_dirty = dirty.count()
+    # Per-VERTEX matched-state instead of per-edge adjacency scans
+    # (second audit catch: the line-graph recompute join emitted
+    # sum-of-degrees rows over the dirty set — hub degrees made that
+    # 2.9 GB of sf1 shuffle).  blocked(e) only needs, per endpoint,
+    # whether some OTHER matched edge there has smaller h, i.e. the
+    # sorted h-list of currently-true edges at the vertex: <= 1 at any
+    # fixpoint (it's a matching), <= a few transiently.  vstat0 is the
+    # base state (one row per base-matched endpoint); vdelta overlays
+    # the vertices the cascade touched.  All recompute joins broadcast
+    # the vertex-state side — no adjacency expansion anywhere.
+    vstat0 = (
+        estat.filter(F.col("s"))
+        .select(F.col("src").alias("v"), F.col("h").alias("m1"))
+        .unionByName(
+            estat.filter(F.col("s")).select(
+                F.col("dst").alias("v"), F.col("h").alias("m1")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_vstat0 = 2 * base_row["sz"]
     delta = spark.createDataFrame([], "dsrc long, ddst long, dls boolean")
     n_delta = 0
+    vdelta = spark.createDataFrame([], "v long, hs array<bigint>")
+    n_vdelta = 0
+    from graphdatabases_spark.relational.graph_queries import (
+        _SYM_LOCAL_EDGE_MAX,
+        _SYM_LOCAL_V_MAX,
+    )
+
+    # Sub-threshold driver-local cascade (the symmetry-family tail
+    # discipline): the working state is batch + base-matching sized,
+    # so below the Arrow bounds run it in-process with one lazy
+    # adjacency fetch per round; the distributed relaxation below is
+    # the above-threshold path.
+    if (
+        n_dirty > 0
+        and n_batch_edges <= _SYM_LOCAL_EDGE_MAX
+        and n_vstat0 <= _SYM_LOCAL_V_MAX
+    ):
+        delta, n_delta = _mat_cascade_local(spark, x, vstat0, dirty)
+        n_dirty = 0
+
+    def _blocked_at(side: str):
+        # blocked at an endpoint: some true edge there with h < ours —
+        # strict <, so the edge itself (h equal) never blocks.
+        vd = _mis_side(
+            vdelta.select(F.col("v").alias(f"{side}v"), F.col("hs").alias(f"{side}hs")),
+            n_vdelta,
+        )
+        v0 = _mis_side(
+            vstat0.select(F.col("v").alias(f"{side}v0"), F.col("m1").alias(f"{side}m1")),
+            n_vstat0,
+        )
+        return vd, v0
+
     while n_dirty > 0:
-        de = dirty.select(
-            F.col("src").alias("v"),
-            F.col("src").alias("esrc"),
-            F.col("dst").alias("edst"),
-            F.col("h").alias("eh"),
-        ).unionByName(
-            dirty.select(
-                F.col("dst").alias("v"),
-                F.col("src").alias("esrc"),
-                F.col("dst").alias("edst"),
-                F.col("h").alias("eh"),
+        svd, sv0 = _blocked_at("s")
+        dvd, dv0 = _blocked_at("d")
+        judged = (
+            dirty.join(svd, dirty.src == F.col("sv"), "left")
+            .join(sv0, dirty.src == F.col("sv0"), "left")
+            .join(dvd, dirty.dst == F.col("dv"), "left")
+            .join(dv0, dirty.dst == F.col("dv0"), "left")
+            .withColumn(
+                "blk_s",
+                F.when(
+                    F.col("shs").isNotNull(),
+                    F.exists(F.col("shs"), lambda hh: hh < F.col("h")),
+                ).otherwise(F.coalesce(F.col("sm1") < F.col("h"), F.lit(False))),
             )
-        )
-        nb = (
-            x.join(_mis_side(de, 2 * n_dirty), "v")
-            .filter(
-                ~((F.col("fsrc") == F.col("esrc")) & (F.col("fdst") == F.col("edst")))
+            .withColumn(
+                "blk_d",
+                F.when(
+                    F.col("dhs").isNotNull(),
+                    F.exists(F.col("dhs"), lambda hh: hh < F.col("h")),
+                ).otherwise(F.coalesce(F.col("dm1") < F.col("h"), F.lit(False))),
             )
-            .join(
-                _mis_side(delta, n_delta),
-                (F.col("fsrc") == F.col("dsrc"))
-                & (F.col("fdst") == F.col("ddst")),
-                "left",
-            )
-        )
-        blocked = (
-            nb.filter(
-                F.coalesce(F.col("dls"), F.col("fs"))
-                & (
-                    F.struct(F.col("fh"), F.col("fsrc"), F.col("fdst"))
-                    < F.struct(F.col("eh"), F.col("esrc"), F.col("edst"))
-                )
-            )
-            .select("esrc", "edst")
-            .distinct()
+            .withColumn("s_new", ~(F.col("blk_s") | F.col("blk_d")))
         )
         changed = (
-            dirty.join(
-                _mis_side(blocked, n_dirty),
-                (dirty.src == F.col("esrc")) & (dirty.dst == F.col("edst")),
-                "left",
-            )
-            .withColumn("s_new", F.col("esrc").isNull())
-            .filter(F.col("s_new") != F.col("s"))
+            judged.filter(F.col("s_new") != F.col("s"))
             .select("src", "dst", "h", F.col("s_new").alias("s"))
             .localCheckpoint(eager=True)
         )
@@ -854,25 +1038,73 @@ def graph_matching_incremental(spark: SparkSession, sf: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         n_delta = delta.count()
-        ce = changed.select(
-            F.col("src").alias("v"),
-            F.col("src").alias("csrc"),
-            F.col("dst").alias("cdst"),
-            F.col("h").alias("ch"),
-        ).unionByName(
-            changed.select(
-                F.col("dst").alias("v"),
-                F.col("src").alias("csrc"),
-                F.col("dst").alias("cdst"),
-                F.col("h").alias("ch"),
-            )
+        # Vertices whose state changed: recompute their true-edge
+        # h-lists from the endpoint index (one broadcast-filtered scan;
+        # group sizes are the handful of true edges per vertex), and
+        # keep the OLD list alongside for the propagation filter.
+        av = (
+            changed.select(F.col("src").alias("v"))
+            .unionByName(changed.select(F.col("dst").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        cand = (
-            x.join(_mis_side(ce, 2 * n_changed), "v")
-            .filter(
-                F.struct(F.col("fh"), F.col("fsrc"), F.col("fdst"))
-                > F.struct(F.col("ch"), F.col("csrc"), F.col("cdst"))
+        n_av = av.count()
+        trues = (
+            x.join(_mis_side(av, n_av), "v")
+            .join(
+                _mis_side(delta, n_delta),
+                (F.col("fsrc") == F.col("dsrc"))
+                & (F.col("fdst") == F.col("ddst")),
+                "left",
             )
+            .filter(F.coalesce(F.col("dls"), F.col("fs")))
+            .groupBy("v")
+            .agg(F.array_sort(F.collect_list("fh")).alias("hs"))
+        )
+        av_states = (
+            av.join(trues, "v", "left")
+            .join(_mis_side(vdelta.withColumnRenamed("hs", "ohs"), n_vdelta), "v", "left")
+            .join(
+                _mis_side(
+                    vstat0.select(F.col("v").alias("v"), F.col("m1").alias("om1")),
+                    n_vstat0,
+                ),
+                "v",
+                "left",
+            )
+            .select(
+                "v",
+                F.coalesce(F.col("hs"), F.array().cast("array<bigint>")).alias(
+                    "nhs"
+                ),
+                F.coalesce(
+                    F.col("ohs"),
+                    F.when(
+                        F.col("om1").isNotNull(), F.array(F.col("om1"))
+                    ).otherwise(F.array().cast("array<bigint>")),
+                ).alias("ohs"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        vdelta = (
+            vdelta.join(av_states.select("v"), "v", "left_anti")
+            .unionByName(av_states.select("v", F.col("nhs").alias("hs")))
+            .localCheckpoint(eager=True)
+        )
+        n_vdelta = vdelta.count()
+        # Next dirty set: edges at a state-changed vertex whose
+        # blocking predicate ACTUALLY flips there (strict-< against
+        # the old vs new true-h list differs) — without this filter a
+        # hub's single state change re-dirtied its whole neighborhood.
+        dirty = (
+            x.join(_mis_side(av_states, n_av), "v")
+            .withColumn(
+                "po", F.exists(F.col("ohs"), lambda hh: hh < F.col("fh"))
+            )
+            .withColumn(
+                "pn", F.exists(F.col("nhs"), lambda hh: hh < F.col("fh"))
+            )
+            .filter(F.col("po") != F.col("pn"))
             .select(
                 F.col("fsrc").alias("src"),
                 F.col("fdst").alias("dst"),
@@ -880,9 +1112,7 @@ def graph_matching_incremental(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("fs").alias("sb"),
             )
             .distinct()
-        )
-        dirty = (
-            cand.join(
+            .join(
                 _mis_side(delta, n_delta),
                 (F.col("src") == F.col("dsrc"))
                 & (F.col("dst") == F.col("ddst")),
@@ -949,5 +1179,306 @@ def graph_matching_incremental(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(n_changed_edges).cast("long").alias("n_changed_edges"),
         F.lit(conflict == 0).alias("is_matching"),
         F.lit(free_viol == 0).alias("maximal"),
+        F.lit(True).alias("converged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted b-matching (greedy, capacity b per vertex)
+# ---------------------------------------------------------------------------
+
+_BM_B = 3        # per-vertex capacity
+_BM_ROUNDS = 8   # oracle unroll (measured fixpoint 3/4/5 at the 3 sfs)
+_BM_P48 = 1 << 48
+
+
+def _bm_round_sql(k: int) -> str:
+    """One b-matching round: an undecided edge wins iff its per-vertex
+    rank (by ascending priority) is within the REMAINING capacity at
+    BOTH endpoints; winners consume capacity, edges at full vertices
+    drop out."""
+    return f"""
+    bex{k} AS MATERIALIZED (
+      SELECT v, src, dst, p,
+        row_number() OVER (PARTITION BY v ORDER BY p, src, dst) AS rk
+      FROM (
+        SELECT src AS v, src, dst, p FROM bg{k - 1}
+        UNION ALL SELECT dst, src, dst, p FROM bg{k - 1}
+      )
+    ),
+    bw{k} AS MATERIALIZED (
+      SELECT e.src, e.dst, e.p, e.w FROM bg{k - 1} e
+      JOIN bex{k} a ON a.v = e.src AND a.src = e.src AND a.dst = e.dst
+      JOIN bcap{k - 1} ca ON ca.v = e.src AND a.rk <= ca.c
+      JOIN bex{k} b ON b.v = e.dst AND b.src = e.src AND b.dst = e.dst
+      JOIN bcap{k - 1} cb ON cb.v = e.dst AND b.rk <= cb.c
+    ),
+    bcap{k} AS MATERIALIZED (
+      SELECT c.v, c.c - coalesce(wn.n, 0) AS c FROM bcap{k - 1} c
+      LEFT JOIN (
+        SELECT v, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT src AS v FROM bw{k} UNION ALL SELECT dst FROM bw{k}
+        ) GROUP BY v
+      ) wn ON wn.v = c.v
+    ),
+    bg{k} AS MATERIALIZED (
+      SELECT e.src, e.dst, e.p, e.w FROM bg{k - 1} e
+      JOIN bcap{k} cs ON cs.v = e.src AND cs.c > 0
+      JOIN bcap{k} cd ON cd.v = e.dst AND cd.c > 0
+      WHERE NOT EXISTS (
+        SELECT 1 FROM bw{k} x WHERE x.src = e.src AND x.dst = e.dst
+      )
+    )"""
+
+
+@register(
+    "graph_bmatching_greedy",
+    oracle=f"""
+    WITH {ENTITY_EDGES_SQL},
+    bg0 AS MATERIALIZED (
+      SELECT src, dst,
+        (100 - ((src * 7 + dst * 13) % 100 + 1)) * {_BM_P48}
+          + ('0x' || substr(md5('bmat' || src || ':' || dst), 1, 12))::BIGINT
+          AS p,
+        (src * 7 + dst * 13) % 100 + 1 AS w
+      FROM edges
+    ),
+    bcap0 AS MATERIALIZED (
+      SELECT DISTINCT v, CAST({_BM_B} AS BIGINT) AS c FROM (
+        SELECT src AS v FROM bg0 UNION ALL SELECT dst FROM bg0
+      )
+    ),
+    {",".join(_bm_round_sql(k) for k in range(1, _BM_ROUNDS + 1))},
+    bmat AS MATERIALIZED (
+      {" UNION ALL ".join(f"SELECT src, dst, w FROM bw{k}" for k in range(1, _BM_ROUNDS + 1))}
+    ),
+    bdeg AS MATERIALIZED (
+      SELECT v, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT src AS v FROM bmat UNION ALL SELECT dst FROM bmat
+      ) GROUP BY v
+    ),
+    overcap AS (
+      SELECT CAST(count(*) AS BIGINT) AS viol FROM bdeg WHERE n > {_BM_B}
+    ),
+    maxviol AS (
+      SELECT CAST(count(*) AS BIGINT) AS viol FROM bg0 e
+      WHERE NOT EXISTS (
+          SELECT 1 FROM bmat x WHERE x.src = e.src AND x.dst = e.dst
+        )
+        AND coalesce((SELECT n FROM bdeg WHERE v = e.src), 0) < {_BM_B}
+        AND coalesce((SELECT n FROM bdeg WHERE v = e.dst), 0) < {_BM_B}
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM bg0) AS n_edges,
+      (SELECT CAST(count(*) AS BIGINT) FROM bcap0) AS n_vertices,
+      CAST({_BM_B} AS INT) AS b,
+      (SELECT CAST(count(*) AS BIGINT) FROM bmat) AS bmatch_size,
+      (SELECT CAST(sum(w) AS BIGINT) FROM bmat) AS total_weight,
+      (SELECT CAST(sum(src + dst) AS BIGINT) FROM bmat) AS sum_ids,
+      (SELECT viol FROM overcap) = 0 AS feasible,
+      (SELECT viol FROM maxviol) = 0 AS maximal,
+      (SELECT count(*) FROM bg{_BM_ROUNDS}) = 0 AS converged
+    """,
+    doc=f"WEIGHTED b-MATCHING (b = {_BM_B}) — the capacity relaxation "
+    "of graph_matching_greedy over the same argmin-edge round shape "
+    "(round-13 queue #2): each vertex may take up to b partners, "
+    "edges carry a deterministic integer weight ((src*7 + dst*13) % "
+    "100 + 1) and the greedy maximizes weight by processing edges in "
+    "ascending (100 - w)-majored priority (weight desc, portable-md5 "
+    "tiebreak — the 1/2-approximation greedy for maximum-weight "
+    "b-matching). Round kernel (the b-suitor generalization of the "
+    "locally-dominant rule): an undecided edge wins iff its "
+    "per-endpoint rank among undecided incident edges is within the "
+    "REMAINING capacity at BOTH endpoints — 'rank <= cap' is "
+    "invariant under any resolution of the still-undecided "
+    "higher-priority edges (an accept removes the edge AND decrements "
+    "cap; a reject just removes), so every round's winners are "
+    "exactly edges the sequential greedy is already committed to, and "
+    "the fixpoint EQUALS the sequential weight-greedy (pinned "
+    "round==sequential at all three sfs in tests/test_round13_graph"
+    f".py; measured 3/4/5 rounds, {_BM_ROUNDS}-round oracle unroll "
+    "with a loud converged guard). Output carries the b-FEASIBILITY "
+    "proof (no vertex over capacity) and the MAXIMALITY proof (no "
+    "rejected edge has spare capacity at both ends), both computed "
+    "independently on each engine, plus size/weight/id checksums. "
+    "Scale shape: per round one 2|g|-row rank window over the "
+    "shrinking undecided set (map-side combinable expansion), "
+    "capacity state one BIGINT per vertex; the sub-threshold "
+    "driver-local tail finishes the geometric remainder in one "
+    "Arrow collect.",
+)
+def graph_bmatching_greedy(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from graphdatabases_spark.functions import text as T
+    from graphdatabases_spark.relational.graph_queries import (
+        _SYM_LOCAL_EDGE_MAX,
+        _mis_side,
+    )
+
+    w_expr = (F.col("src") * 7 + F.col("dst") * 13) % 100 + 1
+    g = (
+        entity_edges(spark, sf, dedup=True)
+        .withColumn("w", w_expr.cast("long"))
+        .withColumn(
+            "p",
+            (100 - F.col("w")) * F.lit(_BM_P48)
+            + T.portable_hash64(
+                F.concat(
+                    F.lit("bmat"),
+                    F.col("src").cast("string"),
+                    F.lit(":"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_edges = g.count()
+    caps = (
+        g.select(F.col("src").alias("v"))
+        .unionByName(g.select(F.col("dst").alias("v")))
+        .distinct()
+        .withColumn("c", F.lit(_BM_B).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    n_vertices = caps.count()
+    bmat = None
+    n_g = n_edges
+    while n_g > 0:
+        if n_g <= _SYM_LOCAL_EDGE_MAX:
+            # Driver-local tail: the undecided edges plus their
+            # vertices' remaining capacities are the whole state; the
+            # sequential greedy over (p, src, dst) with capacity
+            # bookkeeping equals the remaining fixpoint exactly.
+            import numpy as np
+            import pandas as pd
+
+            epdf = g.select("p", "src", "dst", "w").toPandas()
+            gverts = g.select(F.col("src").alias("v")).unionByName(
+                g.select(F.col("dst").alias("v"))
+            ).distinct()
+            cpdf = caps.join(
+                F.broadcast(gverts), "v", "left_semi"
+            ).toPandas()
+            cap = dict(
+                zip(cpdf["v"].to_numpy().tolist(), cpdf["c"].to_numpy().tolist())
+            )
+            ps = epdf["p"].to_numpy()
+            ss = epdf["src"].to_numpy()
+            ds = epdf["dst"].to_numpy()
+            ws = epdf["w"].to_numpy()
+            order = np.lexsort((ds, ss, ps))
+            rows = []
+            for i in order:
+                a, bb = int(ss[i]), int(ds[i])
+                if cap.get(a, 0) > 0 and cap.get(bb, 0) > 0:
+                    rows.append((a, bb, int(ws[i])))
+                    cap[a] -= 1
+                    cap[bb] -= 1
+            m = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "src": pd.Series([r[0] for r in rows], dtype="int64"),
+                        "dst": pd.Series([r[1] for r in rows], dtype="int64"),
+                        "w": pd.Series([r[2] for r in rows], dtype="int64"),
+                    }
+                )
+            ).localCheckpoint(eager=True)
+            bmat = m if bmat is None else bmat.unionByName(m)
+            break
+        ex = g.select(
+            F.col("src").alias("v"), "src", "dst", "p", "w"
+        ).unionByName(g.select(F.col("dst").alias("v"), "src", "dst", "p", "w"))
+        rk = F.row_number().over(
+            Window.partitionBy("v").orderBy("p", "src", "dst")
+        )
+        exc = (
+            ex.withColumn("rk", rk)
+            .join(_mis_side(caps, n_vertices), "v")
+            .withColumn("ok", (F.col("rk") <= F.col("c")).cast("int"))
+        )
+        win = (
+            exc.groupBy("src", "dst", "p", "w")
+            .agg(F.sum("ok").alias("nok"))
+            .filter(F.col("nok") == 2)
+            .select("src", "dst", "p", "w")
+            .localCheckpoint(eager=True)
+        )
+        bmat = (
+            win.select("src", "dst", "w")
+            if bmat is None
+            else bmat.unionByName(win.select("src", "dst", "w"))
+        )
+        wv = (
+            win.select(F.col("src").alias("v"))
+            .unionByName(win.select(F.col("dst").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        caps = (
+            caps.join(_mis_side(wv, 2 * win.count()), "v", "left")
+            .select(
+                "v", (F.col("c") - F.coalesce(F.col("n"), F.lit(0))).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+        full = caps.filter(F.col("c") <= 0).select("v")
+        g = (
+            g.join(win.select("src", "dst"), ["src", "dst"], "left_anti")
+            .join(
+                _mis_side(full, n_vertices).withColumnRenamed("v", "xsrc"),
+                g.src == F.col("xsrc"),
+                "left_anti",
+            )
+            .join(
+                _mis_side(full, n_vertices).withColumnRenamed("v", "xdst"),
+                F.col("dst") == F.col("xdst"),
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_g = g.count()
+    bmat = bmat.localCheckpoint(eager=True)
+    res = bmat.agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.sum("w").cast("long").alias("tw"),
+        F.sum(F.col("src") + F.col("dst")).cast("long").alias("cks"),
+    ).collect()[0]
+    bdeg = (
+        bmat.select(F.col("src").alias("v"))
+        .unionByName(bmat.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    overcap = bdeg.filter(F.col("n") > _BM_B).count()
+    # Maximality is defined over RESULT degrees (caps may be mid-loop
+    # state after a tail break): a violation is an unmatched edge both
+    # of whose endpoints sit below b in the result.
+    g0 = (
+        entity_edges(spark, sf, dedup=True)
+        .join(bmat.select("src", "dst"), ["src", "dst"], "left_anti")
+    )
+    deg_s = bdeg.select(F.col("v").alias("src"), F.col("n").alias("ns"))
+    deg_d = bdeg.select(F.col("v").alias("dst"), F.col("n").alias("nd"))
+    maxviol = (
+        g0.join(_mis_side(deg_s, n_vertices), "src", "left")
+        .join(_mis_side(deg_d, n_vertices), "dst", "left")
+        .filter(
+            (F.coalesce(F.col("ns"), F.lit(0)) < _BM_B)
+            & (F.coalesce(F.col("nd"), F.lit(0)) < _BM_B)
+        )
+        .count()
+    )
+    return spark.range(1).select(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(n_vertices).cast("long").alias("n_vertices"),
+        F.lit(_BM_B).cast("int").alias("b"),
+        F.lit(res["sz"]).cast("long").alias("bmatch_size"),
+        F.lit(res["tw"]).cast("long").alias("total_weight"),
+        F.lit(res["cks"]).cast("long").alias("sum_ids"),
+        F.lit(overcap == 0).alias("feasible"),
+        F.lit(maxviol == 0).alias("maximal"),
         F.lit(True).alias("converged"),
     )
