@@ -141,6 +141,18 @@ HEADLINE = [
     # shuffle at the 10x step).
     "graph_mis_luby",
     "graph_matching_greedy",
+    # round 13: the incremental repairs (priority-DAG cascade, cold
+    # base kernel + cone-bounded warm phase), capacity-b weighted
+    # matching, the Holt level+trend fold, and the persisted-KLL-store
+    # re-plan composition.
+    "graph_mis_incremental",
+    "graph_matching_incremental",
+    "graph_bmatching_greedy",
+    "events_holt_hourly",
+    "docs_tok_kll_store_replan",
+    # round 13: coloring joins the headline now that the driver-local
+    # tail removed its BSP round floor (44 s -> ~11 s at sf0.1).
+    "graph_coloring_mis",
 ]
 
 
