@@ -218,6 +218,7 @@ def _load_all() -> None:
         tpch_queries,
         graph_queries,
         graph_symmetry_queries,
+        graph_incremental_queries,
         graph_temporal_queries,
         graph_centrality_queries,
         graph_community_queries,

@@ -22,7 +22,7 @@ import hashlib
 import pytest
 
 from graphdatabases_spark.relational.graph_queries import ENTITY_EDGES_SQL
-from graphdatabases_spark.relational.graph_symmetry_queries import _MI_MOD
+from graphdatabases_spark.relational.graph_incremental_queries import _MI_MOD
 
 from tests.oracle_utils import duckdb_connection
 
