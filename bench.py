@@ -149,6 +149,7 @@ HEADLINE = [
     "graph_matching_incremental",
     "graph_bmatching_greedy",
     "events_holt_hourly",
+    "events_holt_winters_hourly",
     "docs_tok_kll_store_replan",
     # round 13: coloring joins the headline now that the driver-local
     # tail removed its BSP round floor (44 s -> ~11 s at sf0.1).

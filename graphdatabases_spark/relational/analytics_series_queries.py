@@ -300,3 +300,173 @@ def events_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("hour_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (level + trend + 24h season)
+# ---------------------------------------------------------------------------
+
+_HW_M = 24  # season period: hour-of-day over the hourly series
+# Power-of-two smoothing rates, STABILITY-TUNED on a synthetic square
+# wave (tests/test_round13_ops.py): beta = alpha = gamma = 1/4 makes
+# the coupled level-trend pair resonate (level swung 18..225 on an
+# amplitude-50 signal); beta an order below alpha damps it, and the
+# tuned triple beats plain Holt's forecast miss 6x after 10 periods.
+_HW_A = 8   # alpha = 1/8 (level)
+_HW_B = 16  # beta = 1/16 (trend)
+_HW_G = 4   # gamma = 1/4 (season)
+_HW_SCALE = 1_000_000
+_HW_ZEROS = "[" + ", ".join(["CAST(0 AS BIGINT)"] * _HW_M) + "]"
+
+
+@register(
+    "events_holt_winters_hourly",
+    oracle=f"""
+    WITH RECURSIVE hr AS (
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY hour_ts
+    ),
+    rk AS (
+      SELECT hour_ts, n,
+        CAST(row_number() OVER (ORDER BY hour_ts) AS BIGINT) AS rn
+      FROM hr
+    ),
+    hw(rn, l, t, ss) AS (
+      SELECT rn, n * {_HW_SCALE}, CAST(0 AS BIGINT),
+             {_HW_ZEROS}
+      FROM rk WHERE rn = 1
+      UNION ALL
+      SELECT rn, l2,
+        (l2 - l + {_HW_B - 1} * t) // {_HW_B},
+        ss[2:] || [(nsc - l2 + {_HW_G - 1} * sm) // {_HW_G}]
+      FROM (
+        SELECT r.rn AS rn, h.l AS l, h.t AS t, h.ss AS ss,
+               h.ss[1] AS sm, r.n * {_HW_SCALE} AS nsc,
+               (r.n * {_HW_SCALE} - h.ss[1]
+                 + {_HW_A - 1} * (h.l + h.t)) // {_HW_A} AS l2
+        FROM hw h JOIN rk r ON r.rn = h.rn + 1
+      )
+    )
+    SELECT r.hour_ts, r.n AS n_events,
+      CAST(e.l AS BIGINT) AS level_units,
+      CAST(e.t AS BIGINT) AS trend_units,
+      CAST(e.ss[{_HW_M}] AS BIGINT) AS seasonal_units,
+      CAST(p.l + p.t + p.ss[1] AS BIGINT) AS forecast_units,
+      CAST(r.n * {_HW_SCALE} - (p.l + p.t + p.ss[1]) AS BIGINT)
+        AS miss_units
+    FROM rk r
+    JOIN hw e ON e.rn = r.rn
+    JOIN hw p ON p.rn = r.rn - 1
+    WHERE r.rn > 1
+    ORDER BY r.hour_ts
+    """,
+    doc="HOLT-WINTERS ADDITIVE SEASONAL SMOOTHING over the hourly "
+    "event series — the third member of the recursive-fold family "
+    "(EWMA: level; Holt: level+trend; this: level + trend + a "
+    f"{_HW_M}-slot hour-of-day seasonal): l_t = alpha*(x_t - "
+    "s_(t-m)) + (1-alpha)*(l_(t-1) + t_(t-1)), t_t = beta*(l_t - "
+    "l_(t-1)) + (1-beta)*t_(t-1), s_t = gamma*(x_t - l_t) + "
+    f"(1-gamma)*s_(t-m), alpha = 1/{_HW_A}, beta = 1/{_HW_B}, gamma "
+    f"= 1/{_HW_G} (stability-tuned on a square wave — equal rates "
+    "resonate the level-trend pair; see the constants' note), counts in "
+    f"{_HW_SCALE} micro-units, deterministic zero-seasonal cold "
+    "start. The fold STATE carries the rolling m-slot seasonal "
+    "window as an array (slide-one-append per step) alongside (l, t) "
+    "— the shape a plain window function cannot express twice over "
+    "(the recurrence consumes its own output at lag 1 AND lag m). "
+    "All three recurrences are toward-zero integer division "
+    "(Spark div == DuckDB //, both signs), so the coupled 720-step "
+    "chain is bit-identical across engines. Spark evaluates it as "
+    "ONE JVM expression fold over the hour-sorted array (array state "
+    "via slice+concat); the oracle is a linear recursive CTE whose "
+    "LIST column carries the same window. Each row serves level, "
+    "trend, the updated seasonal, the season-aware one-step forecast "
+    "l + t + s_(t-m), and the forecast miss — the anomaly signal "
+    "that stays quiet on daily-periodic load where the Holt miss "
+    "pages every morning ramp. Scale shape: combinable hourly count "
+    "at any scale, value-bounded (<= 720 buckets) serving-side fold, "
+    "state O(m) integers, no driver collect, no Python UDF.",
+)
+def events_holt_winters_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    hr = (
+        table(spark, sf, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    def tdiv(a, b):
+        return ((a - a % b) / b).cast("long")
+
+    def step_exprs(acc, x):
+        nsc = x["n"] * F.lit(_HW_SCALE).cast("long")
+        sm = F.element_at(acc["ss"], 1)
+        lnew = tdiv(nsc - sm + (_HW_A - 1) * (acc["l"] + acc["t"]), _HW_A)
+        tnew = tdiv(lnew - acc["l"] + (_HW_B - 1) * acc["t"], _HW_B)
+        snew = tdiv(nsc - lnew + (_HW_G - 1) * sm, _HW_G)
+        fc = acc["l"] + acc["t"] + sm
+        return nsc, sm, lnew, tnew, snew, fc
+
+    init = F.struct(
+        F.lit(False).alias("started"),
+        F.lit(0).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("t"),
+        F.array_repeat(F.lit(0).cast("long"), _HW_M).alias("ss"),
+        F.array()
+        .cast(
+            "array<struct<hour_ts:timestamp,n:bigint,l:bigint,t:bigint,"
+            "s:bigint,fc:bigint,miss:bigint>>"
+        )
+        .alias("out"),
+    )
+
+    def step(acc, x):
+        nsc, sm, lnew, tnew, snew, fc = step_exprs(acc, x)
+        first_l = nsc
+        return F.struct(
+            F.lit(True).alias("started"),
+            F.when(~acc["started"], first_l).otherwise(lnew).alias("l"),
+            F.when(~acc["started"], F.lit(0).cast("long"))
+            .otherwise(tnew)
+            .alias("t"),
+            F.when(~acc["started"], acc["ss"])
+            .otherwise(
+                F.concat(F.slice(acc["ss"], 2, _HW_M - 1), F.array(snew))
+            )
+            .alias("ss"),
+            F.when(~acc["started"], acc["out"])
+            .otherwise(
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            x["hour_ts"].alias("hour_ts"),
+                            x["n"].alias("n"),
+                            lnew.alias("l"),
+                            tnew.alias("t"),
+                            snew.alias("s"),
+                            fc.alias("fc"),
+                            (nsc - fc).alias("miss"),
+                        )
+                    ),
+                )
+            )
+            .alias("out"),
+        )
+
+    folded = hr.agg(
+        F.sort_array(F.collect_list(F.struct("hour_ts", "n"))).alias("xs")
+    ).select(F.aggregate(F.col("xs"), init, step)["out"].alias("rows"))
+    return (
+        folded.select(F.explode("rows").alias("r"))
+        .select(
+            F.col("r.hour_ts").alias("hour_ts"),
+            F.col("r.n").alias("n_events"),
+            F.col("r.l").alias("level_units"),
+            F.col("r.t").alias("trend_units"),
+            F.col("r.s").alias("seasonal_units"),
+            F.col("r.fc").alias("forecast_units"),
+            F.col("r.miss").alias("miss_units"),
+        )
+        .orderBy("hour_ts")
+    )
