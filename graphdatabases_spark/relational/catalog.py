@@ -258,44 +258,10 @@ def _load_all() -> None:
 # covers the new round-7 entries (tier 0) followed by the oldest
 # remaining r3/r4-stale cohort.
 _VERIFIED_ROUND: dict[str, int] = {
-    # r7 cohort
-    "customer_kanon_audit": 7,
-    "docs_bpe_apply": 7,
-    "docs_bpe_fertility": 7,
-    "docs_bpe_subword": 7,
-    "docs_filter_funnel": 7,
-    "docs_intradoc_dedup": 7,
-    "docs_rebalance_quality": 7,
-    "docs_rebalance_select": 7,
-    "docs_split_contamination": 7,
-    "docs_split_manifest": 7,
-    "docs_split_rebalance": 7,
-    "docs_substring_spans": 7,
-    "docs_substring_strip": 7,
-    "docs_val_novelty": 7,
-    "events_conversion_latency_quantiles": 7,
-    "events_cuped_adjustment": 7,
-    "events_next_match_veto": 7,
-    "events_session_gap_curve": 7,
-    "lineitem_zorder_incremental_scan": 7,
-    "orders_pareto_share": 7,
-    "orders_quantile_histogram": 7,
-    "orders_tdigest_merge": 7,
-    "orders_tdigest_sketch": 7,
-    "orders_trimmed_mean": 7,
     # r8 cohort
-    "agg_approx_count_distinct": 8,
-    "agg_collect_set": 8,
-    "agg_count_distinct": 8,
-    "agg_cube": 8,
-    "agg_grouping_sets": 8,
     "agg_mode_status_priority": 8,
-    "agg_rollup": 8,
-    "agg_stats": 8,
     "customer_ldiversity_audit": 8,
     "dedup_connected_clusters": 8,
-    "dedup_prefix_jaccard": 8,
-    "dedup_semantic_semdedup": 8,
     "docs_bigram_lm_score": 8,
     "docs_contamination_n_curve": 8,
     "docs_orc_scan": 8,
@@ -311,28 +277,17 @@ _VERIFIED_ROUND: dict[str, int] = {
     "events_rollup_multires": 8,
     "events_type_transitions": 8,
     "fuzzy_levenshtein_parts": 8,
-    "graph_betweenness_sampled": 8,
-    "graph_clustering_coeff": 8,
-    "join_anti": 8,
-    "join_theta_pairs": 8,
     "lineitem_kmv_setops": 8,
     "merge_upsert_orders": 8,
     "orders_incremental_agg": 8,
     "orders_validity_intervals": 8,
     "sample_systematic_orders": 8,
     "scalar_array_funcs": 8,
-    "similarity_ivfpq_recall": 8,
-    "similarity_pq_recall": 8,
     "split_assign_orders": 8,
     "stat_linreg_orders": 8,
     "text_vocab_coverage": 8,
     "window_first_last_frames": 8,
-    "window_lag_lead": 8,
     "window_percent_rank_price": 8,
-    "window_range_frame": 8,
-    "window_rank": 8,
-    "window_running_sum": 8,
-    "window_topk_per_group": 8,
     # r9 cohort
     "copurchase_lift": 9,
     "dedup_keep_first_normalized": 9,
@@ -534,6 +489,57 @@ _VERIFIED_ROUND: dict[str, int] = {
     "text_cms_heavy_hitters": 12,
     "text_cms_merge": 12,
     "text_rake_keywords": 12,
+    # r13 cohort
+    "agg_approx_count_distinct": 13,
+    "agg_collect_set": 13,
+    "agg_count_distinct": 13,
+    "agg_cube": 13,
+    "agg_grouping_sets": 13,
+    "agg_rollup": 13,
+    "agg_stats": 13,
+    "customer_kanon_audit": 13,
+    "dedup_prefix_jaccard": 13,
+    "dedup_semantic_semdedup": 13,
+    "docs_bpe_apply": 13,
+    "docs_bpe_fertility": 13,
+    "docs_bpe_subword": 13,
+    "docs_filter_funnel": 13,
+    "docs_intradoc_dedup": 13,
+    "docs_rebalance_quality": 13,
+    "docs_rebalance_select": 13,
+    "docs_split_contamination": 13,
+    "docs_split_manifest": 13,
+    "docs_split_rebalance": 13,
+    "docs_substring_spans": 13,
+    "docs_substring_strip": 13,
+    "docs_tok_kll_store_replan": 13,
+    "docs_val_novelty": 13,
+    "events_conversion_latency_quantiles": 13,
+    "events_cuped_adjustment": 13,
+    "events_holt_hourly": 13,
+    "events_holt_winters_hourly": 13,
+    "events_next_match_veto": 13,
+    "events_session_gap_curve": 13,
+    "graph_betweenness_sampled": 13,
+    "graph_bmatching_greedy": 13,
+    "graph_clustering_coeff": 13,
+    "graph_matching_incremental": 13,
+    "graph_mis_incremental": 13,
+    "join_anti": 13,
+    "join_theta_pairs": 13,
+    "lineitem_zorder_incremental_scan": 13,
+    "orders_pareto_share": 13,
+    "orders_quantile_histogram": 13,
+    "orders_tdigest_merge": 13,
+    "orders_tdigest_sketch": 13,
+    "orders_trimmed_mean": 13,
+    "similarity_ivfpq_recall": 13,
+    "similarity_pq_recall": 13,
+    "window_lag_lead": 13,
+    "window_range_frame": 13,
+    "window_rank": 13,
+    "window_running_sum": 13,
+    "window_topk_per_group": 13,
 }
 
 
