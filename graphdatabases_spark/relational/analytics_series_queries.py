@@ -226,8 +226,12 @@ def events_holt_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
     def tdiv(a, b):
         # toward-zero integer division as an exact JVM expression:
-        # a - a%b is an exact multiple of b, |values| << 2^53
-        return ((a - a % b) / b).cast("long")
+        # a - a%b is an exact multiple of b, and the division runs in
+        # decimal(38,0) (not double), so the fold stays bit-exact over
+        # the FULL long range — the earlier double path silently lost
+        # exactness above 2^53 (advice r13), which micro-unit-scaled
+        # hourly counts can reach at extreme corpus sizes.
+        return ((a - a % b).cast("decimal(38,0)") / b).cast("long")
 
     def lnew(acc, x):
         return tdiv(
@@ -396,7 +400,9 @@ def events_holt_winters_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def tdiv(a, b):
-        return ((a - a % b) / b).cast("long")
+        # decimal(38,0) integral division — exact over the full long
+        # range (see events_holt_hourly's tdiv).
+        return ((a - a % b).cast("decimal(38,0)") / b).cast("long")
 
     def step_exprs(acc, x):
         nsc = x["n"] * F.lit(_HW_SCALE).cast("long")

@@ -15,10 +15,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphdatabases_spark.relational.catalog import register
+from graphdatabases_spark.relational.graph_kernels import (
+    _SYM_LOCAL_EDGE_MAX,
+    _SYM_LOCAL_V_MAX,
+    _mis_kernel,
+    _mis_side,
+    _sym_partition_key,
+)
 from graphdatabases_spark.relational.graph_queries import (
     ENTITY_EDGES_SQL,
-    _mis_kernel,
-    _sym_partition_key,
     entity_edges,
 )
 
@@ -154,7 +159,7 @@ def _mi_mis_union(tag: str) -> str:
 )
 def graph_mis_incremental(spark: SparkSession, sf: str) -> DataFrame:
     from graphdatabases_spark.functions import text as T
-    from graphdatabases_spark.relational.graph_queries import _mis_side
+    from graphdatabases_spark.relational.graph_kernels import _mis_side
 
     edges = entity_edges(spark, sf, dedup=True).localCheckpoint(eager=True)
     is_batch = ((F.col("src") + F.col("dst")) % _MI_MOD) == 0
@@ -427,7 +432,13 @@ def graph_mis_incremental(spark: SparkSession, sf: str) -> DataFrame:
 _MMI_ROUNDS = 10  # oracle unroll per phase (cold fixpoint 5/5/6 measured)
 
 
-def _mat_cascade_local(spark, x: DataFrame, vstat0: DataFrame, dirty_df: DataFrame):
+def _mat_cascade_local(
+    spark,
+    x: DataFrame,
+    vstat0: DataFrame,
+    dirty_df: DataFrame,
+    b: int = 1,
+):
     """Driver-local matching cascade with LAZY adjacency fetches: the
     cascade's working state (batch edges, per-vertex true-h lists,
     status overrides) is cone-sized, so run the relaxation in-process
@@ -435,8 +446,28 @@ def _mat_cascade_local(spark, x: DataFrame, vstat0: DataFrame, dirty_df: DataFra
     bounded Spark job per round — ~1 job/round instead of the
     distributed loop's ~8 actions/round of scheduling floor.  Exact
     same fixpoint (the pure-Python replay IS this algorithm).  Returns
-    the (dsrc, ddst, dls) status-override relation."""
-    from graphdatabases_spark.relational.graph_queries import _ids_df
+    the (dsrc, ddst, dls) status-override relation, or ``None`` when a
+    fetch would exceed the Arrow collect budget — the guard at the
+    call site bounds batch size and base-matching size but NOT vertex
+    degree, and a hub endpoint would otherwise pull its entire
+    neighborhood to the driver (the same blowup the distributed warm
+    path was redesigned to avoid).  Each fetch is therefore counted
+    before collecting (as _induced_local does) against a cumulative
+    _SYM_LOCAL_EDGE_MAX budget; on breach the caller falls back to the
+    distributed relaxation, which reads only per-vertex matched-state
+    and is hub-safe by construction.
+
+    ``b`` (round 14): per-vertex capacity — blocked(e at v) is "at
+    least b true adjacent edges with smaller h", which for b = 1 is
+    exactly the maximal-matching rule; graph_bmatching_incremental
+    passes its capacity and an EXPLODED vstat0 (one row per base-true
+    h per endpoint), and the same cascade repairs the b-matching."""
+    from graphdatabases_spark.relational.graph_kernels import (
+        _SYM_LOCAL_EDGE_MAX,
+        _ids_df,
+    )
+
+    fetched_rows = 0
 
     vtrue: dict[int, list[int]] = {}
     for r in vstat0.toPandas().itertuples(index=False):
@@ -463,7 +494,7 @@ def _mat_cascade_local(spark, x: DataFrame, vstat0: DataFrame, dirty_df: DataFra
         for e in dirty_set:
             he = hmap[e]
             blocked = any(
-                any(hh < he for hh in vtrue.get(v, ())) for v in e
+                sum(1 for hh in vtrue.get(v, ()) if hh < he) >= b for v in e
             )
             ns = not blocked
             if ns != stat(e):
@@ -478,13 +509,21 @@ def _mat_cascade_local(spark, x: DataFrame, vstat0: DataFrame, dirty_df: DataFra
             av.add(e[1])
         new_verts = [v for v in av if v not in fetched]
         if new_verts:
-            rows = x.join(
+            sel = x.join(
                 F.broadcast(
                     _ids_df(spark, new_verts).withColumnRenamed("id", "v")
                 ),
                 "v",
                 "left_semi",
-            ).toPandas()
+            )
+            # Degree guard: count before collecting.  The broadcast
+            # semi costs no exchange; a rejected probe wastes one scan
+            # of the checkpointed index, an accepted one recomputes it
+            # straight into Arrow.
+            fetched_rows += sel.count()
+            if fetched_rows > _SYM_LOCAL_EDGE_MAX:
+                return None
+            rows = sel.toPandas()
             for rr in rows.itertuples(index=False):
                 e = (int(rr.fsrc), int(rr.fdst))
                 hmap.setdefault(e, int(rr.fh))
@@ -503,8 +542,8 @@ def _mat_cascade_local(spark, x: DataFrame, vstat0: DataFrame, dirty_df: DataFra
                 for f, hf in adj.get(v, ()):
                     if f == e:
                         continue
-                    po = any(hh < hf for hh in old)
-                    pn = any(hh < hf for hh in hs)
+                    po = sum(1 for hh in old if hh < hf) >= b
+                    pn = sum(1 for hh in hs if hh < hf) >= b
                     if po != pn:
                         dirty_set.add(f)
     import pandas as pd
@@ -529,6 +568,200 @@ def _mat_cascade_local(spark, x: DataFrame, vstat0: DataFrame, dirty_df: DataFra
              "dls": pd.Series([], dtype="bool")}
         )
     ).localCheckpoint(eager=True), len(overrides)
+
+
+def _line_warm_repair(
+    spark,
+    x: DataFrame,
+    vstat0: DataFrame,
+    dirty: DataFrame,
+    n_dirty: int,
+    n_vstat0: int,
+    b: int = 1,
+):
+    """Shared warm-phase cascade for the line-graph repair entries
+    (graph_matching_incremental b = 1, graph_bmatching_incremental
+    b = capacity): relax edge statuses from the dirty seed until the
+    unique priority-DAG fixpoint, returning the ``(delta, n_delta)``
+    status-override relation.  blocked(e at v) = "at least b true
+    adjacent edges with smaller h" — a pure function of the strictly-
+    higher-priority adjacent edges, so chaotic relaxation converges to
+    the cold greedy fixpoint for ANY capacity.  Inputs: ``x`` the
+    endpoint index (v, fsrc, fdst, fh, fs), ``vstat0`` the EXPLODED
+    base vertex state (one (v, m1) row per base-true h per endpoint —
+    <= b rows per vertex at a fixpoint), ``dirty`` the seed edges
+    (src, dst, h, s).  Tries the driver-local cascade below the Arrow
+    bounds (hub-degree-guarded — bails back here on breach), then the
+    distributed relaxation whose per-round joins broadcast the
+    cascade-cone-sized side only."""
+    delta = spark.createDataFrame([], "dsrc long, ddst long, dls boolean")
+    n_delta = 0
+    vdelta = spark.createDataFrame([], "v long, hs array<bigint>")
+    n_vdelta = 0
+    if (
+        n_dirty > 0
+        and n_dirty <= _SYM_LOCAL_EDGE_MAX
+        and n_vstat0 <= _SYM_LOCAL_V_MAX
+    ):
+        # None = a lazy fetch breached the degree-aware edge budget
+        # (hub endpoint); fall through to the distributed path.
+        res = _mat_cascade_local(spark, x, vstat0, dirty, b=b)
+        if res is not None:
+            return res
+    if n_dirty == 0:
+        return delta, n_delta
+    empty_arr = F.array().cast("array<bigint>")
+    # Base state as per-vertex sorted arrays (b-safe: the exploded
+    # form would fan the judged join out b-fold per endpoint).
+    vstat0a = (
+        vstat0.groupBy("v")
+        .agg(F.array_sort(F.collect_list("m1")).alias("hs0"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _blocked_at(side: str):
+        # blocked at an endpoint: at least b true edges there with
+        # h < ours — strict <, so the edge itself never blocks.
+        vd = _mis_side(
+            vdelta.select(F.col("v").alias(f"{side}v"), F.col("hs").alias(f"{side}hs")),
+            n_vdelta,
+        )
+        v0 = _mis_side(
+            vstat0a.select(
+                F.col("v").alias(f"{side}v0"), F.col("hs0").alias(f"{side}hs0")
+            ),
+            n_vstat0,
+        )
+        return vd, v0
+
+    def _blk(side: str):
+        eff = F.coalesce(
+            F.col(f"{side}hs"), F.col(f"{side}hs0"), empty_arr
+        )
+        return F.size(F.filter(eff, lambda hh: hh < F.col("h"))) >= b
+
+    while n_dirty > 0:
+        svd, sv0 = _blocked_at("s")
+        dvd, dv0 = _blocked_at("d")
+        judged = (
+            dirty.join(svd, dirty.src == F.col("sv"), "left")
+            .join(sv0, dirty.src == F.col("sv0"), "left")
+            .join(dvd, dirty.dst == F.col("dv"), "left")
+            .join(dv0, dirty.dst == F.col("dv0"), "left")
+            .withColumn("blk_s", _blk("s"))
+            .withColumn("blk_d", _blk("d"))
+            .withColumn("s_new", ~(F.col("blk_s") | F.col("blk_d")))
+        )
+        changed = (
+            judged.filter(F.col("s_new") != F.col("s"))
+            .select("src", "dst", "h", F.col("s_new").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = changed.count()
+        if n_changed == 0:
+            break
+        delta = (
+            delta.join(
+                changed.select(
+                    F.col("src").alias("dsrc"), F.col("dst").alias("ddst")
+                ),
+                ["dsrc", "ddst"],
+                "left_anti",
+            )
+            .unionByName(
+                changed.select(
+                    F.col("src").alias("dsrc"),
+                    F.col("dst").alias("ddst"),
+                    F.col("s").alias("dls"),
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_delta = delta.count()
+        # Vertices whose state changed: recompute their true-edge
+        # h-lists from the endpoint index (one broadcast-filtered scan;
+        # group sizes are the handful of true edges per vertex), and
+        # keep the OLD list alongside for the propagation filter.
+        av = (
+            changed.select(F.col("src").alias("v"))
+            .unionByName(changed.select(F.col("dst").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_av = av.count()
+        trues = (
+            x.join(_mis_side(av, n_av), "v")
+            .join(
+                _mis_side(delta, n_delta),
+                (F.col("fsrc") == F.col("dsrc"))
+                & (F.col("fdst") == F.col("ddst")),
+                "left",
+            )
+            .filter(F.coalesce(F.col("dls"), F.col("fs")))
+            .groupBy("v")
+            .agg(F.array_sort(F.collect_list("fh")).alias("hs"))
+        )
+        av_states = (
+            av.join(trues, "v", "left")
+            .join(_mis_side(vdelta.withColumnRenamed("hs", "ohs"), n_vdelta), "v", "left")
+            .join(
+                _mis_side(
+                    vstat0a.select(F.col("v").alias("v"), F.col("hs0").alias("ohs0")),
+                    n_vstat0,
+                ),
+                "v",
+                "left",
+            )
+            .select(
+                "v",
+                F.coalesce(F.col("hs"), empty_arr).alias("nhs"),
+                F.coalesce(F.col("ohs"), F.col("ohs0"), empty_arr).alias("ohs"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        vdelta = (
+            vdelta.join(av_states.select("v"), "v", "left_anti")
+            .unionByName(av_states.select("v", F.col("nhs").alias("hs")))
+            .localCheckpoint(eager=True)
+        )
+        n_vdelta = vdelta.count()
+        # Next dirty set: edges at a state-changed vertex whose
+        # blocking predicate ACTUALLY flips there (count-below-b
+        # against the old vs new true-h list differs) — without this
+        # filter a hub's single state change re-dirtied its whole
+        # neighborhood.
+        dirty = (
+            x.join(_mis_side(av_states, n_av), "v")
+            .withColumn(
+                "po",
+                F.size(F.filter(F.col("ohs"), lambda hh: hh < F.col("fh"))) >= b,
+            )
+            .withColumn(
+                "pn",
+                F.size(F.filter(F.col("nhs"), lambda hh: hh < F.col("fh"))) >= b,
+            )
+            .filter(F.col("po") != F.col("pn"))
+            .select(
+                F.col("fsrc").alias("src"),
+                F.col("fdst").alias("dst"),
+                F.col("fh").alias("h"),
+                F.col("fs").alias("sb"),
+            )
+            .distinct()
+            .join(
+                _mis_side(delta, n_delta),
+                (F.col("src") == F.col("dsrc"))
+                & (F.col("dst") == F.col("ddst")),
+                "left",
+            )
+            .select(
+                "src", "dst", "h",
+                F.coalesce(F.col("dls"), F.col("sb")).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_dirty = dirty.count()
+    return delta, n_delta
 
 
 def _mmi_round_sql(tag: str, k: int) -> str:
@@ -646,7 +879,7 @@ def _mmi_mat_union(tag: str) -> str:
 )
 def graph_matching_incremental(spark: SparkSession, sf: str) -> DataFrame:
     from graphdatabases_spark.functions import text as T
-    from graphdatabases_spark.relational.graph_queries import (
+    from graphdatabases_spark.relational.graph_kernels import (
         _matching_kernel,
         _mis_side,
     )
@@ -742,178 +975,12 @@ def graph_matching_incremental(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_vstat0 = 2 * base_row["sz"]
-    delta = spark.createDataFrame([], "dsrc long, ddst long, dls boolean")
-    n_delta = 0
-    vdelta = spark.createDataFrame([], "v long, hs array<bigint>")
-    n_vdelta = 0
-    from graphdatabases_spark.relational.graph_queries import (
-        _SYM_LOCAL_EDGE_MAX,
-        _SYM_LOCAL_V_MAX,
+    # Warm phase: the shared line-graph cascade (b = 1 is the
+    # maximal-matching rule) — driver-local below the Arrow bounds
+    # with the hub-degree bail, distributed relaxation above.
+    delta, n_delta = _line_warm_repair(
+        spark, x, vstat0, dirty, n_dirty, n_vstat0, b=1
     )
-
-    # Sub-threshold driver-local cascade (the symmetry-family tail
-    # discipline): the working state is batch + base-matching sized,
-    # so below the Arrow bounds run it in-process with one lazy
-    # adjacency fetch per round; the distributed relaxation below is
-    # the above-threshold path.
-    if (
-        n_dirty > 0
-        and n_batch_edges <= _SYM_LOCAL_EDGE_MAX
-        and n_vstat0 <= _SYM_LOCAL_V_MAX
-    ):
-        delta, n_delta = _mat_cascade_local(spark, x, vstat0, dirty)
-        n_dirty = 0
-
-    def _blocked_at(side: str):
-        # blocked at an endpoint: some true edge there with h < ours —
-        # strict <, so the edge itself (h equal) never blocks.
-        vd = _mis_side(
-            vdelta.select(F.col("v").alias(f"{side}v"), F.col("hs").alias(f"{side}hs")),
-            n_vdelta,
-        )
-        v0 = _mis_side(
-            vstat0.select(F.col("v").alias(f"{side}v0"), F.col("m1").alias(f"{side}m1")),
-            n_vstat0,
-        )
-        return vd, v0
-
-    while n_dirty > 0:
-        svd, sv0 = _blocked_at("s")
-        dvd, dv0 = _blocked_at("d")
-        judged = (
-            dirty.join(svd, dirty.src == F.col("sv"), "left")
-            .join(sv0, dirty.src == F.col("sv0"), "left")
-            .join(dvd, dirty.dst == F.col("dv"), "left")
-            .join(dv0, dirty.dst == F.col("dv0"), "left")
-            .withColumn(
-                "blk_s",
-                F.when(
-                    F.col("shs").isNotNull(),
-                    F.exists(F.col("shs"), lambda hh: hh < F.col("h")),
-                ).otherwise(F.coalesce(F.col("sm1") < F.col("h"), F.lit(False))),
-            )
-            .withColumn(
-                "blk_d",
-                F.when(
-                    F.col("dhs").isNotNull(),
-                    F.exists(F.col("dhs"), lambda hh: hh < F.col("h")),
-                ).otherwise(F.coalesce(F.col("dm1") < F.col("h"), F.lit(False))),
-            )
-            .withColumn("s_new", ~(F.col("blk_s") | F.col("blk_d")))
-        )
-        changed = (
-            judged.filter(F.col("s_new") != F.col("s"))
-            .select("src", "dst", "h", F.col("s_new").alias("s"))
-            .localCheckpoint(eager=True)
-        )
-        n_changed = changed.count()
-        if n_changed == 0:
-            break
-        delta = (
-            delta.join(
-                changed.select(
-                    F.col("src").alias("dsrc"), F.col("dst").alias("ddst")
-                ),
-                ["dsrc", "ddst"],
-                "left_anti",
-            )
-            .unionByName(
-                changed.select(
-                    F.col("src").alias("dsrc"),
-                    F.col("dst").alias("ddst"),
-                    F.col("s").alias("dls"),
-                )
-            )
-            .localCheckpoint(eager=True)
-        )
-        n_delta = delta.count()
-        # Vertices whose state changed: recompute their true-edge
-        # h-lists from the endpoint index (one broadcast-filtered scan;
-        # group sizes are the handful of true edges per vertex), and
-        # keep the OLD list alongside for the propagation filter.
-        av = (
-            changed.select(F.col("src").alias("v"))
-            .unionByName(changed.select(F.col("dst").alias("v")))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        n_av = av.count()
-        trues = (
-            x.join(_mis_side(av, n_av), "v")
-            .join(
-                _mis_side(delta, n_delta),
-                (F.col("fsrc") == F.col("dsrc"))
-                & (F.col("fdst") == F.col("ddst")),
-                "left",
-            )
-            .filter(F.coalesce(F.col("dls"), F.col("fs")))
-            .groupBy("v")
-            .agg(F.array_sort(F.collect_list("fh")).alias("hs"))
-        )
-        av_states = (
-            av.join(trues, "v", "left")
-            .join(_mis_side(vdelta.withColumnRenamed("hs", "ohs"), n_vdelta), "v", "left")
-            .join(
-                _mis_side(
-                    vstat0.select(F.col("v").alias("v"), F.col("m1").alias("om1")),
-                    n_vstat0,
-                ),
-                "v",
-                "left",
-            )
-            .select(
-                "v",
-                F.coalesce(F.col("hs"), F.array().cast("array<bigint>")).alias(
-                    "nhs"
-                ),
-                F.coalesce(
-                    F.col("ohs"),
-                    F.when(
-                        F.col("om1").isNotNull(), F.array(F.col("om1"))
-                    ).otherwise(F.array().cast("array<bigint>")),
-                ).alias("ohs"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        vdelta = (
-            vdelta.join(av_states.select("v"), "v", "left_anti")
-            .unionByName(av_states.select("v", F.col("nhs").alias("hs")))
-            .localCheckpoint(eager=True)
-        )
-        n_vdelta = vdelta.count()
-        # Next dirty set: edges at a state-changed vertex whose
-        # blocking predicate ACTUALLY flips there (strict-< against
-        # the old vs new true-h list differs) — without this filter a
-        # hub's single state change re-dirtied its whole neighborhood.
-        dirty = (
-            x.join(_mis_side(av_states, n_av), "v")
-            .withColumn(
-                "po", F.exists(F.col("ohs"), lambda hh: hh < F.col("fh"))
-            )
-            .withColumn(
-                "pn", F.exists(F.col("nhs"), lambda hh: hh < F.col("fh"))
-            )
-            .filter(F.col("po") != F.col("pn"))
-            .select(
-                F.col("fsrc").alias("src"),
-                F.col("fdst").alias("dst"),
-                F.col("fh").alias("h"),
-                F.col("fs").alias("sb"),
-            )
-            .distinct()
-            .join(
-                _mis_side(delta, n_delta),
-                (F.col("src") == F.col("dsrc"))
-                & (F.col("dst") == F.col("ddst")),
-                "left",
-            )
-            .select(
-                "src", "dst", "h",
-                F.coalesce(F.col("dls"), F.col("sb")).alias("s"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        n_dirty = dirty.count()
     final = (
         estat.join(
             _mis_side(delta, n_delta),
@@ -968,5 +1035,345 @@ def graph_matching_incremental(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(n_changed_edges).cast("long").alias("n_changed_edges"),
         F.lit(conflict == 0).alias("is_matching"),
         F.lit(free_viol == 0).alias("maximal"),
+        F.lit(True).alias("converged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental b-matching repair (capacity cascade on the line graph)
+# ---------------------------------------------------------------------------
+
+_BMI_ROUNDS = 8  # oracle unroll per phase (converged guard; the cold
+                 # b-matching fixpoint measured 3/4/5 rounds at the 3
+                 # sfs — the base split shifts it by at most one)
+
+
+def _bmi_round_sql(tag: str, k: int) -> str:
+    """One b-matching round over ``{tag}g{k-1}`` / ``{tag}cap{k-1}``
+    (graph_bmatching_greedy's _bm_round_sql parameterized by prefix for
+    the base/appended side-by-side unroll)."""
+    return f"""
+    {tag}ex{k} AS MATERIALIZED (
+      SELECT v, src, dst, p,
+        row_number() OVER (PARTITION BY v ORDER BY p, src, dst) AS rk
+      FROM (
+        SELECT src AS v, src, dst, p FROM {tag}g{k - 1}
+        UNION ALL SELECT dst, src, dst, p FROM {tag}g{k - 1}
+      )
+    ),
+    {tag}w{k} AS MATERIALIZED (
+      SELECT e.src, e.dst, e.p, e.w FROM {tag}g{k - 1} e
+      JOIN {tag}ex{k} a ON a.v = e.src AND a.src = e.src AND a.dst = e.dst
+      JOIN {tag}cap{k - 1} ca ON ca.v = e.src AND a.rk <= ca.c
+      JOIN {tag}ex{k} b ON b.v = e.dst AND b.src = e.src AND b.dst = e.dst
+      JOIN {tag}cap{k - 1} cb ON cb.v = e.dst AND b.rk <= cb.c
+    ),
+    {tag}cap{k} AS MATERIALIZED (
+      SELECT c.v, c.c - coalesce(wn.n, 0) AS c FROM {tag}cap{k - 1} c
+      LEFT JOIN (
+        SELECT v, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT src AS v FROM {tag}w{k} UNION ALL SELECT dst FROM {tag}w{k}
+        ) GROUP BY v
+      ) wn ON wn.v = c.v
+    ),
+    {tag}g{k} AS MATERIALIZED (
+      SELECT e.src, e.dst, e.p, e.w FROM {tag}g{k - 1} e
+      JOIN {tag}cap{k} cs ON cs.v = e.src AND cs.c > 0
+      JOIN {tag}cap{k} cd ON cd.v = e.dst AND cd.c > 0
+      WHERE NOT EXISTS (
+        SELECT 1 FROM {tag}w{k} x WHERE x.src = e.src AND x.dst = e.dst
+      )
+    )"""
+
+
+def _bmi_mat_union(tag: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT src, dst, w FROM {tag}w{k}" for k in range(1, _BMI_ROUNDS + 1)
+    )
+
+
+def _bmi_oracle() -> str:
+    from graphdatabases_spark.relational.graph_symmetry_queries import (
+        _BM_B,
+        _BM_P48,
+    )
+
+    return f"""
+    WITH {ENTITY_EDGES_SQL},
+    fug0 AS MATERIALIZED (
+      SELECT src, dst,
+        (100 - ((src * 7 + dst * 13) % 100 + 1)) * {_BM_P48}
+          + ('0x' || substr(md5('bmat' || src || ':' || dst), 1, 12))::BIGINT
+          AS p,
+        (src * 7 + dst * 13) % 100 + 1 AS w
+      FROM edges
+    ),
+    bag0 AS MATERIALIZED (
+      SELECT src, dst, p, w FROM fug0 WHERE (src + dst) % {_MI_MOD} <> 0
+    ),
+    fucap0 AS MATERIALIZED (
+      SELECT DISTINCT v, CAST({_BM_B} AS BIGINT) AS c FROM (
+        SELECT src AS v FROM fug0 UNION ALL SELECT dst FROM fug0
+      )
+    ),
+    bacap0 AS MATERIALIZED (
+      SELECT DISTINCT v, CAST({_BM_B} AS BIGINT) AS c FROM (
+        SELECT src AS v FROM bag0 UNION ALL SELECT dst FROM bag0
+      )
+    ),
+    {",".join(_bmi_round_sql("ba", k) for k in range(1, _BMI_ROUNDS + 1))},
+    {",".join(_bmi_round_sql("fu", k) for k in range(1, _BMI_ROUNDS + 1))},
+    bamat AS MATERIALIZED ({_bmi_mat_union("ba")}),
+    fumat AS MATERIALIZED ({_bmi_mat_union("fu")}),
+    changes AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT src, dst FROM bamat
+        EXCEPT SELECT src, dst FROM fumat
+        UNION ALL
+        (SELECT src, dst FROM fumat EXCEPT SELECT src, dst FROM bamat)
+      )
+    ),
+    fudeg AS MATERIALIZED (
+      SELECT v, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT src AS v FROM fumat UNION ALL SELECT dst FROM fumat
+      ) GROUP BY v
+    ),
+    overcap AS (
+      SELECT CAST(count(*) AS BIGINT) AS viol FROM fudeg WHERE n > {_BM_B}
+    ),
+    maxviol AS (
+      SELECT CAST(count(*) AS BIGINT) AS viol FROM fug0 e
+      WHERE NOT EXISTS (
+          SELECT 1 FROM fumat x WHERE x.src = e.src AND x.dst = e.dst
+        )
+        AND coalesce((SELECT n FROM fudeg WHERE v = e.src), 0) < {_BM_B}
+        AND coalesce((SELECT n FROM fudeg WHERE v = e.dst), 0) < {_BM_B}
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM fug0) AS n_edges,
+      (SELECT CAST(count(*) AS BIGINT) FROM bag0) AS n_base_edges,
+      (SELECT CAST(count(*) AS BIGINT) FROM fug0
+        WHERE (src + dst) % {_MI_MOD} = 0) AS n_batch_edges,
+      CAST({_BM_B} AS INT) AS b,
+      (SELECT CAST(count(*) AS BIGINT) FROM bamat) AS base_bmatch_size,
+      (SELECT CAST(sum(w) AS BIGINT) FROM bamat) AS base_total_weight,
+      (SELECT CAST(sum(src + dst) AS BIGINT) FROM bamat) AS base_sum_ids,
+      (SELECT CAST(count(*) AS BIGINT) FROM fumat) AS warm_bmatch_size,
+      (SELECT CAST(sum(w) AS BIGINT) FROM fumat) AS warm_total_weight,
+      (SELECT CAST(sum(src + dst) AS BIGINT) FROM fumat) AS warm_sum_ids,
+      (SELECT n FROM changes) AS n_changed_edges,
+      (SELECT viol FROM overcap) = 0 AS feasible,
+      (SELECT viol FROM maxviol) = 0 AS maximal,
+      (SELECT count(*) FROM bag{_BMI_ROUNDS})
+        + (SELECT count(*) FROM fug{_BMI_ROUNDS}) = 0 AS converged
+    """
+
+
+@register(
+    "graph_bmatching_incremental",
+    oracle=_bmi_oracle(),
+    doc="INCREMENTAL b-MATCHING REPAIR — the CAPACITY member of the "
+    "incremental family (round-14 queue #1), generalizing "
+    "graph_matching_incremental's line-graph cascade from a single "
+    "matched-h per endpoint to per-vertex capacity b: an edge is "
+    "accepted iff at BOTH endpoints fewer than b accepted edges have "
+    "smaller (weight-majored) priority — a pure function of the "
+    "strictly-higher-priority adjacent edges, so the same priority-DAG "
+    "chaotic relaxation converges to the unique cold fixpoint of the "
+    "appended graph, which the oracle value-checks by unrolling the "
+    "cold b-suitor rounds on base and appended graphs side by side. "
+    "Same base/batch split ((src + dst) % 20 == 0, ~5%), cold phase = "
+    "the shared _bmatching_kernel on the base edges, warm phase = the "
+    "shared _line_warm_repair cascade with b = 3: dirty seed is the "
+    "BATCH EDGES ONLY (they enter with no capacity claim — the "
+    "round-13 93%-dirty lesson applied from day one), flips propagate "
+    "only to adjacent edges whose count-below-b predicate actually "
+    "changes. Output: base/warm sizes, total weights and endpoint "
+    "checksums, the changed-edge count (|base Δ warm| — the cascade's "
+    "footprint), and the b-FEASIBILITY (no vertex over capacity) and "
+    "MAXIMALITY (no rejected edge with spare capacity at both ends) "
+    "proofs on the appended graph, computed independently on both "
+    "engines. Scale shape: cold phase is the rank<=cap round kernel "
+    "(per-round one 2|g|-row map-side-combinable window over the "
+    "shrinking undecided set); warm rounds broadcast only the "
+    "cascade-cone-sized dirty/state sides against the once-"
+    "checkpointed endpoint index — per-vertex state is the <= b "
+    "true-h array, never hub adjacency; the driver-local cascade is "
+    "degree-guarded (counts each lazy fetch against the Arrow budget "
+    "and bails to the distributed path on a hub breach).",
+)
+def graph_bmatching_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdatabases_spark.functions import text as T
+    from graphdatabases_spark.relational.graph_kernels import (
+        _bmatching_kernel,
+    )
+    from graphdatabases_spark.relational.graph_symmetry_queries import (
+        _BM_B,
+        _BM_P48,
+    )
+
+    w_expr = (F.col("src") * 7 + F.col("dst") * 13) % 100 + 1
+    g = (
+        entity_edges(spark, sf, dedup=True)
+        .withColumn("w", w_expr.cast("long"))
+        .withColumn(
+            "h",
+            (100 - F.col("w")) * F.lit(_BM_P48)
+            + T.portable_hash64(
+                F.concat(
+                    F.lit("bmat"),
+                    F.col("src").cast("string"),
+                    F.lit(":"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    is_batch = ((F.col("src") + F.col("dst")) % _MI_MOD) == 0
+    n_edges = g.count()
+    n_batch_edges = g.filter(is_batch).count()
+    g_base = (
+        g.filter(~is_batch)
+        .select("src", "dst", F.col("h").alias("p"), "w")
+        .localCheckpoint(eager=True)
+    )
+    caps = (
+        g_base.select(F.col("src").alias("v"))
+        .unionByName(g_base.select(F.col("dst").alias("v")))
+        .distinct()
+        .withColumn("c", F.lit(_BM_B).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    n_caps = caps.count()
+    bmat_base = _bmatching_kernel(
+        spark, g_base, n_edges - n_batch_edges, caps, n_caps
+    )
+    base_row = bmat_base.agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.sum("w").cast("long").alias("tw"),
+        F.sum(F.col("src") + F.col("dst")).cast("long").alias("cks"),
+    ).collect()[0]
+    # Edge-status relation (s = base acceptance; batch edges false)
+    # and its endpoint index, checkpointed once — the matching
+    # repair's shapes with the weight column along for the ride.
+    estat = (
+        g.join(
+            _mis_side(
+                bmat_base.select("src", "dst").withColumn("s0", F.lit(True)),
+                base_row["sz"],
+            ),
+            ["src", "dst"],
+            "left",
+        )
+        .select(
+            "src", "dst", "h", "w",
+            F.coalesce(F.col("s0"), F.lit(False)).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    x = (
+        estat.select(
+            F.col("src").alias("v"),
+            F.col("src").alias("fsrc"),
+            F.col("dst").alias("fdst"),
+            F.col("h").alias("fh"),
+            F.col("s").alias("fs"),
+        )
+        .unionByName(
+            estat.select(
+                F.col("dst").alias("v"),
+                F.col("src").alias("fsrc"),
+                F.col("dst").alias("fdst"),
+                F.col("h").alias("fh"),
+                F.col("s").alias("fs"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Per-vertex base state, EXPLODED (one row per base-true h per
+    # endpoint, <= b rows per vertex — the capacity analogue of the
+    # matched-h broadcast; never hub adjacency).
+    vstat0 = (
+        estat.filter(F.col("s"))
+        .select(F.col("src").alias("v"), F.col("h").alias("m1"))
+        .unionByName(
+            estat.filter(F.col("s")).select(
+                F.col("dst").alias("v"), F.col("h").alias("m1")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_vstat0 = 2 * base_row["sz"]
+    # Dirty seed: the batch edges only — they enter with status false
+    # and no capacity claim, so no existing edge's dependency changes
+    # until a batch edge actually flips true.
+    dirty = (
+        estat.filter(is_batch)
+        .select("src", "dst", "h", "s")
+        .localCheckpoint(eager=True)
+    )
+    n_dirty = dirty.count()
+    delta, n_delta = _line_warm_repair(
+        spark, x, vstat0, dirty, n_dirty, n_vstat0, b=_BM_B
+    )
+    final = (
+        estat.join(
+            _mis_side(delta, n_delta),
+            (estat.src == F.col("dsrc")) & (estat.dst == F.col("ddst")),
+            "left",
+        )
+        .select(
+            "src", "dst", "w",
+            F.coalesce(F.col("dls"), F.col("s")).alias("sf"),
+            F.col("s").alias("sb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    warm_mat = final.filter(F.col("sf")).select("src", "dst", "w").localCheckpoint(
+        eager=True
+    )
+    warm_row = warm_mat.agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.sum("w").cast("long").alias("tw"),
+        F.sum(F.col("src") + F.col("dst")).cast("long").alias("cks"),
+    ).collect()[0]
+    n_changed_edges = final.filter(F.col("sf") != F.col("sb")).count()
+    # b-feasibility + maximality proofs over RESULT degrees.
+    wdeg = (
+        warm_mat.select(F.col("src").alias("v"))
+        .unionByName(warm_mat.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_wdeg = 2 * warm_row["sz"]
+    overcap = wdeg.filter(F.col("n") > _BM_B).count()
+    deg_s = wdeg.select(F.col("v").alias("src"), F.col("n").alias("ns"))
+    deg_d = wdeg.select(F.col("v").alias("dst"), F.col("n").alias("nd"))
+    maxviol = (
+        final.filter(~F.col("sf"))
+        .join(_mis_side(deg_s, n_wdeg), "src", "left")
+        .join(_mis_side(deg_d, n_wdeg), "dst", "left")
+        .filter(
+            (F.coalesce(F.col("ns"), F.lit(0)) < _BM_B)
+            & (F.coalesce(F.col("nd"), F.lit(0)) < _BM_B)
+        )
+        .count()
+    )
+    return spark.range(1).select(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(n_edges - n_batch_edges).cast("long").alias("n_base_edges"),
+        F.lit(n_batch_edges).cast("long").alias("n_batch_edges"),
+        F.lit(_BM_B).cast("int").alias("b"),
+        F.lit(base_row["sz"]).cast("long").alias("base_bmatch_size"),
+        F.lit(base_row["tw"]).cast("long").alias("base_total_weight"),
+        F.lit(base_row["cks"]).cast("long").alias("base_sum_ids"),
+        F.lit(warm_row["sz"]).cast("long").alias("warm_bmatch_size"),
+        F.lit(warm_row["tw"]).cast("long").alias("warm_total_weight"),
+        F.lit(warm_row["cks"]).cast("long").alias("warm_sum_ids"),
+        F.lit(n_changed_edges).cast("long").alias("n_changed_edges"),
+        F.lit(overcap == 0).alias("feasible"),
+        F.lit(maxviol == 0).alias("maximal"),
         F.lit(True).alias("converged"),
     )

@@ -15,12 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphdatabases_spark.relational.catalog import register
-from graphdatabases_spark.relational.graph_queries import (
-    ENTITY_EDGES_SQL,
+from graphdatabases_spark.relational.graph_kernels import (
     _induced_local,
     _mis_kernel,
     _sym_partition_key,
     _sym_und_build,
+)
+from graphdatabases_spark.relational.graph_queries import (
+    ENTITY_EDGES_SQL,
     entity_edges,
 )
 
@@ -205,8 +207,13 @@ def graph_coloring_mis(spark: SparkSession, sf: str) -> DataFrame:
         # residual vertices); includes graph_mis_luby's inner
         # sub-threshold tail.  Color 1's residual is the full vertex
         # set, so the kernel's first probe reuses n_sym.
+        # The outer full-finish probe just rejected this exact
+        # (rem, n_rem) induced subgraph — tell the kernel so its first
+        # iteration skips the duplicate probe (color 1 passes n_sym,
+        # where the probe is a free comparison anyway).
         mis = _mis_kernel(
-            spark, sym, rem, n_rem, n_sym if color == 1 else None
+            spark, sym, rem, n_rem, n_sym if color == 1 else None,
+            first_probe_rejected=True,
         )
         part = mis.withColumn("color", F.lit(color))
         colored = part if colored is None else colored.unionByName(part)
@@ -367,8 +374,8 @@ def graph_bmatching_greedy(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from graphdatabases_spark.functions import text as T
-    from graphdatabases_spark.relational.graph_queries import (
-        _SYM_LOCAL_EDGE_MAX,
+    from graphdatabases_spark.relational.graph_kernels import (
+        _bmatching_kernel,
         _mis_side,
     )
 
@@ -399,102 +406,9 @@ def graph_bmatching_greedy(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_vertices = caps.count()
-    bmat = None
-    n_g = n_edges
-    while n_g > 0:
-        if n_g <= _SYM_LOCAL_EDGE_MAX:
-            # Driver-local tail: the undecided edges plus their
-            # vertices' remaining capacities are the whole state; the
-            # sequential greedy over (p, src, dst) with capacity
-            # bookkeeping equals the remaining fixpoint exactly.
-            import numpy as np
-            import pandas as pd
-
-            epdf = g.select("p", "src", "dst", "w").toPandas()
-            gverts = g.select(F.col("src").alias("v")).unionByName(
-                g.select(F.col("dst").alias("v"))
-            ).distinct()
-            cpdf = caps.join(
-                F.broadcast(gverts), "v", "left_semi"
-            ).toPandas()
-            cap = dict(
-                zip(cpdf["v"].to_numpy().tolist(), cpdf["c"].to_numpy().tolist())
-            )
-            ps = epdf["p"].to_numpy()
-            ss = epdf["src"].to_numpy()
-            ds = epdf["dst"].to_numpy()
-            ws = epdf["w"].to_numpy()
-            order = np.lexsort((ds, ss, ps))
-            rows = []
-            for i in order:
-                a, bb = int(ss[i]), int(ds[i])
-                if cap.get(a, 0) > 0 and cap.get(bb, 0) > 0:
-                    rows.append((a, bb, int(ws[i])))
-                    cap[a] -= 1
-                    cap[bb] -= 1
-            m = spark.createDataFrame(
-                pd.DataFrame(
-                    {
-                        "src": pd.Series([r[0] for r in rows], dtype="int64"),
-                        "dst": pd.Series([r[1] for r in rows], dtype="int64"),
-                        "w": pd.Series([r[2] for r in rows], dtype="int64"),
-                    }
-                )
-            ).localCheckpoint(eager=True)
-            bmat = m if bmat is None else bmat.unionByName(m)
-            break
-        ex = g.select(
-            F.col("src").alias("v"), "src", "dst", "p", "w"
-        ).unionByName(g.select(F.col("dst").alias("v"), "src", "dst", "p", "w"))
-        rk = F.row_number().over(
-            Window.partitionBy("v").orderBy("p", "src", "dst")
-        )
-        exc = (
-            ex.withColumn("rk", rk)
-            .join(_mis_side(caps, n_vertices), "v")
-            .withColumn("ok", (F.col("rk") <= F.col("c")).cast("int"))
-        )
-        win = (
-            exc.groupBy("src", "dst", "p", "w")
-            .agg(F.sum("ok").alias("nok"))
-            .filter(F.col("nok") == 2)
-            .select("src", "dst", "p", "w")
-            .localCheckpoint(eager=True)
-        )
-        bmat = (
-            win.select("src", "dst", "w")
-            if bmat is None
-            else bmat.unionByName(win.select("src", "dst", "w"))
-        )
-        wv = (
-            win.select(F.col("src").alias("v"))
-            .unionByName(win.select(F.col("dst").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        )
-        caps = (
-            caps.join(_mis_side(wv, 2 * win.count()), "v", "left")
-            .select(
-                "v", (F.col("c") - F.coalesce(F.col("n"), F.lit(0))).alias("c")
-            )
-            .localCheckpoint(eager=True)
-        )
-        full = caps.filter(F.col("c") <= 0).select("v")
-        g = (
-            g.join(win.select("src", "dst"), ["src", "dst"], "left_anti")
-            .join(
-                _mis_side(full, n_vertices).withColumnRenamed("v", "xsrc"),
-                g.src == F.col("xsrc"),
-                "left_anti",
-            )
-            .join(
-                _mis_side(full, n_vertices).withColumnRenamed("v", "xdst"),
-                F.col("dst") == F.col("xdst"),
-                "left_anti",
-            )
-            .localCheckpoint(eager=True)
-        )
-        n_g = g.count()
+    # Round loop extracted to graph_kernels._bmatching_kernel (round
+    # 14) so the incremental repair's cold phase shares it.
+    bmat = _bmatching_kernel(spark, g, n_edges, caps, n_vertices)
     bmat = bmat.localCheckpoint(eager=True)
     res = bmat.agg(
         F.count(F.lit(1)).cast("long").alias("sz"),
