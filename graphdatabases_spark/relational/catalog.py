@@ -219,6 +219,7 @@ def _load_all() -> None:
         graph_queries,
         graph_symmetry_queries,
         graph_incremental_queries,
+        graph_decremental_queries,
         graph_temporal_queries,
         graph_centrality_queries,
         graph_community_queries,

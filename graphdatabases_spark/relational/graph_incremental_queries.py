@@ -66,6 +66,121 @@ def _mi_mis_union(tag: str) -> str:
     )
 
 
+
+
+def _mis_warm_repair(spark, adj: DataFrame, dirty: DataFrame, n_dirty: int):
+    """Shared warm-phase cascade for the vertex-side (MIS) repair
+    entries: relax vertex statuses from the dirty seed until the
+    unique priority-DAG fixpoint, returning the ``(delta, n_delta)``
+    (id, s) status-override relation.  ``adj`` is the once-
+    checkpointed adjacency-with-neighbor-status relation
+    (src, nid, nh, ns) over the POST-CHANGE graph (appended for the
+    incremental entry, pruned for the decremental one); ``dirty``
+    carries (id, h, s) seed rows.  Extracted from
+    graph_mis_incremental (round 14) so the edge-DELETION repair
+    shares the loop.
+    """
+    delta = spark.createDataFrame([], "id long, s boolean")
+    n_delta = 0
+    # NOTE (round 13, measured): a driver-local cascade with lazy
+    # adjacency fetches was tried here and REVERTED — MIS judging
+    # needs each dirty vertex's neighbor list, and collecting hub
+    # adjacency to the driver cost more than the distributed rounds
+    # it saved (sf1 wall 48.6 -> 74.6 s).  Matching keeps its local
+    # path because its judging reads only per-vertex matched-state.
+    while n_dirty > 0:
+        # Recompute each dirty vertex from its strictly-higher-priority
+        # neighbors' effective statuses (base overlaid with delta).
+        nb = adj.join(
+            _mis_side(
+                dirty.select(
+                    F.col("id").alias("d"),
+                    F.col("h").alias("dh"),
+                    F.col("s").alias("dscur"),
+                ),
+                n_dirty,
+            ),
+            adj.src == F.col("d"),
+        ).join(
+            _mis_side(
+                delta.select(
+                    F.col("id").alias("nid"), F.col("s").alias("dls")
+                ),
+                n_delta,
+            ),
+            "nid",
+            "left",
+        )
+        blocked = (
+            nb.filter(
+                F.coalesce(F.col("dls"), F.col("ns"))
+                & (
+                    F.struct(F.col("nh"), F.col("nid"))
+                    < F.struct(F.col("dh"), F.col("d"))
+                )
+            )
+            .select("d")
+            .distinct()
+        )
+        changed = (
+            dirty.join(
+                _mis_side(blocked, n_dirty), dirty.id == blocked.d, "left"
+            )
+            .withColumn("s_new", F.col("d").isNull())
+            .filter(F.col("s_new") != F.col("s"))
+            .select("id", "h", F.col("s_new").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = changed.count()
+        if n_changed == 0:
+            break
+        delta = (
+            delta.join(changed.select("id"), "id", "left_anti")
+            .unionByName(changed.select("id", "s"))
+            .localCheckpoint(eager=True)
+        )
+        n_delta = delta.count()
+        # Propagate: strictly-lower-priority neighbors of every flip
+        # become the next dirty set (their dependency just changed).
+        cand = (
+            adj.join(
+                _mis_side(
+                    changed.select(
+                        F.col("id").alias("c"), F.col("h").alias("ch")
+                    ),
+                    n_changed,
+                ),
+                adj.src == F.col("c"),
+            )
+            .filter(
+                F.struct(F.col("nh"), F.col("nid"))
+                > F.struct(F.col("ch"), F.col("c"))
+            )
+            .select(
+                F.col("nid").alias("id"),
+                F.col("nh").alias("h"),
+                F.col("ns").alias("sb"),
+            )
+            .distinct()
+        )
+        dirty = (
+            cand.join(
+                _mis_side(
+                    delta.select(F.col("id").alias("id"), F.col("s").alias("dls")),
+                    n_delta,
+                ),
+                "id",
+                "left",
+            )
+            .select(
+                "id", "h", F.coalesce(F.col("dls"), F.col("sb")).alias("s")
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_dirty = dirty.count()
+    return delta, n_delta
+
+
 @register(
     "graph_mis_incremental",
     oracle=f"""
@@ -274,104 +389,7 @@ def graph_mis_incremental(spark: SparkSession, sf: str) -> DataFrame:
         _mis_side(dirty_ids, 2 * n_batch_edges), "id", "left_semi"
     ).localCheckpoint(eager=True)
     n_dirty = dirty.count()
-    delta = spark.createDataFrame([], "id long, s boolean")
-    n_delta = 0
-    # NOTE (round 13, measured): a driver-local cascade with lazy
-    # adjacency fetches was tried here and REVERTED — MIS judging
-    # needs each dirty vertex's neighbor list, and collecting hub
-    # adjacency to the driver cost more than the distributed rounds
-    # it saved (sf1 wall 48.6 -> 74.6 s).  Matching keeps its local
-    # path because its judging reads only per-vertex matched-state.
-    while n_dirty > 0:
-        # Recompute each dirty vertex from its strictly-higher-priority
-        # neighbors' effective statuses (base overlaid with delta).
-        nb = adj.join(
-            _mis_side(
-                dirty.select(
-                    F.col("id").alias("d"),
-                    F.col("h").alias("dh"),
-                    F.col("s").alias("dscur"),
-                ),
-                n_dirty,
-            ),
-            adj.src == F.col("d"),
-        ).join(
-            _mis_side(
-                delta.select(
-                    F.col("id").alias("nid"), F.col("s").alias("dls")
-                ),
-                n_delta,
-            ),
-            "nid",
-            "left",
-        )
-        blocked = (
-            nb.filter(
-                F.coalesce(F.col("dls"), F.col("ns"))
-                & (
-                    F.struct(F.col("nh"), F.col("nid"))
-                    < F.struct(F.col("dh"), F.col("d"))
-                )
-            )
-            .select("d")
-            .distinct()
-        )
-        changed = (
-            dirty.join(
-                _mis_side(blocked, n_dirty), dirty.id == blocked.d, "left"
-            )
-            .withColumn("s_new", F.col("d").isNull())
-            .filter(F.col("s_new") != F.col("s"))
-            .select("id", "h", F.col("s_new").alias("s"))
-            .localCheckpoint(eager=True)
-        )
-        n_changed = changed.count()
-        if n_changed == 0:
-            break
-        delta = (
-            delta.join(changed.select("id"), "id", "left_anti")
-            .unionByName(changed.select("id", "s"))
-            .localCheckpoint(eager=True)
-        )
-        n_delta = delta.count()
-        # Propagate: strictly-lower-priority neighbors of every flip
-        # become the next dirty set (their dependency just changed).
-        cand = (
-            adj.join(
-                _mis_side(
-                    changed.select(
-                        F.col("id").alias("c"), F.col("h").alias("ch")
-                    ),
-                    n_changed,
-                ),
-                adj.src == F.col("c"),
-            )
-            .filter(
-                F.struct(F.col("nh"), F.col("nid"))
-                > F.struct(F.col("ch"), F.col("c"))
-            )
-            .select(
-                F.col("nid").alias("id"),
-                F.col("nh").alias("h"),
-                F.col("ns").alias("sb"),
-            )
-            .distinct()
-        )
-        dirty = (
-            cand.join(
-                _mis_side(
-                    delta.select(F.col("id").alias("id"), F.col("s").alias("dls")),
-                    n_delta,
-                ),
-                "id",
-                "left",
-            )
-            .select(
-                "id", "h", F.coalesce(F.col("dls"), F.col("sb")).alias("s")
-            )
-            .localCheckpoint(eager=True)
-        )
-        n_dirty = dirty.count()
+    delta, n_delta = _mis_warm_repair(spark, adj, dirty, n_dirty)
     final = (
         fstat.join(
             _mis_side(
@@ -545,6 +563,26 @@ def _mat_cascade_local(
                     po = sum(1 for hh in old if hh < hf) >= b
                     pn = sum(1 for hh in hs if hh < hf) >= b
                     if po != pn:
+                        # Refined propagation (round 14, fuzz-pinned):
+                        # skip f when its VALUE provably cannot change
+                        # — f false & newly blocked at v stays false;
+                        # f false & unblocked at v but still blocked
+                        # at its other endpoint stays false (a later
+                        # state change there re-fires po != pn).  All
+                        # of this round's status flips were applied
+                        # above, so stat(f) is round-consistent — the
+                        # pending-read hazard the fuzz caught.  Cut
+                        # measured recompute ~5x on the hub-heavy
+                        # deletion cascade (SCALE.md round 14).
+                        if not stat(f):
+                            if pn:
+                                continue
+                            u = f[0] + f[1] - v
+                            if (
+                                sum(1 for hh in vtrue.get(u, ()) if hh < hf)
+                                >= b
+                            ):
+                                continue
                         dirty_set.add(f)
     import pandas as pd
 
@@ -729,7 +767,16 @@ def _line_warm_repair(
         # blocking predicate ACTUALLY flips there (count-below-b
         # against the old vs new true-h list differs) — without this
         # filter a hub's single state change re-dirtied its whole
-        # neighborhood.
+        # neighborhood.  Refined further (round 14, fuzz-pinned +
+        # replay-pinned): an edge whose VALUE provably cannot change
+        # is skipped — currently-false f that became MORE blocked at
+        # v stays false; currently-false f unblocked at v but still
+        # blocked at its OTHER endpoint (under the post-round state)
+        # stays false, and a later state change there re-fires
+        # po != pn.  delta/vdelta already carry this round's flips,
+        # so every predicate below reads a round-consistent snapshot.
+        # Cut measured recompute from ~30% to ~4% of |E| on the
+        # hub-heavy deletion cascade (SCALE.md round 14).
         dirty = (
             x.join(_mis_side(av_states, n_av), "v")
             .withColumn(
@@ -741,23 +788,52 @@ def _line_warm_repair(
                 F.size(F.filter(F.col("nhs"), lambda hh: hh < F.col("fh"))) >= b,
             )
             .filter(F.col("po") != F.col("pn"))
+            .join(
+                _mis_side(delta, n_delta),
+                (F.col("fsrc") == F.col("dsrc"))
+                & (F.col("fdst") == F.col("ddst")),
+                "left",
+            )
+            .withColumn("scur", F.coalesce(F.col("dls"), F.col("fs")))
+            .withColumn("ov", F.col("fsrc") + F.col("fdst") - F.col("v"))
+            .join(
+                _mis_side(
+                    vdelta.select(
+                        F.col("v").alias("ov"), F.col("hs").alias("uhs")
+                    ),
+                    n_vdelta,
+                ),
+                "ov",
+                "left",
+            )
+            .join(
+                _mis_side(
+                    vstat0a.select(
+                        F.col("v").alias("ov"), F.col("hs0").alias("uhs0")
+                    ),
+                    n_vstat0,
+                ),
+                "ov",
+                "left",
+            )
+            .withColumn(
+                "ublk",
+                F.size(
+                    F.filter(
+                        F.coalesce(F.col("uhs"), F.col("uhs0"), empty_arr),
+                        lambda hh: hh < F.col("fh"),
+                    )
+                )
+                >= b,
+            )
+            .filter(F.col("scur") | (~F.col("pn") & ~F.col("ublk")))
             .select(
                 F.col("fsrc").alias("src"),
                 F.col("fdst").alias("dst"),
                 F.col("fh").alias("h"),
-                F.col("fs").alias("sb"),
+                F.col("scur").alias("s"),
             )
             .distinct()
-            .join(
-                _mis_side(delta, n_delta),
-                (F.col("src") == F.col("dsrc"))
-                & (F.col("dst") == F.col("ddst")),
-                "left",
-            )
-            .select(
-                "src", "dst", "h",
-                F.coalesce(F.col("dls"), F.col("sb")).alias("s"),
-            )
             .localCheckpoint(eager=True)
         )
         n_dirty = dirty.count()
