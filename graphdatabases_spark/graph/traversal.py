@@ -71,6 +71,77 @@ PATH_SCHEMA = StructType(
 LOCAL_EDGE_THRESHOLD = 2_000_000
 CHECKPOINT_EVERY = 4
 
+# --- multi-hop blocking for the distributed BFS kernels (round 14) --------
+# The deep-traversal wall is NOT data volume: at depth 300 the grid500
+# bench rows spent ~0.5 s/hop of fixed synchronous-BSP latency (eager
+# checkpoint job + probe job + broadcast builds per hop) on frontiers of
+# a few hundred rows.  When the frontier is provably small, up to
+# _BLOCK_MAX_HOPS expansion levels are composed LAZILY into one plan and
+# materialized with ONE action (plus one cheap probe of the result), so
+# the per-hop scheduling floor is paid once per BLOCK instead of once
+# per hop.  Exactness: every level still anti-joins `visited` (all
+# pre-block discoveries), and the block result is reduced by
+# min(dist) per id before anything reads it — within-block re-discovery
+# echoes (an undirected edge walks back onto a level-i node at level
+# i+2, which per-hop materialization used to kill via the visited
+# anti-join) are therefore dropped, and a node's emitted dist is its
+# true BFS level (a spurious parent has strictly larger dist, so every
+# candidate it generates lands strictly above the child's true level —
+# the min is untouched).  Deduped block == the exact BFS levels; the
+# only cost of blocking is some re-expanded echo rows inside the block,
+# bounded by (k/2)·|level| on symmetric graphs.
+#
+# Scale safety (the 100 TB contract): blocking only engages while the
+# WORST-CASE estimated frontier stays driver-trivial — the block's k is
+# the largest with rows·growth^k <= _BLOCK_SAFE_ROWS, where `growth` is
+# a learned per-level expansion ratio that starts conservative (8x) and
+# is re-estimated from each block's measured first/last level counts
+# with a 2x margin (floor 2x, cap 64x).  A hub-explosive graph measures
+# a large ratio after its first block and collapses back to k=1 — the
+# pre-round-14 per-hop kernel, bit-identical behavior.
+# Block size cap: measured on the 300-grid 60-hop fixture (interleaved
+# A/B, 3 repeats, round 14): k=1 0.37 s/hop, k=2 0.28, k=4 0.24 (with
+# the size-adaptive edge cache below), k=8 WORSE than k=4 — each level
+# inside a block is still a sequentially-materialized AQE stage pair
+# (shuffle + broadcast build), so past ~4 levels the saved
+# checkpoint/probe jobs no longer dominate and the block's within-plan
+# echo rows and planning cost grow.  4 is the measured knee.
+_BLOCK_MAX_HOPS = 4
+_BLOCK_SAFE_ROWS = 1_000_000
+
+# Per-partition byte target for the persisted traversal edge cache.
+# The per-level join schedules one task per cached edge partition; a
+# sub-threshold-adjacent graph (the 500-grid deep rows: 499k edges,
+# ~12 MB) otherwise inherits the scan's 32 partitions and pays 32
+# near-empty task launches PER LEVEL.  64 MB/partition keeps big
+# graphs parallel (a 100 GB edge set still gets ~1600 partitions) and
+# collapses toy ones to 1-2 tasks; derived from plan stats, so the
+# sizing adapts to the input instead of the local core count.
+_EDGE_CACHE_PARTITION_BYTES = 64 << 20
+
+
+def _block_k(frontier_rows: int, growth: float, remaining: int | None) -> int:
+    """Largest hop-block size whose worst-case frontier estimate stays
+    under _BLOCK_SAFE_ROWS (always >= 1; capped by remaining hops)."""
+    k = 1
+    est = frontier_rows * growth
+    while (
+        k < _BLOCK_MAX_HOPS
+        and (remaining is None or k < remaining)
+        and est * growth <= _BLOCK_SAFE_ROWS
+    ):
+        k += 1
+        est *= growth
+    return k
+
+
+def _next_growth(ratio_k: float, k: int) -> float:
+    """Re-estimate the per-level growth ratio from a block's overall
+    first→last frontier ratio (k-th root), with a 2x safety margin,
+    floored at 2x and capped at 64x."""
+    per_level = max(ratio_k, 1e-9) ** (1.0 / k)
+    return min(64.0, max(2.0, 2.0 * per_level))
+
 # Frontier rows above which the per-round join switches from broadcast
 # to shuffle. An (id, dist) frontier row is ~16 bytes, so 4M rows is
 # ~64 MB serialized — comfortably broadcastable; past that, a high-
@@ -585,7 +656,26 @@ class _EdgeSides:
     """
 
     def __init__(self, edges: DataFrame):
-        self.plain = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+        plain = edges.select("src", "dst")
+        # Size-adaptive partition count for the persisted copy (round
+        # 14; see _EDGE_CACHE_PARTITION_BYTES) — UNLESS the relation is
+        # already src-clustered (bucketed table / upstream
+        # repartition): coalesce would erase the hashpartitioning(src)
+        # the shuffle-join regime exploits, re-introducing the per-round
+        # edge exchange the bucketed layout exists to avoid.
+        if not hash_partitioned_on(plain, "src"):
+            est = _plan_size_bytes(plain)
+            if est is not None and est > 0:
+                # min() keeps the arg in Java-int range when stats
+                # report "unknown" as Long.MaxValue; coalesce clamps to
+                # the input partition count anyway (never increases).
+                plain = plain.coalesce(
+                    min(
+                        1_000_000,
+                        max(1, est // _EDGE_CACHE_PARTITION_BYTES + 1),
+                    )
+                )
+        self.plain = plain.persist(StorageLevel.MEMORY_AND_DISK)
         self._by_src: DataFrame | None = None
 
     def by_src(self) -> DataFrame:
@@ -628,7 +718,10 @@ def _bfs_distributed(
     src-clustered edge copy once the frontier outgrows
     ``FRONTIER_BROADCAST_MAX`` (see ``_EdgeSides``) — then a
     map-side-combinable distinct and an anti-join against visited.
-    Lineage is truncated with eager localCheckpoint every round.
+    Small-frontier hops are composed into lazy multi-hop blocks (see
+    ``_BLOCK_MAX_HOPS``) so the fixed BSP scheduling latency is paid
+    once per block; lineage is truncated with one eager localCheckpoint
+    per block.
     """
     spark = _spark_of(edges)
     sides = _EdgeSides(edges)
@@ -637,42 +730,68 @@ def _bfs_distributed(
         visited = frontier
         frontier_rows = 1
         d = 0
-        while max_hops is None or d < max_hops:
-            d += 1
-            nxt = (
-                sides.join_frontier(frontier, frontier_rows)
-                .select(F.col("dst").alias("id"))
-                .distinct()
-                .join(visited, "id", "left_anti")
-                .select(F.col("id"), F.lit(d).cast("int").alias("dist"))
-            )
-            # Eager checkpoint EVERY round: the returned `visited` must
-            # not retain lineage into `edges`, which is unpersisted when
-            # this function returns — lazy persistence here would
+        growth = 8.0  # conservative prior; learned per block (_next_growth)
+        since_ckpt = 0
+        while (max_hops is None or d < max_hops) and frontier_rows > 0:
+            remaining = None if max_hops is None else max_hops - d
+            k = _block_k(frontier_rows, growth, remaining)
+            # Compose k hops lazily; each level anti-joins the
+            # pre-block `visited` only (within-block echoes are removed
+            # by the min(dist) reduction below — see _BLOCK_MAX_HOPS).
+            f = frontier.select("id")
+            est = float(frontier_rows)
+            block = None
+            for i in range(1, k + 1):
+                nf = (
+                    sides.join_frontier(f, int(est))
+                    .select(F.col("dst").alias("id"))
+                    .distinct()
+                    .join(visited, "id", "left_anti")
+                    .select(F.col("id"), F.lit(d + i).cast("int").alias("dist"))
+                )
+                block = nf if block is None else block.unionByName(nf)
+                f = nf.select("id")
+                est = min(est * growth, float(_BLOCK_SAFE_ROWS))
+            if k > 1:
+                block = block.groupBy("id").agg(F.min("dist").alias("dist"))
+            # Eager checkpoint ONCE PER BLOCK: the returned `visited`
+            # must not retain lineage into `edges`, which is unpersisted
+            # when this function returns — lazy persistence here would
             # silently recompute the whole loop (from the raw edge plan)
             # at the caller's first action.
-            nxt = nxt.localCheckpoint(eager=True)
-            # The count doubles as the emptiness test and next round's
-            # broadcast-vs-shuffle decision; it reads the fresh
-            # checkpoint, not the join plan.
-            frontier_rows = nxt.count()
-            if frontier_rows == 0:
+            block = block.localCheckpoint(eager=True)
+            # One cheap probe of the fresh checkpoint: emptiness test,
+            # next block's broadcast-vs-shuffle sizing, and the growth
+            # re-estimate all come out of a single aggregate.
+            stats = block.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("dist") == d + k, 1)).alias("nlast"),
+            ).collect()[0]
+            if stats["n"] == 0:
                 break
-            visited = visited.union(nxt)
-            if d % checkpoint_every == 0:
+            visited = visited.union(block)
+            d += k
+            since_ckpt += k
+            if since_ckpt >= checkpoint_every:
                 # Collapse the growing union tree so plan size stays
-                # O(1) — AND coalesce first: each union appends nxt's
-                # partitions, so without the coalesce the checkpointed
-                # partition count grows ~linearly with depth and the
-                # per-round anti-join's visited scan pays that many
-                # task launches every round. Measured on the 500-grid
-                # at 300 hops: 2.4 s/round average (715 s total) with
-                # the growth vs a flat ~0.45 s/round once capped
-                # (round-10 deep-BFS audit, SCALE.md).
+                # O(1) — AND coalesce first: each union appends the
+                # block's partitions, so without the coalesce the
+                # checkpointed partition count grows ~linearly with
+                # depth and the per-round anti-join's visited scan pays
+                # that many task launches every round. Measured on the
+                # 500-grid at 300 hops: 2.4 s/round average (715 s
+                # total) with the growth vs a flat ~0.45 s/round once
+                # capped (round-10 deep-BFS audit, SCALE.md).
                 visited = visited.coalesce(
                     _shuffle_partitions(spark)
                 ).localCheckpoint(eager=True)
-            frontier = nxt
+                since_ckpt = 0
+            if k > 1:
+                growth = _next_growth(
+                    stats["nlast"] / max(frontier_rows, 1), k
+                )
+            frontier_rows = stats["nlast"]
+            frontier = block.filter(F.col("dist") == d)
         return visited
     finally:
         sides.release()
@@ -854,10 +973,6 @@ def _ssp_distributed(
     if src == dst:
         return spark.createDataFrame([(0, [src])], PATH_SCHEMA)
     sides = _EdgeSides(edges)
-    # Persisted per-round frontiers that `visited` still has lineage
-    # into; released in a batch each time `visited` is checkpointed
-    # (and on exit), so cached blocks don't accumulate over long runs.
-    pinned: list[DataFrame] = []
     try:
         frontier = spark.createDataFrame(
             [(src, [src])],
@@ -871,61 +986,91 @@ def _ssp_distributed(
         visited = frontier.select("id")
         frontier_rows = 1
         d = 0
-        while max_hops is None or d < max_hops:
-            d += 1
-            # A path-carrying frontier row is ~8·d bytes, not 16: scale
-            # the broadcast cutoff down by the current path length.
-            eff_rows = frontier_rows * max(1, d // 2)
-            nxt = (
-                sides.join_frontier(frontier, eff_rows)
-                .select(
-                    F.col("dst").alias("id"),
-                    F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+        growth = 8.0  # conservative prior; learned per block (_next_growth)
+        since_ckpt = 0
+        while (max_hops is None or d < max_hops) and frontier_rows > 0:
+            remaining = None if max_hops is None else max_hops - d
+            k = _block_k(frontier_rows, growth, remaining)
+            # Compose k hops lazily (see _bfs_distributed / the
+            # _BLOCK_MAX_HOPS note): each level anti-joins the pre-block
+            # `visited` and keeps the per-id lexicographic min path —
+            # equal-length paths compare element-wise, so the per-level
+            # reduction preserves the global lex-min-path invariant.
+            # Within-block echoes (a node re-discovered at a strictly
+            # larger level) are dropped by the min(struct(dist, path))
+            # reduction below: dist leads the struct, so the true first
+            # discovery always wins, and echo-generated candidates land
+            # strictly above their child's true level.
+            f = frontier
+            est = float(frontier_rows)
+            block = None
+            for i in range(1, k + 1):
+                # A path-carrying frontier row is ~8·d bytes, not 16:
+                # scale the broadcast cutoff down by the path length.
+                eff_rows = int(est) * max(1, (d + i) // 2)
+                nf = (
+                    sides.join_frontier(f, eff_rows)
+                    .select(
+                        F.col("dst").alias("id"),
+                        F.concat(F.col("path"), F.array(F.col("dst"))).alias(
+                            "path"
+                        ),
+                    )
+                    .join(visited, "id", "left_anti")
+                    .groupBy("id")
+                    .agg(F.min("path").alias("path"))
                 )
-                .join(visited, "id", "left_anti")
-                .groupBy("id")
-                .agg(F.min("path").alias("path"))
-            )
-            if d % checkpoint_every == 0:
-                nxt = nxt.localCheckpoint(eager=True)
-            else:
-                nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
-                pinned.append(nxt)
-            # ONE action per round: a single aggregate materializes the
-            # round's cache (full pass, like a count), feeds next round's
-            # join-side decision, AND probes for the destination —
-            # min(when(id=dst, path)) is the unique dst path or null
-            # (frontier ids are unique post-groupBy). Two separate
-            # actions (count + filtered collect) would serialize two job
-            # launches per hop — measurable on deep distributed
-            # traversals.
-            probe = nxt.agg(
+                lvl = nf.select(
+                    "id", F.lit(d + i).cast("int").alias("dist"), "path"
+                )
+                block = lvl if block is None else block.unionByName(lvl)
+                f = nf
+                est = min(est * growth, float(_BLOCK_SAFE_ROWS))
+            if k > 1:
+                block = (
+                    block.groupBy("id")
+                    .agg(F.min(F.struct("dist", "path")).alias("m"))
+                    .select("id", F.col("m.dist").alias("dist"),
+                            F.col("m.path").alias("path"))
+                )
+            block = block.localCheckpoint(eager=True)
+            # ONE probe per block: emptiness test, next block's
+            # broadcast sizing, AND the destination hit — dist leads the
+            # struct so the min is the earliest (then lex-min) dst path.
+            probe = block.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.min(F.when(F.col("id") == dst, F.col("path"))).alias("hit"),
+                F.count(F.when(F.col("dist") == d + k, 1)).alias("nlast"),
+                F.min(
+                    F.when(F.col("id") == dst, F.struct("dist", "path"))
+                ).alias("hit"),
             ).collect()[0]
-            frontier_rows = probe["n"]
             if probe["hit"] is not None:
                 return _local_result_df(
-                    spark, [(d, list(probe["hit"]))], PATH_SCHEMA
+                    spark,
+                    [(probe["hit"]["dist"], list(probe["hit"]["path"]))],
+                    PATH_SCHEMA,
                 )
-            if frontier_rows == 0:
+            if probe["n"] == 0:
                 break
-            visited = visited.union(nxt.select("id"))
-            if d % checkpoint_every == 0:
+            visited = visited.union(block.select("id"))
+            d += k
+            since_ckpt += k
+            if since_ckpt >= checkpoint_every:
                 # coalesce caps the checkpointed partition count (see
                 # _bfs_distributed — unbounded growth with depth).
                 visited = visited.coalesce(
                     _shuffle_partitions(spark)
                 ).localCheckpoint(eager=True)
-                # visited no longer references earlier rounds; frontier
-                # (= this round's nxt) is checkpointed, so every pinned
-                # cache is now releasable.
-                for p in pinned:
-                    p.unpersist()
-                pinned.clear()
-            frontier = nxt
+                since_ckpt = 0
+            if k > 1:
+                growth = _next_growth(
+                    probe["nlast"] / max(frontier_rows, 1), k
+                )
+            frontier_rows = probe["nlast"]
+            frontier = block.filter(F.col("dist") == d).select("id", "path")
         return _local_result_df(spark, [], PATH_SCHEMA)
     finally:
-        for p in pinned:
-            p.unpersist()
+        # Results are driver-local rows (every return path), so the
+        # persisted edge copies can be dropped unconditionally.
+        sides.release()
         sides.release()

@@ -146,8 +146,13 @@ def graph_mis_decremental(spark: SparkSession, sf: str) -> DataFrame:
 
     edges = entity_edges(spark, sf, dedup=True).localCheckpoint(eager=True)
     is_del = ((F.col("src") + F.col("dst")) % _MI_MOD) == 0
-    n_deleted_edges = edges.filter(is_del).count()
-    n_kept_edges = edges.count() - n_deleted_edges
+    # One pass for both edge counts (round 14; was two full scans).
+    ecounts = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(is_del, 1)).alias("nd"),
+    ).collect()[0]
+    n_deleted_edges = ecounts["nd"]
+    n_kept_edges = ecounts["n"] - n_deleted_edges
     mis_h = lambda c: T.portable_hash64(  # noqa: E731
         F.concat(F.lit("mis"), c.cast("string"))
     )
@@ -159,12 +164,17 @@ def graph_mis_decremental(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_vertices = fverts.count()
+    # persist, NOT localCheckpoint (round 14 — the _sym_und_build
+    # finding): checkpointing after the repartition reports
+    # UnknownPartitioning and every kernel round's groupBy(src) would
+    # re-exchange the full symmetric relation.  Unpersisted after the
+    # maximality proof (the last consumer).
     symf = (
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .repartition(_sym_partition_key(n_vertices))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     # Base phase: cold kernel on the FULL pre-delete graph (the
     # persisted prior result a dynamic pipeline would read back).
@@ -270,6 +280,7 @@ def graph_mis_decremental(spark: SparkSession, sf: str) -> DataFrame:
         .join(covered, "id", "left_anti")
         .count()
     )
+    symf.unpersist()
     return spark.range(1).select(
         F.lit(n_vertices).cast("long").alias("n_vertices"),
         F.lit(n_kept_edges).cast("long").alias("n_kept_edges"),
@@ -399,8 +410,12 @@ def graph_matching_decremental(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     is_del = ((F.col("src") + F.col("dst")) % _MI_MOD) == 0
-    n_edges = g.count()
-    n_deleted_edges = g.filter(is_del).count()
+    # One pass for both edge counts (round 14; was two full scans).
+    _gc = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(is_del, 1)).alias("nd"),
+    ).collect()[0]
+    n_edges, n_deleted_edges = _gc["n"], _gc["nd"]
     # Base phase: cold kernel on the FULL pre-delete edge set.
     mat_base = _matching_kernel(spark, g, n_edges)
     base_row = mat_base.agg(

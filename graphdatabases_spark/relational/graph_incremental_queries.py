@@ -278,8 +278,13 @@ def graph_mis_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
     edges = entity_edges(spark, sf, dedup=True).localCheckpoint(eager=True)
     is_batch = ((F.col("src") + F.col("dst")) % _MI_MOD) == 0
-    n_batch_edges = edges.filter(is_batch).count()
-    n_base_edges = edges.count() - n_batch_edges
+    # One pass for both edge counts (round 14; was two full scans).
+    ecounts = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(is_batch, 1)).alias("nb"),
+    ).collect()[0]
+    n_batch_edges = ecounts["nb"]
+    n_base_edges = ecounts["n"] - n_batch_edges
     mis_h = lambda c: T.portable_hash64(  # noqa: E731
         F.concat(F.lit("mis"), c.cast("string"))
     )
@@ -291,12 +296,19 @@ def graph_mis_incremental(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_vertices = fverts.count()
+    # persist, NOT localCheckpoint (round 14 — the _sym_und_build
+    # finding applied here too): a checkpointed frame reports
+    # UnknownPartitioning, so every kernel round's groupBy(src) would
+    # plan a fresh full exchange of the symmetric relation; the cached
+    # InMemoryRelation keeps hashpartitioning visible and those
+    # exchanges vanish.  Unpersisted after the maximality proof (the
+    # last consumer).
     symf = (
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .repartition(_sym_partition_key(n_vertices))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     # Base phase: cold kernel on the pre-append graph (the persisted
     # prior result an incremental pipeline would read back).
@@ -428,6 +440,7 @@ def graph_mis_incremental(spark: SparkSession, sf: str) -> DataFrame:
         .join(covered, "id", "left_anti")
         .count()
     )
+    symf.unpersist()
     return spark.range(1).select(
         F.lit(n_vertices).cast("long").alias("n_vertices"),
         F.lit(n_base_edges).cast("long").alias("n_base_edges"),
@@ -978,8 +991,12 @@ def graph_matching_incremental(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     is_batch = ((F.col("src") + F.col("dst")) % _MI_MOD) == 0
-    n_edges = g.count()
-    n_batch_edges = g.filter(is_batch).count()
+    # One pass for both edge counts (round 14; was two full scans).
+    _gc = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(is_batch, 1)).alias("nb"),
+    ).collect()[0]
+    n_edges, n_batch_edges = _gc["n"], _gc["nb"]
     g_base = g.filter(~is_batch).localCheckpoint(eager=True)
     mat_base = _matching_kernel(spark, g_base, n_edges - n_batch_edges)
     base_row = mat_base.agg(
@@ -1307,8 +1324,12 @@ def graph_bmatching_incremental(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     is_batch = ((F.col("src") + F.col("dst")) % _MI_MOD) == 0
-    n_edges = g.count()
-    n_batch_edges = g.filter(is_batch).count()
+    # One pass for both edge counts (round 14; was two full scans).
+    _gc = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(is_batch, 1)).alias("nb"),
+    ).collect()[0]
+    n_edges, n_batch_edges = _gc["n"], _gc["nb"]
     g_base = (
         g.filter(~is_batch)
         .select("src", "dst", F.col("h").alias("p"), "w")

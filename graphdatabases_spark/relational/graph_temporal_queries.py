@@ -143,10 +143,23 @@ def graph_random_walks(spark: SparkSession, sf: str) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    adj = sym.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+    # rn AND deg in the SAME window pass (round 14): the previous shape
+    # recomputed the degree aggregation lazily EVERY step (8 extra full
+    # scans of the 2|E| relation at sf0.1) and joined the frontier
+    # twice per step (once against deg for the pick, once against adj
+    # for the landing edge).  With deg as a second column of the one
+    # checkpointed adjacency, each step is a SINGLE broadcast join: the
+    # equi-key (src = node) hashes, and the pick condition
+    # rn = (h % deg) + 1 evaluates as the join's residual filter —
+    # identical arithmetic, identical row selected, one 2|E| stream per
+    # step instead of two plus an aggregation.
+    w_src = Window.partitionBy("src")
+    adj = sym.select(
+        "src",
+        "dst",
+        F.row_number().over(w_src.orderBy("dst")).alias("rn"),
+        F.count(F.lit(1)).over(w_src).cast("long").alias("deg"),
     ).localCheckpoint(eager=True)
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
 
     walks = spark.createDataFrame(
         [(s, s) for s in _RW_SEEDS], "seed BIGINT, node BIGINT"
@@ -161,23 +174,20 @@ def graph_random_walks(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("node").cast("string"),
             )
         )
-        # The frontier is |walkers| rows — broadcast it EXPLICITLY on
-        # both per-step joins: the checkpointed adjacency carries no
-        # stats, so the planner otherwise sort-merges (measured 22.3x
-        # shuffle at the 10x step — the adjacency re-shuffled per step).
-        picked = (
-            deg.join(F.broadcast(walks), deg.src == walks.node)
-            .select("seed", "node", ((h % F.col("deg")) + 1).alias("pick"))
-        )
-        # Truncate the chain's lineage each step: without the checkpoint the
-        # step-k frame's plan embeds the whole step-1..k join prefix, so
-        # the final union replays O(steps^2) joins (the loop discipline
-        # of the temporal kernels and pagerank_units; ADVICE r11). The
-        # frame is |walkers| rows — the checkpoint is O(walkers).
+        # The frontier is |walkers| rows — broadcast it EXPLICITLY: the
+        # checkpointed adjacency carries no stats, so the planner
+        # otherwise sort-merges (measured 22.3x shuffle at the 10x step
+        # — the adjacency re-shuffled per step).
+        # Truncate the chain's lineage each step: without the checkpoint
+        # the step-k frame's plan embeds the whole step-1..k join
+        # prefix, so the final union replays O(steps^2) joins (the loop
+        # discipline of the temporal kernels and pagerank_units; ADVICE
+        # r11). The frame is |walkers| rows — the checkpoint is
+        # O(walkers).
         walks = (
             adj.join(
-                F.broadcast(picked),
-                (adj.src == picked.node) & (adj.rn == picked.pick),
+                F.broadcast(walks),
+                (adj.src == walks.node) & (adj.rn == (h % adj.deg) + 1),
             )
             .select("seed", F.col("dst").alias("node"))
             .localCheckpoint(eager=True)
@@ -740,7 +750,12 @@ def graph_node2vec_walks(spark: SparkSession, sf: str) -> DataFrame:
     edges = entity_edges(spark, sf, dedup=True)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
+    # ONE checkpointed per-step relation (round 14): the window shuffle
+    # reads the lazy symmetric union directly (the separate sym
+    # checkpoint bought nothing — adj carries sym's rows plus rn), and
+    # the in-neighborhood test below probes adj instead of a second
+    # materialized copy.
     adj = sym.withColumn(
         "rn", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
     ).localCheckpoint(eager=True)
@@ -753,8 +768,12 @@ def graph_node2vec_walks(spark: SparkSession, sf: str) -> DataFrame:
     for k in range(1, _N2V_STEPS + 1):
         # Candidates: all neighbors x of the walker's current node v,
         # carrying the predecessor t for the class test. |walkers| ×
-        # deg(v) rows — bounded, checkpointed so the two consumers
-        # below don't replay the adjacency join.
+        # deg(v) rows — bounded.  NOT checkpointed (round 14): the two
+        # consumers below re-stream the cached adjacency instead — one
+        # extra in-memory stream per step is cheaper than a second
+        # eager-checkpoint job per step (the per-step action count
+        # drops from 2 to 1; all three adjacency streams pipeline
+        # inside the single job).
         cand = (
             adj.join(F.broadcast(walks), adj.src == walks.node)
             .select(
@@ -764,16 +783,16 @@ def graph_node2vec_walks(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("prev").alias("t"),
                 "rn",
             )
-            .localCheckpoint(eager=True)
         )
-        # In-neighborhood test: does edge (t, x) exist? The big
-        # checkpointed sym streams once, the bounded candidate set
-        # broadcasts, and the tiny match list broadcasts back — never
-        # a big-side shuffle.
+        # In-neighborhood test: does edge (t, x) exist? The big cached
+        # adjacency streams once, the bounded candidate set broadcasts,
+        # and the tiny match list broadcasts back — never a big-side
+        # shuffle.
         matched = (
-            sym.join(
+            adj.alias("m")
+            .join(
                 F.broadcast(cand.select("seed", "x", "t")),
-                (sym.src == F.col("t")) & (sym.dst == F.col("x")),
+                (F.col("m.src") == F.col("t")) & (F.col("m.dst") == F.col("x")),
             )
             .select("seed", "x")
             .distinct()
