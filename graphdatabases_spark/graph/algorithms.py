@@ -530,6 +530,8 @@ def pagerank_units(
     Returns DataFrame(id BIGINT, rank_units BIGINT) over the graph's
     full vertex set.
     """
+    from graphdatabases_spark.graph.traversal import FRONTIER_BROADCAST_MAX
+
     edges = _edges(graph)
     # The vertex frame re-enters the plan EVERY round (the left join
     # that hands each vertex its base units) — materialize it once;
@@ -540,6 +542,17 @@ def pagerank_units(
         .select(F.col("id").cast("long"))
         .localCheckpoint(eager=True)
     )
+    # Size-switched per-round broadcasts (round 14): a rank/msg row is
+    # 16 B, so below the frontier cap the per-vertex state broadcasts
+    # (~4 MB at 186k vertices) and BOTH per-round joins become
+    # broadcast-hash — the cached links relation streams with ZERO
+    # exchange, and only the dst-keyed partial-agg output shuffles.
+    # Above the cap the pre-r14 shuffle-join shape is unchanged.
+    n_vertices = vertices.count()
+    small = n_vertices <= FRONTIER_BROADCAST_MAX
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
 
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("outdeg")
@@ -547,7 +560,7 @@ def pagerank_units(
     links = edges.join(out_deg, edges.src == out_deg.id).select(
         "src", "dst", "outdeg"
     )
-    if not hash_partitioned_on(links, "src"):
+    if not small and not hash_partitioned_on(links, "src"):
         links = links.repartition("src")
     links = links.persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -570,7 +583,7 @@ def pagerank_units(
         ranks = ranks.localCheckpoint(eager=True)
         for i in range(num_iters):
             msgs = (
-                links.join(ranks, links.src == ranks.id)
+                links.join(_side(ranks), links.src == ranks.id)
                 .select(
                     F.col("dst").alias("id"),
                     F.expr("rank_units div outdeg").alias("contrib"),
@@ -578,7 +591,7 @@ def pagerank_units(
                 .groupBy("id")
                 .agg(F.sum("contrib").alias("msg"))
             )
-            ranks = vertices.join(msgs, "id", "left").select(
+            ranks = vertices.join(_side(msgs), "id", "left").select(
                 "id",
                 (
                     F.lit(base_units)

@@ -186,7 +186,11 @@ def graph_mis_decremental(spark: SparkSession, sf: str) -> DataFrame:
     # Warm phase over the PRUNED graph: statuses start at the full-
     # graph MIS; adjacency-with-neighbor-status over kept edges only.
     fstat = (
-        fverts.join(base_mis.withColumn("s0", F.lit(True)), "id", "left")
+        fverts.join(
+            _mis_side(base_mis.withColumn("s0", F.lit(True)), base_row["sz"]),
+            "id",
+            "left",
+        )
         .select("id", "h", F.coalesce(F.col("s0"), F.lit(False)).alias("s"))
         .localCheckpoint(eager=True)
     )
@@ -259,18 +263,22 @@ def graph_mis_decremental(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("sz"),
         F.sum("id").cast("long").alias("cks"),
     ).collect()[0]
+    # Proof joins size-switch-broadcast the (known-count) MIS sides so
+    # the persisted symf streams without a sort-merge exchange (r14).
     n_flipped = final.join(
-        base_mis.withColumn("s0", F.lit(True)), "id", "left"
+        _mis_side(base_mis.withColumn("s0", F.lit(True)), base_row["sz"]),
+        "id",
+        "left",
     ).filter(F.col("s") != F.coalesce(F.col("s0"), F.lit(False))).count()
     m_a = warm_mis.select(F.col("id").alias("aid"))
     m_b = warm_mis.select(F.col("id").alias("bid"))
     indep_viol = (
-        symq.join(m_a, symq.src == F.col("aid"))
-        .join(m_b, symq.dst == F.col("bid"))
+        symq.join(_mis_side(m_a, warm_row["sz"]), symq.src == F.col("aid"))
+        .join(_mis_side(m_b, warm_row["sz"]), symq.dst == F.col("bid"))
         .count()
     )
     covered = (
-        symq.join(m_b, symq.dst == F.col("bid"))
+        symq.join(_mis_side(m_b, warm_row["sz"]), symq.dst == F.col("bid"))
         .select(F.col("src").alias("id"))
         .distinct()
     )

@@ -1477,13 +1477,16 @@ def graph_mis_luby(spark: SparkSession, sf: str) -> DataFrame:
     mis = _mis_kernel(spark, sym, und, n_vertices, sym.count())
     m_a = mis.select(F.col("id").alias("aid"))
     m_b = mis.select(F.col("id").alias("bid"))
+    # Proof joins: mis ⊆ the vertex set, so n_vertices bounds the
+    # broadcast side — the checkpointed mis carries no stats and the
+    # planner otherwise sort-merge-exchanges sym per proof (round 14).
     indep_viol = (
-        sym.join(m_a, sym.src == F.col("aid"))
-        .join(m_b, sym.dst == F.col("bid"))
+        sym.join(_mis_side(m_a, n_vertices), sym.src == F.col("aid"))
+        .join(_mis_side(m_b, n_vertices), sym.dst == F.col("bid"))
         .count()
     )
     covered = (
-        sym.join(m_b, sym.dst == F.col("bid"))
+        sym.join(_mis_side(m_b, n_vertices), sym.dst == F.col("bid"))
         .select(F.col("src").alias("id"))
         .distinct()
     )

@@ -18,6 +18,7 @@ from graphdatabases_spark.relational.catalog import register
 from graphdatabases_spark.relational.graph_kernels import (
     _induced_local,
     _mis_kernel,
+    _mis_side,
     _sym_partition_key,
     _sym_und_build,
 )
@@ -171,6 +172,7 @@ def graph_coloring_mis(spark: SparkSession, sf: str) -> DataFrame:
     colored = None
     color = 0
     n_sym = sym.count()
+    n_vertices = n_rem  # every vertex ends up colored exactly once
     full_set = True
     while n_rem > 0:
         # Full driver-local finish: once the residual-induced subgraph
@@ -217,14 +219,26 @@ def graph_coloring_mis(spark: SparkSession, sf: str) -> DataFrame:
         )
         part = mis.withColumn("color", F.lit(color))
         colored = part if colored is None else colored.unionByName(part)
-        rem = rem.join(mis, "id", "left_anti").localCheckpoint(eager=True)
+        # mis ⊆ rem, so n_rem bounds the anti-join's broadcast side —
+        # the checkpointed mis otherwise carries no stats and the
+        # planner sort-merge-exchanged rem every color (round 14).
+        rem = rem.join(_mis_side(mis, n_rem), "id", "left_anti").localCheckpoint(
+            eager=True
+        )
         n_rem = rem.count()
     colored = colored.localCheckpoint(eager=True)
     ca = colored.select(F.col("id").alias("aid"), F.col("color").alias("acol"))
     cb = colored.select(F.col("id").alias("bid"), F.col("color").alias("bcol"))
+    # Properness proof: colored is exactly n_vertices rows — size-
+    # switched broadcasts keep the two proof joins as single streams of
+    # the persisted sym (measured ~2-3 s of sort-merge exchange at
+    # sf0.1 without the hints, round 14).
     improper = (
-        sym.join(ca, sym.src == F.col("aid"))
-        .join(cb, (sym.dst == F.col("bid")) & (F.col("acol") == F.col("bcol")))
+        sym.join(_mis_side(ca, n_vertices), sym.src == F.col("aid"))
+        .join(
+            _mis_side(cb, n_vertices),
+            (sym.dst == F.col("bid")) & (F.col("acol") == F.col("bcol")),
+        )
         .count()
     )
     sym.unpersist()  # the properness proof was the last sym consumer
@@ -426,9 +440,13 @@ def graph_bmatching_greedy(spark: SparkSession, sf: str) -> DataFrame:
     # Maximality is defined over RESULT degrees (caps may be mid-loop
     # state after a tail break): a violation is an unmatched edge both
     # of whose endpoints sit below b in the result.
-    g0 = (
-        entity_edges(spark, sf, dedup=True)
-        .join(bmat.select("src", "dst"), ["src", "dst"], "left_anti")
+    # Reuse the checkpointed edge relation (round 14 — re-running
+    # entity_edges paid the 3-way-union + distinct scan a second time)
+    # and size-switch the anti-join side (result size is in hand).
+    g0 = g.select("src", "dst").join(
+        _mis_side(bmat.select("src", "dst"), res["sz"]),
+        ["src", "dst"],
+        "left_anti",
     )
     deg_s = bdeg.select(F.col("v").alias("src"), F.col("n").alias("ns"))
     deg_d = bdeg.select(F.col("v").alias("dst"), F.col("n").alias("nd"))

@@ -69,8 +69,11 @@ def main() -> None:
         samples = []
         for _ in range(args.repeats):
             spark.sparkContext.setJobDescription(f"profile:{name}")
-            df = fn(spark, args.sf)
+            # Construction INSIDE the timed region — the loop-driven
+            # kernels execute eagerly while building their result frame
+            # (same timed region as bench.py).
             t0 = time.perf_counter()
+            df = fn(spark, args.sf)
             if args.no_noop:
                 df.count()
             else:
