@@ -654,24 +654,39 @@ def connected_components(
         # Zero propagation rounds would silently return every vertex as
         # its own component (same hazard class as the kcore guard).
         raise ValueError(f"connected_components needs max_iters >= 1, got {max_iters}")
+    from graphdatabases_spark.graph.traversal import FRONTIER_BROADCAST_MAX
+
     e = _edges(graph)
     if _pick_strategy(e, strategy, local_threshold) == "local":
         return _connected_components_local(graph, e)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     vertices = _vertices_from(graph, e)
+    # Size-switched per-round broadcasts (round 14, the pagerank_units
+    # pattern): below the frontier cap the per-vertex label state
+    # broadcasts and the cached sym streams with no setup repartition
+    # and no per-round exchange of the label side; only the keyed min
+    # aggregate shuffles.  Above the cap the shuffle shape is unchanged.
+    n_vertices = vertices.count()
+    small = n_vertices <= FRONTIER_BROADCAST_MAX
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
+    if not small:
+        sym = sym.repartition("src")
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     prev_cached: DataFrame | None = None
     try:
         comp = vertices.select("id", F.col("id").alias("comp"))
         for i in range(max_iters):
             nbr_min = (
-                sym.join(comp, sym.src == comp.id)
+                sym.join(_side(comp), sym.src == comp.id)
                 .select(F.col("dst").alias("id"), F.col("comp"))
                 .groupBy("id")
                 .agg(F.min("comp").alias("nbr_comp"))
             )
             new_comp = (
-                comp.join(nbr_min, "id", "left")
+                comp.join(_side(nbr_min), "id", "left")
                 .select(
                     "id",
                     F.least(
@@ -689,7 +704,7 @@ def connected_components(
             # cached blocks no longer accumulate across rounds.
             changed = (
                 new_comp.alias("n")
-                .join(comp.alias("o"), "id")
+                .join(_side(comp.alias("o")), "id")
                 .filter(F.col("n.comp") != F.col("o.comp"))
                 .count()
             )
@@ -818,20 +833,37 @@ def label_propagation(
     among in+out neighbors (ties → smallest label — deterministic).
     Returns DataFrame(id BIGINT, label BIGINT).
     """
+    from graphdatabases_spark.graph.traversal import FRONTIER_BROADCAST_MAX
+
     e = _edges(graph)
     if _pick_strategy(e, strategy, local_threshold) == "local":
         return _label_propagation_local(graph, e, num_iters)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     # Materialize the vertex set once: the per-round label rebuild
     # left-joins `vertices`, and without this the endpoint-distinct
     # (an O(edges) shuffle) re-executes every round.
     vertices = _vertices_from(graph, e).localCheckpoint(eager=True)
+    # Size-switched per-round broadcasts (round 14, the pagerank_units
+    # pattern): below the frontier cap the per-vertex label state
+    # broadcasts and both per-round joins are broadcast-hash — sym
+    # streams with no setup repartition and no per-round exchange of
+    # the label side; only the keyed count aggregate shuffles.  Above
+    # the cap the pre-r14 shuffle-join shape (src-clustered sym copy)
+    # is unchanged.
+    n_vertices = vertices.count()
+    small = n_vertices <= FRONTIER_BROADCAST_MAX
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
+    if not small:
+        sym = sym.repartition("src")
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         labels = vertices.select("id", F.col("id").alias("label"))
         for i in range(num_iters):
             counts = (
-                sym.join(labels, sym.src == labels.id)
+                sym.join(_side(labels), sym.src == labels.id)
                 .select(F.col("dst").alias("id"), "label")
                 .groupBy("id", "label")
                 .agg(F.count(F.lit(1)).alias("cnt"))
@@ -854,7 +886,7 @@ def label_propagation(
             # round — measured 131→272→551 MB shuffle for 1→2→3
             # rounds on the 3M-edge sf1 co-purchase graph before the
             # round-9 fix, ~linear after.
-            labels = vertices.join(best, "id", "left").select(
+            labels = vertices.join(_side(best), "id", "left").select(
                 "id",
                 F.coalesce("new_label", F.col("id")).alias("label"),
             )

@@ -1058,6 +1058,13 @@ def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
     # (the label_propagation-internal convention).
     e0 = e0.localCheckpoint(eager=True)
     labels = label_propagation(e0, num_iters=3)
+    # Size-switched broadcasts of the per-vertex sides (round 14; the
+    # checkpointed labels carry no stats, so the intra-edge proof
+    # otherwise sort-merge-exchanges e0 twice).
+    from graphdatabases_spark.relational.graph_kernels import _mis_side
+
+    n_v = labels.count()
+    _side = lambda df: _mis_side(df, n_v)  # noqa: E731
     sym = e0.select("src").unionAll(
         e0.select(F.col("dst").alias("src"))
     )
@@ -1065,7 +1072,7 @@ def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("deg")
     )
     comm = (
-        labels.join(deg, "id")
+        labels.join(_side(deg), "id")
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
@@ -1079,8 +1086,8 @@ def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id").alias("dst"), F.col("label").alias("label_b")
     )
     intra = (
-        e0.join(la, "src")
-        .join(lb, "dst")
+        e0.join(_side(la), "src")
+        .join(_side(lb), "dst")
         .filter(F.col("label_a") == F.col("label_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
     )
@@ -1274,22 +1281,40 @@ def graph_louvain_onepass(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     labels = label_propagation(e0, num_iters=3).localCheckpoint(eager=True)
+    # Size-switched broadcasts of every per-vertex / per-community side
+    # (round 14, the pagerank_units pattern; see _weighted_local_move):
+    # labels/deg/comm/kvs are <= |V| rows, so below the frontier cap the
+    # joins against the edge-sized streams are broadcast-hash and only
+    # the keyed aggregates shuffle.
+    from graphdatabases_spark.relational.graph_kernels import _mis_side
+
+    n_v = labels.count()
+    _side = lambda df: _mis_side(df, n_v)  # noqa: E731
     sym = e0.select("src", "dst").unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = sym.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
+    # deg re-entered the plan four times (comm, the gain join, both
+    # modularity scorings) — each lazily re-aggregated sym (round 14:
+    # checkpoint the |V|-row result once).
+    deg = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
     )
     mm = e0.agg(F.count(F.lit(1)).cast("long").alias("m"))
     comm = (
-        labels.join(deg, "id")
+        labels.join(_side(deg), "id")
         .groupBy("label")
         .agg(F.sum("deg").cast("long").alias("sig"))
         .localCheckpoint(eager=True)
     )
     kvc = (
         sym.join(
-            labels.select(F.col("id").alias("dst"), F.col("label").alias("c")),
+            _side(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("c")
+                )
+            ),
             "dst",
         )
         .groupBy(F.col("src").alias("id"), "c")
@@ -1302,11 +1327,25 @@ def graph_louvain_onepass(spark: SparkSession, sf: str) -> DataFrame:
         "left",
     ).select("id", "s", F.coalesce("k_own", F.lit(0)).alias("k_own"))
     cand0 = (
-        kvc.join(kvs, "id")
+        kvc.join(_side(kvs), "id")
         .filter(F.col("c") != F.col("s"))
-        .join(deg, "id")
-        .join(comm.select(F.col("label").alias("c"), F.col("sig").alias("sig_c")), "c")
-        .join(comm.select(F.col("label").alias("s"), F.col("sig").alias("sig_s")), "s")
+        .join(_side(deg), "id")
+        .join(
+            _side(
+                comm.select(
+                    F.col("label").alias("c"), F.col("sig").alias("sig_c")
+                )
+            ),
+            "c",
+        )
+        .join(
+            _side(
+                comm.select(
+                    F.col("label").alias("s"), F.col("sig").alias("sig_s")
+                )
+            ),
+            "s",
+        )
         .crossJoin(F.broadcast(mm))
         .select(
             "id",
@@ -1349,12 +1388,12 @@ def graph_louvain_onepass(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     l4 = labels.join(
-        movers.select("id", F.col("c").alias("new_label")), "id", "left"
+        _side(movers.select("id", F.col("c").alias("new_label"))), "id", "left"
     ).select("id", F.coalesce("new_label", "label").alias("label"))
 
     def _q_parts(lbl, alias):
         sig = (
-            lbl.join(deg, "id")
+            lbl.join(_side(deg), "id")
             .groupBy("label")
             .agg(F.sum("deg").cast("long").alias("sig"))
             .agg(F.sum(F.col("sig") * F.col("sig")).cast("long").alias(f"sum_d2_{alias}"))
@@ -1362,8 +1401,8 @@ def graph_louvain_onepass(spark: SparkSession, sf: str) -> DataFrame:
         la = lbl.select(F.col("id").alias("src"), F.col("label").alias("la"))
         lb = lbl.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
         intra = (
-            e0.join(la, "src")
-            .join(lb, "dst")
+            e0.join(_side(la), "src")
+            .join(_side(lb), "dst")
             .filter(F.col("la") == F.col("lb"))
             .agg(F.count(F.lit(1)).cast("long").alias(f"intra_{alias}"))
         )

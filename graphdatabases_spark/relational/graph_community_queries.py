@@ -226,7 +226,17 @@ def _weighted_local_move(
     dropped), so the surviving moves touch pairwise-disjoint
     communities and apply simultaneously with exactly-additive gains.
     """
+    from graphdatabases_spark.relational.graph_kernels import _mis_side
+
     _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    # Size-switched broadcasts of every per-vertex / per-community side
+    # (round 14, the pagerank_units pattern): labels, strength, sig,
+    # kvs and post are all <= |V| rows, so below the frontier cap each
+    # join against the edge-sized streams (sadj, wg, kvc) is broadcast-
+    # hash and only the keyed aggregates shuffle; above the cap the
+    # shuffle-join shape is unchanged.
+    n_v = labels.count()
+    _side = lambda df: _mis_side(df, n_v)  # noqa: E731
     inter = wg.filter(F.col("u") != F.col("v"))
     sadj = inter.select(
         F.col("u").alias("a"), F.col("v").alias("b"), "w"
@@ -243,13 +253,17 @@ def _weighted_local_move(
     )
     strength = _ckpt(strength)
     sig = _ckpt(
-        labels.join(strength, "id")
+        labels.join(_side(strength), "id")
         .groupBy("label")
         .agg(F.sum("k").cast("long").alias("sig"))
     )
     kvc = (
         sadj.join(
-            labels.select(F.col("id").alias("b"), F.col("label").alias("c")),
+            _side(
+                labels.select(
+                    F.col("id").alias("b"), F.col("label").alias("c")
+                )
+            ),
             "b",
         )
         .groupBy(F.col("a").alias("id"), "c")
@@ -265,15 +279,23 @@ def _weighted_local_move(
         .select("id", "s", F.coalesce("k_own", F.lit(0)).alias("k_own"))
     )
     gains = (
-        kvc.join(kvs, "id")
+        kvc.join(_side(kvs), "id")
         .filter(F.col("c") != F.col("s"))
-        .join(strength, "id")
+        .join(_side(strength), "id")
         .join(
-            sig.select(F.col("label").alias("c"), F.col("sig").alias("sig_c")),
+            _side(
+                sig.select(
+                    F.col("label").alias("c"), F.col("sig").alias("sig_c")
+                )
+            ),
             "c",
         )
         .join(
-            sig.select(F.col("label").alias("s"), F.col("sig").alias("sig_s")),
+            _side(
+                sig.select(
+                    F.col("label").alias("s"), F.col("sig").alias("sig_s")
+                )
+            ),
             "s",
         )
         .crossJoin(F.broadcast(mm))
@@ -316,7 +338,9 @@ def _weighted_local_move(
     )
     post = (
         labels.join(
-            movers.select("id", F.col("c").alias("new_label")), "id", "left"
+            _side(movers.select("id", F.col("c").alias("new_label"))),
+            "id",
+            "left",
         )
         .select("id", F.coalesce("new_label", "label").alias("label"))
         .localCheckpoint(eager=True)
@@ -326,8 +350,8 @@ def _weighted_local_move(
         la = lbl.select(F.col("id").alias("u"), F.col("label").alias("la"))
         lb = lbl.select(F.col("id").alias("v"), F.col("label").alias("lb"))
         return (
-            wg.join(la, "u")
-            .join(lb, "v")
+            wg.join(_side(la), "u")
+            .join(_side(lb), "v")
             .filter(F.col("la") == F.col("lb"))
             .agg(
                 F.coalesce(F.sum("w"), F.lit(0))
@@ -343,7 +367,7 @@ def _weighted_local_move(
             .alias(f"sum_d2_{alias}")
         )
 
-    sig_after = post.join(strength, "id").groupBy("label").agg(
+    sig_after = post.join(_side(strength), "id").groupBy("label").agg(
         F.sum("k").cast("long").alias("sig")
     )
     stats = (

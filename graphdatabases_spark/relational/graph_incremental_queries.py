@@ -134,12 +134,20 @@ def _mis_warm_repair(spark, adj: DataFrame, dirty: DataFrame, n_dirty: int):
         n_changed = changed.count()
         if n_changed == 0:
             break
+        # The overlay is referenced twice per round (blocked + dirty
+        # rebuild), so it stays eager-checkpointed — a lazy chain was
+        # tried (round 14) and re-evaluated k nested broadcast builds
+        # per reference, quadratic in rounds.  Only the per-round
+        # delta.count() is dropped: n_delta becomes an upper BOUND
+        # (sum of flip counts; a vertex flipping twice counts twice),
+        # which is only ever used for the size-switched broadcast
+        # decision — conservative is correct.
         delta = (
             delta.join(changed.select("id"), "id", "left_anti")
             .unionByName(changed.select("id", "s"))
             .localCheckpoint(eager=True)
         )
-        n_delta = delta.count()
+        n_delta += n_changed
         # Propagate: strictly-lower-priority neighbors of every flip
         # become the next dirty set (their dependency just changed).
         cand = (
