@@ -684,7 +684,16 @@ def docs_tok_kll_store_replan(spark: SparkSession, sf: str) -> DataFrame:
         "stale": kll_serve_df(l1.filter(F.col("shard") < _KSR_S), q_pcts=_KSR_QS),
         "replan": kll_serve_df(l1, q_pcts=_KSR_QS),
     }
-    newd = _vals(False).select("v").unionByName(_vals(True).select("v"))
+    # One tokenize pass (round 14): newd feeds the row count plus BOTH
+    # plans' partition counts — without the checkpoint each consumer
+    # re-ran the full-corpus tokenization (3 scans instead of 1).  The
+    # materialized state is one LONG per document.
+    newd = (
+        _vals(False)
+        .select("v")
+        .unionByName(_vals(True).select("v"))
+        .localCheckpoint(eager=True)
+    )
     n_new = newd.count()
     target = (n_new + _KSR_S - 1) // _KSR_S
     out = None

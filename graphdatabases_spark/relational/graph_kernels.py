@@ -350,12 +350,15 @@ def _matching_kernel(spark, g: DataFrame, n_g: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         mat = m if mat is None else mat.unionByName(m)
-        mv = (
-            m.select(F.col("src").alias("v"))
-            .unionByName(m.select(F.col("dst").alias("v")))
-            .localCheckpoint(eager=True)
+        # mv stays lazy over the checkpointed m (round 14): a round's
+        # matching pairs two disjoint endpoints per edge, so |mv| is
+        # exactly 2|m| — the separate eager checkpoint + count were two
+        # extra jobs per round for a relation both consumers rebuild
+        # from cache in one cheap union.
+        mv = m.select(F.col("src").alias("v")).unionByName(
+            m.select(F.col("dst").alias("v"))
         )
-        n_mv = mv.count()
+        n_mv = 2 * m.count()
         # Matched vertices are <= 2x this round's matching — broadcast
         # anti-joins (size-switched), so the surviving edge set never
         # re-exchanges.
