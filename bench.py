@@ -457,7 +457,22 @@ def main() -> None:
     }
     if sf1_section:
         out["sf1"] = sf1_section
-    print(json.dumps(out))
+    payload = json.dumps(out)
+    # Round-over-round record robustness (r14 verdict item 2: the r13
+    # driver record failed to parse despite rc=0 — the result JSON
+    # survived only inside a truncated tail).  Defend both ways: the
+    # JSON is ALSO written verbatim to BENCH_out.json next to this
+    # script, and both streams are flushed before the one stdout line
+    # so nothing can interleave with it.
+    try:
+        (Path(__file__).resolve().parent / "BENCH_out.json").write_text(
+            payload + "\n"
+        )
+    except OSError as e:  # pragma: no cover - the stdout line remains
+        print(f"BENCH_out.json write failed: {e!r}", file=sys.stderr)
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(payload, flush=True)
     spark.stop()
 
 

@@ -39,6 +39,7 @@ Execution strategy (the 100-TB design decision):
 
 from __future__ import annotations
 
+import os
 from collections import deque
 
 from pyspark.sql import DataFrame, SparkSession
@@ -109,6 +110,24 @@ CHECKPOINT_EVERY = 4
 _BLOCK_MAX_HOPS = 4
 _BLOCK_SAFE_ROWS = 1_000_000
 
+# Distinct-deferred blocks (round 15): when the block's worst-case
+# per-level expansion is PROVABLY bounded — frontier_rows·max_deg^i,
+# with max_deg the measured max out-degree of the cached edge set, not
+# the learned growth estimate — the per-level ``distinct`` (bfs) /
+# ``groupBy(id).min(path)`` (ssp) shuffles are skipped entirely and the
+# block's one reduction (min(dist) / min(struct(dist, path))) dedups at
+# block end.  Every level's join and visited anti-join then broadcasts
+# a provably-small side, so a whole block plans with ZERO exchanges
+# before the block-end reduction; the per-level AQE shuffle-stage pair
+# that was the r14 floor disappears.  The multiset a level carries is
+# bounded by the same max_deg power that gates engagement, so nothing
+# relies on an estimate (advice r14: the learned ratio must not feed a
+# broadcast hint).  Levels past the proven bound, hub graphs
+# (max_deg blows the bound at i=1) and large-visited regimes fall back
+# to the r14 per-level-distinct path unchanged.
+_BLOCK_MAX_HOPS_DEFER = int(os.environ.get("SPARK_GRAFT_BFS_DEFER_K", "6"))
+_DEFER_ENABLED = os.environ.get("SPARK_GRAFT_BFS_DEFER", "1") != "0"
+
 # Per-partition byte target for the persisted traversal edge cache.
 # The per-level join schedules one task per cached edge partition; a
 # sub-threshold-adjacent graph (the 500-grid deep rows: 499k edges,
@@ -120,15 +139,21 @@ _BLOCK_SAFE_ROWS = 1_000_000
 _EDGE_CACHE_PARTITION_BYTES = 64 << 20
 
 
-def _block_k(frontier_rows: int, growth: float, remaining: int | None) -> int:
+def _block_k(
+    frontier_rows: int,
+    growth: float,
+    remaining: int | None,
+    cap: int = _BLOCK_MAX_HOPS,
+    safe_rows: int = _BLOCK_SAFE_ROWS,
+) -> int:
     """Largest hop-block size whose worst-case frontier estimate stays
-    under _BLOCK_SAFE_ROWS (always >= 1; capped by remaining hops)."""
+    under ``safe_rows`` (always >= 1; capped by remaining hops)."""
     k = 1
     est = frontier_rows * growth
     while (
-        k < _BLOCK_MAX_HOPS
+        k < cap
         and (remaining is None or k < remaining)
-        and est * growth <= _BLOCK_SAFE_ROWS
+        and est * growth <= safe_rows
     ):
         k += 1
         est *= growth
@@ -657,6 +682,7 @@ class _EdgeSides:
 
     def __init__(self, edges: DataFrame):
         plain = edges.select("src", "dst")
+        self._max_out_deg: int | None = None
         # Size-adaptive partition count for the persisted copy (round
         # 14; see _EDGE_CACHE_PARTITION_BYTES) — UNLESS the relation is
         # already src-clustered (bucketed table / upstream
@@ -691,6 +717,25 @@ class _EdgeSides:
                     StorageLevel.MEMORY_AND_DISK
                 )
         return self._by_src
+
+    def max_out_degree(self) -> int:
+        """Max out-degree of the cached edge set (one aggregate job,
+        computed lazily and memoized).  The multi-hop block loops use
+        ``frontier_rows * max_deg^i`` as a PROVABLE bound on the level-i
+        expansion — the broadcast gate for in-block levels (advice r14:
+        the learned growth ratio is an estimate, and a hub vertex inside
+        a small frontier could otherwise get an F.broadcast hint on tens
+        of millions of rows) and the engage condition for the per-level
+        distinct deferral."""
+        if self._max_out_deg is None:
+            row = (
+                self.plain.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c").alias("m"))
+                .collect()[0]
+            )
+            self._max_out_deg = int(row["m"] or 1)
+        return self._max_out_deg
 
     def join_frontier(self, frontier: DataFrame, frontier_rows: int) -> DataFrame:
         """frontier ⋈ edges on id=src, picking the join side by size."""
@@ -728,6 +773,7 @@ def _bfs_distributed(
     try:
         frontier = spark.createDataFrame([(src, 0)], DIST_SCHEMA)
         visited = frontier
+        visited_rows = 1
         frontier_rows = 1
         d = 0
         growth = 8.0  # conservative prior; learned per block (_next_growth)
@@ -735,23 +781,57 @@ def _bfs_distributed(
         while (max_hops is None or d < max_hops) and frontier_rows > 0:
             remaining = None if max_hops is None else max_hops - d
             k = _block_k(frontier_rows, growth, remaining)
+            defer = False
+            max_deg = None
+            if k > 1:
+                # Small-frontier regime: fetch the real degree bound
+                # (lazy one-time aggregate) — it gates the in-block
+                # broadcasts and, when it proves the whole block small,
+                # engages the distinct-deferred fast path.
+                max_deg = sides.max_out_degree()
+                if _DEFER_ENABLED and visited_rows <= FRONTIER_BROADCAST_MAX:
+                    # The binding constraint on a deferred (id, dist)
+                    # multiset is the per-level broadcast cap itself —
+                    # rows are 16 B, so FRONTIER_BROADCAST_MAX (~64 MB)
+                    # is also a safe materialization bound.
+                    kd = _block_k(
+                        frontier_rows, float(max_deg), remaining,
+                        cap=_BLOCK_MAX_HOPS_DEFER,
+                        safe_rows=FRONTIER_BROADCAST_MAX,
+                    )
+                    if kd >= 2:
+                        defer, k = True, kd
             # Compose k hops lazily; each level anti-joins the
             # pre-block `visited` only (within-block echoes are removed
             # by the min(dist) reduction below — see _BLOCK_MAX_HOPS).
+            # The visited side broadcasts while its EXACT row count is
+            # under the cap (one build per block, reused by every
+            # level); in-block level i's frontier side broadcasts only
+            # when the PROVABLE bound frontier_rows·max_deg^(i-1)
+            # clears the cap (advice r14 — never an estimate).
+            vis = (
+                F.broadcast(visited)
+                if visited_rows <= FRONTIER_BROADCAST_MAX
+                else visited
+            )
             f = frontier.select("id")
-            est = float(frontier_rows)
             block = None
             for i in range(1, k + 1):
-                nf = (
-                    sides.join_frontier(f, int(est))
-                    .select(F.col("dst").alias("id"))
-                    .distinct()
-                    .join(visited, "id", "left_anti")
-                    .select(F.col("id"), F.lit(d + i).cast("int").alias("dist"))
+                gate_rows = (
+                    frontier_rows
+                    if i == 1 or max_deg is None
+                    else frontier_rows * max_deg ** (i - 1)
+                )
+                nf = sides.join_frontier(f, gate_rows).select(
+                    F.col("dst").alias("id")
+                )
+                if not defer:
+                    nf = nf.distinct()
+                nf = nf.join(vis, "id", "left_anti").select(
+                    F.col("id"), F.lit(d + i).cast("int").alias("dist")
                 )
                 block = nf if block is None else block.unionByName(nf)
                 f = nf.select("id")
-                est = min(est * growth, float(_BLOCK_SAFE_ROWS))
             if k > 1:
                 block = block.groupBy("id").agg(F.min("dist").alias("dist"))
             # Eager checkpoint ONCE PER BLOCK: the returned `visited`
@@ -770,6 +850,7 @@ def _bfs_distributed(
             if stats["n"] == 0:
                 break
             visited = visited.union(block)
+            visited_rows += stats["n"]
             d += k
             since_ckpt += k
             if since_ckpt >= checkpoint_every:
@@ -781,9 +862,15 @@ def _bfs_distributed(
                 # that many task launches every round. Measured on the
                 # 500-grid at 300 hops: 2.4 s/round average (715 s
                 # total) with the growth vs a flat ~0.45 s/round once
-                # capped (round-10 deep-BFS audit, SCALE.md).
+                # capped (round-10 deep-BFS audit, SCALE.md).  In the
+                # broadcast regime (exact count under the cap — ~64 MB
+                # of (id, dist) rows) ONE partition suffices and every
+                # per-block broadcast build of `visited` then schedules
+                # one task instead of shuffle_partitions of them.
                 visited = visited.coalesce(
-                    _shuffle_partitions(spark)
+                    1
+                    if visited_rows <= FRONTIER_BROADCAST_MAX
+                    else _shuffle_partitions(spark)
                 ).localCheckpoint(eager=True)
                 since_ckpt = 0
             if k > 1:
@@ -984,6 +1071,7 @@ def _ssp_distributed(
             ),
         )
         visited = frontier.select("id")
+        visited_rows = 1
         frontier_rows = 1
         d = 0
         growth = 8.0  # conservative prior; learned per block (_next_growth)
@@ -991,6 +1079,15 @@ def _ssp_distributed(
         while (max_hops is None or d < max_hops) and frontier_rows > 0:
             remaining = None if max_hops is None else max_hops - d
             k = _block_k(frontier_rows, growth, remaining)
+            max_deg = sides.max_out_degree() if k > 1 else None
+            # NOTE (round 15, measured): the bfs kernel's distinct
+            # deferral is NOT applied here — without the per-level
+            # min(path) reduction the candidate multiset carries one row
+            # PER SHORTEST WALK (binomially many on lattice-like
+            # graphs), each with a growing path array; the 300-grid
+            # fixture regressed 16 s → 24-36 s.  The per-level reduction
+            # stays; only the broadcast gates (worst-case max_deg bound,
+            # exact visited count) changed.
             # Compose k hops lazily (see _bfs_distributed / the
             # _BLOCK_MAX_HOPS note): each level anti-joins the pre-block
             # `visited` and keeps the per-id lexicographic min path —
@@ -1001,13 +1098,22 @@ def _ssp_distributed(
             # reduction below: dist leads the struct, so the true first
             # discovery always wins, and echo-generated candidates land
             # strictly above their child's true level.
+            vis = (
+                F.broadcast(visited)
+                if visited_rows <= FRONTIER_BROADCAST_MAX
+                else visited
+            )
             f = frontier
-            est = float(frontier_rows)
             block = None
             for i in range(1, k + 1):
+                bound = (
+                    frontier_rows
+                    if i == 1 or max_deg is None
+                    else frontier_rows * max_deg ** (i - 1)
+                )
                 # A path-carrying frontier row is ~8·d bytes, not 16:
                 # scale the broadcast cutoff down by the path length.
-                eff_rows = int(est) * max(1, (d + i) // 2)
+                eff_rows = bound * max(1, (d + i) // 2)
                 nf = (
                     sides.join_frontier(f, eff_rows)
                     .select(
@@ -1016,7 +1122,7 @@ def _ssp_distributed(
                             "path"
                         ),
                     )
-                    .join(visited, "id", "left_anti")
+                    .join(vis, "id", "left_anti")
                     .groupBy("id")
                     .agg(F.min("path").alias("path"))
                 )
@@ -1025,7 +1131,6 @@ def _ssp_distributed(
                 )
                 block = lvl if block is None else block.unionByName(lvl)
                 f = nf
-                est = min(est * growth, float(_BLOCK_SAFE_ROWS))
             if k > 1:
                 block = (
                     block.groupBy("id")
@@ -1053,13 +1158,18 @@ def _ssp_distributed(
             if probe["n"] == 0:
                 break
             visited = visited.union(block.select("id"))
+            visited_rows += probe["n"]
             d += k
             since_ckpt += k
             if since_ckpt >= checkpoint_every:
                 # coalesce caps the checkpointed partition count (see
-                # _bfs_distributed — unbounded growth with depth).
+                # _bfs_distributed — unbounded growth with depth; one
+                # partition in the broadcast regime so each per-block
+                # visited broadcast build schedules one task).
                 visited = visited.coalesce(
-                    _shuffle_partitions(spark)
+                    1
+                    if visited_rows <= FRONTIER_BROADCAST_MAX
+                    else _shuffle_partitions(spark)
                 ).localCheckpoint(eager=True)
                 since_ckpt = 0
             if k > 1:
@@ -1072,5 +1182,4 @@ def _ssp_distributed(
     finally:
         # Results are driver-local rows (every return path), so the
         # persisted edge copies can be dropped unconditionally.
-        sides.release()
         sides.release()

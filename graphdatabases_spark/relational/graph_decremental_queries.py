@@ -195,6 +195,8 @@ def graph_mis_decremental(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     symq = symf.filter(~is_del)
+    # persist + src-sorted (round 15): batch-stat pruning for the warm
+    # cascade's cone-filtered rounds — see graph_mis_incremental.
     adj = (
         symq.join(
             _mis_side(
@@ -208,7 +210,8 @@ def graph_mis_decremental(spark: SparkSession, sf: str) -> DataFrame:
             "dst",
         )
         .select("src", F.col("dst").alias("nid"), "nh", "ns")
-        .localCheckpoint(eager=True)
+        .sortWithinPartitions("src")
+        .persist()
     )
     # Dirty seed: for each deleted symmetric edge, the LOWER-priority
     # endpoint when the higher-priority endpoint was base-TRUE — only
@@ -246,6 +249,7 @@ def graph_mis_decremental(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     n_dirty = dirty.count()
     delta, n_delta = _mis_warm_repair(spark, adj, dirty, n_dirty)
+    adj.unpersist()
     final = (
         fstat.join(
             _mis_side(

@@ -230,15 +230,28 @@ _EAGER_STREAMING = {
 }
 
 
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_dir, qs):
+    """One physical-plan string per catalog entry, built ONCE and shared
+    by every universal gate below.  Building a catalog frame is not free
+    — the eager graph/sketch entries run their whole kernel at sf0.001
+    when called — and each of the three universal gates used to rebuild
+    all ~300 of them (3 × ~200 s of the suite's wall, round-15 timing).
+    The gates assert on the plan STRING, so one build serves all."""
+    plans: dict[str, str] = {}
+    for name, fn in sorted(qs.items()):
+        if name in _EAGER_STREAMING:
+            continue  # executes a streaming job eagerly; covered above
+        plans[name] = physical_plan(fn(spark, sf_dir))
+    return plans
+
+
 class TestUniversalGates:
-    def test_no_query_uses_row_at_a_time_python(self, spark, sf_dir, qs):
+    def test_no_query_uses_row_at_a_time_python(self, all_plans):
         """Universal rule: NO catalog query may contain a BatchEvalPython
         node — pickled row-at-a-time Python is 10-100x slower than Arrow
         and must never appear in the declared surface."""
-        for name, fn in sorted(qs.items()):
-            if name in _EAGER_STREAMING:
-                continue  # executes a streaming job eagerly; covered above
-            plan = physical_plan(fn(spark, sf_dir))
+        for name, plan in all_plans.items():
             assert "BatchEvalPython" not in plan, name
 
     # Queries allowed to contain an UNPARTITIONED Window node. Every
@@ -374,15 +387,14 @@ class TestUniversalGates:
         "docs_tok_partition_plan_drift",  # 1-row totals + 7-row bounds
     }
 
-    def test_nested_loop_joins_only_on_bounded_sides(self, spark, sf_dir, qs):
+    def test_nested_loop_joins_only_on_bounded_sides(self, all_plans):
         """Universal rule: BroadcastNestedLoopJoin / CartesianProduct
         may appear only in the allowlisted entries whose broadcast side
         is provably bounded. A new theta join must be reshaped into an
         equi-join (see operators/interval.py) or justified here."""
-        for name, fn in sorted(qs.items()):
-            if name in _EAGER_STREAMING or name in self._BNLJ_OK:
+        for name, plan in all_plans.items():
+            if name in self._BNLJ_OK:
                 continue
-            plan = physical_plan(fn(spark, sf_dir))
             assert (
                 "BroadcastNestedLoopJoin" not in plan
                 and "CartesianProduct" not in plan
@@ -393,7 +405,7 @@ class TestUniversalGates:
                 "_BNLJ_OK with a boundedness justification"
             )
 
-    def test_no_unbounded_global_window(self, spark, sf_dir, qs):
+    def test_no_unbounded_global_window(self, all_plans):
         """Universal rule: no catalog query may put an unpartitioned
         Window over unbounded input. Detection: a windowspecdefinition
         whose FIRST argument is an ordering expression (``expr ASC|DESC
@@ -403,12 +415,9 @@ class TestUniversalGates:
         global_spec = re.compile(
             r"windowspecdefinition\([^(),]*\s(?:ASC|DESC)\sNULLS"
         )
-        for name, fn in sorted(qs.items()):
-            if name in _EAGER_STREAMING:
-                continue
+        for name, plan in all_plans.items():
             if name in self._GLOBAL_WINDOW_OK:
                 continue
-            plan = physical_plan(fn(spark, sf_dir))
             assert not global_spec.search(plan), (
                 f"{name}: unpartitioned Window in plan — single-task "
                 "global sort does not scale; partition it or bound the "
